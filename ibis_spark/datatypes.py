@@ -69,8 +69,11 @@ class DataType:
     def __hash__(self):
         return hash(self._key())
 
+    def _render(self) -> str:
+        return self.name
+
     def __repr__(self):
-        base = self.name
+        base = self._render()
         if not self.nullable:
             base = f"!{base}"
         return base
@@ -240,15 +243,21 @@ class Decimal(DataType):
 
     def __init__(self, precision: int = 38, scale: int = 9, nullable: bool = True):
         super().__init__(nullable)
-        if precision > 38:
-            raise ValueError("Spark DecimalType max precision is 38")
+        if not 1 <= precision <= 38:
+            raise ValueError(
+                f"decimal precision must be in [1, 38] (Spark limit), got {precision}"
+            )
+        if not 0 <= scale <= precision:
+            raise ValueError(
+                f"decimal scale must be in [0, precision={precision}], got {scale}"
+            )
         self.precision = precision
         self.scale = scale
 
     def _key(self):
         return ("Decimal", self.precision, self.scale, self.nullable)
 
-    def __repr__(self):
+    def _render(self):
         return f"decimal({self.precision}, {self.scale})"
 
     def to_spark(self):
@@ -303,7 +312,7 @@ class Timestamp(DataType):
     def _key(self):
         return ("Timestamp", self.timezone, self.scale, self.nullable)
 
-    def __repr__(self):
+    def _render(self):
         if self.timezone:
             return f"timestamp('{self.timezone}')"
         return "timestamp"
@@ -330,13 +339,31 @@ class Interval(DataType):
     def _key(self):
         return ("Interval", self.unit, self.nullable)
 
-    def __repr__(self):
+    def _render(self):
         return f"interval('{self.unit}')"
 
     def to_spark(self):
-        if self.unit in ("Y", "Q", "M"):
-            return T.YearMonthIntervalType()
-        return T.DayTimeIntervalType()
+        # Preserve the unit: single-field Spark interval (mirrors the
+        # reference's unit table, ibis/backends/pyspark/datatypes.py:63-71).
+        if self.unit in ("Y", "Q"):
+            return T.YearMonthIntervalType(
+                T.YearMonthIntervalType.YEAR, T.YearMonthIntervalType.YEAR
+            )
+        if self.unit == "M":
+            return T.YearMonthIntervalType(
+                T.YearMonthIntervalType.MONTH, T.YearMonthIntervalType.MONTH
+            )
+        field = {
+            "W": T.DayTimeIntervalType.DAY,
+            "D": T.DayTimeIntervalType.DAY,
+            "h": T.DayTimeIntervalType.HOUR,
+            "m": T.DayTimeIntervalType.MINUTE,
+            "s": T.DayTimeIntervalType.SECOND,
+            "ms": T.DayTimeIntervalType.SECOND,
+            "us": T.DayTimeIntervalType.SECOND,
+            "ns": T.DayTimeIntervalType.SECOND,
+        }[self.unit]
+        return T.DayTimeIntervalType(field, field)
 
 
 class Array(DataType):
@@ -350,7 +377,7 @@ class Array(DataType):
     def _key(self):
         return ("Array", self.value_type._key(), self.nullable)
 
-    def __repr__(self):
+    def _render(self):
         return f"array<{self.value_type!r}>"
 
     def to_spark(self):
@@ -369,7 +396,7 @@ class Map(DataType):
     def _key(self):
         return ("Map", self.key_type._key(), self.value_type._key(), self.nullable)
 
-    def __repr__(self):
+    def _render(self):
         return f"map<{self.key_type!r}, {self.value_type!r}>"
 
     def to_spark(self):
@@ -517,18 +544,30 @@ def from_spark(styp: T.DataType, nullable: bool = True) -> DataType:
     if isinstance(styp, T.DateType):
         return Date(nullable)
     if isinstance(styp, T.TimestampNTZType):
-        return Timestamp(None, 6, nullable)
+        # scale=None so x == from_spark(x.to_spark()) holds for the default
+        return Timestamp(None, None, nullable)
     if isinstance(styp, T.TimestampType):
-        return Timestamp("UTC", 6, nullable)
+        # Spark TimestampType is session-tz-adjusted (UTC-normalized storage)
+        return Timestamp("UTC", None, nullable)
     if isinstance(styp, T.DayTimeIntervalType):
+        if styp.startField == styp.endField:
+            unit = {
+                T.DayTimeIntervalType.DAY: "D",
+                T.DayTimeIntervalType.HOUR: "h",
+                T.DayTimeIntervalType.MINUTE: "m",
+                T.DayTimeIntervalType.SECOND: "s",
+            }[styp.startField]
+            return Interval(unit, nullable)
         return Interval("s", nullable)
     if isinstance(styp, T.YearMonthIntervalType):
+        if styp.startField == styp.endField == T.YearMonthIntervalType.YEAR:
+            return Interval("Y", nullable)
         return Interval("M", nullable)
     if isinstance(styp, T.ArrayType):
         return Array(from_spark(styp.elementType, styp.containsNull), nullable)
     if isinstance(styp, T.MapType):
         return Map(
-            from_spark(styp.keyType, False),
+            from_spark(styp.keyType, True),
             from_spark(styp.valueType, styp.valueContainsNull),
             nullable,
         )
@@ -542,7 +581,7 @@ def from_spark(styp: T.DataType, nullable: bool = True) -> DataType:
 
 # -- string grammar parser ("array<struct<a: int64>>", "decimal(38, 9)") ----
 
-_TOKEN = re.compile(r"\s*([<>(),:]|[A-Za-z_][A-Za-z_0-9]*|\d+|'[^']*')\s*")
+_TOKEN = re.compile(r"\s*([<>(),:!]|[A-Za-z_][A-Za-z_0-9]*|\d+|'[^']*')\s*")
 
 
 def _tokenize(text: str):
@@ -570,6 +609,8 @@ def parse(text: str) -> DataType:
 
     def advance():
         nonlocal pos
+        if pos >= len(tokens):
+            raise ValueError(f"unexpected end of type string {text!r}")
         tok = tokens[pos]
         pos += 1
         return tok
@@ -582,7 +623,7 @@ def parse(text: str) -> DataType:
     def parse_type() -> DataType:
         nonlocal pos
         nullable = True
-        if peek() == "!":  # pragma: no cover - "!" not tokenized separately
+        if peek() == "!":
             advance()
             nullable = False
         name = advance().lower()
@@ -656,21 +697,88 @@ def parse(text: str) -> DataType:
 # -- numeric promotion lattice (ibis/expr/datatypes/cast.py, simplified) -----
 
 _INT_ORDER = [Int8, Int16, Int32, Int64]
+_UINT_ORDER = [UInt8, UInt16, UInt32, UInt64]
 
 
-def promote(a: DataType, b: DataType) -> DataType:
-    """Binary-op result type: smallest type both sides fit in."""
-    if isinstance(a, Decimal) or isinstance(b, Decimal):
-        return Decimal()
+def _int_decimal_digits(t: _Integer) -> int:
+    """Max decimal digits an integer type can need."""
+    digits = {8: 3, 16: 5, 32: 10, 64: 19}[t._bits]
+    if not t._signed and t._bits == 64:
+        digits = 20
+    return digits
+
+
+def promote(a, b) -> DataType:
+    """Binary-op result type: smallest type both sides fit in losslessly.
+
+    Follows the reference's implicit-cast lattice (ibis/expr/datatypes/cast.py):
+    signedness-aware integer widening, UInt64 escapes to Decimal(20, 0),
+    int32/int64 with float32 promote to float64 (float32's 24-bit mantissa
+    can't hold them), decimals widen by precision/scale arithmetic.
+    """
+    a, b = dtype(a), dtype(b)
+    nullable = a.nullable or b.nullable
+
+    def out(t: DataType) -> DataType:
+        return t.copy(nullable=nullable)
+
+    if isinstance(a, Null):
+        return out(b)
+    if isinstance(b, Null):
+        return out(a)
+    if a._key()[:-1] == b._key()[:-1]:
+        return out(a)
+
     if a.is_floating or b.is_floating:
-        bits = max(getattr(a, "_bits", 64), getattr(b, "_bits", 64))
-        return Float64() if bits > 32 else Float32()
+        if a.is_floating and b.is_floating:
+            return out(Float64() if max(a._bits, b._bits) > 32 else Float32())
+        flt, other = (a, b) if a.is_floating else (b, a)
+        if not other.is_numeric:
+            raise TypeError(f"cannot promote {a!r} and {b!r}")
+        if flt._bits == 64 or isinstance(other, Decimal):
+            return out(Float64())
+        # float32 keeps only integers up to 2**24: int32+ must widen
+        if other._bits <= 16:
+            return out(Float32())
+        return out(Float64())
+
+    if isinstance(a, Decimal) or isinstance(b, Decimal):
+        def as_ps(t):
+            if isinstance(t, Decimal):
+                return t.precision, t.scale
+            if t.is_integer:
+                return _int_decimal_digits(t), 0
+            raise TypeError(f"cannot promote {a!r} and {b!r}")
+
+        p1, s1 = as_ps(a)
+        p2, s2 = as_ps(b)
+        s = max(s1, s2)
+        i = max(p1 - s1, p2 - s2)
+        return out(Decimal(min(38, i + s), s))
+
     if a.is_integer and b.is_integer:
-        bits = max(a._bits, b._bits)
+        if (not a._signed and a._bits == 64) or (not b._signed and b._bits == 64):
+            # uint64 cannot fit any signed 64-bit type; matches UInt64.to_spark
+            return out(Decimal(20, 0))
+        if a._signed == b._signed:
+            bits = max(a._bits, b._bits)
+            order = _INT_ORDER if a._signed else _UINT_ORDER
+            for cls in order:
+                if cls._bits >= bits:
+                    return out(cls())
+        # mixed signedness: need a signed type strictly wider than the
+        # unsigned operand
+        u, s_ = (a, b) if not a._signed else (b, a)
+        need = max(u._bits * 2, s_._bits)
         for cls in _INT_ORDER:
-            if cls._bits >= bits:
-                return cls()
-        return Int64()
+            if cls._bits >= need:
+                return out(cls())
+        return out(Decimal(20, 0))
+
+    if isinstance(a, Timestamp) and isinstance(b, Date):
+        return out(a)
+    if isinstance(a, Date) and isinstance(b, Timestamp):
+        return out(b)
     if type(a) is type(b):
-        return a
-    return a
+        return out(a)
+    raise TypeError(f"cannot promote {a!r} and {b!r}")
