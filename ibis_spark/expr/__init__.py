@@ -1,0 +1,33 @@
+"""Expression layer: Column / Table / windows / deferred.
+
+The design collapses the reference's IR-node + 25-dialect-visitor pipeline
+(ibis/expr/operations/*, ibis/backends/sql/compilers/*) into a thin typed
+veneer over the PySpark DataFrame API: ``Table`` wraps a lazy
+:class:`pyspark.sql.DataFrame` (Spark's logical plan IS our IR) and
+``Column`` wraps :class:`pyspark.sql.Column` while preserving the
+reference's value semantics (0-based indexing, division→float64,
+Monday-0 weekdays, whitespace strip, ...). Catalyst remains the sole
+optimizer, exactly as SURVEY.md §4 prescribes.
+"""
+
+from ibis_spark.expr.column import Column, literal, null
+from ibis_spark.expr.deferred import Deferred, _, resolve
+from ibis_spark.expr.table import GroupedTable, Table, desc, asc
+from ibis_spark.expr.window import Window, cumulative_window, trailing_window, window
+
+__all__ = [
+    "Column",
+    "Deferred",
+    "GroupedTable",
+    "Table",
+    "Window",
+    "_",
+    "asc",
+    "cumulative_window",
+    "desc",
+    "literal",
+    "null",
+    "resolve",
+    "trailing_window",
+    "window",
+]

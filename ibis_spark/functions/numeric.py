@@ -1,0 +1,200 @@
+"""Numeric / math operations (reference: ibis/expr/operations/numeric.py).
+
+Reference semantics preserved (ibis/expr/operations/numeric.py:62-72):
+``/`` always yields float64 and ``//`` yields int64, unlike Spark's
+type-preserving division.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ibis_spark.expr.core import unwrap, wrap
+
+
+class NumericOps:
+    __slots__ = ()
+
+    # -- arithmetic (numeric.py:28-82) --------------------------------------
+    def __add__(self, other):
+        return wrap(self.spark() + unwrap(other))
+
+    def __radd__(self, other):
+        return wrap(unwrap(other) + self.spark())
+
+    def __sub__(self, other):
+        return wrap(self.spark() - unwrap(other))
+
+    def __rsub__(self, other):
+        return wrap(unwrap(other) - self.spark())
+
+    def __mul__(self, other):
+        return wrap(self.spark() * unwrap(other))
+
+    def __rmul__(self, other):
+        return wrap(unwrap(other) * self.spark())
+
+    def __truediv__(self, other):
+        # Divide always yields float64 (numeric.py:62-72)
+        return wrap(self.spark().cast("double") / unwrap(other).cast("double"))
+
+    def __rtruediv__(self, other):
+        return wrap(unwrap(other).cast("double") / self.spark().cast("double"))
+
+    def __floordiv__(self, other):
+        # FloorDivide yields int64 (numeric.py:73-77)
+        return wrap(
+            F.floor(self.spark().cast("double") / unwrap(other).cast("double")).cast(
+                "long"
+            )
+        )
+
+    def __rfloordiv__(self, other):
+        return wrap(
+            F.floor(unwrap(other).cast("double") / self.spark().cast("double")).cast(
+                "long"
+            )
+        )
+
+    def __mod__(self, other):
+        return wrap(self.spark() % unwrap(other))
+
+    def __rmod__(self, other):
+        return wrap(unwrap(other) % self.spark())
+
+    def __pow__(self, other):
+        return wrap(F.pow(self.spark(), unwrap(other)))
+
+    def __rpow__(self, other):
+        return wrap(F.pow(unwrap(other), self.spark()))
+
+    def __neg__(self):
+        return wrap(-self.spark())
+
+    def negate(self):
+        return -self
+
+    # -- unary math (numeric.py:83-341) --------------------------------------
+    def abs(self):
+        return wrap(F.abs(self.spark()))
+
+    def ceil(self):
+        return wrap(F.ceil(self.spark()))
+
+    def floor(self):
+        return wrap(F.floor(self.spark()))
+
+    def round(self, digits: int = 0):
+        return wrap(F.round(self.spark(), digits))
+
+    def clip(self, lower=None, upper=None):
+        # nested bounds preserving nulls (base compiler BC:873-881)
+        c = self.spark()
+        out = c
+        if lower is not None:
+            out = F.greatest(out, unwrap(lower))
+        if upper is not None:
+            out = F.least(out, unwrap(upper))
+        return wrap(F.when(c.isNotNull(), out))
+
+    def sign(self):
+        return wrap(F.signum(self.spark()))
+
+    def sqrt(self):
+        return wrap(F.sqrt(self.spark()))
+
+    def exp(self):
+        return wrap(F.exp(self.spark()))
+
+    def ln(self):
+        return wrap(F.log(self.spark()))
+
+    def log(self, base=None):
+        if base is None:
+            return self.ln()
+        return wrap(F.log(float(base), self.spark()))
+
+    def log2(self):
+        return wrap(F.log2(self.spark()))
+
+    def log10(self):
+        return wrap(F.log10(self.spark()))
+
+    def degrees(self):
+        return wrap(F.degrees(self.spark()))
+
+    def radians(self):
+        return wrap(F.radians(self.spark()))
+
+    # -- trig (numeric.py:297-341) -------------------------------------------
+    def acos(self):
+        return wrap(F.acos(self.spark()))
+
+    def asin(self):
+        return wrap(F.asin(self.spark()))
+
+    def atan(self):
+        return wrap(F.atan(self.spark()))
+
+    def atan2(self, other):
+        return wrap(F.atan2(self.spark(), unwrap(other)))
+
+    def cos(self):
+        return wrap(F.cos(self.spark()))
+
+    def cot(self):
+        return wrap(F.cot(self.spark()))
+
+    def sin(self):
+        return wrap(F.sin(self.spark()))
+
+    def tan(self):
+        return wrap(F.tan(self.spark()))
+
+    def acosh(self):
+        return wrap(F.acosh(self.spark()))
+
+    def asinh(self):
+        return wrap(F.asinh(self.spark()))
+
+    def atanh(self):
+        return wrap(F.atanh(self.spark()))
+
+    def cosh(self):
+        return wrap(F.cosh(self.spark()))
+
+    def sinh(self):
+        return wrap(F.sinh(self.spark()))
+
+    def tanh(self):
+        return wrap(F.tanh(self.spark()))
+
+    # -- predicates (numeric.py:92-109) ---------------------------------------
+    def isnan(self):
+        return wrap(F.isnan(self.spark()))
+
+    def isinf(self):
+        c = self.spark()
+        return wrap((c == float("inf")) | (c == float("-inf")))
+
+    # -- base conversion / bitwise (numeric.py:191, :342-395) -----------------
+    def convert_base(self, from_base: int, to_base: int):
+        return wrap(F.conv(self.spark(), from_base, to_base))
+
+    def bitwise_and(self, other):
+        return wrap(self.spark().bitwiseAND(unwrap(other)))
+
+    def bitwise_or(self, other):
+        return wrap(self.spark().bitwiseOR(unwrap(other)))
+
+    def bitwise_xor(self, other):
+        return wrap(self.spark().bitwiseXOR(unwrap(other)))
+
+    def bitwise_not(self):
+        return wrap(F.bitwise_not(self.spark()))
+
+    def bitwise_left_shift(self, n):
+        return wrap(F.shiftleft(self.spark(), n))
+
+    def bitwise_right_shift(self, n):
+        return wrap(F.shiftright(self.spark(), n))

@@ -1,0 +1,241 @@
+"""String operations (reference: ibis/expr/operations/strings.py:26-390).
+
+Semantic shims vs raw Spark, mirroring the reference's lowering
+(ibis/backends/sql/compilers/pyspark.py [PC], .../base.py [BC]):
+
+- ``substr``/``find`` are 0-indexed (BC:1019); Spark is 1-indexed.
+- ``strip`` removes ALL whitespace, not just spaces (PC:447-455).
+- ``capitalize`` is first-char-upper + rest-lower, NOT initcap
+  (sql/rewrites.py:606-615).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ibis_spark.expr.core import unwrap, wrap
+
+_WS = r"[\s   ]"
+
+
+class StringOps:
+    __slots__ = ()
+
+    # -- case / trim family (strings.py:26-60) --------------------------------
+    def lower(self):
+        return wrap(F.lower(self.spark()))
+
+    def upper(self):
+        return wrap(F.upper(self.spark()))
+
+    def reverse(self):
+        return wrap(F.reverse(self.spark()))
+
+    def strip(self):
+        return wrap(F.regexp_replace(self.spark(), f"^{_WS}+|{_WS}+$", ""))
+
+    def lstrip(self):
+        return wrap(F.regexp_replace(self.spark(), f"^{_WS}+", ""))
+
+    def rstrip(self):
+        return wrap(F.regexp_replace(self.spark(), f"{_WS}+$", ""))
+
+    def capitalize(self):
+        c = self.spark()
+        return wrap(
+            F.concat(
+                F.upper(c.substr(F.lit(1), F.lit(1))),
+                F.lower(c.substr(F.lit(2), F.length(c))),
+            )
+        )
+
+    # -- slicing (strings.py:61-95) -------------------------------------------
+    def substr(self, start, length=None):
+        """0-indexed substring (reference Substring, strings.py:61; BC:1019)."""
+        c = self.spark()
+        start_c = unwrap(start)
+        # negative start counts from the end, python-style
+        pos = F.when(start_c >= 0, start_c + 1).otherwise(
+            F.greatest(F.length(c) + start_c + 1, F.lit(1))
+        )
+        if length is None:
+            length_c = F.length(c)
+        else:
+            length_c = unwrap(length)
+        return wrap(c.substr(pos, length_c))
+
+    def left(self, n):
+        return self.substr(0, n)
+
+    def right(self, n):
+        """StrRight (strings.py:85)."""
+        return wrap(F.substring(self.spark(), -int(n), int(n)))
+
+    def repeat(self, n):
+        return wrap(F.repeat(self.spark(), n))
+
+    # -- search (strings.py:107-130) -------------------------------------------
+    def find(self, substr, start=None, end=None):
+        """0-indexed locate; -1 when absent (StringFind, strings.py:107)."""
+        if end is not None:
+            raise NotImplementedError("find(end=...) is not supported")
+        c = self.spark()
+        if start is not None:
+            sub = unwrap(substr)
+            # locate(substr, str, pos) needs a literal python substring
+            if isinstance(substr, str):
+                return wrap(F.locate(substr, c, pos=int(start) + 1) - 1)
+            return wrap(
+                F.when(
+                    F.instr(F.substring(c, int(start) + 1, F.length(c)), sub) > 0,
+                    F.instr(F.substring(c, int(start) + 1, F.length(c)), sub)
+                    + int(start)
+                    - 1,
+                ).otherwise(F.lit(-1))
+            )
+        return wrap(F.instr(c, unwrap(substr)) - 1)
+
+    def translate(self, from_str: str, to_str: str):
+        return wrap(F.translate(self.spark(), from_str, to_str))
+
+    def lpad(self, length, pad=" "):
+        return wrap(F.lpad(self.spark(), length, pad))
+
+    def rpad(self, length, pad=" "):
+        return wrap(F.rpad(self.spark(), length, pad))
+
+    def find_in_set(self, values):
+        """FindInSet (strings.py:156): 0-based index of self in list, -1 absent."""
+        return wrap(F.find_in_set(self.spark(), F.lit(",".join(values))) - 1)
+
+    # -- predicates (strings.py:192-242) ----------------------------------------
+    def startswith(self, prefix):
+        return wrap(self.spark().startswith(unwrap(prefix)))
+
+    def endswith(self, suffix):
+        return wrap(self.spark().endswith(unwrap(suffix)))
+
+    def like(self, pattern):
+        c = self.spark()
+        if isinstance(pattern, (list, tuple)):
+            out = c.like(pattern[0])
+            for p in pattern[1:]:
+                out = out | c.like(p)
+            return wrap(out)
+        return wrap(c.like(pattern))
+
+    def ilike(self, pattern):
+        c = self.spark()
+        if isinstance(pattern, (list, tuple)):
+            out = c.ilike(pattern[0])
+            for p in pattern[1:]:
+                out = out | c.ilike(p)
+            return wrap(out)
+        return wrap(c.ilike(pattern))
+
+    def contains(self, substr):
+        return wrap(self.spark().contains(unwrap(substr)))
+
+    # -- regex (strings.py:243-294) ----------------------------------------------
+    def re_search(self, pattern):
+        return wrap(self.spark().rlike(pattern))
+
+    def re_extract(self, pattern, index: int = 0):
+        return wrap(F.regexp_extract(self.spark(), pattern, index))
+
+    def re_split(self, pattern):
+        return wrap(F.split(self.spark(), pattern))
+
+    def re_replace(self, pattern, replacement):
+        return wrap(F.regexp_replace(self.spark(), pattern, replacement))
+
+    def replace(self, pattern, replacement):
+        """Literal (non-regex) replace (StringReplace, strings.py:283)."""
+        return wrap(F.replace(self.spark(), unwrap(pattern), unwrap(replacement)))
+
+    def split(self, delimiter):
+        return wrap(F.split(self.spark(), _regex_escape(delimiter)))
+
+    # -- concat / join (strings.py:167-190, :306) ---------------------------------
+    def concat(self, *others):
+        return wrap(F.concat(self.spark(), *(unwrap(o) for o in others)))
+
+    def join(self, parts):
+        """Join strings with self as separator (StringJoin strings.py:167,
+        ArrayStringJoin :181 when ``parts`` is an array column)."""
+        return _join_sep(self, parts)
+
+    # -- url extraction (strings.py:316-357) ----------------------------------------
+    def protocol(self):
+        return wrap(F.parse_url(self.spark(), F.lit("PROTOCOL")))
+
+    def authority(self):
+        return wrap(F.parse_url(self.spark(), F.lit("AUTHORITY")))
+
+    def userinfo(self):
+        return wrap(F.parse_url(self.spark(), F.lit("USERINFO")))
+
+    def host(self):
+        return wrap(F.parse_url(self.spark(), F.lit("HOST")))
+
+    def file(self):
+        return wrap(F.parse_url(self.spark(), F.lit("FILE")))
+
+    def path(self):
+        return wrap(F.parse_url(self.spark(), F.lit("PATH")))
+
+    def query(self, key=None):
+        if key is None:
+            return wrap(F.parse_url(self.spark(), F.lit("QUERY")))
+        return wrap(F.parse_url(self.spark(), F.lit("QUERY"), unwrap(key)))
+
+    def fragment(self):
+        return wrap(F.parse_url(self.spark(), F.lit("REF")))
+
+    # -- misc (strings.py:358-390) -----------------------------------------------
+    def length(self):
+        return wrap(F.length(self.spark()))
+
+    def ascii_str(self):
+        return wrap(F.ascii(self.spark()))
+
+    def levenshtein(self, other):
+        return wrap(F.levenshtein(self.spark(), unwrap(other)))
+
+    def to_date(self, fmt: str):
+        from ibis_spark.functions.temporal import _strptime_to_java
+
+        return wrap(F.to_date(self.spark(), _strptime_to_java(fmt)))
+
+    def to_timestamp(self, fmt: str):
+        from ibis_spark.functions.temporal import _strptime_to_java
+
+        return wrap(F.to_timestamp(self.spark(), _strptime_to_java(fmt)))
+
+
+def _regex_escape(s):
+    import re as _re
+
+    if isinstance(s, str):
+        return _re.escape(s)
+    return s
+
+
+def _join_sep(sep, parts):
+    # concat_ws / array_join need a literal python separator; a Column
+    # separator carries its literal value when built via literal()
+    sep_str = sep if isinstance(sep, str) else getattr(sep, "_lit", None)
+    if isinstance(parts, (list, tuple)):
+        cols = [unwrap(p) for p in parts]
+        if isinstance(sep_str, str):
+            return wrap(F.concat_ws(sep_str, *cols))
+        # column separator: intersperse (nulls propagate, unlike concat_ws)
+        sep_c = unwrap(sep)
+        out = cols[0]
+        for c in cols[1:]:
+            out = F.concat(out, sep_c, c)
+        return wrap(out)
+    # array column: array_join (ArrayStringJoin strings.py:181; PC:433)
+    if not isinstance(sep_str, str):
+        raise TypeError("array join separator must be a literal string")
+    return wrap(F.array_join(unwrap(parts), sep_str))
