@@ -1,0 +1,254 @@
+"""The Column expression type.
+
+Reference: ibis/expr/types/generic.py (Value/Column user API) +
+ibis/expr/operations/core.py:43 (Value[dtype, shape]). Ours wraps a lazy
+:class:`pyspark.sql.Column` — Spark's expression tree IS the IR, Catalyst
+does all optimization (SURVEY.md §4). Operator families are mixins from
+``ibis_spark.functions.*``; everything lowers to JVM-side
+``pyspark.sql.functions`` expressions (whole-stage-codegen friendly — no
+Python row UDFs anywhere on this path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column as SparkColumn
+
+from ibis_spark.expr.core import unwrap
+from ibis_spark.functions.analytic import AnalyticOps
+from ibis_spark.functions.collections import ArrayOps, JsonOps, MapOps, StructOps
+from ibis_spark.functions.generic import GenericOps
+from ibis_spark.functions.numeric import NumericOps
+from ibis_spark.functions.reductions import ReductionOps
+from ibis_spark.functions.strings import StringOps
+from ibis_spark.functions.temporal import TemporalOps
+
+
+class Column(
+    GenericOps,
+    NumericOps,
+    StringOps,
+    TemporalOps,
+    ReductionOps,
+    AnalyticOps,
+    ArrayOps,
+    MapOps,
+    StructOps,
+    JsonOps,
+):
+    """A typed, named, lazy column expression."""
+
+    __slots__ = (
+        "_sc",
+        "_name",
+        "_post",
+        "_lit",
+        "_needs_window",
+        "_order_hint",
+        "_cumulative",
+        "_source_df",
+    )
+
+    def __init__(
+        self,
+        sc: SparkColumn,
+        post=None,
+        name: Optional[str] = None,
+        lit: Any = None,
+        needs_window: bool = False,
+        order_hint=None,
+        cumulative: bool = False,
+        source_df=None,
+    ):
+        object.__setattr__(self, "_sc", sc)
+        object.__setattr__(self, "_name", name)
+        object.__setattr__(self, "_post", post)
+        object.__setattr__(self, "_lit", lit)
+        object.__setattr__(self, "_needs_window", needs_window)
+        object.__setattr__(self, "_order_hint", order_hint)
+        object.__setattr__(self, "_cumulative", cumulative)
+        object.__setattr__(self, "_source_df", source_df)
+
+    # -- plumbing ------------------------------------------------------------
+    def spark(self) -> SparkColumn:
+        if self._post is not None:
+            # a window function used without .over(): let the post hook
+            # apply directly (Spark will raise a clear analysis error if a
+            # window spec was genuinely required)
+            return self._post(self._sc)
+        return self._sc
+
+    def get_name(self) -> Optional[str]:
+        if self._name:
+            return self._name
+        # best effort: pull the name Spark would assign
+        try:
+            jc = self._sc._jc  # noqa: SLF001 — py4j name probe only
+            name = jc.toString()
+            if name.isidentifier():
+                return name
+        except Exception:
+            pass
+        return None
+
+    def alias(self, name: str) -> "Column":
+        return Column(
+            self.spark().alias(name),
+            name=name,
+            lit=self._lit,
+            needs_window=self._needs_window,
+            order_hint=self._order_hint,
+            cumulative=self._cumulative,
+        )
+
+    name = alias
+
+    def __repr__(self):
+        return f"Column<{self._sc}>"
+
+    # -- comparisons (logical.py:76-106); must live here to override object --
+    __hash__ = object.__hash__
+
+    def __eq__(self, other):  # type: ignore[override]
+        from ibis_spark.expr.core import wrap
+
+        return wrap(self.spark() == unwrap(other))
+
+    def __ne__(self, other):  # type: ignore[override]
+        from ibis_spark.expr.core import wrap
+
+        return wrap(self.spark() != unwrap(other))
+
+    def __lt__(self, other):
+        from ibis_spark.expr.core import wrap
+
+        return wrap(self.spark() < unwrap(other))
+
+    def __le__(self, other):
+        from ibis_spark.expr.core import wrap
+
+        return wrap(self.spark() <= unwrap(other))
+
+    def __gt__(self, other):
+        from ibis_spark.expr.core import wrap
+
+        return wrap(self.spark() > unwrap(other))
+
+    def __ge__(self, other):
+        from ibis_spark.expr.core import wrap
+
+        return wrap(self.spark() >= unwrap(other))
+
+    # -- boolean algebra (logical.py:26-45) -----------------------------------
+    def __and__(self, other):
+        from ibis_spark.expr.core import InSubquery, wrap
+
+        if isinstance(other, InSubquery):
+            return NotImplemented
+        return wrap(self.spark() & unwrap(other))
+
+    def __rand__(self, other):
+        from ibis_spark.expr.core import wrap
+
+        return wrap(unwrap(other) & self.spark())
+
+    def __or__(self, other):
+        from ibis_spark.expr.core import wrap
+
+        return wrap(self.spark() | unwrap(other))
+
+    def __ror__(self, other):
+        from ibis_spark.expr.core import wrap
+
+        return wrap(unwrap(other) | self.spark())
+
+    def __xor__(self, other):
+        from ibis_spark.expr.core import wrap
+
+        o = unwrap(other)
+        return wrap((self.spark() | o) & ~(self.spark() & o))
+
+    def __invert__(self):
+        from ibis_spark.expr.core import wrap
+
+        return wrap(~self.spark())
+
+    def __bool__(self):
+        raise TypeError(
+            "Column expressions are lazy and cannot be coerced to bool; "
+            "use & | ~ for boolean algebra"
+        )
+
+    # -- item access: struct field / map key / array index --------------------
+    def __getitem__(self, key):
+        from ibis_spark.expr.core import wrap
+
+        if isinstance(key, slice):
+            return self.array_slice(
+                key.start if key.start is not None else 0, key.stop
+            )
+        if isinstance(key, str):
+            return wrap(self.spark().getItem(key), name=key)
+        if isinstance(key, int) or hasattr(key, "spark"):
+            # 0-based array index with NULL OOB (ArrayIndex arrays.py:55) —
+            # also covers map key lookup for non-int keys via getItem
+            return self.array_index(key)
+        return wrap(self.spark().getItem(unwrap(key)))
+
+    # -- sort keys (sortkeys.py:16) -------------------------------------------
+    def asc(self, nulls_first: bool = True):
+        from ibis_spark.expr.core import wrap
+
+        c = self.spark()
+        return wrap(c.asc_nulls_first() if nulls_first else c.asc_nulls_last())
+
+    def desc(self, nulls_first: bool = False):
+        from ibis_spark.expr.core import wrap
+
+        c = self.spark()
+        return wrap(c.desc_nulls_first() if nulls_first else c.desc_nulls_last())
+
+    # -- windowing (window.py:67) ----------------------------------------------
+    def over(self, win) -> "Column":
+        """Bind a window spec (WindowFunction window.py:67)."""
+        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.window import Window
+
+        if not isinstance(win, Window):
+            raise TypeError(f"expected a Window, got {type(win).__name__}")
+        if self._cumulative and win.start is None and win.end is None and win.how == "rows":
+            win = win.rows(None, 0)
+        if self._needs_window and not win.order_by and self._order_hint is not None:
+            win = win._replace(order_by=(self._order_hint,))
+        spec = win.to_spark()
+        out = self._sc.over(spec)
+        if self._post is not None:
+            out = self._post(out)
+        return wrap(out)
+
+    # -- scalar formatting sugar ------------------------------------------------
+    def format(self, fmt: str) -> "Column":
+        from ibis_spark.expr.core import wrap
+
+        return wrap(F.format_string(fmt, self.spark()))
+
+
+def literal(value, type=None) -> Column:
+    """ibis.literal (generic.py:137 Literal)."""
+    c = F.lit(value)
+    if type is not None:
+        from ibis_spark.functions.generic import _spark_type
+
+        c = c.cast(_spark_type(type))
+    return Column(c, lit=value)
+
+
+def null(type=None) -> Column:
+    c = F.lit(None)
+    if type is not None:
+        from ibis_spark.functions.generic import _spark_type
+
+        c = c.cast(_spark_type(type))
+    return Column(c, lit=None)

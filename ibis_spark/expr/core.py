@@ -14,11 +14,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column as SparkColumn
 
 
-def wrap(sc: SparkColumn, post=None):
-    """Wrap a pyspark Column into our Column."""
+def wrap(sc: SparkColumn, post=None, **meta):
+    """Wrap a pyspark Column into our Column.
+
+    ``post`` is a transform applied after a window spec binds (e.g. the
+    0-index -1 shift for ranking functions); ``meta`` carries window
+    bookkeeping (needs_window / order_hint / cumulative).
+    """
     from ibis_spark.expr.column import Column
 
-    return Column(sc, post=post)
+    return Column(sc, post=post, **meta)
 
 
 def unwrap(value: Any) -> SparkColumn:
@@ -49,6 +54,27 @@ def is_literal(value: Any) -> bool:
             type(None),
         ),
     )
+
+
+class InSubquery:
+    """Deferred ``x IN (SELECT y FROM t)`` predicate
+    (reference: ibis/expr/operations/subqueries.py:65).
+
+    Column.isin(column_or_table) produces this marker; ``Table.filter``
+    lowers it to a left-semi (or left-anti when negated) join, which Spark
+    executes as a distributed broadcast/shuffled semi join — never a
+    driver-side collect.
+    """
+
+    __slots__ = ("needle", "haystack", "negated")
+
+    def __init__(self, needle, haystack, negated=False):
+        self.needle = needle
+        self.haystack = haystack
+        self.negated = negated
+
+    def __invert__(self):
+        return InSubquery(self.needle, self.haystack, not self.negated)
 
 
 def name_of(value: Any, default: Optional[str] = None) -> Optional[str]:

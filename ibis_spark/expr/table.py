@@ -1,0 +1,844 @@
+"""The Table relation type.
+
+Reference: ibis/expr/types/relations.py (Table API) +
+ibis/expr/operations/relations.py:36-523 (Relation ops). Ours wraps a lazy
+:class:`pyspark.sql.DataFrame`: every method is a declarative DataFrame
+transformation, so Catalyst gets the whole plan (predicate pushdown,
+column pruning, join reordering, AQE) for free — SURVEY.md §4's design.
+
+Scale notes baked in:
+- joins take optional broadcast hints; semi/anti lower to Spark's
+  left_semi/left_anti (no materialized subquery);
+- as-of join is a single-shuffle union-tag + running ``last(ignoreNulls)``
+  window — never a cross/range product (SURVEY.md §2.4);
+- nothing here ever calls ``.collect()`` except the explicit exports.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Iterable, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ibis_spark.expr.core import InSubquery, unwrap
+from ibis_spark.expr.deferred import Deferred
+from ibis_spark.expr.window import Window
+
+_alias_counter = itertools.count()
+
+
+def asc(key, nulls_first: bool = True):
+    """Sort-key helper (SortKey sortkeys.py:16)."""
+    from ibis_spark.expr.core import wrap
+
+    c = F.col(key) if isinstance(key, str) else unwrap(key)
+    return wrap(c.asc_nulls_first() if nulls_first else c.asc_nulls_last())
+
+
+def desc(key, nulls_first: bool = False):
+    from ibis_spark.expr.core import wrap
+
+    c = F.col(key) if isinstance(key, str) else unwrap(key)
+    return wrap(c.desc_nulls_first() if nulls_first else c.desc_nulls_last())
+
+
+class Table:
+    """A lazy relation; wraps a pyspark DataFrame
+    (reference Table: expr/types/relations.py)."""
+
+    __slots__ = ("_df",)
+
+    def __init__(self, df: DataFrame):
+        object.__setattr__(self, "_df", df)
+
+    # -- plumbing ------------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def to_spark(self) -> DataFrame:
+        return self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return list(self._df.columns)
+
+    def schema(self):
+        from ibis_spark.datatypes import from_spark
+        from ibis_spark.schema import Schema
+
+        return Schema(
+            {
+                f.name: from_spark(f.dataType, nullable=f.nullable)
+                for f in self._df.schema.fields
+            }
+        )
+
+    def __repr__(self):
+        cols = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in self._df.schema.fields)
+        return f"Table[{cols}]"
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self._df.columns:
+            from ibis_spark.expr.column import Column
+
+            return Column(self._df[name], name=name, source_df=self._df)
+        raise AttributeError(f"Table has no column {name!r}")
+
+    def __getitem__(self, key):
+        from ibis_spark.expr.column import Column
+
+        if isinstance(key, str):
+            return Column(self._df[key], name=key, source_df=self._df)
+        if isinstance(key, (list, tuple)):
+            return self.select(*key)
+        if isinstance(key, (Column, Deferred, InSubquery)):
+            return self.filter(key)
+        if isinstance(key, int):
+            return self.limit(1, offset=key)
+        raise TypeError(f"cannot index Table with {type(key).__name__}")
+
+    def __contains__(self, name):
+        return name in self._df.columns
+
+    # -- expression resolution -------------------------------------------------
+    def _resolve(self, expr, name: Optional[str] = None):
+        """Turn any user-supplied expression into (spark Column, name)."""
+        from ibis_spark.expr.column import Column
+
+        if isinstance(expr, Deferred):
+            expr = expr.resolve(self)
+        elif callable(expr) and not isinstance(expr, (Column, Table)):
+            expr = expr(self)
+        if isinstance(expr, str):
+            return self._df[expr], name or expr
+        if isinstance(expr, Table):
+            raise TypeError("expected a column expression, got a Table")
+        if isinstance(expr, Column):
+            col = self._apply_default_window(expr)
+            return col.spark(), name or expr.get_name()
+        # python literal
+        return F.lit(expr), name
+
+    def _apply_default_window(self, col):
+        """ibis auto-windows bare analytic functions in projections
+        (expr/rewrites.py:252-283)."""
+        if getattr(col, "_needs_window", False):
+            w = Window()
+            if col._order_hint is not None:
+                w = w._replace(order_by=(col._order_hint,))
+            elif col._cumulative:
+                w = w.rows(None, 0)
+            else:
+                w = w._replace(order_by=(F.monotonically_increasing_id(),))
+            return col.over(w)
+        return col
+
+    def _resolve_many(self, exprs, named):
+        out = []
+        for e in exprs:
+            if isinstance(e, (list, tuple)):
+                out.extend(self._resolve(x) for x in e)
+            else:
+                out.append(self._resolve(e))
+        for n, e in named.items():
+            out.append(self._resolve(e, name=n))
+        return out
+
+    def bind(self, expr):
+        """Resolve an expression against this table → Column."""
+        from ibis_spark.expr.column import Column
+
+        sc, name = self._resolve(expr)
+        return Column(sc, name=name)
+
+    # -- projection (relations.py:121-160) ---------------------------------------
+    def select(self, *exprs, **named) -> "Table":
+        cols = []
+        for sc, name in self._resolve_many(exprs, named):
+            cols.append(sc.alias(name) if name else sc)
+        return Table(self._df.select(*cols))
+
+    projection = select
+
+    def mutate(self, *exprs, **named) -> "Table":
+        """Add/replace columns (relations.py Project; API relations.py:2340)."""
+        resolved = self._resolve_many(exprs, named)
+        df = self._df
+        existing = list(df.columns)
+        replacements = {}
+        additions = []
+        for i, (sc, name) in enumerate(resolved):
+            name = name or f"col_{i}"
+            if name in existing:
+                replacements[name] = sc
+            else:
+                additions.append((name, sc))
+        cols = [
+            (replacements[c].alias(c) if c in replacements else df[c]) for c in existing
+        ]
+        cols.extend(sc.alias(n) for n, sc in additions)
+        return Table(df.select(*cols))
+
+    def drop(self, *names) -> "Table":
+        """DropColumns (relations.py:149)."""
+        names = [n if isinstance(n, str) else self._resolve(n)[1] for n in names]
+        return Table(self._df.drop(*names))
+
+    def rename(self, mapping=None, **kwargs) -> "Table":
+        """Table.rename: new_name=old_name pairs (relations.py:2646)."""
+        m = dict(mapping or {})
+        m.update(kwargs)
+        df = self._df
+        # ibis convention: {new: old}
+        inverted = {old: new for new, old in m.items()}
+        cols = [df[c].alias(inverted.get(c, c)) for c in df.columns]
+        return Table(df.select(*cols))
+
+    def relocate(self, *names, before=None, after=None) -> "Table":
+        """Table.relocate (relations.py:5010)."""
+        names = [n if isinstance(n, str) else self._resolve(n)[1] for n in names]
+        rest = [c for c in self._df.columns if c not in names]
+        if before is not None:
+            i = rest.index(before)
+            order = rest[:i] + names + rest[i:]
+        elif after is not None:
+            i = rest.index(after) + 1
+            order = rest[:i] + names + rest[i:]
+        else:
+            order = names + rest
+        return Table(self._df.select(*order))
+
+    # -- filter (relations.py:271) -------------------------------------------------
+    def filter(self, *predicates) -> "Table":
+        df = self._df
+        out = self
+        conds = []
+        for p in predicates:
+            if isinstance(p, (list, tuple)):
+                preds = p
+            else:
+                preds = [p]
+            for pred in preds:
+                if isinstance(pred, Deferred):
+                    pred = pred.resolve(out)
+                elif callable(pred) and not hasattr(pred, "spark") and not isinstance(pred, InSubquery):
+                    pred = pred(out)
+                if isinstance(pred, InSubquery):
+                    out = out._apply_in_subquery(pred, conds)
+                    continue
+                conds.append(unwrap(pred))
+        df = out._df
+        for c in conds:
+            df = df.filter(c)
+        return Table(df)
+
+    where = filter
+
+    def _apply_in_subquery(self, pred: InSubquery, pending_conds) -> "Table":
+        """Lower InSubquery (subqueries.py:65) to a left-semi/anti join."""
+        df = self._df
+        for c in pending_conds:
+            df = df.filter(c)
+        pending_conds.clear()
+        hay = pred.haystack
+        if isinstance(hay, Table):
+            hay_col = hay[hay.columns[0]]
+        else:
+            hay_col = hay
+        hay_df = _owning_df(hay_col)
+        needle_sc = unwrap(pred.needle)
+        key_df = hay_df.select(unwrap(hay_col).alias("__isin_key__")).distinct()
+        how = "left_anti" if pred.negated else "left_semi"
+        joined = df.join(key_df, on=needle_sc.eqNullSafe(key_df["__isin_key__"]) if pred.negated else needle_sc == key_df["__isin_key__"], how=how)
+        return Table(joined)
+
+    # -- sorting / limits (relations.py:260-305) --------------------------------------
+    def order_by(self, *keys) -> "Table":
+        cols = []
+        for k in keys:
+            if isinstance(k, (list, tuple)) and not isinstance(k, str):
+                items = k
+            else:
+                items = [k]
+            for item in items:
+                if isinstance(item, Deferred):
+                    item = item.resolve(self)
+                if isinstance(item, str):
+                    if item.startswith("-"):
+                        cols.append(self._df[item[1:]].desc_nulls_last())
+                    else:
+                        cols.append(self._df[item].asc_nulls_first())
+                else:
+                    cols.append(unwrap(item))
+        return Table(self._df.orderBy(*cols))
+
+    sort_by = order_by
+
+    def limit(self, n: int, offset: int = 0) -> "Table":
+        df = self._df
+        if offset:
+            df = df.offset(offset)
+        return Table(df.limit(n))
+
+    def head(self, n: int = 5) -> "Table":
+        return self.limit(n)
+
+    # -- dedup / nulls / sampling (relations.py:470-498) --------------------------------
+    def distinct(self, on=None, keep: str = "first") -> "Table":
+        if on is None:
+            return Table(self._df.distinct())
+        on = [on] if isinstance(on, str) else list(on)
+        if keep == "first":
+            return Table(self._df.dropDuplicates(on))
+        # keep=None: drop all duplicated rows entirely
+        w_cnt = F.count(F.lit(1)).over(
+            Window(group_by=tuple(on)).to_spark(resolve=lambda x: self._df[x] if isinstance(x, str) else x)
+        )
+        return Table(
+            self._df.withColumn("__dup_n__", w_cnt)
+            .filter(F.col("__dup_n__") == 1)
+            .drop("__dup_n__")
+        )
+
+    def drop_null(self, subset=None, how: str = "any") -> "Table":
+        """DropNull (relations.py:477)."""
+        if isinstance(subset, str):
+            subset = [subset]
+        return Table(self._df.dropna(how=how, subset=subset))
+
+    dropna = drop_null
+
+    def fill_null(self, replacements) -> "Table":
+        """FillNull (relations.py:470): scalar or {col: value}."""
+        return Table(self._df.fillna(replacements))
+
+    fillna = fill_null
+
+    def sample(self, fraction: float, *, seed: Optional[int] = None, method: str = "row") -> "Table":
+        """Sample (relations.py:485)."""
+        return Table(self._df.sample(fraction=fraction, seed=seed))
+
+    # -- aggregation (relations.py:306) ---------------------------------------------------
+    def aggregate(self, metrics=None, by=(), having=(), **named) -> "Table":
+        return self.group_by(*_tuplize(by)).aggregate(
+            *_tuplize(metrics), having=having, **named
+        )
+
+    agg = aggregate
+
+    def group_by(self, *keys, **named_keys) -> "GroupedTable":
+        flat = []
+        for k in keys:
+            if isinstance(k, (list, tuple)):
+                flat.extend(k)
+            elif k is not None:
+                flat.append(k)
+        return GroupedTable(self, flat, named_keys)
+
+    def count(self, where=None) -> int:
+        """Eager row count (CountStar relations.py:101).
+
+        Note: divergence from the reference (which returns a lazy scalar);
+        ours executes immediately — document in API docs.
+        """
+        df = self._df
+        if where is not None:
+            sc, _ = self._resolve(where)
+            df = df.filter(sc)
+        return df.count()
+
+    def nunique(self, where=None) -> int:
+        df = self._df
+        if where is not None:
+            sc, _ = self._resolve(where)
+            df = df.filter(sc)
+        return df.distinct().count()
+
+    def value_counts(self, *cols, name: Optional[str] = None) -> "Table":
+        """Table.value_counts (relations.py:5247)."""
+        subset = [self._resolve(c)[1] for c in cols] or list(self._df.columns)
+        out_name = name or ("_".join(subset) + "_count")
+        return Table(
+            self._df.groupBy(*subset).agg(F.count(F.lit(1)).alias(out_name))
+        )
+
+    def topk(self, k: int, by=None, name: Optional[str] = None):
+        """Column.topk analog at table level — see GroupedTable/Column usage
+        (relations.py:5320)."""
+        raise TypeError("call .topk on a column: t[col].topk(k) — or use t.value_counts().order_by(...).limit(k)")
+
+    # -- joins (relations.py:201-258; types/joins.py:34-113) ------------------------------
+    def join(
+        self,
+        right: "Table",
+        predicates=(),
+        how: str = "inner",
+        *,
+        lname: str = "",
+        rname: str = "{name}_right",
+        broadcast: bool = False,
+    ) -> "Table":
+        how_map = {
+            "inner": "inner",
+            "left": "left",
+            "right": "right",
+            "outer": "full",
+            "full": "full",
+            "cross": "cross",
+            "semi": "left_semi",
+            "left_semi": "left_semi",
+            "anti": "left_anti",
+            "left_anti": "left_anti",
+            "any_inner": "inner",
+            "any_left": "left",
+        }
+        spark_how = how_map.get(how)
+        if spark_how is None:
+            if how == "asof":
+                return self.asof_join(right, predicates)
+            if how == "positional":
+                return self.positional_join(right)
+            raise ValueError(f"unsupported join kind {how!r}")
+
+        rdf = right._df
+        if broadcast:
+            rdf = F.broadcast(rdf)
+            right = Table(rdf)
+
+        preds = _tuplize(predicates)
+        name_keys = [p for p in preds if isinstance(p, str)]
+        other = [p for p in preds if not isinstance(p, str)]
+
+        if name_keys and not other:
+            joined = self._df.join(rdf, on=name_keys, how=spark_how)
+            return Table(joined) if spark_how in ("left_semi", "left_anti") else Table(
+                _dedupe_right(joined, self._df, rdf, set(name_keys), lname, rname)
+            )
+
+        cond = None
+        for p in other:
+            if isinstance(p, tuple) and len(p) == 2:
+                lc = self._resolve(p[0])[0]
+                rc = right._resolve(p[1])[0]
+                c = lc == rc
+            else:
+                if isinstance(p, Deferred):
+                    p = p.resolve(self)
+                c = unwrap(p)
+            cond = c if cond is None else cond & c
+        for k in name_keys:
+            c = self._df[k] == rdf[k]
+            cond = c if cond is None else cond & c
+
+        if cond is None:
+            joined = self._df.crossJoin(rdf)
+        else:
+            joined = self._df.join(rdf, on=cond, how=spark_how)
+        if spark_how in ("left_semi", "left_anti"):
+            return Table(joined)
+        return Table(_dedupe_right(joined, self._df, rdf, set(), lname, rname))
+
+    def inner_join(self, right, predicates=(), **kw):
+        return self.join(right, predicates, how="inner", **kw)
+
+    def left_join(self, right, predicates=(), **kw):
+        return self.join(right, predicates, how="left", **kw)
+
+    def right_join(self, right, predicates=(), **kw):
+        return self.join(right, predicates, how="right", **kw)
+
+    def outer_join(self, right, predicates=(), **kw):
+        return self.join(right, predicates, how="outer", **kw)
+
+    def semi_join(self, right, predicates=(), **kw):
+        return self.join(right, predicates, how="semi", **kw)
+
+    def anti_join(self, right, predicates=(), **kw):
+        return self.join(right, predicates, how="anti", **kw)
+
+    def cross_join(self, right, **kw):
+        return self.join(right, (), how="cross", **kw)
+
+    def positional_join(self, right) -> "Table":
+        """Positional join (relations.py:213): zip rows by position via
+        row_number over a monotonic id — no driver-side zip."""
+        lw = F.row_number().over(
+            Window(order_by=(F.monotonically_increasing_id(),)).to_spark()
+        )
+        ldf = self._df.withColumn("__pos__", lw)
+        rw = F.row_number().over(
+            Window(order_by=(F.monotonically_increasing_id(),)).to_spark()
+        )
+        rdf = right._df.withColumn("__pos__", rw)
+        joined = ldf.join(rdf, on="__pos__", how="inner").drop("__pos__")
+        return Table(_dedupe_right(joined, ldf.drop("__pos__"), rdf.drop("__pos__"), set(), "", "{name}_right"))
+
+    def asof_join(
+        self,
+        right: "Table",
+        on,
+        by=(),
+        tolerance=None,
+        *,
+        direction: str = "backward",
+        rname: str = "{name}_right",
+    ) -> "Table":
+        """As-of join (expr/types/relations.py:3736, joins.py:284-344).
+
+        The reference's Spark backend rejects asof (PC:496-504); we
+        implement it natively with a union-tag + running
+        ``last(ignoreNulls)`` window: one shuffle on the `by` keys, no
+        range/cross product — the merge-asof plan that scales linearly
+        with partition count at 100 TB.
+        """
+        if direction != "backward":
+            raise NotImplementedError("only backward (<=) asof is implemented")
+        lt, rt = (on, on) if isinstance(on, str) else on
+        by = _tuplize(by)
+        by_pairs = [(b, b) if isinstance(b, str) else b for b in by]
+
+        ldf, rdf = self._df, right._df
+        lcols = list(ldf.columns)
+        rcols = list(rdf.columns)
+        # right payload = everything except its join keys
+        r_payload = [c for c in rcols if c != rt and c not in [rb for _, rb in by_pairs]]
+
+        tag_l = ldf.select(
+            *[ldf[lb].alias(f"__k{i}__") for i, (lb, _) in enumerate(by_pairs)],
+            ldf[lt].cast("timestamp").alias("__t__") if _is_temporal(ldf, lt) else ldf[lt].alias("__t__"),
+            F.lit(1).alias("__is_left__"),
+            F.struct(*[ldf[c] for c in lcols]).alias("__lrow__"),
+            F.lit(None).cast(rdf.select(F.struct(*[rdf[c] for c in r_payload] + [rdf[rt]]).alias("s")).schema["s"].dataType).alias("__rrow__"),
+        )
+        tag_r = rdf.select(
+            *[rdf[rb].alias(f"__k{i}__") for i, (_, rb) in enumerate(by_pairs)],
+            rdf[rt].cast("timestamp").alias("__t__") if _is_temporal(rdf, rt) else rdf[rt].alias("__t__"),
+            F.lit(0).alias("__is_left__"),
+            F.lit(None).cast(ldf.select(F.struct(*[ldf[c] for c in lcols]).alias("s")).schema["s"].dataType).alias("__lrow__"),
+            F.struct(*[rdf[c] for c in r_payload] + [rdf[rt]]).alias("__rrow__"),
+        )
+        unioned = tag_l.unionByName(tag_r)
+        keys = [f"__k{i}__" for i in range(len(by_pairs))]
+        w = (
+            Window(group_by=tuple(keys), order_by=(F.col("__t__").asc_nulls_first(), F.col("__is_left__").asc_nulls_first()))
+            .rows(None, 0)
+            .to_spark()
+        )
+        filled = unioned.withColumn("__match__", F.last("__rrow__", ignorenulls=True).over(w))
+        result = filled.filter(F.col("__is_left__") == 1)
+
+        out_cols = [F.col(f"__lrow__.{c}").alias(c) for c in lcols]
+        for c in r_payload:
+            out_name = c if c not in lcols else rname.format(name=c)
+            out_cols.append(F.col(f"__match__.{c}").alias(out_name))
+        rt_out = rt if rt not in lcols else rname.format(name=rt)
+        out_cols.append(F.col(f"__match__.{rt}").alias(rt_out))
+        result = result.select(*out_cols)
+        if tolerance is not None:
+            tol = unwrap(tolerance) if hasattr(tolerance, "spark") else tolerance
+            lt_c = F.col(lt)
+            rt_c = F.col(rt_out)
+            within = rt_c.isNotNull() & (lt_c - rt_c <= tol)
+            # outside tolerance → null the right payload (left-join semantics,
+            # joins.py:296-336)
+            cleared = [F.col(c) for c in lcols]
+            for c in r_payload:
+                out_name = c if c not in lcols else rname.format(name=c)
+                cleared.append(F.when(within, F.col(out_name)).alias(out_name))
+            cleared.append(F.when(within, rt_c).alias(rt_out))
+            result = result.select(*cleared)
+        return Table(result)
+
+    # -- set ops (relations.py:332-378) ------------------------------------------------
+    def union(self, other: "Table", distinct: bool = False) -> "Table":
+        out = self._df.unionByName(other._df)
+        return Table(out.distinct() if distinct else out)
+
+    def intersect(self, other: "Table", distinct: bool = True) -> "Table":
+        out = self._df.intersect(other._df) if distinct else self._df.intersectAll(other._df)
+        return Table(out)
+
+    def difference(self, other: "Table", distinct: bool = True) -> "Table":
+        out = self._df.exceptAll(other._df)
+        return Table(out.distinct() if distinct else out)
+
+    # -- self-reference (relations.py:188) ------------------------------------------------
+    def view(self) -> "Table":
+        """SelfReference (relations.py:188) for self-joins."""
+        return Table(self._df.alias(f"__view_{next(_alias_counter)}__"))
+
+    alias_ = view
+
+    # -- unnest (relations.py:499 TableUnnest) --------------------------------------------
+    def unnest(self, column, offset=None, keep_empty: bool = False) -> "Table":
+        """TableUnnest → LATERAL VIEW explode/posexplode (PC:516-586)."""
+        sc, name = self._resolve(column)
+        df = self._df
+        others = [c for c in df.columns if c != name]
+        if offset is not None:
+            fn = F.posexplode_outer if keep_empty else F.posexplode
+            exploded = df.select(*others, fn(sc).alias(str(offset), name))
+            order = [c for c in df.columns if c != name] + [name, str(offset)]
+            return Table(exploded.select(*[F.col(c) for c in order]))
+        fn = F.explode_outer if keep_empty else F.explode
+        return Table(df.select(*others, fn(sc).alias(name)).select(*df.columns))
+
+    # -- pivots (relations.py:4209/4540) ---------------------------------------------------
+    def pivot_longer(self, cols, *, names_to: str = "name", values_to: str = "value") -> "Table":
+        names = [c if isinstance(c, str) else self._resolve(c)[1] for c in _tuplize(cols)]
+        keep = [c for c in self._df.columns if c not in names]
+        pairs = []
+        for n in names:
+            pairs.extend([F.lit(n), self._df[n]])
+        stacked = self._df.select(
+            *keep,
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(n) for n in names]),
+                    F.array(*[self._df[n] for n in names]),
+                )
+            ).alias(names_to, values_to),
+        )
+        return Table(stacked)
+
+    def pivot_wider(self, *, names_from: str, values_from: str, values_agg="sum", names_sort: bool = False) -> "Table":
+        keep = [c for c in self._df.columns if c not in (names_from, values_from)]
+        gb = self._df.groupBy(*keep).pivot(names_from)
+        aggfn = getattr(F, values_agg if values_agg != "arbitrary" else "first")
+        return Table(gb.agg(aggfn(values_from)))
+
+    # -- raw SQL escape hatch (relations.py:4004) ------------------------------------------
+    def sql(self, query: str, *, table_name: str = "t") -> "Table":
+        self._df.createOrReplaceTempView(table_name)
+        return Table(self._df.sparkSession.sql(query))
+
+    # -- caching / execution ----------------------------------------------------------------
+    def cache(self) -> "Table":
+        return Table(self._df.cache())
+
+    def execute(self):
+        """→ pandas DataFrame (BB:108 to_pandas)."""
+        return self._df.toPandas()
+
+    to_pandas = execute
+
+    def to_pyarrow(self):
+        return self._df.toArrow()
+
+    def to_parquet(self, path: str, **options) -> None:
+        self._df.write.mode("overwrite").options(**options).parquet(path)
+
+    def to_csv(self, path: str, **options) -> None:
+        self._df.write.mode("overwrite").options(**options).csv(path)
+
+    def to_delta(self, path: str, **options) -> None:
+        self._df.write.format("delta").mode("overwrite").options(**options).save(path)
+
+    def explain(self, mode: str = "formatted") -> str:
+        jdf = self._df._jdf  # noqa: SLF001 — plan text, debug only
+        jvm = self._df.sparkSession._jvm
+        return jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
+    def compile(self) -> str:
+        """Entry point B (SURVEY §3): return the optimized Spark plan."""
+        return self.explain("extended")
+
+
+class GroupedTable:
+    """GroupBy intermediary (reference: ibis/expr/types/groupby.py)."""
+
+    __slots__ = ("_table", "_keys", "_named_keys")
+
+    def __init__(self, table: Table, keys, named_keys=None):
+        self._table = table
+        self._keys = list(keys)
+        self._named_keys = dict(named_keys or {})
+
+    def _key_cols(self):
+        out = []
+        for k in self._keys:
+            sc, name = self._table._resolve(k)
+            out.append((sc, name))
+        for n, k in self._named_keys.items():
+            sc, _ = self._table._resolve(k)
+            out.append((sc, n))
+        return out
+
+    def aggregate(self, *metrics, having=(), **named) -> Table:
+        keys = self._key_cols()
+        mets = []
+        idx = 0
+        for m in _flatten(metrics):
+            sc, name = self._table._resolve(m)
+            mets.append((sc, name or f"metric_{idx}"))
+            idx += 1
+        for n, m in named.items():
+            sc, _ = self._table._resolve(m, name=n)
+            mets.append((sc, n))
+
+        having = _tuplize(having)
+        hid = []
+        for i, h in enumerate(having):
+            sc, _ = self._table._resolve(h)
+            hid.append((sc, f"__having_{i}__"))
+
+        gdf = self._table._df.groupBy(*[sc.alias(n) for sc, n in keys])
+        agg_cols = [sc.alias(n) for sc, n in mets] + [sc.alias(n) for sc, n in hid]
+        if not agg_cols:
+            agg_cols = [F.count(F.lit(1)).alias("__n__")]
+        out = gdf.agg(*agg_cols)
+        for _, n in hid:
+            out = out.filter(F.col(n))
+        drop = [n for _, n in hid] + (["__n__"] if not mets and not hid else [])
+        if drop:
+            out = out.drop(*drop)
+        return Table(out)
+
+    agg = aggregate
+
+    def having(self, *preds) -> "GroupedHaving":
+        return GroupedHaving(self, preds)
+
+    def count(self, name: str = "count") -> Table:
+        keys = self._key_cols()
+        gdf = self._table._df.groupBy(*[sc.alias(n) for sc, n in keys])
+        return Table(gdf.agg(F.count(F.lit(1)).alias(name)))
+
+    size = count
+
+    def mutate(self, *exprs, **named) -> Table:
+        """Window-project: each metric over partitionBy(keys)
+        (ibis grouped mutate → WindowFunction)."""
+        from ibis_spark.expr.column import Column
+
+        keys = self._key_cols()
+        w = Window(group_by=tuple(sc for sc, _ in keys))
+        out = self._table._df
+        resolved = []
+        idx = 0
+        for e in _flatten(exprs):
+            col = self._grouped_resolve(e, w)
+            name = col.get_name() or f"col_{idx}"
+            resolved.append((col.spark(), name))
+            idx += 1
+        for n, e in named.items():
+            col = self._grouped_resolve(e, w)
+            resolved.append((col.spark(), n))
+        for sc, name in resolved:
+            out = out.withColumn(name, sc)
+        return Table(out)
+
+    def _grouped_resolve(self, expr, w: Window):
+        from ibis_spark.expr.column import Column
+
+        if isinstance(expr, Deferred):
+            expr = expr.resolve(self._table)
+        elif callable(expr) and not isinstance(expr, Column):
+            expr = expr(self._table)
+        if not isinstance(expr, Column):
+            raise TypeError("grouped mutate expects column expressions")
+        if getattr(expr, "_needs_window", False) or _is_agg(expr):
+            win = w
+            if expr._order_hint is not None:
+                win = win._replace(order_by=(expr._order_hint,))
+            if expr._cumulative:
+                win = win.rows(None, 0)
+            return expr.over(win)
+        return expr
+
+    def order_by(self, *keys) -> "GroupedTable":
+        # ordering within group applies at window time; store as sorted table
+        return GroupedTable(self._table.order_by(*keys), self._keys, self._named_keys)
+
+
+class GroupedHaving:
+    __slots__ = ("_grouped", "_preds")
+
+    def __init__(self, grouped: GroupedTable, preds):
+        self._grouped = grouped
+        self._preds = tuple(preds)
+
+    def aggregate(self, *metrics, **named) -> Table:
+        return self._grouped.aggregate(*metrics, having=self._preds, **named)
+
+    agg = aggregate
+
+
+# -- helpers -----------------------------------------------------------------
+
+def _tuplize(x):
+    if x is None:
+        return ()
+    if isinstance(x, (list, tuple)):
+        return tuple(x)
+    return (x,)
+
+
+def _flatten(items):
+    for x in items:
+        if isinstance(x, (list, tuple)):
+            yield from x
+        else:
+            yield x
+
+
+def _dedupe_right(joined: DataFrame, ldf: DataFrame, rdf: DataFrame, shared_keys, lname, rname):
+    """Disambiguate collided column names after a join
+    (reference: ibis/expr/types/joins.py:34-113)."""
+    lcols = list(ldf.columns)
+    rcols = list(rdf.columns)
+    overlap = (set(lcols) & set(rcols)) - set(shared_keys)
+    if not overlap:
+        return joined
+    # left columns keep their names (optionally lname-templated); right-side
+    # collisions rename via the rname template — ibis' default "{name}_right"
+    sel = []
+    for c in lcols:
+        if c in shared_keys:
+            sel.append(joined[c])
+        elif c in overlap and lname:
+            sel.append(ldf[c].alias(lname.format(name=c)))
+        else:
+            sel.append(ldf[c])
+    for c in rcols:
+        if c in shared_keys:
+            continue
+        if c in overlap:
+            sel.append(rdf[c].alias(rname.format(name=c)))
+        else:
+            sel.append(rdf[c])
+    return joined.select(*sel)
+
+
+def _owning_df(col) -> DataFrame:
+    """Recover the DataFrame a column belongs to (for in-subquery lowering)."""
+    df = getattr(col, "_source_df", None)
+    if df is not None:
+        return df
+    raise TypeError(
+        "isin() with a column from another table requires the column to be "
+        "table-bound (use t.col or pass a Table)"
+    )
+
+
+def _is_temporal(df: DataFrame, name: str) -> bool:
+    t = dict(df.dtypes).get(name, "")
+    return "timestamp" in t or t == "date"
+
+
+def _is_agg(col) -> bool:
+    """Detect a bare aggregate expression (sum/avg/...) for grouped mutate."""
+    try:
+        s = str(col.spark()._jc)
+    except Exception:
+        return False
+    import re
+
+    return bool(re.match(r"^(sum|avg|min|max|count|stddev|var|first|last|collect)", s))

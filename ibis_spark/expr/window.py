@@ -1,0 +1,121 @@
+"""Window specifications (reference: ibis/expr/operations/window.py:29-106,
+ibis/expr/builders.py:127-230, ibis/expr/api.py window/trailing_window/
+cumulative_window).
+
+A :class:`Window` is an immutable spec of partition keys, order keys and a
+rows/range frame. ``Column.over(window)`` lowers it to a
+:class:`pyspark.sql.Window` spec — Catalyst handles the physical exchange,
+so a window over ``group_by`` keys shares the shuffle with any other
+operator partitioned the same way.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as SparkWindow
+from pyspark.sql.window import WindowSpec
+
+
+def _bound_to_spark(value, *, default):
+    """Map an ibis boundary (None=unbounded, int offset) to Spark's."""
+    if value is None:
+        return default
+    return int(value)
+
+
+class Window:
+    """Immutable window spec; ``how`` is 'rows' or 'range'
+    (window.py:67 WindowFunction.how)."""
+
+    __slots__ = ("group_by", "order_by", "how", "start", "end")
+
+    def __init__(self, group_by=(), order_by=(), how="rows", start=None, end=None):
+        self.group_by = tuple(group_by) if not isinstance(group_by, (str,)) else (group_by,)
+        self.order_by = tuple(order_by) if not isinstance(order_by, (str,)) else (order_by,)
+        self.how = how
+        self.start = start
+        self.end = end
+
+    def _replace(self, **kwargs):
+        cur = {
+            "group_by": self.group_by,
+            "order_by": self.order_by,
+            "how": self.how,
+            "start": self.start,
+            "end": self.end,
+        }
+        cur.update(kwargs)
+        return Window(**cur)
+
+    def rows(self, start=None, end=None):
+        return self._replace(how="rows", start=start, end=end)
+
+    def range(self, start=None, end=None):
+        return self._replace(how="range", start=start, end=end)
+
+    between = rows
+
+    def to_spark(self, resolve=None) -> WindowSpec:
+        """Build the pyspark WindowSpec.
+
+        ``resolve`` maps our sort-key / column objects to pyspark Columns
+        (supplied by Table when lowering inside a mutate).
+        """
+        from ibis_spark.expr.core import unwrap
+
+        def conv(x, *, order=False):
+            if resolve is not None:
+                x = resolve(x)
+            if isinstance(x, str):
+                return F.col(x)
+            return unwrap(x)
+
+        spec = SparkWindow.partitionBy(*[conv(g) for g in self.group_by])
+        if self.order_by:
+            spec = spec.orderBy(*[conv(o, order=True) for o in self.order_by])
+        has_frame = self.start is not None or self.end is not None
+        if self.how == "range":
+            if has_frame:
+                spec = spec.rangeBetween(
+                    _bound_to_spark(self.start, default=SparkWindow.unboundedPreceding),
+                    _bound_to_spark(self.end, default=SparkWindow.unboundedFollowing),
+                )
+        else:
+            if has_frame:
+                spec = spec.rowsBetween(
+                    _bound_to_spark(self.start, default=SparkWindow.unboundedPreceding),
+                    _bound_to_spark(self.end, default=SparkWindow.unboundedFollowing),
+                )
+        return spec
+
+
+def window(group_by=(), order_by=(), *, rows=None, range=None, preceding=None, following=None):
+    """ibis.window equivalent (expr/api.py)."""
+    w = Window(group_by=_tuplize(group_by), order_by=_tuplize(order_by))
+    if rows is not None:
+        w = w.rows(*rows)
+    elif range is not None:
+        w = w.range(*range)
+    elif preceding is not None or following is not None:
+        start = -preceding if preceding is not None else None
+        end = following if following is not None else 0
+        w = w.rows(start, end)
+    return w
+
+
+def trailing_window(preceding, group_by=(), order_by=()):
+    """Trailing row frame [-preceding, 0] (expr/api.py trailing_window)."""
+    return Window(_tuplize(group_by), _tuplize(order_by), "rows", -int(preceding), 0)
+
+
+def cumulative_window(group_by=(), order_by=()):
+    """Unbounded-preceding → current row (expr/api.py cumulative_window)."""
+    return Window(_tuplize(group_by), _tuplize(order_by), "rows", None, 0)
+
+
+def _tuplize(x):
+    if x is None:
+        return ()
+    if isinstance(x, (list, tuple)):
+        return tuple(x)
+    return (x,)

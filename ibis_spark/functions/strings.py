@@ -15,7 +15,9 @@ import pyspark.sql.functions as F
 
 from ibis_spark.expr.core import unwrap, wrap
 
-_WS = r"[\s   ]"
+# ASCII whitespace only (string.whitespace incl. VT/FF), matching the
+# reference trim charset (PC:447-455) — Java regex \s is exactly this set.
+_WS = r"\s"
 
 
 class StringOps:
@@ -68,32 +70,34 @@ class StringOps:
         return self.substr(0, n)
 
     def right(self, n):
-        """StrRight (strings.py:85)."""
-        return wrap(F.substring(self.spark(), -int(n), int(n)))
+        """StrRight (strings.py:85); ``n`` may be an expression."""
+        if isinstance(n, int):
+            return wrap(F.substring(self.spark(), -n, n))
+        n_c = unwrap(n)
+        c = self.spark()
+        return wrap(c.substr(F.greatest(F.length(c) - n_c + 1, F.lit(1)), n_c))
 
     def repeat(self, n):
         return wrap(F.repeat(self.spark(), n))
 
     # -- search (strings.py:107-130) -------------------------------------------
     def find(self, substr, start=None, end=None):
-        """0-indexed locate; -1 when absent (StringFind, strings.py:107)."""
+        """0-indexed locate; -1 when absent (StringFind, strings.py:107).
+
+        ``start`` may be an int or a Column expression (ADVICE r2: build
+        the offset with column arithmetic, not int()).
+        """
         if end is not None:
             raise NotImplementedError("find(end=...) is not supported")
         c = self.spark()
+        sub = unwrap(substr)
         if start is not None:
-            sub = unwrap(substr)
-            # locate(substr, str, pos) needs a literal python substring
-            if isinstance(substr, str):
-                return wrap(F.locate(substr, c, pos=int(start) + 1) - 1)
-            return wrap(
-                F.when(
-                    F.instr(F.substring(c, int(start) + 1, F.length(c)), sub) > 0,
-                    F.instr(F.substring(c, int(start) + 1, F.length(c)), sub)
-                    + int(start)
-                    - 1,
-                ).otherwise(F.lit(-1))
-            )
-        return wrap(F.instr(c, unwrap(substr)) - 1)
+            start_c = F.lit(start) if isinstance(start, int) else unwrap(start)
+            # search the suffix, then shift the hit back to full-string coords
+            suffix = c.substr(start_c + 1, F.length(c))
+            hit = F.instr(suffix, sub)
+            return wrap(F.when(hit > 0, hit + start_c - 1).otherwise(F.lit(-1)))
+        return wrap(F.instr(c, sub) - 1)
 
     def translate(self, from_str: str, to_str: str):
         return wrap(F.translate(self.spark(), from_str, to_str))
@@ -141,7 +145,12 @@ class StringOps:
         return wrap(self.spark().rlike(pattern))
 
     def re_extract(self, pattern, index: int = 0):
-        return wrap(F.regexp_extract(self.spark(), pattern, index))
+        """RegexExtract (strings.py:248): NULL on no-match — Spark's
+        regexp_extract returns '' instead, so gate on rlike (VERDICT r2 #6)."""
+        c = self.spark()
+        return wrap(
+            F.when(c.rlike(pattern), F.regexp_extract(c, pattern, index))
+        )
 
     def re_split(self, pattern):
         return wrap(F.split(self.spark(), pattern))
