@@ -49,6 +49,7 @@ class Column(
         "_order_hint",
         "_cumulative",
         "_source_df",
+        "_is_reduction",
     )
 
     def __init__(
@@ -61,6 +62,7 @@ class Column(
         order_hint=None,
         cumulative: bool = False,
         source_df=None,
+        is_reduction: bool = False,
     ):
         object.__setattr__(self, "_sc", sc)
         object.__setattr__(self, "_name", name)
@@ -70,6 +72,7 @@ class Column(
         object.__setattr__(self, "_order_hint", order_hint)
         object.__setattr__(self, "_cumulative", cumulative)
         object.__setattr__(self, "_source_df", source_df)
+        object.__setattr__(self, "_is_reduction", is_reduction)
 
     # -- plumbing ------------------------------------------------------------
     def spark(self) -> SparkColumn:
@@ -101,6 +104,7 @@ class Column(
             needs_window=self._needs_window,
             order_hint=self._order_hint,
             cumulative=self._cumulative,
+            is_reduction=self._is_reduction,
         )
 
     name = alias
@@ -233,6 +237,28 @@ class Column(
         from ibis_spark.expr.core import wrap
 
         return wrap(F.format_string(fmt, self.spark()))
+
+    # -- topk (reference Table.topk relations.py:5320 / Column.topk) -------------
+    def topk(self, k: int, by=None, name: Optional[str] = None):
+        """Top-k most frequent values of this column (or top-k by the
+        ``by`` metric): groupBy → agg → orderBy desc → limit, which
+        Catalyst executes as partial-agg + TakeOrderedAndProject."""
+        from ibis_spark.expr.deferred import Deferred
+        from ibis_spark.expr.table import Table
+
+        df = self._source_df
+        if df is None:
+            raise TypeError("topk requires a table-bound column (use t.col.topk(k))")
+        keyname = self.get_name() or "key"
+        out_name = name or f"{keyname}_count"
+        if by is None:
+            metric = F.count(F.lit(1))
+        else:
+            if isinstance(by, Deferred):
+                by = by.resolve(Table(df))
+            metric = unwrap(by)
+        agg = df.groupBy(self._sc.alias(keyname)).agg(metric.alias(out_name))
+        return Table(agg.orderBy(F.col(out_name).desc()).limit(int(k)))
 
 
 def literal(value, type=None) -> Column:

@@ -21,6 +21,7 @@ from typing import Any, Iterable, Optional
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as SparkWindowSpec
 
 from ibis_spark.expr.core import InSubquery, unwrap
 from ibis_spark.expr.deferred import Deferred
@@ -126,15 +127,24 @@ class Table:
 
     def _apply_default_window(self, col):
         """ibis auto-windows bare analytic functions in projections
-        (expr/rewrites.py:252-283)."""
+        (expr/rewrites.py:252-283).
+
+        Scale guard: an analytic with neither an order hint nor an explicit
+        window would need a global unordered window — a single-partition
+        funnel at 100 TB. We raise instead (ibis raises for un-ordered rank
+        too); use ``Table.with_row_number()`` for a bare row index.
+        """
         if getattr(col, "_needs_window", False):
             w = Window()
             if col._order_hint is not None:
                 w = w._replace(order_by=(col._order_hint,))
-            elif col._cumulative:
-                w = w.rows(None, 0)
             else:
-                w = w._replace(order_by=(F.monotonically_increasing_id(),))
+                raise ValueError(
+                    "analytic function requires an ordered window: apply "
+                    ".over(window(group_by=..., order_by=...)); for a bare "
+                    "row index use Table.with_row_number() (distributed "
+                    "zip-by-index, no global sort)"
+                )
             return col.over(w)
         return col
 
@@ -240,7 +250,14 @@ class Table:
     where = filter
 
     def _apply_in_subquery(self, pred: InSubquery, pending_conds) -> "Table":
-        """Lower InSubquery (subqueries.py:65) to a left-semi/anti join."""
+        """Lower InSubquery (subqueries.py:65) to a left-semi/anti join.
+
+        NOT IN follows SQL three-valued logic: if the haystack contains any
+        NULL, *no* row passes; a NULL needle never passes (unless the
+        haystack is empty, in which case every row passes). The null/empty
+        flags are a 1-row aggregate broadcast to every task — no extra
+        shuffle at scale.
+        """
         df = self._df
         for c in pending_conds:
             df = df.filter(c)
@@ -252,10 +269,22 @@ class Table:
             hay_col = hay
         hay_df = _owning_df(hay_col)
         needle_sc = unwrap(pred.needle)
-        key_df = hay_df.select(unwrap(hay_col).alias("__isin_key__")).distinct()
-        how = "left_anti" if pred.negated else "left_semi"
-        joined = df.join(key_df, on=needle_sc.eqNullSafe(key_df["__isin_key__"]) if pred.negated else needle_sc == key_df["__isin_key__"], how=how)
-        return Table(joined)
+        hay_sc = unwrap(hay_col)
+        key_df = hay_df.select(hay_sc.alias("__isin_key__")).distinct()
+        if not pred.negated:
+            return Table(df.join(key_df, on=needle_sc == key_df["__isin_key__"], how="left_semi"))
+        flags = hay_df.agg(
+            F.coalesce(F.max(hay_sc.isNull()), F.lit(False)).alias("__hay_has_null__"),
+            (F.count(F.lit(1)) > 0).alias("__hay_has_rows__"),
+        )
+        out = (
+            df.crossJoin(F.broadcast(flags))
+            .filter(~F.col("__hay_has_null__"))
+            .filter(needle_sc.isNotNull() | ~F.col("__hay_has_rows__"))
+            .drop("__hay_has_null__", "__hay_has_rows__")
+            .join(key_df, on=needle_sc == key_df["__isin_key__"], how="left_anti")
+        )
+        return Table(out)
 
     # -- sorting / limits (relations.py:260-305) --------------------------------------
     def order_by(self, *keys) -> "Table":
@@ -290,20 +319,35 @@ class Table:
 
     # -- dedup / nulls / sampling (relations.py:470-498) --------------------------------
     def distinct(self, on=None, keep: str = "first") -> "Table":
+        """Distinct (relations.py:494) / distinct(on=..., keep=...).
+
+        keep="first"/"last" keeps the first/last occurrence in row order
+        (row order = file/partition order, tracked via
+        monotonically_increasing_id — deterministic for a single source
+        read); keep=None drops every row whose `on` key is duplicated.
+        """
         if on is None:
             return Table(self._df.distinct())
-        on = [on] if isinstance(on, str) else list(on)
+        on = [on] if isinstance(on, str) else [c if isinstance(c, str) else self._resolve(c)[1] for c in on]
         if keep == "first":
             return Table(self._df.dropDuplicates(on))
-        # keep=None: drop all duplicated rows entirely
-        w_cnt = F.count(F.lit(1)).over(
-            Window(group_by=tuple(on)).to_spark(resolve=lambda x: self._df[x] if isinstance(x, str) else x)
-        )
-        return Table(
-            self._df.withColumn("__dup_n__", w_cnt)
-            .filter(F.col("__dup_n__") == 1)
-            .drop("__dup_n__")
-        )
+        if keep == "last":
+            mid = F.monotonically_increasing_id()
+            w = SparkWindowSpec.partitionBy(*on).orderBy(F.col("__mid__").desc())
+            return Table(
+                self._df.withColumn("__mid__", mid)
+                .withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .drop("__mid__", "__rn__")
+            )
+        if keep is None:
+            w_cnt = F.count(F.lit(1)).over(SparkWindowSpec.partitionBy(*on))
+            return Table(
+                self._df.withColumn("__dup_n__", w_cnt)
+                .filter(F.col("__dup_n__") == 1)
+                .drop("__dup_n__")
+            )
+        raise ValueError(f"keep must be 'first', 'last' or None, got {keep!r}")
 
     def drop_null(self, subset=None, how: str = "any") -> "Table":
         """DropNull (relations.py:477)."""
@@ -320,7 +364,11 @@ class Table:
     fillna = fill_null
 
     def sample(self, fraction: float, *, seed: Optional[int] = None, method: str = "row") -> "Table":
-        """Sample (relations.py:485)."""
+        """Sample (relations.py:485). Only row sampling is supported;
+        block sampling has no Spark DataFrame equivalent — raise rather
+        than silently change semantics."""
+        if method != "row":
+            raise NotImplementedError(f"sample(method={method!r}); only 'row' is supported")
         return Table(self._df.sample(fraction=fraction, seed=seed))
 
     # -- aggregation (relations.py:306) ---------------------------------------------------
@@ -367,10 +415,19 @@ class Table:
             self._df.groupBy(*subset).agg(F.count(F.lit(1)).alias(out_name))
         )
 
-    def topk(self, k: int, by=None, name: Optional[str] = None):
-        """Column.topk analog at table level — see GroupedTable/Column usage
-        (relations.py:5320)."""
-        raise TypeError("call .topk on a column: t[col].topk(k) — or use t.value_counts().order_by(...).limit(k)")
+    def topk(self, k: int, by=None, name: Optional[str] = None) -> "Table":
+        """Table.topk (relations.py:5320): most frequent whole rows, or the
+        top-k by a metric — value_counts → order desc → limit. Catalyst
+        plans this as TakeOrderedAndProject after a partial-agg count."""
+        subset = list(self._df.columns)
+        out_name = name or ("_".join(subset) + "_count")
+        if by is None:
+            metric = F.count(F.lit(1))
+        else:
+            sc, _ = self._resolve(by)
+            metric = sc
+        agg = self._df.groupBy(*subset).agg(metric.alias(out_name))
+        return Table(agg.orderBy(F.col(out_name).desc()).limit(int(k)))
 
     # -- joins (relations.py:201-258; types/joins.py:34-113) ------------------------------
     def join(
@@ -465,18 +522,21 @@ class Table:
         return self.join(right, (), how="cross", **kw)
 
     def positional_join(self, right) -> "Table":
-        """Positional join (relations.py:213): zip rows by position via
-        row_number over a monotonic id — no driver-side zip."""
-        lw = F.row_number().over(
-            Window(order_by=(F.monotonically_increasing_id(),)).to_spark()
-        )
-        ldf = self._df.withColumn("__pos__", lw)
-        rw = F.row_number().over(
-            Window(order_by=(F.monotonically_increasing_id(),)).to_spark()
-        )
-        rdf = right._df.withColumn("__pos__", rw)
+        """Positional join (relations.py:213): zip rows by position.
+
+        Uses the distributed zipWithIndex recipe (`_with_pos`): per-partition
+        row_number + broadcast partition-offset join — parallelism equals the
+        input partition count, never a single-partition global window.
+        """
+        ldf = _with_pos(self._df, "__pos__")
+        rdf = _with_pos(right._df, "__pos__")
         joined = ldf.join(rdf, on="__pos__", how="inner").drop("__pos__")
         return Table(_dedupe_right(joined, ldf.drop("__pos__"), rdf.drop("__pos__"), set(), "", "{name}_right"))
+
+    def with_row_number(self, name: str = "row_number") -> "Table":
+        """Attach a 0-based global row index, scale-safely (zip-by-index:
+        per-partition numbering + broadcast offsets; no global sort window)."""
+        return Table(_with_pos(self._df, name))
 
     def asof_join(
         self,
@@ -500,6 +560,15 @@ class Table:
             raise NotImplementedError("only backward (<=) asof is implemented")
         lt, rt = (on, on) if isinstance(on, str) else on
         by = _tuplize(by)
+        if not by:
+            import warnings
+
+            warnings.warn(
+                "asof_join with no `by` keys uses a single global ordered "
+                "window — fine for small inputs, a one-partition funnel at "
+                "scale; pass `by=` partition keys for large tables",
+                stacklevel=2,
+            )
         by_pairs = [(b, b) if isinstance(b, str) else b for b in by]
 
         ldf, rdf = self._df, right._df
@@ -564,8 +633,12 @@ class Table:
         return Table(out)
 
     def difference(self, other: "Table", distinct: bool = True) -> "Table":
-        out = self._df.exceptAll(other._df)
-        return Table(out.distinct() if distinct else out)
+        """Difference (relations.py:378). distinct=True is SQL EXCEPT: any
+        row present in `other` is removed entirely (Spark ``subtract``);
+        distinct=False is EXCEPT ALL (multiset difference, ``exceptAll``)."""
+        if distinct:
+            return Table(self._df.subtract(other._df))
+        return Table(self._df.exceptAll(other._df))
 
     # -- self-reference (relations.py:188) ------------------------------------------------
     def view(self) -> "Table":
@@ -834,11 +907,33 @@ def _is_temporal(df: DataFrame, name: str) -> bool:
 
 
 def _is_agg(col) -> bool:
-    """Detect a bare aggregate expression (sum/avg/...) for grouped mutate."""
-    try:
-        s = str(col.spark()._jc)
-    except Exception:
-        return False
-    import re
+    """Detect a bare aggregate expression for grouped mutate — tracked as
+    explicit Column metadata set by ReductionOps (no py4j string sniffing,
+    works under Spark Connect)."""
+    return bool(getattr(col, "_is_reduction", False))
 
-    return bool(re.match(r"^(sum|avg|min|max|count|stddev|var|first|last|collect)", s))
+
+def _with_pos(df: DataFrame, name: str = "__pos__") -> DataFrame:
+    """Attach a 0-based global row position — the distributed zipWithIndex
+    recipe: per-partition row_number (the window shuffles into one group per
+    *input partition*, so parallelism is preserved) + a broadcast join
+    against per-partition offsets (a tiny one-row-per-partition aggregate).
+    Never funnels the data through a single-partition global window.
+    """
+    tmp = df.withColumn("__pid__", F.spark_partition_id()).withColumn(
+        "__mid__", F.monotonically_increasing_id()
+    )
+    counts = tmp.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    w = SparkWindowSpec.orderBy("__pid__").rowsBetween(
+        SparkWindowSpec.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off__", F.coalesce(F.sum("__cnt__").over(w), F.lit(0))
+    ).drop("__cnt__")
+    pw = SparkWindowSpec.partitionBy("__pid__").orderBy("__mid__")
+    return (
+        tmp.withColumn("__prn__", F.row_number().over(pw) - 1)
+        .join(F.broadcast(offsets), on="__pid__", how="inner")
+        .withColumn(name, (F.col("__prn__") + F.col("__off__")).cast("long"))
+        .drop("__pid__", "__mid__", "__prn__", "__off__")
+    )

@@ -30,8 +30,11 @@ class Window:
     __slots__ = ("group_by", "order_by", "how", "start", "end")
 
     def __init__(self, group_by=(), order_by=(), how="rows", start=None, end=None):
-        self.group_by = tuple(group_by) if not isinstance(group_by, (str,)) else (group_by,)
-        self.order_by = tuple(order_by) if not isinstance(order_by, (str,)) else (order_by,)
+        # _tuplize, not tuple(): a bare Column must become a 1-tuple —
+        # tuple(column) would loop forever via Column.__getitem__'s
+        # sequence protocol (array indexing never raises IndexError)
+        self.group_by = _tuplize(group_by)
+        self.order_by = _tuplize(order_by)
         self.how = how
         self.start = start
         self.end = end

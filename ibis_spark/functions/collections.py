@@ -223,6 +223,19 @@ class StructOps:
         return wrap(self.spark().getField(name), name=name)
 
     def struct_fields(self):
+        """Field names of a struct column. The names are statically known
+        from the plan schema — emit a literal array (zero per-row cost),
+        never serialize rows to JSON."""
+        from pyspark.sql.types import StructType
+
+        df = getattr(self, "_source_df", None)
+        name = self.get_name()
+        if df is not None and name in getattr(df, "columns", ()):
+            dt = df.schema[name].dataType
+            if isinstance(dt, StructType):
+                return wrap(F.array(*[F.lit(f.name) for f in dt.fields]))
+        # fallback when the defining DataFrame isn't tracked: derive the
+        # keys from a JSON round-trip (per-row cost; schema unavailable)
         return wrap(F.json_object_keys(F.to_json(self.spark())))
 
 

@@ -12,7 +12,16 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ibis_spark.expr.core import unwrap, wrap
+from ibis_spark.expr.core import unwrap
+from ibis_spark.expr.core import wrap as _base_wrap
+
+
+def wrap(sc, **meta):
+    """Module-local wrap: every reduction built here marks itself with
+    ``is_reduction=True`` Column metadata, so GroupedTable.mutate can
+    window bare aggregates without string-sniffing the JVM expression."""
+    meta.setdefault("is_reduction", True)
+    return _base_wrap(sc, **meta)
 
 
 def _filtered(col, where):
@@ -200,7 +209,8 @@ class ReductionOps:
         if include_over:
             pred = c > buckets[-1] if closed == "left" else c > buckets[-1]
             out = out.when(pred, F.lit(idx))
-        return wrap(out.cast("int"))
+        # bucket is a scalar when-chain, not a reduction
+        return _base_wrap(out.cast("int"))
 
 
 def _order_struct(order_by):
