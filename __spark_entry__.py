@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship TPC-H Q1-style aggregate at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (plus the LLM-pipeline operators); ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL for each, with every computed column aliased
+identically on both sides. Float aggregates are rounded on both sides so
+the order-insensitive value hash is stable across engines.
+
+All queries go through the ``ibis_spark`` public API (no raw pyspark
+DataFrame calls except the final ``.to_spark()`` handoff).
 """
 
 from __future__ import annotations
@@ -13,26 +17,904 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import ibis_spark as ib
+from ibis_spark import _
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return ib.connect(spark).read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """TPC-H Q1 (pricing summary report) on sf0.001."""
+    return _q1(spark, "/root/testdata/sf0.001")
 
+
+def _q1(spark, sf_dir) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem")
+    t = t.filter(t.l_shipdate <= "1998-09-02")
+    return (
+        t.group_by("l_returnflag", "l_linestatus")
+        .aggregate(
+            sum_qty=t.l_quantity.sum().round(2),
+            sum_base_price=t.l_extendedprice.sum().round(2),
+            sum_disc_price=(t.l_extendedprice * (1 - t.l_discount)).sum().round(2),
+            sum_charge=(t.l_extendedprice * (1 - t.l_discount) * (1 + t.l_tax)).sum().round(2),
+            avg_qty=t.l_quantity.mean().round(4),
+            avg_price=t.l_extendedprice.mean().round(4),
+            avg_disc=t.l_discount.mean().round(4),
+            count_order=t.l_quantity.count(),
+        )
+        .order_by("l_returnflag", "l_linestatus")
+        .to_spark()
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(l_quantity) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational core
+# ---------------------------------------------------------------------------
+
+def _filter_sort_limit(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t.filter(t.o_totalprice > 100000, t.o_orderstatus == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .order_by(t.o_totalprice.desc(), "o_orderkey")
+        .limit(50)
+        .to_spark()
+    )
+
+
+def _agg_filtered(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t.group_by("l_returnflag")
+        .aggregate(
+            n=t.l_orderkey.count(),
+            n_disc=t.l_orderkey.count(where=t.l_discount > 0.05),
+            sum_hi=t.l_extendedprice.sum(where=t.l_quantity > 25).round(2),
+            min_q=t.l_quantity.min(),
+            max_q=t.l_quantity.max(),
+            nuniq=t.l_suppkey.nunique(),
+        )
+        .to_spark()
+    )
+
+
+def _agg_having(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t.group_by("o_custkey")
+        .having(t.o_orderkey.count() >= 15)
+        .aggregate(n=t.o_orderkey.count(), total=t.o_totalprice.sum().round(2))
+        .to_spark()
+    )
+
+
+def _distinct_rows(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    return t.select("o_orderstatus", "o_orderpriority").distinct().to_spark()
+
+
+def _distinct_keep_none(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t.select("o_custkey", "o_orderkey")
+        .distinct(on="o_custkey", keep=None)
+        .to_spark()
+    )
+
+
+def _distinct_keep_last(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t.select("o_custkey", "o_orderkey", "o_totalprice")
+        .order_by("o_custkey", "o_orderkey")
+        .distinct(on="o_custkey", keep="last")
+        .to_spark()
+    )
+
+
+def _value_counts(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    return t.select("o_orderpriority").value_counts(name="n").to_spark()
+
+
+def _topk(spark, sf_dir):
+    t = _t(spark, sf_dir, "documents")
+    return t.lang.topk(3, name="n").to_spark()
+
+
+def _drop_fill_null(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders")
+    t = t.mutate(st=t.o_orderstatus.nullif("O"))
+    return (
+        t.mutate(st_filled=t.st.fill_null("none"))
+        .select("o_orderkey", "st", "st_filled")
+        .to_spark()
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def _join_inner_chain(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(n, c.c_nationkey == n.n_nationkey, broadcast=True).join(
+        r, [("n_regionkey", "r_regionkey")], broadcast=True
+    )
+    return (
+        j.group_by("r_name")
+        .aggregate(n_cust=j.c_custkey.count(), avg_bal=j.c_acctbal.mean().round(4))
+        .to_spark()
+    )
+
+
+def _join_left(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = o.filter(o.o_totalprice > 150000)
+    j = big.left_join(c, [("o_custkey", "c_custkey")])
+    return j.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment").to_spark()
+
+
+def _join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(o.o_totalprice > 200000)
+    return (
+        c.semi_join(big, c.c_custkey == big.o_custkey)
+        .select("c_custkey", "c_name")
+        .to_spark()
+    )
+
+
+def _join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.anti_join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "c_name")
+        .to_spark()
+    )
+
+
+def _join_theta(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation").view()
+    j = n.join(
+        n2,
+        (n.n_regionkey == n2.n_regionkey) & (n.n_nationkey < n2.n_nationkey),
+    )
+    return j.select(
+        a=j.n_nationkey, b=j.n_nationkey_right, rk=j.n_regionkey
+    ).to_spark()
+
+
+def _join_asof(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(e.event_type == "view").select("event_id", "user_id", "ts", "value")
+    buys = e.filter(e.event_type == "purchase").select("user_id", "ts", "value")
+    j = views.asof_join(buys, on="ts", by="user_id")
+    return j.select(
+        "event_id", "user_id", "ts", "value", "value_right", "ts_right"
+    ).to_spark()
+
+
+def _join_positional(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.positional_join(n).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# set ops
+# ---------------------------------------------------------------------------
+
+def _set_union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(nk=c.c_nationkey).union(s.select(nk=s.s_nationkey)).to_spark()
+    )
+
+
+def _set_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(nk=c.c_nationkey)
+        .union(s.select(nk=s.s_nationkey), distinct=True)
+        .to_spark()
+    )
+
+
+def _set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(nk=c.c_nationkey).intersect(s.select(nk=s.s_nationkey)).to_spark()
+    )
+
+
+def _set_difference(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.select(nk=n.n_nationkey).difference(s.select(nk=s.s_nationkey)).to_spark()
+    )
+
+
+def _set_difference_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(li.l_orderkey < 3000).select(sk=li.l_suppkey)
+    b = li.filter(li.l_discount > 0.05).select(sk=li.l_suppkey)
+    return a.difference(b, distinct=False).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# window / analytic
+# ---------------------------------------------------------------------------
+
+def _window_rank(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = ib.window(group_by=c.c_nationkey, order_by=c.c_acctbal.desc())
+    return c.mutate(rnk=ib.rank().over(w)).select(
+        "c_custkey", "c_nationkey", "rnk"
+    ).to_spark()
+
+
+def _window_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = ib.window(group_by=o.o_custkey, order_by=[o.o_orderdate.asc(), o.o_orderkey.asc()])
+    return o.mutate(
+        prev_price=o.o_totalprice.lag(1).over(w),
+        next_key=o.o_orderkey.lead(1).over(w),
+    ).select("o_orderkey", "o_custkey", "prev_price", "next_key").to_spark()
+
+
+def _window_cumsum(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = ib.cumulative_window(group_by=e.user_id, order_by=[e.ts.asc(), e.event_id.asc()])
+    return e.mutate(run_total=e.value.sum().over(w).round(4)).select(
+        "event_id", "user_id", "run_total"
+    ).to_spark()
+
+
+def _window_moving_avg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = ib.window(
+        group_by=e.user_id, order_by=[e.ts.asc(), e.event_id.asc()]
+    ).rows(-2, 0)
+    return e.mutate(mavg=e.value.mean().over(w).round(4)).select(
+        "event_id", "user_id", "mavg"
+    ).to_spark()
+
+
+def _window_ntile(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = ib.window(
+        group_by=c.c_nationkey, order_by=[c.c_acctbal.desc(), c.c_custkey.asc()]
+    )
+    return c.mutate(quartile=ib.ntile(4).over(w)).select(
+        "c_custkey", "c_nationkey", "quartile"
+    ).to_spark()
+
+
+def _window_first_last(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = ib.window(
+        group_by=o.o_custkey, order_by=[o.o_orderdate.asc(), o.o_orderkey.asc()]
+    ).rows(None, None)
+    return o.mutate(
+        first_key=o.o_orderkey.first_value().over(w),
+        last_key=o.o_orderkey.last_value().over(w),
+    ).select("o_orderkey", "o_custkey", "first_key", "last_key").to_spark()
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+def _in_subquery(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    asia = n.filter(n.n_regionkey == 2)
+    return (
+        c.filter(c.c_nationkey.isin(asia.n_nationkey))
+        .select("c_custkey", "c_nationkey")
+        .to_spark()
+    )
+
+
+def _notin_subquery(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    asia = n.filter(n.n_regionkey == 2)
+    return (
+        c.filter(~c.c_nationkey.isin(asia.n_nationkey))
+        .select("c_custkey", "c_nationkey")
+        .to_spark()
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar functions
+# ---------------------------------------------------------------------------
+
+def _scalar_strings(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        up=p.p_name.upper(),
+        sub3=p.p_name.substr(0, 3),
+        nlen=p.p_name.length(),
+        idx_e=p.p_name.find("e"),
+        repl=p.p_name.replace("e", "3"),
+        padded=p.p_brand.lpad(10, "*"),
+        is_econ=p.p_type.startswith("ECON"),
+        cat=p.p_name.concat("_", p.p_brand),
+        has_red=p.p_name.contains("red"),
+        revd=p.p_name.reverse(),
+    ).to_spark()
+
+
+def _scalar_temporal(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        yr=o.o_orderdate.year(),
+        mo=o.o_orderdate.month(),
+        dy=o.o_orderdate.day(),
+        qtr=o.o_orderdate.quarter(),
+        dow=o.o_orderdate.day_of_week.index(),
+        mstart=o.o_orderdate.truncate("M"),
+        epoch=o.o_orderdate.epoch_seconds(),
+        ym=o.o_orderdate.strftime("%Y-%m"),
+    ).to_spark()
+
+
+def _scalar_numeric(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.filter(li.l_orderkey < 1000)
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        absd=(t.l_discount - 0.05).abs().round(4),
+        ceilp=t.l_extendedprice.ceil(),
+        floorp=t.l_extendedprice.floor().cast("int64"),
+        sq=t.l_quantity.sqrt().round(6),
+        lg=t.l_extendedprice.ln().round(6),
+        sgn=(t.l_discount - 0.05).sign().cast("int32"),
+        md=t.l_orderkey % 7,
+        fd=t.l_orderkey // 7,
+        dv=(t.l_quantity / 2).round(4),
+        pw=(t.l_discount ** 2).round(8),
+        clipped=t.l_quantity.clip(5, 40),
+    ).to_spark()
+
+
+def _case_when(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        tier=o.o_orderpriority.cases(
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            else_="cold",
+        ),
+        size=(o.o_totalprice > 150000).ifelse("big", "small"),
+    ).to_spark()
+
+
+def _bucket_histogram(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    b = c.mutate(bin=c.c_acctbal.bucket([0, 1000, 5000, 10000]))
+    return b.group_by("bin").aggregate(n=b.c_custkey.count()).to_spark()
+
+
+def _quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .aggregate(
+            med=li.l_quantity.median().round(4),
+            q90=li.l_quantity.quantile(0.9).round(4),
+        )
+        .to_spark()
+    )
+
+
+def _stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .aggregate(
+            sd=li.l_quantity.std().round(6),
+            vp=li.l_quantity.var(how="pop").round(6),
+            cr=li.l_extendedprice.corr(li.l_quantity).round(6),
+        )
+        .to_spark()
+    )
+
+
+def _count_distinct_star(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.group_by("o_orderstatus")
+        .aggregate(n=ib.struct(a=o.o_custkey, b=o.o_orderpriority).nunique())
+        .to_spark()
+    )
+
+
+def _group_concat(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.filter(li.l_orderkey <= 200)
+    return (
+        t.group_by("l_orderkey")
+        .aggregate(
+            lines=t.l_linenumber.group_concat(",", order_by=t.l_linenumber.asc())
+        )
+        .to_spark()
+    )
+
+
+# ---------------------------------------------------------------------------
+# arrays / unnest / json / pivot
+# ---------------------------------------------------------------------------
+
+def _array_ops(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.text.split(" ")
+    return d.select(
+        "doc_id",
+        n_tok=toks.array_length(),
+        n_uniq=toks.array_distinct().array_length(),
+        has_the=toks.array_contains("the"),
+        first_tok=toks.array_index(0),
+    ).to_spark()
+
+
+def _unnest_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(word=d.text.split(" ")).unnest("word")
+    return (
+        words.group_by("word")
+        .aggregate(cnt=words.word.count())
+        .order_by(ib.desc("cnt"), "word")
+        .limit(20)
+        .to_spark()
+    )
+
+
+def _json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", k=e.props.json_get("k").cast("int64")
+    ).to_spark()
+
+
+def _pivot_wider(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority", "o_orderstatus", "o_orderkey")
+        .pivot_wider(
+            names_from="o_orderstatus", values_from="o_orderkey", values_agg="count"
+        )
+        .fill_null(0)
+        .to_spark()
+    )
+
+
+def _pivot_longer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    t = c.select("c_custkey", "c_acctbal", "c_nationkey")
+    return t.pivot_longer(
+        ["c_acctbal", "c_nationkey"], names_to="metric", values_to="val"
+    ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (dedup / text analysis / fingerprinting)
+# ---------------------------------------------------------------------------
+
+def _dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = d.mutate(h=d.text.hexdigest("md5"))
+    return h.group_by("h").aggregate(doc_id=h.doc_id.min()).to_spark()
+
+
+def _fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", fp=d.text.hexdigest("md5").substr(0, 8)
+    ).to_spark()
+
+
+def _text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.text.split(" ")
+    stop = toks.array_filter(lambda x: x.isin(["the", "a", "value", "row"]))
+    return d.select(
+        "doc_id",
+        n_tok=toks.array_length(),
+        n_char=d.text.length(),
+        avg_tok_len=(d.text.length() / toks.array_length()).round(4),
+        stop_ratio=(
+            stop.array_length().cast("float64") / toks.array_length()
+        ).round(4),
+    ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1": _q1,
+        "filter_sort_limit": _filter_sort_limit,
+        "agg_filtered": _agg_filtered,
+        "agg_having": _agg_having,
+        "distinct_rows": _distinct_rows,
+        "distinct_keep_none": _distinct_keep_none,
+        "distinct_keep_last": _distinct_keep_last,
+        "value_counts": _value_counts,
+        "topk": _topk,
+        "drop_fill_null": _drop_fill_null,
+        "join_inner_chain": _join_inner_chain,
+        "join_left": _join_left,
+        "join_semi": _join_semi,
+        "join_anti": _join_anti,
+        "join_theta": _join_theta,
+        "join_asof": _join_asof,
+        "join_positional": _join_positional,
+        "set_union_all": _set_union_all,
+        "set_union_distinct": _set_union_distinct,
+        "set_intersect": _set_intersect,
+        "set_difference": _set_difference,
+        "set_difference_all": _set_difference_all,
+        "window_rank": _window_rank,
+        "window_lag": _window_lag,
+        "window_cumsum": _window_cumsum,
+        "window_moving_avg": _window_moving_avg,
+        "window_ntile": _window_ntile,
+        "window_first_last": _window_first_last,
+        "in_subquery": _in_subquery,
+        "notin_subquery": _notin_subquery,
+        "scalar_strings": _scalar_strings,
+        "scalar_temporal": _scalar_temporal,
+        "scalar_numeric": _scalar_numeric,
+        "case_when": _case_when,
+        "bucket_histogram": _bucket_histogram,
+        "quantiles": _quantiles,
+        "stats": _stats,
+        "count_distinct_star": _count_distinct_star,
+        "group_concat": _group_concat,
+        "array_ops": _array_ops,
+        "unnest_tokens": _unnest_tokens,
+        "json_extract": _json_extract,
+        "pivot_wider": _pivot_wider,
+        "pivot_longer": _pivot_longer,
+        "dedup_exact": _dedup_exact,
+        "fingerprint": _fingerprint,
+        "text_stats": _text_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1": _Q1_SQL,
+        "filter_sort_limit": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+        """,
+        "agg_filtered": """
+            SELECT l_returnflag,
+                   COUNT(l_orderkey) AS n,
+                   COUNT(CASE WHEN l_discount > 0.05 THEN l_orderkey END) AS n_disc,
+                   ROUND(SUM(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 2) AS sum_hi,
+                   MIN(l_quantity) AS min_q,
+                   MAX(l_quantity) AS max_q,
+                   COUNT(DISTINCT l_suppkey) AS nuniq
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "agg_having": """
+            SELECT o_custkey, COUNT(o_orderkey) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_custkey HAVING COUNT(o_orderkey) >= 15
+        """,
+        "distinct_rows": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        """,
+        "distinct_keep_none": """
+            SELECT o_custkey, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     COUNT(*) OVER (PARTITION BY o_custkey) AS c
+              FROM orders) WHERE c = 1
+        """,
+        "distinct_keep_last": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "value_counts": """
+            SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+        """,
+        "topk": """
+            SELECT lang, COUNT(*) AS n FROM documents
+            GROUP BY lang ORDER BY n DESC LIMIT 3
+        """,
+        "drop_fill_null": """
+            SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st,
+                   COALESCE(NULLIF(o_orderstatus, 'O'), 'none') AS st_filled
+            FROM orders
+        """,
+        "join_inner_chain": """
+            SELECT r_name, COUNT(c_custkey) AS n_cust,
+                   ROUND(AVG(c_acctbal), 4) AS avg_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "join_left": """
+            SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+            FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "join_theta": """
+            SELECT a.n_nationkey AS a, b.n_nationkey AS b, a.n_regionkey AS rk
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        """,
+        "join_asof": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.value AS value_right, r.ts AS ts_right
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'view') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "join_positional": """
+            SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name, n.n_regionkey
+            FROM (SELECT *, ROW_NUMBER() OVER () AS rn FROM region) r
+            JOIN (SELECT *, ROW_NUMBER() OVER () AS rn FROM nation) n USING (rn)
+        """,
+        "set_union_all": """
+            SELECT c_nationkey AS nk FROM customer
+            UNION ALL SELECT s_nationkey FROM supplier
+        """,
+        "set_union_distinct": """
+            SELECT c_nationkey AS nk FROM customer
+            UNION SELECT s_nationkey FROM supplier
+        """,
+        "set_intersect": """
+            SELECT c_nationkey AS nk FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier
+        """,
+        "set_difference": """
+            SELECT n_nationkey AS nk FROM nation
+            EXCEPT SELECT s_nationkey FROM supplier
+        """,
+        "set_difference_all": """
+            SELECT l_suppkey AS sk FROM lineitem WHERE l_orderkey < 3000
+            EXCEPT ALL
+            SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+        """,
+        "window_rank": """
+            SELECT c_custkey, c_nationkey,
+                   RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) - 1 AS rnk
+            FROM customer
+        """,
+        "window_lag": """
+            SELECT o_orderkey, o_custkey,
+                   LAG(o_totalprice) OVER w AS prev_price,
+                   LEAD(o_orderkey) OVER w AS next_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "window_cumsum": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_total
+            FROM events
+        """,
+        "window_moving_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+            FROM events
+        """,
+        "window_ntile": """
+            SELECT c_custkey, c_nationkey,
+                   NTILE(4) OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) - 1 AS quartile
+            FROM customer
+        """,
+        "window_first_last": """
+            SELECT o_orderkey, o_custkey,
+                   FIRST_VALUE(o_orderkey) OVER w AS first_key,
+                   LAST_VALUE(o_orderkey) OVER w AS last_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "in_subquery": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """,
+        "notin_subquery": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """,
+        "scalar_strings": """
+            SELECT p_partkey,
+                   UPPER(p_name) AS up,
+                   SUBSTR(p_name, 1, 3) AS sub3,
+                   LENGTH(p_name) AS nlen,
+                   STRPOS(p_name, 'e') - 1 AS idx_e,
+                   REPLACE(p_name, 'e', '3') AS repl,
+                   LPAD(p_brand, 10, '*') AS padded,
+                   STARTS_WITH(p_type, 'ECON') AS is_econ,
+                   p_name || '_' || p_brand AS cat,
+                   CONTAINS(p_name, 'red') AS has_red,
+                   REVERSE(p_name) AS revd
+            FROM part
+        """,
+        "scalar_temporal": """
+            SELECT o_orderkey,
+                   CAST(YEAR(o_orderdate) AS INT) AS yr,
+                   CAST(MONTH(o_orderdate) AS INT) AS mo,
+                   CAST(DAY(o_orderdate) AS INT) AS dy,
+                   CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+                   CAST(ISODOW(o_orderdate) - 1 AS INT) AS dow,
+                   CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mstart,
+                   CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch,
+                   STRFTIME(o_orderdate, '%Y-%m') AS ym
+            FROM orders
+        """,
+        "scalar_numeric": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(ABS(l_discount - 0.05), 4) AS absd,
+                   CAST(CEIL(l_extendedprice) AS BIGINT) AS ceilp,
+                   CAST(FLOOR(l_extendedprice) AS BIGINT) AS floorp,
+                   ROUND(SQRT(l_quantity), 6) AS sq,
+                   ROUND(LN(l_extendedprice), 6) AS lg,
+                   CAST(SIGN(l_discount - 0.05) AS INT) AS sgn,
+                   l_orderkey % 7 AS md,
+                   CAST(l_orderkey // 7 AS BIGINT) AS fd,
+                   ROUND(l_quantity / 2, 4) AS dv,
+                   ROUND(POWER(l_discount, 2), 8) AS pw,
+                   LEAST(GREATEST(l_quantity, 5), 40) AS clipped
+            FROM lineitem WHERE l_orderkey < 1000
+        """,
+        "case_when": """
+            SELECT o_orderkey,
+                   CASE o_orderpriority
+                     WHEN '1-URGENT' THEN 'hot'
+                     WHEN '2-HIGH' THEN 'hot'
+                     WHEN '3-MEDIUM' THEN 'warm'
+                     ELSE 'cold' END AS tier,
+                   CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size
+            FROM orders
+        """,
+        "bucket_histogram": """
+            SELECT CASE
+                     WHEN c_acctbal >= 0 AND c_acctbal < 1000 THEN 0
+                     WHEN c_acctbal >= 1000 AND c_acctbal < 5000 THEN 1
+                     WHEN c_acctbal >= 5000 AND c_acctbal <= 10000 THEN 2
+                   END AS bin,
+                   COUNT(c_custkey) AS n
+            FROM customer GROUP BY 1
+        """,
+        "quantiles": """
+            SELECT l_returnflag,
+                   ROUND(MEDIAN(l_quantity), 4) AS med,
+                   ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS q90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "stats": """
+            SELECT l_returnflag,
+                   ROUND(STDDEV_SAMP(l_quantity), 6) AS sd,
+                   ROUND(VAR_POP(l_quantity), 6) AS vp,
+                   ROUND(CORR(l_extendedprice, l_quantity), 6) AS cr
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "count_distinct_star": """
+            SELECT o_orderstatus, COUNT(DISTINCT (o_custkey, o_orderpriority)) AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "group_concat": """
+            SELECT l_orderkey,
+                   STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+            FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey
+        """,
+        "array_ops": """
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tok,
+                   CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT) AS n_uniq,
+                   LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the') AS has_the,
+                   STRING_SPLIT(text, ' ')[1] AS first_tok
+            FROM documents
+        """,
+        "unnest_tokens": """
+            SELECT word, COUNT(*) AS cnt FROM (
+              SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+            GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+        """,
+        "json_extract": """
+            SELECT event_id,
+                   CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "pivot_wider": """
+            SELECT o_orderpriority,
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS F,
+                   COUNT(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS O,
+                   COUNT(CASE WHEN o_orderstatus = 'P' THEN o_orderkey END) AS P
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "pivot_longer": """
+            SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val FROM customer
+            UNION ALL
+            SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        """,
+        "dedup_exact": """
+            SELECT MD5(text) AS h, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY MD5(text)
+        """,
+        "fingerprint": """
+            SELECT doc_id, SUBSTR(MD5(text), 1, 8) AS fp FROM documents
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tok,
+                   CAST(LENGTH(text) AS BIGINT) AS n_char,
+                   ROUND(LENGTH(text) / LEN(STRING_SPLIT(text, ' ')), 4) AS avg_tok_len,
+                   ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                         x -> x IN ('the', 'a', 'value', 'row'))) AS DOUBLE)
+                         / LEN(STRING_SPLIT(text, ' ')), 4) AS stop_ratio
+            FROM documents
+        """,
+    }

@@ -98,7 +98,30 @@ class Backend:
     def read_parquet(self, path, table_name: Optional[str] = None) -> Table:
         if self._mode == "streaming":
             raise NotImplementedError("use read_parquet_dir for streaming mode")
+        nanos = _nanos_timestamp_cols(path)
+        if nanos:
+            # Spark cannot read parquet TIMESTAMP(NANOS) natively; read the
+            # raw int64 (legacy conf) and rebuild a TimestampNTZ from epoch
+            # micros via interval arithmetic — exact and session-tz-free.
+            self._session.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self._session.read.parquet(str(path))
+        if nanos:
+            from pyspark.sql import functions as F
+
+            epoch = F.expr("CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)")
+            cols = [
+                (
+                    epoch
+                    + F.expr(
+                        f"make_dt_interval(0, 0, 0, "
+                        f"CAST(`{c}` div 1000 AS DECIMAL(20,0)) / 1000000)"
+                    )
+                ).alias(c)
+                if c in nanos
+                else df[c]
+                for c in df.columns
+            ]
+            df = df.select(*cols)
         if table_name:
             df.createOrReplaceTempView(table_name)
         return Table(df)
@@ -272,6 +295,35 @@ def memtable(data, schema=None, columns=None) -> Table:
     if session is None:
         raise RuntimeError("no active SparkSession; use connect(...).memtable")
     return Backend(session).memtable(data, schema=schema, columns=columns)
+
+
+def _nanos_timestamp_cols(path) -> set[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — read from the footer
+    (one tiny metadata IO, no data scan) so read_parquet can shim them."""
+    import os
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:
+        return set()
+    p = str(path)
+    if os.path.isdir(p):
+        files = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        if not files:
+            return set()
+        p = os.path.join(p, files[0])
+    try:
+        sch = pq.read_schema(p)
+    except Exception:
+        return set()
+    return {
+        f.name
+        for f in sch
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    }
 
 
 def _as_spark_schema(s):

@@ -203,16 +203,24 @@ class Column(
 
     # -- sort keys (sortkeys.py:16) -------------------------------------------
     def asc(self, nulls_first: bool = True):
-        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.core import SortKey
 
         c = self.spark()
-        return wrap(c.asc_nulls_first() if nulls_first else c.asc_nulls_last())
+        return SortKey(
+            c.asc_nulls_first() if nulls_first else c.asc_nulls_last(),
+            child=c,
+            ascending=True,
+        )
 
     def desc(self, nulls_first: bool = False):
-        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.core import SortKey
 
         c = self.spark()
-        return wrap(c.desc_nulls_first() if nulls_first else c.desc_nulls_last())
+        return SortKey(
+            c.desc_nulls_first() if nulls_first else c.desc_nulls_last(),
+            child=c,
+            ascending=False,
+        )
 
     # -- windowing (window.py:67) ----------------------------------------------
     def over(self, win) -> "Column":

@@ -27,11 +27,11 @@ def wrap(sc: SparkColumn, post=None, **meta):
 
 
 def unwrap(value: Any) -> SparkColumn:
-    """Coerce a value (our Column | pyspark Column | python literal) to a
-    pyspark Column expression."""
+    """Coerce a value (our Column | SortKey | pyspark Column | python
+    literal) to a pyspark Column expression."""
     from ibis_spark.expr.column import Column
 
-    if isinstance(value, Column):
+    if isinstance(value, (Column, SortKey)):
         return value.spark()
     if isinstance(value, SparkColumn):
         return value
@@ -54,6 +54,26 @@ def is_literal(value: Any) -> bool:
             type(None),
         ),
     )
+
+
+class SortKey:
+    """A sort key: a Spark SortOrder expression plus the underlying child
+    column and direction (reference SortKey sortkeys.py:16).
+
+    ``unwrap`` yields the SortOrder (usable in orderBy / window specs);
+    ordered reductions (collect/first/last/group_concat) need the raw
+    ``child`` because a SortOrder cannot be evaluated inside a struct.
+    """
+
+    __slots__ = ("_sc", "child", "ascending")
+
+    def __init__(self, sc: SparkColumn, child: SparkColumn, ascending: bool = True):
+        self._sc = sc
+        self.child = child
+        self.ascending = ascending
+
+    def spark(self) -> SparkColumn:
+        return self._sc
 
 
 class InSubquery:

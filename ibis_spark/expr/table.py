@@ -32,17 +32,25 @@ _alias_counter = itertools.count()
 
 def asc(key, nulls_first: bool = True):
     """Sort-key helper (SortKey sortkeys.py:16)."""
-    from ibis_spark.expr.core import wrap
+    from ibis_spark.expr.core import SortKey
 
     c = F.col(key) if isinstance(key, str) else unwrap(key)
-    return wrap(c.asc_nulls_first() if nulls_first else c.asc_nulls_last())
+    return SortKey(
+        c.asc_nulls_first() if nulls_first else c.asc_nulls_last(),
+        child=c,
+        ascending=True,
+    )
 
 
 def desc(key, nulls_first: bool = False):
-    from ibis_spark.expr.core import wrap
+    from ibis_spark.expr.core import SortKey
 
     c = F.col(key) if isinstance(key, str) else unwrap(key)
-    return wrap(c.desc_nulls_first() if nulls_first else c.desc_nulls_last())
+    return SortKey(
+        c.desc_nulls_first() if nulls_first else c.desc_nulls_last(),
+        child=c,
+        ascending=False,
+    )
 
 
 class Table:

@@ -27,9 +27,9 @@ class Window:
     """Immutable window spec; ``how`` is 'rows' or 'range'
     (window.py:67 WindowFunction.how)."""
 
-    __slots__ = ("group_by", "order_by", "how", "start", "end")
+    __slots__ = ("group_by", "order_by", "how", "start", "end", "framed")
 
-    def __init__(self, group_by=(), order_by=(), how="rows", start=None, end=None):
+    def __init__(self, group_by=(), order_by=(), how="rows", start=None, end=None, framed=False):
         # _tuplize, not tuple(): a bare Column must become a 1-tuple —
         # tuple(column) would loop forever via Column.__getitem__'s
         # sequence protocol (array indexing never raises IndexError)
@@ -38,6 +38,7 @@ class Window:
         self.how = how
         self.start = start
         self.end = end
+        self.framed = framed
 
     def _replace(self, **kwargs):
         cur = {
@@ -46,15 +47,16 @@ class Window:
             "how": self.how,
             "start": self.start,
             "end": self.end,
+            "framed": self.framed,
         }
         cur.update(kwargs)
         return Window(**cur)
 
     def rows(self, start=None, end=None):
-        return self._replace(how="rows", start=start, end=end)
+        return self._replace(how="rows", start=start, end=end, framed=True)
 
     def range(self, start=None, end=None):
-        return self._replace(how="range", start=start, end=end)
+        return self._replace(how="range", start=start, end=end, framed=True)
 
     between = rows
 
@@ -76,7 +78,7 @@ class Window:
         spec = SparkWindow.partitionBy(*[conv(g) for g in self.group_by])
         if self.order_by:
             spec = spec.orderBy(*[conv(o, order=True) for o in self.order_by])
-        has_frame = self.start is not None or self.end is not None
+        has_frame = self.framed or self.start is not None or self.end is not None
         if self.how == "range":
             if has_frame:
                 spec = spec.rangeBetween(

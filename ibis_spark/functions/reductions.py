@@ -214,6 +214,25 @@ class ReductionOps:
 
 
 def _order_struct(order_by):
-    """Build an orderable struct from sort keys for min_by/max_by ordering."""
+    """Build an orderable struct from sort keys for min_by/max_by ordering.
+
+    A SortOrder expression cannot be evaluated inside a struct, so SortKey
+    objects contribute their raw child column; descending keys are not
+    representable in an ascending struct sort and raise.
+    """
+    from ibis_spark.expr.core import SortKey
+
     keys = order_by if isinstance(order_by, (list, tuple)) else [order_by]
-    return F.struct(*[unwrap(k) for k in keys])
+    out = []
+    for k in keys:
+        if isinstance(k, SortKey):
+            if not k.ascending:
+                raise NotImplementedError(
+                    "descending order_by is not supported in ordered "
+                    "reductions (collect/first/last/group_concat); "
+                    "negate the key or sort the result instead"
+                )
+            out.append(k.child)
+        else:
+            out.append(unwrap(k))
+    return F.struct(*out)
