@@ -355,6 +355,56 @@ def _in_subquery(spark, sf_dir):
     )
 
 
+def _scalar_subquery(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = li.to_scalar(li.l_quantity.mean())
+    return (
+        li.filter(li.l_quantity < avg_q * 0.5)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .to_spark()
+    )
+
+
+def _q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 style: correlated scalar subquery decorrelated into a
+    grouped aggregate + broadcast join — the plan that scales."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.group_by("l_partkey").aggregate(avg_q=li.l_quantity.mean())
+    j = li.join(agg, [("l_partkey", "l_partkey")], broadcast=True)
+    out = j.filter(j.l_quantity < 0.2 * j.avg_q)
+    return out.aggregate(total=out.l_extendedprice.sum().round(2)).to_spark()
+
+
+def _exists_subquery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.filter(
+            ib.exists(
+                li,
+                lambda o_, l: (o_.o_orderkey == l.l_orderkey) & (l.l_discount > 0.09),
+            )
+        )
+        .select("o_orderkey", "o_totalprice")
+        .to_spark()
+    )
+
+
+def _not_exists_subquery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.filter(
+            ~ib.exists(
+                li,
+                lambda o_, l: (o_.o_orderkey == l.l_orderkey) & (l.l_discount > 0.09),
+            )
+        )
+        .select("o_orderkey", "o_totalprice")
+        .to_spark()
+    )
+
+
 def _notin_subquery(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -611,6 +661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last": _window_first_last,
         "in_subquery": _in_subquery,
         "notin_subquery": _notin_subquery,
+        "scalar_subquery": _scalar_subquery,
+        "q17_small_quantity": _q17_small_quantity,
+        "exists_subquery": _exists_subquery,
+        "not_exists_subquery": _not_exists_subquery,
         "scalar_strings": _scalar_strings,
         "scalar_temporal": _scalar_temporal,
         "scalar_numeric": _scalar_numeric,
@@ -787,6 +841,27 @@ def oracle_sql() -> dict[str, str]:
         "notin_subquery": """
             SELECT c_custkey, c_nationkey FROM customer
             WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """,
+        "scalar_subquery": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity < (SELECT AVG(l_quantity) FROM lineitem) * 0.5
+        """,
+        "q17_small_quantity": """
+            SELECT ROUND(SUM(l.l_extendedprice), 2) AS total
+            FROM lineitem l
+            JOIN (SELECT l_partkey, AVG(l_quantity) AS avg_q
+                  FROM lineitem GROUP BY l_partkey) a USING (l_partkey)
+            WHERE l.l_quantity < 0.2 * a.avg_q
+        """,
+        "exists_subquery": """
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+        """,
+        "not_exists_subquery": """
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
         """,
         "scalar_strings": """
             SELECT p_partkey,

@@ -28,6 +28,7 @@ from ibis_spark.expr import (  # noqa: F401
     asc,
     cumulative_window,
     desc,
+    exists,
     literal,
     null,
     resolve,

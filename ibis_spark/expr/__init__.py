@@ -11,6 +11,7 @@ optimizer, exactly as SURVEY.md §4 prescribes.
 """
 
 from ibis_spark.expr.column import Column, literal, null
+from ibis_spark.expr.core import ExistsSubquery, ScalarValue, SortKey, exists
 from ibis_spark.expr.deferred import Deferred, _, resolve
 from ibis_spark.expr.table import GroupedTable, Table, desc, asc
 from ibis_spark.expr.window import Window, cumulative_window, trailing_window, window
@@ -18,13 +19,17 @@ from ibis_spark.expr.window import Window, cumulative_window, trailing_window, w
 __all__ = [
     "Column",
     "Deferred",
+    "ExistsSubquery",
     "GroupedTable",
+    "ScalarValue",
+    "SortKey",
     "Table",
     "Window",
     "_",
     "asc",
     "cumulative_window",
     "desc",
+    "exists",
     "literal",
     "null",
     "resolve",

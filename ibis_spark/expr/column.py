@@ -116,32 +116,50 @@ class Column(
     __hash__ = object.__hash__
 
     def __eq__(self, other):  # type: ignore[override]
-        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.core import is_scalar_subquery, wrap
+        
+        if is_scalar_subquery(other):
+            return NotImplemented
 
         return wrap(self.spark() == unwrap(other))
 
     def __ne__(self, other):  # type: ignore[override]
-        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.core import is_scalar_subquery, wrap
+        
+        if is_scalar_subquery(other):
+            return NotImplemented
 
         return wrap(self.spark() != unwrap(other))
 
     def __lt__(self, other):
-        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.core import is_scalar_subquery, wrap
+        
+        if is_scalar_subquery(other):
+            return NotImplemented
 
         return wrap(self.spark() < unwrap(other))
 
     def __le__(self, other):
-        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.core import is_scalar_subquery, wrap
+        
+        if is_scalar_subquery(other):
+            return NotImplemented
 
         return wrap(self.spark() <= unwrap(other))
 
     def __gt__(self, other):
-        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.core import is_scalar_subquery, wrap
+        
+        if is_scalar_subquery(other):
+            return NotImplemented
 
         return wrap(self.spark() > unwrap(other))
 
     def __ge__(self, other):
-        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.core import is_scalar_subquery, wrap
+        
+        if is_scalar_subquery(other):
+            return NotImplemented
 
         return wrap(self.spark() >= unwrap(other))
 

@@ -76,6 +76,156 @@ class SortKey:
         return self._sc
 
 
+import itertools as _itertools
+import operator as _operator
+
+_scalar_counter = _itertools.count()
+
+
+class _ScalarOps:
+    """Operator algebra shared by ScalarValue/ScalarExpr. Columns defer to
+    us (their ops return NotImplemented for scalar-subquery operands), so
+    Python's reflected dispatch lands here and the whole expression stays a
+    lazy ScalarExpr until Table.filter/mutate lowers it."""
+
+    def _binop(self, op, other, swapped=False):
+        a, b = (other, self) if swapped else (self, other)
+        return ScalarExpr.binop(op, a, b)
+
+    def __lt__(self, other):
+        return self._binop(_operator.lt, other)
+
+    def __le__(self, other):
+        return self._binop(_operator.le, other)
+
+    def __gt__(self, other):
+        return self._binop(_operator.gt, other)
+
+    def __ge__(self, other):
+        return self._binop(_operator.ge, other)
+
+    def __eq__(self, other):  # type: ignore[override]
+        return self._binop(_operator.eq, other)
+
+    def __ne__(self, other):  # type: ignore[override]
+        return self._binop(_operator.ne, other)
+
+    __hash__ = object.__hash__
+
+    def __add__(self, other):
+        return self._binop(_operator.add, other)
+
+    def __radd__(self, other):
+        return self._binop(_operator.add, other, swapped=True)
+
+    def __sub__(self, other):
+        return self._binop(_operator.sub, other)
+
+    def __rsub__(self, other):
+        return self._binop(_operator.sub, other, swapped=True)
+
+    def __mul__(self, other):
+        return self._binop(_operator.mul, other)
+
+    def __rmul__(self, other):
+        return self._binop(_operator.mul, other, swapped=True)
+
+    def __truediv__(self, other):
+        return self._binop(_operator.truediv, other)
+
+    def __rtruediv__(self, other):
+        return self._binop(_operator.truediv, other, swapped=True)
+
+    def __and__(self, other):
+        return self._binop(_operator.and_, other)
+
+    def __rand__(self, other):
+        return self._binop(_operator.and_, other, swapped=True)
+
+    def __or__(self, other):
+        return self._binop(_operator.or_, other)
+
+    def __ror__(self, other):
+        return self._binop(_operator.or_, other, swapped=True)
+
+
+class ScalarValue(_ScalarOps):
+    """A 1-row scalar subquery (reference ScalarSubquery subqueries.py:36):
+    an aggregate over a relation, usable inside expressions on another
+    relation. Lowered as a broadcast cross join of the 1-row aggregated
+    DataFrame — one tiny extra stage, no per-row recomputation, no
+    single-partition funnel at any scale."""
+
+    __slots__ = ("df", "sc", "ph")
+
+    def __init__(self, df, sc):
+        self.df = df
+        self.sc = sc
+        self.ph = f"__scalar_{next(_scalar_counter)}__"
+
+
+class ScalarExpr(_ScalarOps):
+    """A lazy expression tree containing ≥1 ScalarValue leaves."""
+
+    __slots__ = ("_build", "_scalars")
+
+    def __init__(self, build, scalars):
+        self._build = build
+        self._scalars = tuple(scalars)
+
+    def scalars(self):
+        return self._scalars
+
+    def build(self) -> SparkColumn:
+        return self._build()
+
+    @staticmethod
+    def _to_col(v):
+        if isinstance(v, ScalarValue):
+            return F.col(v.ph)
+        if isinstance(v, ScalarExpr):
+            return v.build()
+        return unwrap(v)
+
+    @staticmethod
+    def _refs(v):
+        if isinstance(v, ScalarValue):
+            return (v,)
+        if isinstance(v, ScalarExpr):
+            return v._scalars
+        return ()
+
+    @classmethod
+    def binop(cls, op, a, b):
+        scalars = tuple(dict.fromkeys(cls._refs(a) + cls._refs(b)))
+        return cls(lambda: op(cls._to_col(a), cls._to_col(b)), scalars)
+
+
+def is_scalar_subquery(v) -> bool:
+    return isinstance(v, (ScalarValue, ScalarExpr))
+
+
+class ExistsSubquery:
+    """Correlated EXISTS predicate (reference subqueries.py:28), lowered by
+    Table.filter to a distributed left-semi (or left-anti when negated)
+    join — never a per-row subquery."""
+
+    __slots__ = ("table", "predicate", "negated")
+
+    def __init__(self, table, predicate, negated=False):
+        self.table = table
+        self.predicate = predicate
+        self.negated = negated
+
+    def __invert__(self):
+        return ExistsSubquery(self.table, self.predicate, not self.negated)
+
+
+def exists(table, predicate) -> ExistsSubquery:
+    """``t.filter(exists(other, lambda t, other: cond))`` — EXISTS sugar."""
+    return ExistsSubquery(table, predicate)
+
+
 class InSubquery:
     """Deferred ``x IN (SELECT y FROM t)`` predicate
     (reference: ibis/expr/operations/subqueries.py:65).

@@ -23,7 +23,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as SparkWindowSpec
 
-from ibis_spark.expr.core import InSubquery, unwrap
+from ibis_spark.expr.core import (
+    ExistsSubquery,
+    InSubquery,
+    ScalarExpr,
+    ScalarValue,
+    unwrap,
+)
 from ibis_spark.expr.deferred import Deferred
 from ibis_spark.expr.window import Window
 
@@ -244,10 +250,20 @@ class Table:
             for pred in preds:
                 if isinstance(pred, Deferred):
                     pred = pred.resolve(out)
-                elif callable(pred) and not hasattr(pred, "spark") and not isinstance(pred, InSubquery):
+                elif (
+                    callable(pred)
+                    and not hasattr(pred, "spark")
+                    and not isinstance(pred, (InSubquery, ExistsSubquery, ScalarExpr))
+                ):
                     pred = pred(out)
                 if isinstance(pred, InSubquery):
                     out = out._apply_in_subquery(pred, conds)
+                    continue
+                if isinstance(pred, ExistsSubquery):
+                    out = out._apply_exists(pred, conds)
+                    continue
+                if isinstance(pred, ScalarExpr):
+                    out = out._apply_scalar_filter(pred, conds)
                     continue
                 conds.append(unwrap(pred))
         df = out._df
@@ -293,6 +309,48 @@ class Table:
             .join(key_df, on=needle_sc == key_df["__isin_key__"], how="left_anti")
         )
         return Table(out)
+
+    def _apply_exists(self, pred: ExistsSubquery, pending_conds) -> "Table":
+        """Lower ExistsSubquery (subqueries.py:28) to left-semi/anti join.
+
+        The correlated predicate is called with (this table, other table)
+        and becomes the join condition — Catalyst picks broadcast or
+        shuffled semi join, so EXISTS is one distributed join at any scale.
+        """
+        df = self._df
+        for c in pending_conds:
+            df = df.filter(c)
+        pending_conds.clear()
+        other = pred.table
+        odf = other._df if isinstance(other, Table) else other
+        cond = pred.predicate(Table(df), Table(odf))
+        how = "left_anti" if pred.negated else "left_semi"
+        return Table(df.join(odf, on=unwrap(cond), how=how))
+
+    def _apply_scalar_filter(self, pred: ScalarExpr, pending_conds) -> "Table":
+        """Lower a predicate containing ScalarSubquery values
+        (subqueries.py:36): broadcast cross-join each 1-row aggregate,
+        apply the rebuilt condition, drop the placeholders."""
+        df = self._df
+        for c in pending_conds:
+            df = df.filter(c)
+        pending_conds.clear()
+        phs = []
+        for sv in pred.scalars():
+            agg_df = sv.df.agg(unwrap(sv.sc).alias(sv.ph))
+            df = df.crossJoin(F.broadcast(agg_df))
+            phs.append(sv.ph)
+        df = df.filter(pred.build()).drop(*phs)
+        return Table(df)
+
+    def to_scalar(self, expr) -> ScalarValue:
+        """Turn an aggregate expression over this table into a scalar
+        subquery value usable in another expression
+        (reference ScalarSubquery subqueries.py:36 / Value.as_scalar)."""
+        sc, _ = self._resolve(expr)
+        return ScalarValue(self._df, sc)
+
+    as_scalar = to_scalar
 
     # -- sorting / limits (relations.py:260-305) --------------------------------------
     def order_by(self, *keys) -> "Table":

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ibis_spark.expr.core import unwrap, wrap
+from ibis_spark.expr.core import is_scalar_subquery, unwrap, wrap
 
 
 class NumericOps:
@@ -17,18 +17,24 @@ class NumericOps:
 
     # -- arithmetic (numeric.py:28-82) --------------------------------------
     def __add__(self, other):
+        if is_scalar_subquery(other):
+            return NotImplemented
         return wrap(self.spark() + unwrap(other))
 
     def __radd__(self, other):
         return wrap(unwrap(other) + self.spark())
 
     def __sub__(self, other):
+        if is_scalar_subquery(other):
+            return NotImplemented
         return wrap(self.spark() - unwrap(other))
 
     def __rsub__(self, other):
         return wrap(unwrap(other) - self.spark())
 
     def __mul__(self, other):
+        if is_scalar_subquery(other):
+            return NotImplemented
         return wrap(self.spark() * unwrap(other))
 
     def __rmul__(self, other):
@@ -36,6 +42,8 @@ class NumericOps:
 
     def __truediv__(self, other):
         # Divide always yields float64 (numeric.py:62-72)
+        if is_scalar_subquery(other):
+            return NotImplemented
         return wrap(self.spark().cast("double") / unwrap(other).cast("double"))
 
     def __rtruediv__(self, other):
