@@ -594,6 +594,94 @@ def _pivot_longer(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# UDFs
+# ---------------------------------------------------------------------------
+
+def _udf_pandas(spark, sf_dir):
+    from ibis_spark import udf
+
+    @udf.scalar.pandas
+    def norm_text(s) -> str:
+        return s.str.strip().str.lower().str.replace("widget", "gadget", regex=False)
+
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", normed=norm_text(p.p_name)).to_spark()
+
+
+def _udf_python(spark, sf_dir):
+    from ibis_spark import udf
+
+    @udf.scalar.python
+    def price_band(x: float) -> int:
+        return int(x // 500)
+
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", band=price_band(p.p_retailprice)).to_spark()
+
+
+def _udf_builtin(spark, sf_dir):
+    from ibis_spark import udf
+
+    @udf.scalar.builtin
+    def bit_length(s: str) -> int:
+        ...
+
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", bits=bit_length(p.p_name)).to_spark()
+
+
+def _udf_grouped_agg(spark, sf_dir):
+    from ibis_spark import udf
+
+    @udf.agg.pandas
+    def mean_sq(v) -> float:
+        return float((v * v).mean())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .aggregate(msq=mean_sq(li.l_discount).round(8))
+        .to_spark()
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-style windows (batch-mode check; streaming smoke in tests/)
+# ---------------------------------------------------------------------------
+
+def _tumble(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.window_by(e.ts)
+        .tumble("1 hour")
+        .aggregate(n=e.event_id.count(), total=e.value.sum().round(4), by="event_type")
+        .to_spark()
+    )
+
+
+def _hop(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.window_by(e.ts)
+        .hop("1 hour", "30 minutes")
+        .aggregate(n=e.event_id.count(), by="event_type")
+    )
+    return out.select("window_start", "event_type", "n").to_spark()
+
+
+def _interval_range_window(spark, sf_dir):
+    import datetime
+
+    o = _t(spark, sf_dir, "orders")
+    w = ib.window(group_by=o.o_custkey, order_by=o.o_orderdate).range(
+        -datetime.timedelta(days=30), 0
+    )
+    return o.mutate(avg30=o.o_totalprice.mean().over(w).round(4)).select(
+        "o_orderkey", "o_custkey", "avg30"
+    ).to_spark()
+
+
+# ---------------------------------------------------------------------------
 # LLM-pipeline operators (dedup / text analysis / fingerprinting)
 # ---------------------------------------------------------------------------
 
@@ -682,6 +770,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "fingerprint": _fingerprint,
         "text_stats": _text_stats,
+        "udf_pandas": _udf_pandas,
+        "udf_python": _udf_python,
+        "udf_builtin": _udf_builtin,
+        "udf_grouped_agg": _udf_grouped_agg,
+        "tumble": _tumble,
+        "hop": _hop,
+        "interval_range_window": _interval_range_window,
     }
 
 
@@ -981,6 +1076,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, SUBSTR(MD5(text), 1, 8) AS fp FROM documents
+        """,
+        "udf_pandas": """
+            SELECT p_partkey,
+                   REPLACE(LOWER(TRIM(p_name)), 'widget', 'gadget') AS normed
+            FROM part
+        """,
+        "udf_python": """
+            SELECT p_partkey, CAST(FLOOR(p_retailprice / 500) AS BIGINT) AS band FROM part
+        """,
+        "udf_builtin": """
+            SELECT p_partkey, CAST(BIT_LENGTH(p_name) AS INT) AS bits FROM part
+        """,
+        "udf_grouped_agg": """
+            SELECT l_returnflag, ROUND(AVG(l_discount * l_discount), 8) AS msq
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "tumble": """
+            SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
+                   TIME_BUCKET(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                   event_type,
+                   COUNT(event_id) AS n,
+                   ROUND(SUM(value), 4) AS total
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "hop": """
+            SELECT w_start AS window_start, event_type, COUNT(*) AS n FROM (
+              SELECT UNNEST([TIME_BUCKET(INTERVAL '30 minutes', ts),
+                             TIME_BUCKET(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                         AS w_start,
+                     event_type
+              FROM events)
+            GROUP BY w_start, event_type
+        """,
+        "interval_range_window": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(AVG(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW), 4) AS avg30
+            FROM orders
         """,
         "text_stats": """
             SELECT doc_id,

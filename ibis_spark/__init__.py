@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 from ibis_spark import datatypes  # noqa: F401
+from ibis_spark import udf  # noqa: F401
 from ibis_spark.datatypes import dtype  # noqa: F401
 from ibis_spark.schema import Schema, schema  # noqa: F401
 from ibis_spark.expr import (  # noqa: F401

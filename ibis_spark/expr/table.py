@@ -727,6 +727,14 @@ class Table:
         fn = F.explode_outer if keep_empty else F.explode
         return Table(df.select(*others, fn(sc).alias(name)).select(*df.columns))
 
+    # -- streaming tumble/hop (temporal_windows.py WindowedTable) --------------------------
+    def window_by(self, time_col) -> "WindowedTable":
+        """Designate an event-time column for tumble/hop aggregation
+        (expr/types/relations.py:5234 window_by)."""
+        from ibis_spark.expr.temporal_windows import WindowedTable
+
+        return WindowedTable(self, time_col)
+
     # -- pivots (relations.py:4209/4540) ---------------------------------------------------
     def pivot_longer(self, cols, *, names_to: str = "name", values_to: str = "value") -> "Table":
         names = [c if isinstance(c, str) else self._resolve(c)[1] for c in _tuplize(cols)]

@@ -11,16 +11,27 @@ operator partitioned the same way.
 
 from __future__ import annotations
 
+import datetime
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window as SparkWindow
 from pyspark.sql.window import WindowSpec
 
 
 def _bound_to_spark(value, *, default):
-    """Map an ibis boundary (None=unbounded, int offset) to Spark's."""
+    """Map an ibis boundary (None=unbounded, int offset, timedelta) to
+    Spark's. Interval boundaries (window.py:80-106 validates these for
+    range frames) become whole seconds — the order key is cast to epoch
+    seconds to match."""
     if value is None:
         return default
+    if isinstance(value, datetime.timedelta):
+        return int(value.total_seconds())
     return int(value)
+
+
+def _is_interval(value) -> bool:
+    return isinstance(value, datetime.timedelta)
 
 
 class Window:
@@ -66,11 +77,25 @@ class Window:
         ``resolve`` maps our sort-key / column objects to pyspark Columns
         (supplied by Table when lowering inside a mutate).
         """
-        from ibis_spark.expr.core import unwrap
+        from ibis_spark.expr.core import SortKey, unwrap
+
+        interval_frame = self.how == "range" and (
+            _is_interval(self.start) or _is_interval(self.end)
+        )
 
         def conv(x, *, order=False):
             if resolve is not None:
                 x = resolve(x)
+            if order and interval_frame:
+                # interval range frame: order key → epoch seconds so the
+                # numeric rangeBetween bounds mean seconds
+                # NTZ/date order keys need an intermediate timestamp cast
+                # (TIMESTAMP_NTZ -> BIGINT is not a valid direct cast)
+                if isinstance(x, SortKey):
+                    child = x.child.cast("timestamp").cast("long")
+                    return child if x.ascending else child.desc()
+                c = F.col(x) if isinstance(x, str) else unwrap(x)
+                return c.cast("timestamp").cast("long")
             if isinstance(x, str):
                 return F.col(x)
             return unwrap(x)
