@@ -698,6 +698,67 @@ def _fingerprint(spark, sf_dir):
     ).to_spark()
 
 
+def _dedup_minhash(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return pl.minhash_dedup(d, "text", "doc_id", num_hashes=64, bands=16).to_spark()
+
+
+def _simhash(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", sh=pl.simhash(d.text)).to_spark()
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in e.filter(e.vec_id == 0).to_spark().first()["embedding"]]
+    sim = pl.cosine_similarity(e.embedding, ib.array(*qvec))
+    return (
+        e.select("vec_id", sim=sim.round(6))
+        .order_by(ib.desc("sim"), "vec_id")
+        .limit(10)
+        .to_spark()
+    )
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in e.filter(e.vec_id == 0).to_spark().first()["embedding"]]
+    return pl.ann_lsh_topk(e, qvec, 10, n_planes=4).to_spark()
+
+
+def _lang_id(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", pred=pl.lang_id(d.text)).to_spark()
+
+
+def _quality_score(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", q=pl.quality_score(d.text)).to_spark()
+
+
+def _token_count_bpe(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_ws=pl.token_count(d.text),
+        n_bpe=pl.token_count(d.text, bpe_estimate=True),
+    ).to_spark()
+
+
 def _text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.text.split(" ")
@@ -770,6 +831,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "fingerprint": _fingerprint,
         "text_stats": _text_stats,
+        "dedup_minhash": _dedup_minhash,
+        "simhash": _simhash,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "lang_id": _lang_id,
+        "quality_score": _quality_score,
+        "token_count_bpe": _token_count_bpe,
         "udf_pandas": _udf_pandas,
         "udf_python": _udf_python,
         "udf_builtin": _udf_builtin,
@@ -1076,6 +1144,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, SUBSTR(MD5(text), 1, 8) AS fp FROM documents
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id,
+                   ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[],
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim
+            FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CASE WHEN m = 0 THEN 'und'
+                        WHEN s_zh = m THEN 'zh'
+                        WHEN s_fr = m THEN 'fr'
+                        WHEN s_es = m THEN 'es'
+                        WHEN s_en = m THEN 'en'
+                        ELSE 'de' END AS pred
+            FROM (
+              SELECT doc_id, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS m,
+                     s_de, s_en, s_es, s_fr, s_zh
+              FROM (
+                SELECT doc_id,
+                  LEN(LIST_FILTER(toks, x -> x IN ('der','die','das','und','von','ein','ist'))) AS s_de,
+                  LEN(LIST_FILTER(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+                  LEN(LIST_FILTER(toks, x -> x IN ('el','los','las','y','de','un','una','es'))) AS s_es,
+                  LEN(LIST_FILTER(toks, x -> x IN ('le','la','les','et','de','un','une','est'))) AS s_fr,
+                  LEN(LIST_FILTER(toks, x -> x IN ('的','是','在','了','我'))) AS s_zh
+                FROM (SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\\s+') AS toks
+                      FROM documents)))
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   ROUND(((CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                           / GREATEST(LENGTH(text), 1))
+                          + LEAST(CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS DOUBLE) / 100.0, 1.0)
+                         ) / 2.0, 4) AS q
+            FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS INT) AS n_ws,
+                   CAST(CEIL(LENGTH(text) / 4.0) AS INT) AS n_bpe
+            FROM documents
         """,
         "udf_pandas": """
             SELECT p_partkey,

@@ -153,8 +153,7 @@ class Backend:
         if schema is not None:
             reader = reader.schema(_as_spark_schema(schema))
         df = reader.options(**options).parquet(str(path))
-        if watermark is not None:
-            df = df.withWatermark(watermark[0], watermark[1])
+        df = _apply_watermark(df, watermark)
         return Table(df)
 
     def read_csv_dir(self, path, schema=None, watermark=None, **options) -> Table:
@@ -162,8 +161,7 @@ class Backend:
         if schema is not None:
             reader = reader.schema(_as_spark_schema(schema))
         df = reader.options(**{"header": "true", **options}).csv(str(path))
-        if watermark is not None:
-            df = df.withWatermark(watermark[0], watermark[1])
+        df = _apply_watermark(df, watermark)
         return Table(df)
 
     def read_json_dir(self, path, schema=None, watermark=None, **options) -> Table:
@@ -171,8 +169,7 @@ class Backend:
         if schema is not None:
             reader = reader.schema(_as_spark_schema(schema))
         df = reader.options(**options).json(str(path))
-        if watermark is not None:
-            df = df.withWatermark(watermark[0], watermark[1])
+        df = _apply_watermark(df, watermark)
         return Table(df)
 
     def read_kafka(self, *, bootstrap_servers: str, topic: str, watermark=None, **options) -> Table:
@@ -184,8 +181,7 @@ class Backend:
             .options(**options)
             .load()
         )
-        if watermark is not None:
-            df = df.withWatermark(watermark[0], watermark[1])
+        df = _apply_watermark(df, watermark)
         return Table(df)
 
     def to_kafka(self, table: Table, *, bootstrap_servers: str, topic: str, checkpoint: str, **options):
@@ -297,6 +293,19 @@ def memtable(data, schema=None, columns=None) -> Table:
     if session is None:
         raise RuntimeError("no active SparkSession; use connect(...).memtable")
     return Backend(session).memtable(data, schema=schema, columns=columns)
+
+
+def _apply_watermark(df, watermark):
+    """Attach an event-time watermark; Spark requires TIMESTAMP (not NTZ)
+    event time, so NTZ columns are cast first (session tz applies)."""
+    if watermark is None:
+        return df
+    col, delay = watermark
+    from pyspark.sql import types as st
+
+    if isinstance(df.schema[col].dataType, st.TimestampNTZType):
+        df = df.withColumn(col, df[col].cast("timestamp"))
+    return df.withWatermark(col, delay)
 
 
 def _nanos_timestamp_cols(path) -> set[str]:

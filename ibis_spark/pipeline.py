@@ -1,0 +1,347 @@
+"""LLM-data-pipeline operators: deduplication, similarity search, text
+analysis (BASELINE.json north-star extensions beyond the reference's own
+surface; SURVEY.md §7 step 9).
+
+Everything here is JVM-side (higher-order lambdas, xxhash64, built-in
+``F.*``) — no Python UDFs in any hot path — and shuffle-shaped for 100 TB:
+
+- exact dedup: one hash-groupBy on a 128-bit content hash;
+- MinHash-LSH near-dup: signature → banded bucket keys → two key-partitioned
+  shuffles (band-bucket min, then per-doc min) — candidate generation is
+  *banded*, never an all-pairs product;
+- SimHash: one pass, per-row lambda aggregation;
+- ANN cosine: brute-force top-k is a single scan + TakeOrdered (the exact
+  baseline); the LSH variant prunes by hyperplane-sign bucket first.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+
+from ibis_spark.expr.core import unwrap, wrap
+from ibis_spark.expr.table import Table
+
+__all__ = [
+    "shingles",
+    "minhash_signature",
+    "minhash_dedup",
+    "dedup_exact",
+    "simhash",
+    "cosine_similarity",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "tokenize",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+]
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(t: Table, text_col: str, id_col: str, *, normalize: bool = True) -> Table:
+    """Exact-content dedup: md5 the (optionally normalized) text, keep the
+    min id per hash. One hash-partitioned shuffle; at 100 TB the hash
+    groupBy is the canonical scalable plan (no sort, partial agg map-side).
+    """
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    h = F.md5(c.cast("binary"))
+    return Table(
+        t.df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def shingles(col, k: int = 4):
+    """Character k-shingles of a string column (distinct), via a JVM
+    sequence+transform — no Python in the loop."""
+    c = unwrap(col)
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return wrap(F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, k))))
+
+
+def minhash_signature(col, num_hashes: int = 64, shingle_size: int = 4):
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(seed_i, shingle). Returns array<bigint> of length
+    ``num_hashes``. All hashing is JVM xxhash64 — deterministic across
+    executors and runs.
+
+    Shape matters: the shingle array is traversed ONCE, emitting all
+    ``num_hashes`` hashes per shingle, folded with a running zip_with
+    minimum — O(shingles × hashes). The naive per-seed formulation
+    (num_hashes separate array_min(transform(shingles...)) expressions)
+    re-evaluates the shingle pipeline per seed and is quadratic in
+    practice.
+    """
+    sh = shingles(col, shingle_size).spark()
+    maxes = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    sig = F.aggregate(
+        F.transform(
+            sh, lambda s: F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+        ),
+        maxes,
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+    )
+    return wrap(sig)
+
+
+def minhash_dedup(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 4,
+) -> Table:
+    """Near-duplicate detection via MinHash + LSH banding.
+
+    Plan shape (the 100 TB design): signature (map-only) → explode to
+    ``bands`` (band_id, band_key) rows → groupBy band-bucket taking
+    min(id) → per-doc min over its band representatives. Two
+    key-partitioned shuffles over ~bands×N small rows; candidate
+    generation is banded — never an all-pairs comparison. The returned
+    ``rep_id`` is a single-pass approximation of the connected-component
+    representative (min doc id reachable through one shared bucket).
+
+    Returns (id_col, rep_id, is_dup).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    df = t.df
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_size).spark()
+    # Materialize the (expensive) signature behind a hash-repartition
+    # barrier: the shuffle write evaluates it exactly once per document,
+    # spreads the CPU over all cores regardless of input file layout, and
+    # the exchange is REUSED by both consumers below (band bucketing and
+    # the bucket→doc join), so the signature is never recomputed.
+    sig_df = df.select(F.col(id_col), sig.alias("__sig__")).repartition(F.col(id_col))
+    exploded = sig_df.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        F.col("__sig__"),
+    )
+    with_bands = exploded.select(
+        id_col,
+        "band_id",
+        F.xxhash64(
+            F.col("band_id"), F.slice(F.col("__sig__"), F.col("band_id") * r + 1, r)
+        ).alias("band_key"),
+    )
+    bucket_rep = with_bands.groupBy("band_id", "band_key").agg(
+        F.min(id_col).alias("bucket_rep")
+    )
+    per_doc = (
+        with_bands.join(bucket_rep, on=["band_id", "band_key"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_rep").alias("rep_id"))
+    )
+    return Table(
+        per_doc.withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
+    )
+
+
+def simhash(col, bits: int = 64, token_pattern: str = r"\s+"):
+    """SimHash of a text column as a ``bits``-character bit string
+    (string form avoids 64-bit shift-by-column limitations and compares/
+    buckets just as well). One aggregate lambda pass per row, JVM-side."""
+    toks = F.split(unwrap(col), token_pattern)
+
+    def bitvec(tkn):
+        h = F.xxhash64(tkn)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(bits)
+            ]
+        )
+
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    counts = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, tkn: F.zip_with(acc, bitvec(tkn), lambda a, v: a + v),
+    )
+    bitstr = F.concat_ws(
+        "", F.transform(counts, lambda c: F.when(c > 0, "1").otherwise("0"))
+    )
+    return wrap(bitstr)
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two equal-length bit strings (simhash)."""
+    aa, bb = unwrap(a), unwrap(b)
+    pairs = F.zip_with(
+        F.split(aa, ""), F.split(bb, ""), lambda x, y: (x != y).cast("int")
+    )
+    return wrap(F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity(a, b):
+    """Cosine similarity of two array<numeric> columns — JVM zip_with +
+    aggregate lambdas (whole-stage codegen, no UDF)."""
+    aa, bb = unwrap(a), unwrap(b)
+    return wrap(
+        _dot(aa, bb) / (F.sqrt(_dot(aa, aa)) * F.sqrt(_dot(bb, bb)))
+    )
+
+
+def cosine_topk(
+    t: Table,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sim_name: str = "sim",
+) -> Table:
+    """Brute-force cosine top-k: one scan, partial top-k per partition
+    (Catalyst plans TakeOrderedAndProject) — the exact baseline every ANN
+    variant is measured against."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q).spark()
+    df = t.df.select(F.col(id_col), sim.alias(sim_name))
+    return Table(df.orderBy(F.col(sim_name).desc(), F.col(id_col)).limit(int(k)))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(vec, planes):
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, "1"
+        ).otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    t: Table,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+    sim_name: str = "sim",
+) -> Table:
+    """Approximate top-k via random-hyperplane LSH: rows are pruned to the
+    query's sign-bucket (a JVM filter on a precomputable key — at scale
+    you would persist/bucket-partition this key), then re-ranked by exact
+    cosine. No shuffle, no cross product; recall trades off with
+    ``n_planes``."""
+    import numpy as np
+
+    qv = np.asarray(list(query_vec), dtype="float64")
+    planes = _hyperplanes(len(qv), n_planes, seed)
+    qbits = "".join("1" if float(p @ qv) >= 0 else "0" for p in planes)
+    vec = F.col(vec_col)
+    bucket = _bucket_expr(vec, planes)
+    pruned = t.df.filter(bucket == F.lit(qbits))
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    sim = cosine_similarity(vec, q).spark()
+    df = pruned.select(F.col(id_col), sim.alias(sim_name))
+    return Table(df.orderBy(F.col(sim_name).desc(), F.col(id_col)).limit(int(k)))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "los", "las", "y", "de", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "von", "ein", "ist"],
+    "zh": ["的", "是", "在", "了", "我"],
+}
+
+
+def tokenize(col, pattern: str = r"\s+"):
+    """Whitespace tokenization (JVM split)."""
+    return wrap(F.split(unwrap(col), pattern))
+
+
+def token_count(col, *, bpe_estimate: bool = False):
+    """Token count: whitespace tokens, or the classic chars/4 BPE cost
+    estimate when ``bpe_estimate``."""
+    c = unwrap(col)
+    if bpe_estimate:
+        return wrap(F.ceil(F.length(c) / 4).cast("int"))
+    return wrap(F.array_size(F.split(c, r"\s+")))
+
+
+def quality_score(col):
+    """Cheap document-quality heuristic in [0,1]: mean of the alphabetic
+    character ratio and a saturating length score. Pure JVM expressions."""
+    c = unwrap(col)
+    n_char = F.length(c)
+    alpha = F.length(F.regexp_replace(c, "[^a-z]", ""))
+    alpha_ratio = alpha.cast("double") / F.greatest(n_char, F.lit(1))
+    n_tok = F.array_size(F.split(c, r"\s+"))
+    len_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    return wrap(F.round((alpha_ratio + len_score) / 2.0, 4))
+
+
+def lang_id(col):
+    """Stopword-list language guess over {en,fr,es,de,zh}: per-language
+    token-hit counts, argmax (ties: lexicographically-greatest language,
+    zero hits → 'und'). One pass of JVM array lambdas."""
+    toks = F.split(F.lower(unwrap(col)), r"\s+")
+
+    def _hits(words):
+        # NB: a single-parameter lambda — F.filter passes the element
+        # index to two-parameter lambdas, which would clobber a default arg
+        return lambda x: x.isin(words)
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.array_size(F.filter(toks, _hits(words))).alias("n"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(_STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return wrap(
+        F.when(best.getField("n") == 0, "und").otherwise(best.getField("lang"))
+    )
+
+
+def doc_fingerprint(col, width: int = 8):
+    """Deterministic document fingerprint: hex prefix of the md5 of the
+    whitespace-normalized text."""
+    c = F.lower(F.trim(F.regexp_replace(unwrap(col), r"\s+", " ")))
+    return wrap(F.substring(F.md5(c.cast("binary")), 1, width))

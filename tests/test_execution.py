@@ -1,0 +1,190 @@
+"""Spark-backed behavioral tests: regression coverage for the wrong-answer
+classes the round-3 review found, plus subquery/window/join execution
+semantics. Oracle-style expectations are computed inline in Python."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+import ibis_spark as ib
+
+
+@pytest.fixture(scope="module")
+def con(spark):
+    return ib.connect(spark)
+
+
+def rows(t, *cols):
+    out = [tuple(getattr(r, c) for c in cols) for r in t.df.collect()]
+    return sorted(out, key=lambda x: tuple((v is None, str(v)) for v in x))
+
+
+class TestSetOps:
+    def test_difference_distinct_is_sql_except(self, con):
+        L = con.memtable({"x": [8, 8, 1, 2]})
+        R = con.memtable({"x": [8]})
+        assert rows(L.difference(R), "x") == [(1,), (2,)]
+
+    def test_difference_all_is_multiset(self, con):
+        L = con.memtable({"x": [1, 1, 2, 3]})
+        R = con.memtable({"x": [1]})
+        assert rows(L.difference(R, distinct=False), "x") == [(1,), (2,), (3,)]
+
+    def test_intersect(self, con):
+        L = con.memtable({"x": [1, 2, 2, 3]})
+        R = con.memtable({"x": [2, 3, 4]})
+        assert rows(L.intersect(R), "x") == [(2,), (3,)]
+
+
+class TestDistinct:
+    def test_keep_last(self, con):
+        t = con.memtable({"x": [1, 1, 2, 3], "y": [10, 20, 30, 40]})
+        assert rows(t.distinct(on="x", keep="last"), "x", "y") == [
+            (1, 20),
+            (2, 30),
+            (3, 40),
+        ]
+
+    def test_keep_none(self, con):
+        t = con.memtable({"x": [1, 1, 2, 3]})
+        assert rows(t.distinct(on="x", keep=None), "x") == [(2,), (3,)]
+
+    def test_unknown_keep_raises(self, con):
+        t = con.memtable({"x": [1]})
+        with pytest.raises(ValueError, match="keep"):
+            t.distinct(on="x", keep="bogus")
+
+
+class TestTopk:
+    def test_column_topk(self, con):
+        t = con.memtable({"s": ["a", "b", "a", "c", "a", "b"]})
+        assert rows(t.s.topk(2), "s", "s_count") == [("a", 3), ("b", 2)]
+
+    def test_table_topk_by_metric(self, con):
+        t = con.memtable({"g": ["x", "x", "y"], "v": [1.0, 2.0, 9.0]})
+        top = t.select("g").topk(1)
+        assert rows(top, "g", "g_count") == [("x", 2)]
+
+
+class TestInSubquery:
+    def test_not_in_with_null_haystack_is_empty(self, con):
+        n = con.memtable({"x": ["a", "b", None]})
+        h = con.memtable({"y": ["a", None]})
+        assert n.filter(~n.x.isin(h.y)).df.count() == 0
+
+    def test_not_in_drops_null_needles(self, con):
+        n = con.memtable({"x": ["a", "b", None]})
+        h = con.memtable({"y": ["a"]})
+        assert rows(n.filter(~n.x.isin(h.y)), "x") == [("b",)]
+
+    def test_in_semi_join(self, con):
+        n = con.memtable({"x": ["a", "b", None]})
+        h = con.memtable({"y": ["a", None]})
+        assert rows(n.filter(n.x.isin(h.y)), "x") == [("a",)]
+
+
+class TestScalarSubquery:
+    def test_filter_against_mean(self, con):
+        t = con.memtable({"x": [1.0, 2.0, 3.0, 10.0]})  # mean = 4.0
+        avg = t.to_scalar(t.x.mean())
+        assert rows(t.filter(t.x < avg), "x") == [(1.0,), (2.0,), (3.0,)]
+
+    def test_scalar_arithmetic(self, con):
+        t = con.memtable({"x": [1.0, 2.0, 3.0, 10.0]})
+        avg = t.to_scalar(t.x.mean())  # 4.0 -> *2 = 8.0
+        assert rows(t.filter(t.x > avg * 2), "x") == [(10.0,)]
+
+
+class TestExists:
+    def test_exists_and_not_exists(self, con):
+        o = con.memtable({"k": [1, 2, 3]})
+        d = con.memtable({"fk": [1, 1, 3]})
+        pred = ib.exists(d, lambda l, r: l.k == r.fk)
+        assert rows(o.filter(pred), "k") == [(1,), (3,)]
+        assert rows(o.filter(~pred), "k") == [(2,)]
+
+
+class TestGroupedMutate:
+    def test_agg_named_column_not_windowed(self, con):
+        t = con.memtable({"k": ["a", "a", "b"], "sum_total": [1.0, 2.0, 3.0]})
+        out = t.group_by("k").mutate(tot=ib._.sum_total.sum(), plain=ib._.sum_total)
+        assert rows(out, "k", "tot", "plain") == [
+            ("a", 3.0, 1.0),
+            ("a", 3.0, 2.0),
+            ("b", 3.0, 3.0),
+        ]
+
+
+class TestWindows:
+    def test_bare_analytic_without_order_raises(self, con):
+        t = con.memtable({"x": [1, 2]})
+        with pytest.raises(ValueError, match="ordered window"):
+            t.mutate(r=ib.row_number())
+
+    def test_with_row_number(self, con):
+        t = con.memtable({"x": [10, 20, 30]})
+        out = t.with_row_number("rn")
+        assert sorted(r.rn for r in out.df.collect()) == [0, 1, 2]
+
+    def test_interval_range_frame(self, con):
+        base = datetime.datetime(2024, 1, 1)
+        t = con.memtable(
+            {
+                "g": [1, 1, 1],
+                "ts": [base, base + datetime.timedelta(days=10), base + datetime.timedelta(days=60)],
+                "v": [1.0, 2.0, 4.0],
+            }
+        )
+        w = ib.window(group_by=t.g, order_by=t.ts).range(
+            -datetime.timedelta(days=30), 0
+        )
+        out = t.mutate(s=t.v.sum().over(w))
+        assert rows(out, "v", "s") == [(1.0, 1.0), (2.0, 3.0), (4.0, 4.0)]
+
+    def test_rows_none_none_is_unbounded(self, con):
+        t = con.memtable({"g": [1, 1], "o": [1, 2], "v": [5.0, 7.0]})
+        w = ib.window(group_by=t.g, order_by=t.o).rows(None, None)
+        out = t.mutate(last=t.v.last_value().over(w))
+        assert rows(out, "o", "last") == [(1, 7.0), (2, 7.0)]
+
+
+class TestJoins:
+    def test_positional_join(self, con):
+        a = con.memtable({"a": [1, 2, 3]})
+        b = con.memtable({"b": ["x", "y", "z"]})
+        assert rows(a.positional_join(b), "a", "b") == [
+            (1, "x"),
+            (2, "y"),
+            (3, "z"),
+        ]
+
+    def test_asof_backward_with_tolerance(self, con):
+        left = con.memtable({"g": [1, 1], "t": [10, 100], "lv": ["a", "b"]})
+        right = con.memtable({"g": [1, 1], "t": [8, 20], "rv": ["p", "q"]})
+        j = left.asof_join(right, on="t", by="g", tolerance=5)
+        got = rows(j, "t", "lv", "rv")
+        assert got == [(10, "a", "p"), (100, "b", None)]
+
+
+class TestUDF:
+    def test_pandas_udf(self, con):
+        from ibis_spark import udf
+
+        @udf.scalar.pandas
+        def double_it(s) -> float:
+            return s * 2.0
+
+        t = con.memtable({"x": [1.0, 2.5]})
+        assert rows(t.select(y=double_it(t.x)), "y") == [(2.0,), (5.0,)]
+
+    def test_builtin_udf(self, con):
+        from ibis_spark import udf
+
+        @udf.scalar.builtin
+        def repeat(s: str, n: int) -> str:
+            ...
+
+        t = con.memtable({"s": ["ab"]})
+        assert rows(t.select(y=repeat(t.s, ib.literal(2))), "y") == [("abab",)]
