@@ -229,6 +229,30 @@ def _join_asof(spark, sf_dir):
     ).to_spark()
 
 
+def _join_asof_forward(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(e.event_type == "view").select("event_id", "user_id", "ts")
+    buys = e.filter(e.event_type == "purchase").select("user_id", "ts", "value")
+    j = views.asof_join(buys, on="ts", by="user_id", direction="forward")
+    return j.select("event_id", "user_id", "ts", "value", "ts_right").to_spark()
+
+
+def _join_asof_nearest(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(e.event_type == "view").select("event_id", "user_id", "ts")
+    buys = e.filter(e.event_type == "purchase").select("user_id", "ts", "value")
+    j = views.asof_join(buys, on="ts", by="user_id", direction="nearest")
+    return j.select("event_id", "user_id", "ts", "value", "ts_right").to_spark()
+
+
+def _describe_table(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").describe().to_spark()
+
+
+def _info_table(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").info().to_spark()
+
+
 def _join_positional(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
@@ -796,7 +820,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": _join_anti,
         "join_theta": _join_theta,
         "join_asof": _join_asof,
+        "join_asof_forward": _join_asof_forward,
+        "join_asof_nearest": _join_asof_nearest,
         "join_positional": _join_positional,
+        "describe_table": _describe_table,
+        "info_table": _info_table,
         "set_union_all": _set_union_all,
         "set_union_distinct": _set_union_distinct,
         "set_intersect": _set_intersect,
@@ -932,6 +960,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "join_asof_forward": """
+            SELECT l.event_id, l.user_id, l.ts, r.value, r.ts AS ts_right
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
         """,
         "join_positional": """
             SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name, n.n_regionkey

@@ -32,6 +32,7 @@ from ibis_spark.expr import (  # noqa: F401
     exists,
     literal,
     null,
+    param,
     resolve,
     trailing_window,
     window,

@@ -10,7 +10,7 @@ Monday-0 weekdays, whitespace strip, ...). Catalyst remains the sole
 optimizer, exactly as SURVEY.md §4 prescribes.
 """
 
-from ibis_spark.expr.column import Column, literal, null
+from ibis_spark.expr.column import Column, Param, literal, null, param
 from ibis_spark.expr.core import ExistsSubquery, ScalarValue, SortKey, exists
 from ibis_spark.expr.deferred import Deferred, _, resolve
 from ibis_spark.expr.table import GroupedTable, Table, desc, asc
@@ -32,6 +32,7 @@ __all__ = [
     "exists",
     "literal",
     "null",
+    "param",
     "resolve",
     "trailing_window",
     "window",

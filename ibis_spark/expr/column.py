@@ -264,6 +264,21 @@ class Column(
 
         return wrap(F.format_string(fmt, self.spark()))
 
+    # -- DummyTable: literal-only relation (relations.py:459) --------------------
+    def as_table(self):
+        """SELECT-without-FROM: lift a scalar expression into a 1-row
+        table (DummyTable relations.py:459) via ``spark.range(1)``."""
+        from pyspark.sql import SparkSession
+
+        from ibis_spark.expr.table import Table
+
+        session = SparkSession.getActiveSession()
+        if session is None:
+            raise RuntimeError("as_table() requires an active SparkSession")
+        return Table(
+            session.range(1).select(self.spark().alias(self.get_name() or "value"))
+        )
+
     # -- topk (reference Table.topk relations.py:5320 / Column.topk) -------------
     def topk(self, k: int, by=None, name: Optional[str] = None):
         """Top-k most frequent values of this column (or top-k by the
@@ -304,3 +319,31 @@ def null(type=None) -> Column:
 
         c = c.cast(_spark_type(type))
     return Column(c, lit=None)
+
+
+class Param:
+    """ScalarParameter (reference generic.py:161): a typed placeholder.
+
+    The reference substitutes parameter values at compile time
+    (BC:624-626); our expressions lower eagerly, so a Param is *called*
+    with its value at query-build time — ``p = param("int64");
+    t.filter(t.x > p(5))`` — yielding a typed literal. Building an
+    expression with an unbound Param raises.
+    """
+
+    __slots__ = ("type",)
+
+    def __init__(self, type=None):
+        self.type = type
+
+    def __call__(self, value) -> Column:
+        return literal(value, self.type)
+
+    def spark(self):
+        raise TypeError(
+            "unbound parameter: call it with a value, e.g. t.filter(t.x > p(5))"
+        )
+
+
+def param(type=None) -> Param:
+    return Param(type)

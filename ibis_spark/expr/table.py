@@ -621,9 +621,15 @@ class Table:
         ``last(ignoreNulls)`` window: one shuffle on the `by` keys, no
         range/cross product — the merge-asof plan that scales linearly
         with partition count at 100 TB.
+
+        ``direction``: "backward" (nearest right row with rt <= lt),
+        "forward" (nearest rt >= lt), or "nearest" (closer of the two;
+        ties prefer backward). Forward is the same plan with a descending
+        running window; nearest evaluates both windows inside the same
+        exchange (one shuffle, two in-partition sorts).
         """
-        if direction != "backward":
-            raise NotImplementedError("only backward (<=) asof is implemented")
+        if direction not in ("backward", "forward", "nearest"):
+            raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
         lt, rt = (on, on) if isinstance(on, str) else on
         by = _tuplize(by)
         if not by:
@@ -659,12 +665,49 @@ class Table:
         )
         unioned = tag_l.unionByName(tag_r)
         keys = [f"__k{i}__" for i in range(len(by_pairs))]
-        w = (
-            Window(group_by=tuple(keys), order_by=(F.col("__t__").asc_nulls_first(), F.col("__is_left__").asc_nulls_first()))
+        w_back = (
+            Window(
+                group_by=tuple(keys),
+                order_by=(
+                    F.col("__t__").asc_nulls_first(),
+                    F.col("__is_left__").asc_nulls_first(),
+                ),
+            )
             .rows(None, 0)
             .to_spark()
         )
-        filled = unioned.withColumn("__match__", F.last("__rrow__", ignorenulls=True).over(w))
+        w_fwd = (
+            Window(
+                group_by=tuple(keys),
+                order_by=(
+                    F.col("__t__").desc_nulls_last(),
+                    F.col("__is_left__").asc_nulls_first(),
+                ),
+            )
+            .rows(None, 0)
+            .to_spark()
+        )
+        last_r = F.last("__rrow__", ignorenulls=True)
+        if direction == "backward":
+            filled = unioned.withColumn("__match__", last_r.over(w_back))
+        elif direction == "forward":
+            filled = unioned.withColumn("__match__", last_r.over(w_fwd))
+        else:  # nearest: both running matches in one exchange, pick closer
+            filled = (
+                unioned.withColumn("__mb__", last_r.over(w_back))
+                .withColumn("__mf__", last_r.over(w_fwd))
+                .withColumn(
+                    "__match__",
+                    F.when(F.col("__mb__").isNull(), F.col("__mf__"))
+                    .when(F.col("__mf__").isNull(), F.col("__mb__"))
+                    .when(
+                        F.col("__t__") - F.col("__mb__")[rt]
+                        <= F.col("__mf__")[rt] - F.col("__t__"),
+                        F.col("__mb__"),
+                    )
+                    .otherwise(F.col("__mf__")),
+                )
+            )
         result = filled.filter(F.col("__is_left__") == 1)
 
         out_cols = [F.col(f"__lrow__.{c}").alias(c) for c in lcols]
@@ -678,7 +721,13 @@ class Table:
             tol = unwrap(tolerance) if hasattr(tolerance, "spark") else tolerance
             lt_c = F.col(lt)
             rt_c = F.col(rt_out)
-            within = rt_c.isNotNull() & (lt_c - rt_c <= tol)
+            if direction == "backward":
+                delta = lt_c - rt_c
+            elif direction == "forward":
+                delta = rt_c - lt_c
+            else:
+                delta = F.greatest(lt_c - rt_c, rt_c - lt_c)
+            within = rt_c.isNotNull() & (delta <= tol)
             # outside tolerance → null the right payload (left-join semantics,
             # joins.py:296-336)
             cleared = [F.col(c) for c in lcols]
@@ -726,6 +775,93 @@ class Table:
             return Table(exploded.select(*[F.col(c) for c in order]))
         fn = F.explode_outer if keep_empty else F.explode
         return Table(df.select(*others, fn(sc).alias(name)).select(*df.columns))
+
+    # -- struct expansion / introspection (relations.py:3262/3360/3408) --------------------
+    def unpack(self, *cols) -> "Table":
+        """Expand struct columns into top-level fields
+        (Table.unpack relations.py:3262)."""
+        from pyspark.sql.types import StructType
+
+        df = self._df
+        names = [c if isinstance(c, str) else self._resolve(c)[1] for c in cols]
+        out = []
+        for c in df.columns:
+            if c in names:
+                dt = df.schema[c].dataType
+                if not isinstance(dt, StructType):
+                    raise TypeError(f"column {c!r} is not a struct")
+                out.extend(df[c].getField(f.name).alias(f.name) for f in dt.fields)
+            else:
+                out.append(df[c])
+        return Table(df.select(*out))
+
+    def info(self) -> "Table":
+        """Per-column null/total summary (Table.info relations.py:3360).
+
+        One pass: all per-column aggregates are computed in a single
+        global aggregation row (an array of structs), then exploded —
+        never k separate scans.
+        """
+        df = self._df
+        structs = []
+        for i, f in enumerate(df.schema.fields):
+            structs.append(
+                F.struct(
+                    F.lit(f.name).alias("name"),
+                    F.lit(f.dataType.simpleString()).alias("type"),
+                    F.lit(f.nullable).alias("nullable"),
+                    F.sum(df[f.name].isNull().cast("long")).alias("nulls"),
+                    F.count(df[f.name]).alias("non_nulls"),
+                    F.count(F.lit(1)).alias("total"),
+                    F.lit(i).alias("pos"),
+                )
+            )
+        one = df.agg(F.array(*structs).alias("__info__"))
+        out = one.select(F.explode("__info__").alias("s")).select("s.*")
+        return Table(
+            out.withColumn(
+                "null_frac",
+                F.when(F.col("total") > 0, F.col("nulls") / F.col("total")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+        )
+
+    def describe(self, quantile=(0.25, 0.5, 0.75)) -> "Table":
+        """Summary statistics per column (Table.describe relations.py:3408):
+        count/nulls/approx-unique for every column, moments+quantiles for
+        numeric columns, mode for strings. Single-pass (one aggregation
+        row, exploded), approximate distincts/quantiles — scale-safe."""
+        from pyspark.sql.types import NumericType, StringType
+
+        df = self._df
+        q1, q2, q3 = quantile
+        structs = []
+        for i, f in enumerate(df.schema.fields):
+            c = df[f.name]
+            is_num = isinstance(f.dataType, NumericType)
+            is_str = isinstance(f.dataType, StringType)
+            d = c.cast("double") if is_num else F.lit(None).cast("double")
+            structs.append(
+                F.struct(
+                    F.lit(f.name).alias("name"),
+                    F.lit(i).alias("pos"),
+                    F.lit(f.dataType.simpleString()).alias("type"),
+                    F.count(c).alias("count"),
+                    F.sum(c.isNull().cast("long")).alias("nulls"),
+                    F.approx_count_distinct(c).alias("unique"),
+                    (F.mode(c).cast("string") if is_str else F.lit(None).cast("string")).alias("mode"),
+                    F.avg(d).alias("mean"),
+                    F.stddev_samp(d).alias("std"),
+                    F.min(d).alias("min"),
+                    F.percentile_approx(d, float(q1)).alias("p25"),
+                    F.percentile_approx(d, float(q2)).alias("p50"),
+                    F.percentile_approx(d, float(q3)).alias("p75"),
+                    F.max(d).alias("max"),
+                )
+            )
+        one = df.agg(F.array(*structs).alias("__desc__"))
+        return Table(one.select(F.explode("__desc__").alias("s")).select("s.*"))
 
     # -- streaming tumble/hop (temporal_windows.py WindowedTable) --------------------------
     def window_by(self, time_col) -> "WindowedTable":
@@ -777,11 +913,44 @@ class Table:
     def to_pyarrow(self):
         return self._df.toArrow()
 
+    def to_pyarrow_batches(self, chunk_size: int = 1_000_000):
+        """Arrow record-batch iterator (BB:185) — streams via
+        toLocalIterator-backed Arrow collection."""
+        return self._df.toArrow().to_batches(max_chunksize=chunk_size)
+
+    def to_polars(self):
+        """→ polars DataFrame (BB:305); requires polars installed."""
+        try:
+            import polars as pl
+        except ImportError as e:
+            raise NotImplementedError("to_polars requires the polars package") from e
+        return pl.from_arrow(self.to_pyarrow())
+
+    def to_torch(self):
+        """→ dict[str, torch.Tensor] of the numeric columns (BB:343);
+        requires torch installed."""
+        try:
+            import torch
+        except ImportError as e:
+            raise NotImplementedError("to_torch requires the torch package") from e
+        pdf = self._df.toPandas()
+        out = {}
+        for c in pdf.columns:
+            try:
+                out[c] = torch.from_numpy(pdf[c].to_numpy())
+            except TypeError:
+                continue  # non-numeric columns are skipped, as the reference does
+        return out
+
     def to_parquet(self, path: str, **options) -> None:
         self._df.write.mode("overwrite").options(**options).parquet(path)
 
     def to_csv(self, path: str, **options) -> None:
         self._df.write.mode("overwrite").options(**options).csv(path)
+
+    def to_json(self, path: str, **options) -> None:
+        """JSON-lines sink (BB:629)."""
+        self._df.write.mode("overwrite").options(**options).json(path)
 
     def to_delta(self, path: str, **options) -> None:
         self._df.write.format("delta").mode("overwrite").options(**options).save(path)

@@ -168,6 +168,49 @@ class TestJoins:
         assert got == [(10, "a", "p"), (100, "b", None)]
 
 
+class TestAsofDirections:
+    def test_forward(self, con):
+        left = con.memtable({"g": [1, 1], "t": [10, 100], "lv": ["a", "b"]})
+        right = con.memtable({"g": [1, 1], "t": [15, 90], "rv": ["p", "q"]})
+        j = left.asof_join(right, on="t", by="g", direction="forward")
+        assert rows(j, "t", "lv", "rv") == [(10, "a", "p"), (100, "b", None)]
+
+    def test_nearest(self, con):
+        left = con.memtable({"g": [1, 1, 1], "t": [10, 50, 100], "lv": ["a", "b", "c"]})
+        right = con.memtable({"g": [1, 1], "t": [12, 95], "rv": ["p", "q"]})
+        j = left.asof_join(right, on="t", by="g", direction="nearest")
+        assert rows(j, "t", "lv", "rv") == [(10, "a", "p"), (100, "c", "q"), (50, "b", "p")]
+
+
+class TestIntrospection:
+    def test_unpack(self, con):
+        t = con.memtable({"k": [1]})
+        t2 = t.mutate(s=ib.struct(a=ib.literal(10), b=ib.literal("x")))
+        out = t2.unpack("s")
+        assert out.columns == ["k", "a", "b"]
+        assert rows(out, "k", "a", "b") == [(1, 10, "x")]
+
+    def test_info(self, con):
+        t = con.memtable({"x": [1.0, None, 3.0], "s": ["a", "b", None]})
+        got = {r.name: (r.nulls, r.non_nulls, r.total) for r in t.info().df.collect()}
+        assert got == {"x": (1, 2, 3), "s": (1, 2, 3)}
+
+    def test_describe(self, con):
+        t = con.memtable({"x": [1.0, 2.0, 3.0, 4.0], "s": ["a", "a", "b", None]})
+        got = {r.name: r for r in t.describe().df.collect()}
+        assert got["x"].mean == 2.5 and got["x"].min == 1.0 and got["x"].max == 4.0
+        assert got["s"].nulls == 1 and got["s"].mode == "a"
+
+    def test_as_table_dummy(self, con, spark):
+        out = ib.literal(42).alias("answer").as_table()
+        assert rows(out, "answer") == [(42,)]
+
+    def test_param(self, con):
+        p = ib.param("int64")
+        t = con.memtable({"x": [1, 5, 9]})
+        assert rows(t.filter(t.x > p(4)), "x") == [(5,), (9,)]
+
+
 class TestUDF:
     def test_pandas_udf(self, con):
         from ibis_spark import udf
