@@ -60,13 +60,16 @@ def dedup_exact(t: Table, text_col: str, id_col: str, *, normalize: bool = True)
     )
 
 
-def shingles(col, k: int = 4):
-    """Character k-shingles of a string column (distinct), via a JVM
-    sequence+transform — no Python in the loop."""
+def shingles(col, k: int = 4, *, distinct: bool = True):
+    """Character k-shingles of a string column, via a JVM
+    sequence+transform — no Python in the loop. ``distinct=False`` skips
+    the O(n²) array_distinct for consumers where duplicates are harmless
+    (MinHash: duplicates cannot change a minimum)."""
     c = unwrap(col)
     n = F.length(c)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return wrap(F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, k))))
+    out = F.transform(idx, lambda i: F.substring(c, i, k))
+    return wrap(F.array_distinct(out) if distinct else out)
 
 
 def minhash_signature(col, num_hashes: int = 64, shingle_size: int = 4):
@@ -75,21 +78,39 @@ def minhash_signature(col, num_hashes: int = 64, shingle_size: int = 4):
     ``num_hashes``. All hashing is JVM xxhash64 — deterministic across
     executors and runs.
 
-    Shape matters: the shingle array is traversed ONCE, emitting all
-    ``num_hashes`` hashes per shingle, folded with a running zip_with
-    minimum — O(shingles × hashes). The naive per-seed formulation
-    (num_hashes separate array_min(transform(shingles...)) expressions)
-    re-evaluates the shingle pipeline per seed and is quadratic in
-    practice.
+    Shape matters twice over:
+    - the shingle array is traversed ONCE, folded with a running zip_with
+      minimum — the naive per-seed formulation (num_hashes separate
+      array_min(transform(shingles...))) re-evaluates the shingle
+      pipeline per seed and is quadratic in practice;
+    - per shingle only TWO xxhash64 evaluations run; the ``num_hashes``
+      family members are the affine combinations h1 + i*h2 (universal
+      hashing, Java long wrap-around is harmless for hashing), not
+      ``num_hashes`` independent hash calls.
     """
-    sh = shingles(col, shingle_size).spark()
+    sh = shingles(col, shingle_size, distinct=False).spark()
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     maxes = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
-    sig = F.aggregate(
-        F.transform(
-            sh, lambda s: F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+    # hash each shingle ONCE into an (h1, h2) struct BEFORE the fold — an
+    # expression placed inside the per-member lambda would be re-evaluated
+    # num_hashes times per shingle (HOF bodies are not CSE'd). Masking to
+    # 32-bit lanes keeps i*h2 + h1 overflow-free under ANSI mode.
+    mask = F.lit((1 << 32) - 1).cast("long")
+    hashed = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.xxhash64(s).bitwiseAND(mask).alias("h1"),
+            F.xxhash64(F.lit(1), s).bitwiseAND(mask).bitwiseOR(F.lit(1)).alias("h2"),
         ),
+    )
+    sig = F.aggregate(
+        hashed,
         maxes,
-        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: h["h1"] + i.cast("long") * h["h2"]),
+            lambda a, b: F.least(a, b),
+        ),
     )
     return wrap(sig)
 
@@ -120,12 +141,19 @@ def minhash_dedup(
     r = num_hashes // bands
     df = t.df
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_size).spark()
-    # Materialize the (expensive) signature behind a hash-repartition
-    # barrier: the shuffle write evaluates it exactly once per document,
-    # spreads the CPU over all cores regardless of input file layout, and
-    # the exchange is REUSED by both consumers below (band bucketing and
-    # the bucket→doc join), so the signature is never recomputed.
-    sig_df = df.select(F.col(id_col), sig.alias("__sig__")).repartition(F.col(id_col))
+    # Repartition the raw text BEFORE computing the signature: the
+    # expensive hashing then runs AFTER the exchange, spread over every
+    # core/executor regardless of input file layout (a single 5k-doc
+    # parquet row-group would otherwise hash on one task). The partition
+    # count is pinned explicitly — AQE would otherwise coalesce this
+    # small-bytes/heavy-CPU shuffle back to one partition. The exchange is
+    # reused by both consumers below (band bucketing and the bucket→doc
+    # join); each recomputes the signature in parallel, which is cheaper
+    # than a second materializing shuffle.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    sig_df = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), sig.alias("__sig__")
+    )
     exploded = sig_df.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
