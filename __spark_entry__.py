@@ -693,6 +693,34 @@ def _hop(spark, sf_dir):
     return out.select("window_start", "event_type", "n").to_spark()
 
 
+def _session_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.window_by(e.ts)
+        .session("2 hours")
+        .aggregate(n=e.event_id.count(), by="user_id")
+        .to_spark()
+    )
+
+
+def _rollup_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .aggregate(n=o.o_orderkey.count(), total=o.o_totalprice.sum().round(2))
+        .to_spark()
+    )
+
+
+def _cube_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .aggregate(n=o.o_orderkey.count())
+        .to_spark()
+    )
+
+
 def _interval_range_window(spark, sf_dir):
     import datetime
 
@@ -872,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_grouped_agg": _udf_grouped_agg,
         "tumble": _tumble,
         "hop": _hop,
+        "session_window": _session_window,
+        "rollup_agg": _rollup_agg,
+        "cube_agg": _cube_agg,
         "interval_range_window": _interval_range_window,
     }
 
@@ -1253,6 +1284,34 @@ def oracle_sql() -> dict[str, str]:
                      event_type
               FROM events)
             GROUP BY w_start, event_type
+        """,
+        "session_window": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts - LAG(ts) OVER w > INTERVAL '2 hours'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), g AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT MIN(ts) AS window_start,
+                   MAX(ts) + INTERVAL '2 hours' AS window_end,
+                   user_id, COUNT(*) AS n
+            FROM g GROUP BY user_id, sid
+        """,
+        "rollup_agg": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(o_orderkey) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_agg": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(o_orderkey) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "interval_range_window": """
             SELECT o_orderkey, o_custkey,

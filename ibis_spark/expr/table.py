@@ -454,6 +454,20 @@ class Table:
                 flat.append(k)
         return GroupedTable(self, flat, named_keys)
 
+    def cube(self, *keys, **named_keys) -> "GroupedTable":
+        """GROUP BY CUBE — absent from the reference (SURVEY §2.5 notes no
+        rollup/cube/grouping-sets anywhere in ibis/expr); Spark-native
+        value-add via DataFrame.cube."""
+        g = self.group_by(*keys, **named_keys)
+        g._mode = "cube"
+        return g
+
+    def rollup(self, *keys, **named_keys) -> "GroupedTable":
+        """GROUP BY ROLLUP (Spark-native value-add, SURVEY §2.5)."""
+        g = self.group_by(*keys, **named_keys)
+        g._mode = "rollup"
+        return g
+
     def count(self, where=None) -> int:
         """Eager row count (CountStar relations.py:101).
 
@@ -970,12 +984,13 @@ class Table:
 class GroupedTable:
     """GroupBy intermediary (reference: ibis/expr/types/groupby.py)."""
 
-    __slots__ = ("_table", "_keys", "_named_keys")
+    __slots__ = ("_table", "_keys", "_named_keys", "_mode")
 
-    def __init__(self, table: Table, keys, named_keys=None):
+    def __init__(self, table: Table, keys, named_keys=None, mode: str = "groupby"):
         self._table = table
         self._keys = list(keys)
         self._named_keys = dict(named_keys or {})
+        self._mode = mode
 
     def _key_cols(self):
         out = []
@@ -1005,7 +1020,12 @@ class GroupedTable:
             sc, _ = self._table._resolve(h)
             hid.append((sc, f"__having_{i}__"))
 
-        gdf = self._table._df.groupBy(*[sc.alias(n) for sc, n in keys])
+        grouper = {
+            "groupby": self._table._df.groupBy,
+            "cube": self._table._df.cube,
+            "rollup": self._table._df.rollup,
+        }[self._mode]
+        gdf = grouper(*[sc.alias(n) for sc, n in keys])
         agg_cols = [sc.alias(n) for sc, n in mets] + [sc.alias(n) for sc, n in hid]
         if not agg_cols:
             agg_cols = [F.count(F.lit(1)).alias("__n__")]

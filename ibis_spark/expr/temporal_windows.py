@@ -58,6 +58,14 @@ class WindowedTable:
             self._table, self._time_col, _duration(size), _duration(slide)
         )
 
+    def session(self, gap) -> "WindowedTable":
+        """Session windows closed after ``gap`` of inactivity — absent
+        from the reference (its Flink backend stops at tumble/hop);
+        Spark-native via ``F.session_window``."""
+        w = WindowedTable(self._table, self._time_col, _duration(gap))
+        w._slide = "__session__"
+        return w
+
     def aggregate(self, *metrics, by=(), **named):
         """WindowAggregate (operations/temporal_windows.py:18):
         groupBy(window(time, size, slide), *by) → agg; window bounds are
@@ -65,12 +73,15 @@ class WindowedTable:
         from ibis_spark.expr.table import Table, _tuplize
 
         if self._size is None:
-            raise ValueError("call .tumble(size) or .hop(size, slide) first")
+            raise ValueError("call .tumble(size), .hop(size, slide) or .session(gap) first")
         t = self._table
         time_sc, _ = t._resolve(self._time_col)
-        win = F.window(time_sc, self._size, self._slide) if self._slide else F.window(
-            time_sc, self._size
-        )
+        if self._slide == "__session__":
+            win = F.session_window(time_sc, self._size)
+        elif self._slide:
+            win = F.window(time_sc, self._size, self._slide)
+        else:
+            win = F.window(time_sc, self._size)
 
         keys = []
         for k in _tuplize(by):
