@@ -76,6 +76,113 @@ ORDER BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+# TPC-H derivatives (adapted to the synthetic schema's columns)
+# ---------------------------------------------------------------------------
+
+def _q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    seg = c.filter(c.c_mktsegment == "BUILDING")
+    j = seg.join(o, [("c_custkey", "o_custkey")]).join(
+        li, [("o_orderkey", "l_orderkey")]
+    )
+    j = j.filter(j.o_orderdate < "1998-01-01", j.l_shipdate > "1998-01-01")
+    return (
+        j.group_by("l_orderkey", "o_orderdate")
+        .aggregate(revenue=(j.l_extendedprice * (1 - j.l_discount)).sum().round(2))
+        .order_by(ib.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .to_spark()
+    )
+
+
+def _q4_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = o.filter(o.o_orderdate >= "1996-01-01", o.o_orderdate < "1997-01-01")
+    ex = filtered.filter(
+        ib.exists(li, lambda oo, l: (oo.o_orderkey == l.l_orderkey) & (l.l_shipdate > oo.o_orderdate))
+    )
+    return (
+        ex.group_by("o_orderpriority")
+        .aggregate(order_count=ex.o_orderkey.count())
+        .order_by("o_orderpriority")
+        .to_spark()
+    )
+
+
+def _q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        c.join(o, [("c_custkey", "o_custkey")])
+        .join(li, [("o_orderkey", "l_orderkey")])
+        .join(s, [("l_suppkey", "s_suppkey")], broadcast=True)
+        .join(n, [("s_nationkey", "n_nationkey")], broadcast=True)
+    )
+    j = j.filter(j.c_nationkey == j.s_nationkey)
+    return (
+        j.group_by("n_name")
+        .aggregate(revenue=(j.l_extendedprice * (1 - j.l_discount)).sum().round(2))
+        .to_spark()
+    )
+
+
+def _q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.filter(
+        li.l_shipdate >= "1996-01-01",
+        li.l_shipdate < "1997-01-01",
+        li.l_discount.between(0.03, 0.07),
+        li.l_quantity < 24,
+    )
+    return t.aggregate(revenue=(t.l_extendedprice * t.l_discount).sum().round(2)).to_spark()
+
+
+def _q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = c.join(o, [("c_custkey", "o_custkey")]).join(li, [("o_orderkey", "l_orderkey")])
+    j = j.filter(j.l_returnflag == "R")
+    return (
+        j.group_by("c_custkey", "c_name")
+        .aggregate(revenue=(j.l_extendedprice * (1 - j.l_discount)).sum().round(2))
+        .order_by(ib.desc("revenue"), "c_custkey")
+        .limit(20)
+        .to_spark()
+    )
+
+
+def _q14_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, [("l_partkey", "p_partkey")], broadcast=True)
+    j = j.filter(j.l_shipdate >= "1997-01-01", j.l_shipdate < "1997-02-01")
+    disc = j.l_extendedprice * (1 - j.l_discount)
+    promo = disc.sum(where=j.p_type.startswith("ECO"))
+    return j.aggregate(
+        promo_revenue=(100 * promo / disc.sum()).round(4)
+    ).to_spark()
+
+
+def _q18_large_volume_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.group_by("l_orderkey")
+        .having(li.l_quantity.sum() > 200)
+        .aggregate(sum_qty=li.l_quantity.sum().round(2))
+    )
+    j = o.join(big, [("o_orderkey", "l_orderkey")])
+    return j.select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty").to_spark()
+
+
+# ---------------------------------------------------------------------------
 # relational core
 # ---------------------------------------------------------------------------
 
@@ -833,6 +940,13 @@ def _text_stats(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1": _q1,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q4_order_priority": _q4_order_priority,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q18_large_volume_customer": _q18_large_volume_customer,
         "filter_sort_limit": _filter_sort_limit,
         "agg_filtered": _agg_filtered,
         "agg_having": _agg_having,
@@ -910,6 +1024,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1": _Q1_SQL,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(o_orderkey) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT ROUND(100 * SUM(CASE WHEN STARTS_WITH(p_type, 'ECO')
+                                        THEN l_extendedprice * (1 - l_discount) END)
+                         / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-02-01'
+        """,
+        "q18_large_volume_customer": """
+            SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(l_quantity) > 200) big
+              ON o_orderkey = big.l_orderkey
+        """,
         "filter_sort_limit": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 100000 AND o_orderstatus = 'O'

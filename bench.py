@@ -20,6 +20,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
 HEADLINE = [
     "q1",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
     "agg_filtered",
     "agg_having",
     "join_inner_chain",
