@@ -163,9 +163,15 @@ class Table:
         return col
 
     def _resolve_many(self, exprs, named):
+        from ibis_spark.selectors import Across, Selector
+
         out = []
         for e in exprs:
-            if isinstance(e, (list, tuple)):
+            if isinstance(e, Selector):
+                out.extend((self._df[n], n) for n in e.expand(self))
+            elif isinstance(e, Across):
+                out.extend(self._resolve(c, name=n) for c, n in e.expand(self))
+            elif isinstance(e, (list, tuple)):
                 out.extend(self._resolve(x) for x in e)
             else:
                 out.append(self._resolve(e))
@@ -209,9 +215,19 @@ class Table:
         return Table(df.select(*cols))
 
     def drop(self, *names) -> "Table":
-        """DropColumns (relations.py:149)."""
-        names = [n if isinstance(n, str) else self._resolve(n)[1] for n in names]
-        return Table(self._df.drop(*names))
+        """DropColumns (relations.py:149); accepts names, columns, or
+        selectors."""
+        from ibis_spark.selectors import Selector
+
+        flat = []
+        for n in names:
+            if isinstance(n, Selector):
+                flat.extend(n.expand(self))
+            elif isinstance(n, str):
+                flat.append(n)
+            else:
+                flat.append(self._resolve(n)[1])
+        return Table(self._df.drop(*flat))
 
     def rename(self, mapping=None, **kwargs) -> "Table":
         """Table.rename: new_name=old_name pairs (relations.py:2646)."""
@@ -446,9 +462,13 @@ class Table:
     agg = aggregate
 
     def group_by(self, *keys, **named_keys) -> "GroupedTable":
+        from ibis_spark.selectors import Selector
+
         flat = []
         for k in keys:
-            if isinstance(k, (list, tuple)):
+            if isinstance(k, Selector):
+                flat.extend(k.expand(self))
+            elif isinstance(k, (list, tuple)):
                 flat.extend(k)
             elif k is not None:
                 flat.append(k)
@@ -885,6 +905,48 @@ class Table:
 
         return WindowedTable(self, time_col)
 
+    def map_groups_with_state(
+        self,
+        keys,
+        fn,
+        *,
+        output_schema,
+        state_schema,
+        output_mode: str = "update",
+        timeout: str = "NoTimeout",
+    ) -> "Table":
+        """Custom stateful streaming operator via Arrow-batched
+        ``applyInPandasWithState`` (a Spark-native extension beyond the
+        reference, which delegates all stateful processing to the engine —
+        SURVEY §2.16). ``fn(key, pdf_iter, state)`` runs per key group with
+        a ``GroupState``; watermark-driven timeouts evict state, so memory
+        is bounded at any scale."""
+        from ibis_spark.schema import Schema
+
+        def to_spark_schema(s):
+            from pyspark.sql.types import StructType
+
+            if isinstance(s, StructType):
+                return s
+            if isinstance(s, Schema):
+                return s.to_spark()
+            if isinstance(s, dict):
+                from ibis_spark.schema import schema as mk
+
+                return mk(s).to_spark()
+            return s  # DDL string is accepted by Spark directly
+
+        gdf = self._df.groupBy(*_tuplize(keys))
+        return Table(
+            gdf.applyInPandasWithState(
+                fn,
+                to_spark_schema(output_schema),
+                to_spark_schema(state_schema),
+                output_mode,
+                timeout,
+            )
+        )
+
     # -- pivots (relations.py:4209/4540) ---------------------------------------------------
     def pivot_longer(self, cols, *, names_to: str = "name", values_to: str = "value") -> "Table":
         names = [c if isinstance(c, str) else self._resolve(c)[1] for c in _tuplize(cols)]
@@ -1003,10 +1065,17 @@ class GroupedTable:
         return out
 
     def aggregate(self, *metrics, having=(), **named) -> Table:
+        from ibis_spark.selectors import Across
+
         keys = self._key_cols()
         mets = []
         idx = 0
         for m in _flatten(metrics):
+            if isinstance(m, Across):
+                for c, n in m.expand(self._table):
+                    sc, _ = self._table._resolve(c, name=n)
+                    mets.append((sc, n))
+                continue
             sc, name = self._table._resolve(m)
             mets.append((sc, name or f"metric_{idx}"))
             idx += 1

@@ -87,15 +87,22 @@ class StringOps:
         ``start`` may be an int or a Column expression (ADVICE r2: build
         the offset with column arithmetic, not int()).
         """
-        if end is not None:
-            raise NotImplementedError("find(end=...) is not supported")
         c = self.spark()
         sub = unwrap(substr)
-        if start is not None:
-            start_c = F.lit(start) if isinstance(start, int) else unwrap(start)
-            # search the suffix, then shift the hit back to full-string coords
-            suffix = c.substr(start_c + 1, F.length(c))
-            hit = F.instr(suffix, sub)
+        if start is not None or end is not None:
+            start_c = (
+                F.lit(0)
+                if start is None
+                else (F.lit(start) if isinstance(start, int) else unwrap(start))
+            )
+            if end is not None:
+                end_c = F.lit(end) if isinstance(end, int) else unwrap(end)
+                region_len = F.greatest(end_c - start_c, F.lit(0))
+            else:
+                region_len = F.length(c)
+            # search the bounded region, shift the hit to full-string coords
+            region = c.substr(start_c + 1, region_len)
+            hit = F.instr(region, sub)
             return wrap(F.when(hit > 0, hit + start_c - 1).otherwise(F.lit(-1)))
         return wrap(F.instr(c, sub) - 1)
 

@@ -64,6 +64,52 @@ def test_streaming_tumble_aggregate(spark, stream_dir):
     assert got <= sum(batch_rows.values())
 
 
+def test_map_groups_with_state(spark, stream_dir):
+    """Custom stateful operator: running per-type event counts kept in
+    GroupState across micro-batches."""
+    import pandas as pd
+
+    con = ib.connect(spark)
+    schema = con.read_parquet(stream_dir).df.schema
+    stream = con.read_parquet_dir(stream_dir, schema=schema)
+
+    def count_state(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "n": [total]})
+
+    out = stream.map_groups_with_state(
+        "event_type",
+        count_state,
+        output_schema="event_type string, n long",
+        state_schema="n long",
+    )
+    q = (
+        out.df.writeStream.format("memory")
+        .queryName("state_smoke")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_type: r.n
+        for r in spark.sql(
+            "select event_type, max(n) as n from state_smoke group by event_type"
+        ).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in con.read_parquet(stream_dir)
+        .group_by("event_type")
+        .aggregate(n=lambda t: t.event_id.count())
+        .df.collect()
+    }
+    assert got == want
+
+
 def test_streaming_dir_sink_roundtrip(spark, stream_dir):
     con = ib.connect(spark)
     schema = con.read_parquet(stream_dir).df.schema
