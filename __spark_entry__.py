@@ -724,6 +724,103 @@ def _pivot_longer(spark, sf_dir):
     ).to_spark()
 
 
+def _map_struct_ops(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    st = ib.struct(key=n.n_nationkey, name=n.n_name)
+    mp = ib.map_({"rk": n.n_regionkey})
+    return n.select(
+        "n_nationkey",
+        sk=st.get_field("key"),
+        sn=st.get_field("name"),
+        rk=mp.map_get("rk"),
+        has_rk=mp.map_contains("rk"),
+        n_keys=mp.map_length(),
+    ).to_spark()
+
+
+def _array_hof(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.text.split(" ")
+    return d.select(
+        "doc_id",
+        n_long=toks.array_filter(lambda x: x.length() > 4).array_length(),
+        lens_sum=toks.array_map(lambda x: x.length()).array_sum().cast("int64"),
+        any_the=toks.array_any(lambda x: x == "the"),
+        pos_the=toks.array_position("the"),
+    ).to_spark()
+
+
+def _regex_ops(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        has_vowel2=p.p_name.re_search("[aeiou]{2}"),
+        first_word=p.p_name.re_extract("^(\\w+)", 1),
+        digits=p.p_brand.re_extract("(\\d+)", 1),
+        no_vowels=p.p_name.re_replace("[aeiou]", "_"),
+        n_parts=p.p_name.re_split("\\s+").array_length(),
+    ).to_spark()
+
+
+def _hash_ops(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        h_md5=d.text.hexdigest("md5"),
+        h_sha256=d.text.hexdigest("sha256"),
+    ).to_spark()
+
+
+def _bitwise_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    k = o.o_orderkey
+    return o.select(
+        "o_orderkey",
+        b_and=k.bitwise_and(255),
+        b_or=k.bitwise_or(16),
+        b_xor=k.bitwise_xor(o.o_custkey),
+        b_shl=(k % 1024).bitwise_left_shift(2),
+        b_shr=k.bitwise_right_shift(3),
+    ).to_spark()
+
+
+def _temporal_ctors(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    yr = o.o_orderdate.year()
+    mo = o.o_orderdate.month()
+    dy = o.o_orderdate.day()
+    return o.select(
+        "o_orderkey",
+        d=ib.date(yr, mo, dy),
+        ts=ib.timestamp(yr, mo, dy, ib.literal(12), ib.literal(30), ib.literal(0)),
+        from_unix=ib.timestamp_from_unix(o.o_orderkey * 1000 + 1_500_000_000, unit="s"),
+    ).to_spark()
+
+
+def _temporal_delta(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    base = ib.timestamp("2024-01-01 00:00:00")
+    return e.select(
+        "event_id",
+        days_in=e.ts.delta(base, "day"),
+        hours_in=e.ts.delta(base, "hour"),
+        date_diff_days=e.ts.date_diff(base),
+    ).to_spark()
+
+
+def _integer_range_unnest(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    t = r.select("r_regionkey", seq=ib.integer_range(r.r_regionkey + 1))
+    return t.unnest("seq").to_spark()
+
+
+def _sql_escape_hatch(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return n.sql(
+        "SELECT n_regionkey, COUNT(*) AS n FROM t GROUP BY n_regionkey"
+    ).to_spark()
+
+
 # ---------------------------------------------------------------------------
 # UDFs
 # ---------------------------------------------------------------------------
@@ -1001,6 +1098,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "fingerprint": _fingerprint,
         "text_stats": _text_stats,
+        "map_struct_ops": _map_struct_ops,
+        "array_hof": _array_hof,
+        "regex_ops": _regex_ops,
+        "hash_ops": _hash_ops,
+        "bitwise_ops": _bitwise_ops,
+        "temporal_ctors": _temporal_ctors,
+        "temporal_delta": _temporal_delta,
+        "integer_range_unnest": _integer_range_unnest,
+        "sql_escape_hatch": _sql_escape_hatch,
         "dedup_minhash": _dedup_minhash,
         "simhash": _simhash,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1392,6 +1498,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, SUBSTR(MD5(text), 1, 8) AS fp FROM documents
+        """,
+        "map_struct_ops": """
+            SELECT n_nationkey,
+                   n_nationkey AS sk,
+                   n_name AS sn,
+                   n_regionkey AS rk,
+                   TRUE AS has_rk,
+                   CAST(1 AS INT) AS n_keys
+            FROM nation
+        """,
+        "array_hof": """
+            SELECT doc_id,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> LENGTH(x) > 4)) AS INT) AS n_long,
+                   CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text,' '), x -> LENGTH(x))) AS BIGINT) AS lens_sum,
+                   LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x = 'the')) > 0 AS any_the,
+                   CAST(COALESCE(LIST_POSITION(STRING_SPLIT(text,' '), 'the'), 0) - 1 AS BIGINT) AS pos_the
+            FROM documents
+        """,
+        "regex_ops": """
+            SELECT p_partkey,
+                   REGEXP_MATCHES(p_name, '[aeiou]{2}') AS has_vowel2,
+                   REGEXP_EXTRACT(p_name, '^(\\w+)', 1) AS first_word,
+                   REGEXP_EXTRACT(p_brand, '(\\d+)', 1) AS digits,
+                   REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS no_vowels,
+                   CAST(LEN(REGEXP_SPLIT_TO_ARRAY(p_name, '\\s+')) AS INT) AS n_parts
+            FROM part
+        """,
+        "hash_ops": """
+            SELECT doc_id, MD5(text) AS h_md5, SHA256(text) AS h_sha256 FROM documents
+        """,
+        "bitwise_ops": """
+            SELECT o_orderkey,
+                   o_orderkey & 255 AS b_and,
+                   o_orderkey | 16 AS b_or,
+                   XOR(o_orderkey, o_custkey) AS b_xor,
+                   (o_orderkey % 1024) << 2 AS b_shl,
+                   o_orderkey >> 3 AS b_shr
+            FROM orders
+        """,
+        "temporal_ctors": """
+            SELECT o_orderkey,
+                   MAKE_DATE(YEAR(o_orderdate), MONTH(o_orderdate), DAY(o_orderdate)) AS d,
+                   MAKE_TIMESTAMP(YEAR(o_orderdate), MONTH(o_orderdate), DAY(o_orderdate), 12, 30, 0) AS ts,
+                   CAST(TO_TIMESTAMP(o_orderkey * 1000 + 1500000000) AS TIMESTAMP) AS from_unix
+            FROM orders
+        """,
+        "temporal_delta": """
+            SELECT event_id,
+                   CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS days_in,
+                   CAST(DATE_DIFF('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS hours_in,
+                   CAST(DATE_DIFF('day', CAST(TIMESTAMP '2024-01-01 00:00:00' AS DATE), CAST(ts AS DATE)) AS INT) AS date_diff_days
+            FROM events
+        """,
+        "integer_range_unnest": """
+            SELECT r_regionkey, UNNEST(RANGE(0, r_regionkey + 1)) AS seq FROM region
+        """,
+        "sql_escape_hatch": """
+            SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

@@ -60,7 +60,9 @@ from ibis_spark.functions import (  # noqa: F401
     rank,
     row_number,
     struct,
+    time,
     timestamp,
+    timestamp_from_unix,
     timestamp_range,
     today,
     uuid,

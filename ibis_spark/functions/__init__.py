@@ -32,7 +32,9 @@ from ibis_spark.functions.collections import array, map_, struct
 from ibis_spark.functions.temporal import (
     date,
     interval,
+    time,
     timestamp,
+    timestamp_from_unix,
     integer_range,
     timestamp_range,
 )
@@ -58,6 +60,8 @@ __all__ = [
     "pi",
     "random",
     "rank",
+    "time",
+    "timestamp_from_unix",
     "row_number",
     "struct",
     "timestamp",

@@ -187,10 +187,35 @@ class TemporalOps:
         return self - other
 
     def delta(self, other, unit):
-        """TemporalDelta (temporal.py:448-480): unit-truncated signed diff,
-        self - other, → timestampdiff semantics."""
+        """TemporalDelta (temporal.py:448-480): number of `unit`
+        boundaries crossed between other and self (signed, self - other) —
+        i.e. the difference of unit-truncated values, matching the
+        reference and SQL date_diff. Implemented via date_trunc + epoch
+        arithmetic (pyspark.sql.functions has no timestampdiff)."""
         part = _INTERVAL_UNITS.get(unit, unit)
-        return wrap(F.timestampdiff(part, unwrap(other), self.spark()))
+        a, b = self.spark(), unwrap(other)
+
+        def epoch(c):
+            # NTZ cannot cast to long directly
+            return c.cast("timestamp").cast("long")
+
+        if part in ("year", "quarter", "month"):
+            months = F.months_between(
+                F.date_trunc(part, a), F.date_trunc(part, b), roundOff=True
+            )
+            div = {"year": 12, "quarter": 3, "month": 1}[part]
+            return wrap((months / div).cast("long"))
+        if part in ("millisecond", "microsecond"):
+            scale = {"millisecond": 1000, "microsecond": 1}[part]
+            ua = F.unix_micros(a.cast("timestamp"))
+            ub = F.unix_micros(b.cast("timestamp"))
+            return wrap(((ua - ub) / scale).cast("long"))
+        secs = {"week": 604800, "day": 86400, "hour": 3600, "minute": 60, "second": 1}[part]
+        return wrap(
+            ((epoch(F.date_trunc(part, a)) - epoch(F.date_trunc(part, b))) / secs).cast(
+                "long"
+            )
+        )
 
     def date_diff(self, other):
         """DateDiff (temporal.py:302): days between, self - other."""
