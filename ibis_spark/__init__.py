@@ -222,16 +222,46 @@ class Backend:
     raw_sql = sql
 
     # -- DDL (PB:512-795) -------------------------------------------------------------
-    def create_table(self, name: str, obj: Table = None, *, temp: bool = True, overwrite: bool = True) -> Table:
+    def create_table(
+        self,
+        name: str,
+        obj: Table = None,
+        *,
+        temp: bool = True,
+        overwrite: bool = True,
+        partition_by=None,
+        bucket_by=None,
+        num_buckets: int = 16,
+        sort_by=None,
+    ) -> Table:
+        """Create a (temp view or managed) table (PB:621).
+
+        ``partition_by`` → hive partition directories (partition pruning);
+        ``bucket_by``/``num_buckets``(+``sort_by``) → bucketed layout so
+        joins and aggregations on the bucket keys need NO shuffle — the
+        co-located-join strategy for repeatedly-joined 100 TB tables.
+        """
         if obj is None:
             raise NotImplementedError("create_table requires a table expression")
         if temp:
+            if partition_by or bucket_by:
+                raise ValueError("partitioning/bucketing requires temp=False")
             if overwrite:
                 obj.df.createOrReplaceTempView(name)
             else:
                 obj.df.createTempView(name)
         else:
-            obj.df.write.mode("overwrite" if overwrite else "error").saveAsTable(name)
+            w = obj.df.write.mode("overwrite" if overwrite else "error")
+            if partition_by:
+                pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+                w = w.partitionBy(*pb)
+            if bucket_by:
+                bb = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+                w = w.bucketBy(num_buckets, *bb)
+                if sort_by:
+                    sb = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+                    w = w.sortBy(*sb)
+            w.saveAsTable(name)
         return self.table(name)
 
     def create_view(self, name: str, obj: Table, *, overwrite: bool = True) -> Table:

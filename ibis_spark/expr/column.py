@@ -115,11 +115,30 @@ class Column(
     # -- comparisons (logical.py:76-106); must live here to override object --
     __hash__ = object.__hash__
 
+    def _as_auto_scalar(self, other):
+        """ibis auto-rewrites bare reductions compared against columns into
+        scalar subqueries (expr/rewrites.py:289-304). When `other` is a
+        table-bound reduction (t.x.mean()), lift it to a ScalarValue so the
+        comparison lowers as a broadcast 1-row cross join in filter()."""
+        from ibis_spark.expr.core import ScalarValue
+
+        if (
+            isinstance(other, Column)
+            and other._is_reduction
+            and other._source_df is not None
+            and not self._is_reduction
+        ):
+            return ScalarValue(other._source_df, other._sc)
+        return None
+
     def __eq__(self, other):  # type: ignore[override]
         from ibis_spark.expr.core import is_scalar_subquery, wrap
         
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return self == sv
 
         return wrap(self.spark() == unwrap(other))
 
@@ -128,6 +147,9 @@ class Column(
         
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return self != sv
 
         return wrap(self.spark() != unwrap(other))
 
@@ -136,6 +158,9 @@ class Column(
         
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return self < sv
 
         return wrap(self.spark() < unwrap(other))
 
@@ -144,6 +169,9 @@ class Column(
         
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return self <= sv
 
         return wrap(self.spark() <= unwrap(other))
 
@@ -152,6 +180,9 @@ class Column(
         
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return self > sv
 
         return wrap(self.spark() > unwrap(other))
 
@@ -160,6 +191,9 @@ class Column(
         
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return self >= sv
 
         return wrap(self.spark() >= unwrap(other))
 
@@ -300,6 +334,38 @@ class Column(
             metric = unwrap(by)
         agg = df.groupBy(self._sc.alias(keyname)).agg(metric.alias(out_name))
         return Table(agg.orderBy(F.col(out_name).desc()).limit(int(k)))
+
+
+def _propagate_reduction_source():
+    """Re-bind every ReductionOps method on Column so its result keeps the
+    defining column's ``_source_df``. That is what lets a bare reduction
+    (``t.x.mean()``) be auto-lifted to a scalar subquery when compared
+    against another column (reference auto-rewrite,
+    expr/rewrites.py:289-304)."""
+    import functools
+
+    for nm, fn in vars(ReductionOps).items():
+        if nm.startswith("_") or not callable(fn):
+            continue
+
+        def make(fn):
+            @functools.wraps(fn)
+            def inner(self, *a, **k):
+                out = fn(self, *a, **k)
+                if (
+                    isinstance(out, Column)
+                    and out._source_df is None
+                    and getattr(self, "_source_df", None) is not None
+                ):
+                    object.__setattr__(out, "_source_df", self._source_df)
+                return out
+
+            return inner
+
+        setattr(Column, nm, make(fn))
+
+
+_propagate_reduction_source()
 
 
 def literal(value, type=None) -> Column:

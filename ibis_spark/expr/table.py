@@ -1018,11 +1018,20 @@ class Table:
                 continue  # non-numeric columns are skipped, as the reference does
         return out
 
-    def to_parquet(self, path: str, **options) -> None:
-        self._df.write.mode("overwrite").options(**options).parquet(path)
+    def to_parquet(self, path: str, *, partition_by=None, **options) -> None:
+        """Parquet sink (BB:479). ``partition_by`` writes hive-style
+        partition directories — the layout that enables partition pruning
+        on read at 100 TB."""
+        w = self._df.write.mode("overwrite").options(**options)
+        if partition_by:
+            w = w.partitionBy(*_tuplize(partition_by))
+        w.parquet(path)
 
-    def to_csv(self, path: str, **options) -> None:
-        self._df.write.mode("overwrite").options(**options).csv(path)
+    def to_csv(self, path: str, *, partition_by=None, **options) -> None:
+        w = self._df.write.mode("overwrite").options(**options)
+        if partition_by:
+            w = w.partitionBy(*_tuplize(partition_by))
+        w.csv(path)
 
     def to_json(self, path: str, **options) -> None:
         """JSON-lines sink (BB:629)."""

@@ -1,0 +1,76 @@
+"""DDL + IO round-trips: create/list/drop tables, partitioned writes,
+bucketed tables (shuffle-free joins), csv/json round-trips."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+import ibis_spark as ib
+
+
+@pytest.fixture(scope="module")
+def con(spark):
+    return ib.connect(spark)
+
+
+def test_create_list_drop_view(con):
+    t = con.memtable({"x": [1, 2]})
+    con.create_table("ddl_view_smoke", t)
+    assert "ddl_view_smoke" in con.list_tables()
+    assert con.table("ddl_view_smoke").df.count() == 2
+    con.drop_view("ddl_view_smoke")
+    assert "ddl_view_smoke" not in con.list_tables()
+
+
+def test_partitioned_parquet_prunes(con, spark):
+    t = con.memtable({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+    d = tempfile.mkdtemp(prefix="ibis_spark_part_")
+    try:
+        t.to_parquet(d, partition_by="k")
+        back = con.read_parquet(d)
+        pruned = back.filter(back.k == "a")
+        plan = pruned.explain("formatted")
+        assert pruned.df.count() == 2
+        # partition filter must reach the scan, not a post-scan Filter
+        assert "PartitionFilters" in plan and "isnotnull(k" in plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_table_join_no_shuffle(con, spark):
+    big = con.memtable({"k": list(range(100)), "v": [float(i) for i in range(100)]})
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        con.create_table("bkt_a", big, temp=False, bucket_by="k", num_buckets=4, sort_by="k")
+        con.create_table("bkt_b", big, temp=False, bucket_by="k", num_buckets=4, sort_by="k")
+        a = con.table("bkt_a")
+        b = con.table("bkt_b")
+        j = a.join(b, [("k", "k")])
+        plan = j.explain("formatted")
+        assert j.df.count() == 100
+        # bucketed co-located join: no Exchange feeding the SortMergeJoin
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        con.spark.sql("DROP TABLE IF EXISTS bkt_a")
+        con.spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_csv_json_roundtrip(con):
+    t = con.memtable({"a": [1, 2], "b": ["x", "y"]})
+    d1 = tempfile.mkdtemp(prefix="ibis_spark_csv_")
+    d2 = tempfile.mkdtemp(prefix="ibis_spark_json_")
+    try:
+        t.to_csv(d1, header=True)
+        t.to_json(d2)
+        back_csv = con.read_csv(d1)
+        back_json = con.read_json(d2)
+        assert back_csv.df.count() == 2
+        assert sorted(r.b for r in back_json.df.collect()) == ["x", "y"]
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)

@@ -96,6 +96,13 @@ class TestScalarSubquery:
         avg = t.to_scalar(t.x.mean())  # 4.0 -> *2 = 8.0
         assert rows(t.filter(t.x > avg * 2), "x") == [(10.0,)]
 
+    def test_auto_scalar_rewrite(self, con):
+        # ibis parity: a bare reduction in a filter comparison is lifted
+        # to a scalar subquery automatically (expr/rewrites.py:289-304)
+        t = con.memtable({"x": [1.0, 2.0, 3.0, 10.0]})
+        assert rows(t.filter(t.x < t.x.mean()), "x") == [(1.0,), (2.0,), (3.0,)]
+        assert rows(t.filter(t.x == t.x.max()), "x") == [(10.0,)]
+
 
 class TestExists:
     def test_exists_and_not_exists(self, con):
