@@ -254,7 +254,7 @@ class Column(
         return wrap(self.spark().getItem(unwrap(key)))
 
     # -- sort keys (sortkeys.py:16) -------------------------------------------
-    def asc(self, nulls_first: bool = True):
+    def asc(self, nulls_first: bool = False):
         from ibis_spark.expr.core import SortKey
 
         c = self.spark()

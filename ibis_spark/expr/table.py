@@ -36,7 +36,7 @@ from ibis_spark.expr.window import Window
 _alias_counter = itertools.count()
 
 
-def asc(key, nulls_first: bool = True):
+def asc(key, nulls_first: bool = False):
     """Sort-key helper (SortKey sortkeys.py:16)."""
     from ibis_spark.expr.core import SortKey
 
@@ -383,7 +383,8 @@ class Table:
                     if item.startswith("-"):
                         cols.append(self._df[item[1:]].desc_nulls_last())
                     else:
-                        cols.append(self._df[item].asc_nulls_first())
+                        # reference SortKey default: nulls_first=False
+                        cols.append(self._df[item].asc_nulls_last())
                 else:
                     cols.append(unwrap(item))
         return Table(self._df.orderBy(*cols))
