@@ -724,6 +724,52 @@ def _pivot_longer(spark, sf_dir):
     ).to_spark()
 
 
+def _temporal_arith(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        plus_day=o.o_orderdate + ib.interval(days=1),
+        minus_week=o.o_orderdate - ib.interval(weeks=1),
+        plus_hours=o.o_orderdate + ib.interval(hours=36),
+    ).to_spark()
+
+
+def _timestamp_bucket(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_id", b=e.ts.bucket("15 minutes"))
+        .group_by("b")
+        .aggregate(n=lambda t: t.event_id.count())
+        .to_spark()
+    )
+
+
+def _in_values(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        seg_hit=c.c_mktsegment.isin(["BUILDING", "AUTOMOBILE"]),
+        none_hit=c.c_nationkey.isin([]),
+    ).to_spark()
+
+
+def _between_time(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        in_window=e.ts.between_time("09:00:00", "17:00:00"),
+        tod=e.ts.time(),
+    ).to_spark()
+
+
+def _table_cast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select("l_orderkey", "l_quantity", "l_discount").cast(
+        {"l_quantity": "int32", "l_discount": "string"}
+    )
+    return t.to_spark()
+
+
 def _map_struct_ops(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     st = ib.struct(key=n.n_nationkey, name=n.n_name)
@@ -1098,6 +1144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "fingerprint": _fingerprint,
         "text_stats": _text_stats,
+        "temporal_arith": _temporal_arith,
+        "timestamp_bucket": _timestamp_bucket,
+        "in_values": _in_values,
+        "between_time": _between_time,
+        "table_cast": _table_cast,
         "map_struct_ops": _map_struct_ops,
         "array_hof": _array_hof,
         "regex_ops": _regex_ops,
@@ -1498,6 +1549,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, SUBSTR(MD5(text), 1, 8) AS fp FROM documents
+        """,
+        "temporal_arith": """
+            SELECT o_orderkey,
+                   o_orderdate + INTERVAL '1 day' AS plus_day,
+                   o_orderdate - INTERVAL '7 days' AS minus_week,
+                   o_orderdate + INTERVAL '36 hours' AS plus_hours
+            FROM orders
+        """,
+        "timestamp_bucket": """
+            SELECT TIME_BUCKET(INTERVAL '15 minutes', ts) AS b, COUNT(event_id) AS n
+            FROM events GROUP BY 1
+        """,
+        "in_values": """
+            SELECT c_custkey,
+                   c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS seg_hit,
+                   FALSE AS none_hit
+            FROM customer
+        """,
+        "between_time": """
+            SELECT event_id,
+                   STRFTIME(ts, '%H:%M:%S') BETWEEN '09:00:00' AND '17:00:00' AS in_window,
+                   STRFTIME(ts, '%H:%M:%S') AS tod
+            FROM events
+        """,
+        "table_cast": """
+            SELECT l_orderkey,
+                   CAST(l_quantity AS INT) AS l_quantity,
+                   CAST(l_discount AS VARCHAR) AS l_discount
+            FROM lineitem
         """,
         "map_struct_ops": """
             SELECT n_nationkey,

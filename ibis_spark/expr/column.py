@@ -347,6 +347,11 @@ def _propagate_reduction_source():
     for nm, fn in vars(ReductionOps).items():
         if nm.startswith("_") or not callable(fn):
             continue
+        if getattr(Column, nm, None) is not fn:
+            # the MRO resolves this name to another mixin's method (e.g.
+            # TemporalOps.bucket shadows ReductionOps.bucket) — setting it
+            # on Column would steal the resolution
+            continue
 
         def make(fn):
             @functools.wraps(fn)

@@ -229,6 +229,28 @@ class Table:
                 flat.append(self._resolve(n)[1])
         return Table(self._df.drop(*flat))
 
+    def cast(self, schema) -> "Table":
+        """Cast columns to new types: {col: dtype} (Table.cast
+        relations.py:2740)."""
+        from ibis_spark.functions.generic import _spark_type
+
+        casts = {k: _spark_type(v) for k, v in dict(schema).items()}
+        cols = [
+            self._df[c].cast(casts[c]).alias(c) if c in casts else self._df[c]
+            for c in self._df.columns
+        ]
+        return Table(self._df.select(*cols))
+
+    def try_cast(self, schema) -> "Table":
+        from ibis_spark.functions.generic import _spark_type
+
+        casts = {k: _spark_type(v) for k, v in dict(schema).items()}
+        cols = [
+            F.try_cast(self._df[c], casts[c]).alias(c) if c in casts else self._df[c]
+            for c in self._df.columns
+        ]
+        return Table(self._df.select(*cols))
+
     def rename(self, mapping=None, **kwargs) -> "Table":
         """Table.rename: new_name=old_name pairs (relations.py:2646)."""
         m = dict(mapping or {})

@@ -59,6 +59,10 @@ _INTERVAL_UNITS = {
     "year": "year", "quarter": "quarter", "month": "month", "week": "week",
     "day": "day", "hour": "hour", "minute": "minute", "second": "second",
     "millisecond": "millisecond", "microsecond": "microsecond",
+    # plural kwarg forms (interval(days=1))
+    "years": "year", "quarters": "quarter", "months": "month", "weeks": "week",
+    "days": "day", "hours": "hour", "minutes": "minute", "seconds": "second",
+    "milliseconds": "millisecond", "microseconds": "microsecond",
 }
 
 
