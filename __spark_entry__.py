@@ -1007,6 +1007,29 @@ def _dedup_minhash(spark, sf_dir):
     return pl.minhash_dedup(d, "text", "doc_id", num_hashes=64, bands=16).to_spark()
 
 
+def _dedup_minhash_verified(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return pl.minhash_dedup_verified(
+        d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.7
+    ).to_spark()
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return pl.ngram_jaccard_dedup(d, "text", "doc_id", n=3, threshold=0.5).to_spark()
+
+
+def _dedup_embedding(spark, sf_dir):
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pl.embedding_dedup(e, threshold=0.99, n_planes=6).to_spark()
+
+
 def _simhash(spark, sf_dir):
     from ibis_spark import pipeline as pl
 
@@ -1159,6 +1182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integer_range_unnest": _integer_range_unnest,
         "sql_escape_hatch": _sql_escape_hatch,
         "dedup_minhash": _dedup_minhash,
+        "dedup_minhash_verified": _dedup_minhash_verified,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_embedding": _dedup_embedding,
         "simhash": _simhash,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,

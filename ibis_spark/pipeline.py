@@ -27,6 +27,9 @@ __all__ = [
     "shingles",
     "minhash_signature",
     "minhash_dedup",
+    "minhash_dedup_verified",
+    "ngram_jaccard_dedup",
+    "embedding_dedup",
     "dedup_exact",
     "simhash",
     "cosine_similarity",
@@ -176,6 +179,228 @@ def minhash_dedup(
     )
     return Table(
         per_doc.withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
+    )
+
+
+def _star_candidates(with_bands, id_col):
+    """Candidate pairs per LSH bucket as a STAR join to the bucket's min
+    id — each doc contributes at most `bands` candidate edges, keeping the
+    pair count linear in N (an all-pairs bucket self-join would be
+    quadratic in bucket size and is the classic LSH scale trap)."""
+    bucket_rep = with_bands.groupBy("band_id", "band_key").agg(
+        F.min(id_col).alias("cand")
+    )
+    return (
+        with_bands.join(bucket_rep, on=["band_id", "band_key"])
+        .filter(F.col(id_col) != F.col("cand"))
+        .select(id_col, "cand")
+        .distinct()
+    )
+
+
+def minhash_dedup_verified(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 4,
+    threshold: float = 0.7,
+) -> Table:
+    """MinHash-LSH dedup with candidate VERIFICATION: banded buckets
+    propose candidate edges (star-joined to the bucket min — linear, never
+    all-pairs), then each edge is verified by the fraction of agreeing
+    minhashes (an unbiased Jaccard estimate); only edges with estimated
+    Jaccard ≥ threshold survive. Returns (id, rep_id, est_jaccard, is_dup)
+    where unverified docs keep themselves as rep."""
+    r = num_hashes // bands
+    df = t.df
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_size).spark()
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    sig_df = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), sig.alias("__sig__")
+    )
+    exploded = sig_df.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        F.col("__sig__"),
+    )
+    with_bands = exploded.select(
+        id_col,
+        "band_id",
+        F.xxhash64(
+            F.col("band_id"), F.slice(F.col("__sig__"), F.col("band_id") * r + 1, r)
+        ).alias("band_key"),
+    )
+    cand = _star_candidates(with_bands, id_col)
+    a = sig_df.select(F.col(id_col), F.col("__sig__").alias("__sig_a__"))
+    b = sig_df.select(
+        F.col(id_col).alias("cand"), F.col("__sig__").alias("__sig_b__")
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("__sig_a__"), F.col("__sig_b__"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    verified = (
+        cand.join(a, on=id_col)
+        .join(b, on="cand")
+        .withColumn("est_jaccard", agree / F.lit(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.min("cand").alias("rep_cand"),
+            F.max("est_jaccard").alias("est_jaccard"),
+        )
+    )
+    ids = df.select(F.col(id_col))
+    out = (
+        ids.join(verified, on=id_col, how="left")
+        .withColumn(
+            "rep_id", F.least(F.coalesce("rep_cand", F.col(id_col)), F.col(id_col))
+        )
+        .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
+        .select(id_col, "rep_id", "est_jaccard", "is_dup")
+    )
+    return Table(out)
+
+
+def ngram_jaccard_dedup(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> Table:
+    """Near-dup detection by EXACT word n-gram Jaccard, with MinHash-LSH
+    candidate pruning: word n-grams → minhash bands propose candidates
+    (linear star join), then the exact Jaccard |A∩B|/|A∪B| over distinct
+    n-gram sets decides. Exactness comes from array_intersect on the kept
+    n-gram arrays — only candidate pairs pay that cost."""
+    df = t.df
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    ngrams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    base = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), ngrams.alias("__ng__")
+    )
+    # minhash over the n-gram set for candidate generation
+    mask = F.lit((1 << 32) - 1).cast("long")
+    hashed = F.transform(
+        F.col("__ng__"),
+        lambda s: F.struct(
+            F.xxhash64(s).bitwiseAND(mask).alias("h1"),
+            F.xxhash64(F.lit(1), s).bitwiseAND(mask).bitwiseOR(F.lit(1)).alias("h2"),
+        ),
+    )
+    hidx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    maxes = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashed,
+        maxes,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(hidx, lambda i: h["h1"] + i.cast("long") * h["h2"]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    r = num_hashes // bands
+    sig_df = base.select(id_col, "__ng__", sig.alias("__sig__"))
+    with_bands = sig_df.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        F.col("__sig__"),
+    ).select(
+        id_col,
+        "band_id",
+        F.xxhash64(
+            F.col("band_id"), F.slice(F.col("__sig__"), F.col("band_id") * r + 1, r)
+        ).alias("band_key"),
+    )
+    cand = _star_candidates(with_bands, id_col)
+    a = sig_df.select(F.col(id_col), F.col("__ng__").alias("__ng_a__"))
+    b = sig_df.select(F.col(id_col).alias("cand"), F.col("__ng__").alias("__ng_b__"))
+    inter = F.size(F.array_intersect("__ng_a__", "__ng_b__"))
+    union = F.size("__ng_a__") + F.size("__ng_b__") - inter
+    verified = (
+        cand.join(a, on=id_col)
+        .join(b, on="cand")
+        .withColumn("jaccard", inter.cast("double") / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy(id_col)
+        .agg(F.min("cand").alias("rep_cand"), F.max("jaccard").alias("jaccard"))
+    )
+    ids = df.select(F.col(id_col))
+    return Table(
+        ids.join(verified, on=id_col, how="left")
+        .withColumn(
+            "rep_id", F.least(F.coalesce("rep_cand", F.col(id_col)), F.col(id_col))
+        )
+        .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
+        .select(id_col, "rep_id", "jaccard", "is_dup")
+    )
+
+
+def embedding_dedup(
+    t: Table,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> Table:
+    """Embedding-cosine near-dup: hyperplane-sign LSH buckets propose
+    candidates (star join to the bucket min), exact cosine ≥ threshold
+    verifies. No cross product at any stage; recall is governed by
+    ``n_planes`` (fewer planes → bigger buckets → higher recall/cost)."""
+    df = t.df
+    first = df.select(F.col(vec_col)).first()
+    if first is None:
+        return Table(
+            df.select(
+                F.col(id_col),
+                F.col(id_col).alias("rep_id"),
+                F.lit(None).cast("double").alias("cosine"),
+                F.lit(False).alias("is_dup"),
+            )
+        )
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = _bucket_expr(F.col(vec_col), planes)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    base = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), F.col(vec_col).alias("__v__"), bucket.alias("band_key")
+    ).withColumn("band_id", F.lit(0))
+    cand = _star_candidates(base, id_col)
+    a = base.select(F.col(id_col), F.col("__v__").alias("__va__"))
+    b = base.select(F.col(id_col).alias("cand"), F.col("__v__").alias("__vb__"))
+    cos = cosine_similarity(F.col("__va__"), F.col("__vb__")).spark()
+    verified = (
+        cand.join(a, on=id_col)
+        .join(b, on="cand")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(id_col)
+        .agg(F.min("cand").alias("rep_cand"), F.max("cosine").alias("cosine"))
+    )
+    ids = df.select(F.col(id_col))
+    return Table(
+        ids.join(verified, on=id_col, how="left")
+        .withColumn(
+            "rep_id", F.least(F.coalesce("rep_cand", F.col(id_col)), F.col(id_col))
+        )
+        .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
+        .select(id_col, "rep_id", "cosine", "is_dup")
     )
 
 

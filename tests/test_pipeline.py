@@ -34,6 +34,39 @@ class TestDedup:
         assert got[2] == (1, True)  # near-dup clusters with doc 1
         assert got[3] == (3, False)
 
+    def test_minhash_verified_rejects_dissimilar_bucket_mates(self, con):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy")
+        other = "completely different content about spark engines " * 8
+        t = con.memtable({"doc_id": [1, 2, 3], "text": [base, near, other]})
+        out = pl.minhash_dedup_verified(t, "text", "doc_id", threshold=0.7)
+        got = {r.doc_id: (r.rep_id, r.is_dup) for r in out.df.collect()}
+        assert got[1] == (1, False)
+        assert got[2] == (1, True)
+        assert got[3] == (3, False)
+
+    def test_ngram_jaccard_dedup(self, con):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+        near = base.replace("zeta", "zed")
+        other = "one two three four five six seven eight nine ten " * 4
+        t = con.memtable({"doc_id": [10, 20, 30], "text": [base, near, other]})
+        out = pl.ngram_jaccard_dedup(t, "text", "doc_id", n=3, threshold=0.4)
+        got = {r.doc_id: (r.rep_id, r.is_dup) for r in out.df.collect()}
+        assert got[20] == (10, True)
+        assert got[30] == (30, False)
+
+    def test_embedding_dedup(self, con):
+        t = con.memtable(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": [[1.0, 0.01], [1.0, 0.02], [0.0, 1.0]],
+            }
+        )
+        out = pl.embedding_dedup(t, threshold=0.999, n_planes=2)
+        got = {r.vec_id: (r.rep_id, r.is_dup) for r in out.df.collect()}
+        assert got[2] == (1, True)
+        assert got[3] == (3, False)
+
     def test_simhash_hamming_separates(self, con):
         base = "alpha beta gamma delta epsilon zeta eta theta " * 4
         near = base.replace("zeta", "zetas")
