@@ -252,10 +252,17 @@ class Table:
         return Table(self._df.select(*cols))
 
     def rename(self, mapping=None, **kwargs) -> "Table":
-        """Table.rename: new_name=old_name pairs (relations.py:2646)."""
+        """Table.rename (relations.py:2646): new_name=old_name pairs, a
+        callable old→new, or a format string like "prefix_{name}"."""
+        df = self._df
+        if callable(mapping):
+            cols = [df[c].alias(mapping(c) or c) for c in df.columns]
+            return Table(df.select(*cols))
+        if isinstance(mapping, str):
+            cols = [df[c].alias(mapping.format(name=c)) for c in df.columns]
+            return Table(df.select(*cols))
         m = dict(mapping or {})
         m.update(kwargs)
-        df = self._df
         # ibis convention: {new: old}
         inverted = {old: new for new, old in m.items()}
         cols = [df[c].alias(inverted.get(c, c)) for c in df.columns]
@@ -795,22 +802,27 @@ class Table:
             result = result.select(*cleared)
         return Table(result)
 
-    # -- set ops (relations.py:332-378) ------------------------------------------------
-    def union(self, other: "Table", distinct: bool = False) -> "Table":
-        out = self._df.unionByName(other._df)
+    # -- set ops (relations.py:332-378); varargs per the reference API ------------------
+    def union(self, *others: "Table", distinct: bool = False) -> "Table":
+        out = self._df
+        for other in others:
+            out = out.unionByName(other._df)
         return Table(out.distinct() if distinct else out)
 
-    def intersect(self, other: "Table", distinct: bool = True) -> "Table":
-        out = self._df.intersect(other._df) if distinct else self._df.intersectAll(other._df)
+    def intersect(self, *others: "Table", distinct: bool = True) -> "Table":
+        out = self._df
+        for other in others:
+            out = out.intersect(other._df) if distinct else out.intersectAll(other._df)
         return Table(out)
 
-    def difference(self, other: "Table", distinct: bool = True) -> "Table":
+    def difference(self, *others: "Table", distinct: bool = True) -> "Table":
         """Difference (relations.py:378). distinct=True is SQL EXCEPT: any
         row present in `other` is removed entirely (Spark ``subtract``);
         distinct=False is EXCEPT ALL (multiset difference, ``exceptAll``)."""
-        if distinct:
-            return Table(self._df.subtract(other._df))
-        return Table(self._df.exceptAll(other._df))
+        out = self._df
+        for other in others:
+            out = out.subtract(other._df) if distinct else out.exceptAll(other._df)
+        return Table(out)
 
     # -- self-reference (relations.py:188) ------------------------------------------------
     def view(self) -> "Table":
