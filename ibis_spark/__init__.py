@@ -280,6 +280,13 @@ class Backend:
     def list_tables(self) -> list[str]:
         return [t.name for t in self._session.catalog.listTables()]
 
+    def list_databases(self) -> list[str]:
+        return [d.name for d in self._session.catalog.listDatabases()]
+
+    def insert(self, name: str, obj: Table, *, overwrite: bool = False) -> None:
+        """Append (or overwrite) rows into an existing table (BB insert)."""
+        obj.df.write.insertInto(name, overwrite=overwrite)
+
     def cache_table(self, name: str) -> None:
         self._session.catalog.cacheTable(name)
 
@@ -289,6 +296,9 @@ class Backend:
 
     def to_csv(self, table: Table, path: str, **options) -> None:
         table.to_csv(path, **options)
+
+    def to_json(self, table: Table, path: str, **options) -> None:
+        table.to_json(path, **options)
 
     def to_parquet_dir(self, table: Table, path: str, *, checkpoint: str, **options):
         """Streaming parquet sink (PB:1376) → StreamingQuery."""

@@ -60,6 +60,17 @@ def test_bucketed_table_join_no_shuffle(con, spark):
         con.spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_insert_and_list_databases(con):
+    t = con.memtable({"x": [1, 2]})
+    con.create_table("ins_smoke", t, temp=False)
+    try:
+        con.insert("ins_smoke", con.memtable({"x": [3]}))
+        assert con.table("ins_smoke").df.count() == 3
+        assert "default" in con.list_databases()
+    finally:
+        con.spark.sql("DROP TABLE IF EXISTS ins_smoke")
+
+
 def test_csv_json_roundtrip(con):
     t = con.memtable({"a": [1, 2], "b": ["x", "y"]})
     d1 = tempfile.mkdtemp(prefix="ibis_spark_csv_")
