@@ -26,6 +26,9 @@ _TABLES = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str):
+    # epoch/unix conversions assume UTC wall time, matching DuckDB's
+    # treatment of naive timestamps — enforce regardless of driver session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return ib.connect(spark).read_parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -577,7 +580,7 @@ def _scalar_temporal(spark, sf_dir):
         dy=o.o_orderdate.day(),
         qtr=o.o_orderdate.quarter(),
         dow=o.o_orderdate.day_of_week.index(),
-        mstart=o.o_orderdate.truncate("M"),
+        mstart=o.o_orderdate.truncate("M").cast("timestamp"),
         epoch=o.o_orderdate.epoch_seconds(),
         ym=o.o_orderdate.strftime("%Y-%m"),
     ).to_spark()
@@ -1647,7 +1650,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    MAKE_DATE(YEAR(o_orderdate), MONTH(o_orderdate), DAY(o_orderdate)) AS d,
                    MAKE_TIMESTAMP(YEAR(o_orderdate), MONTH(o_orderdate), DAY(o_orderdate), 12, 30, 0) AS ts,
-                   CAST(TO_TIMESTAMP(o_orderkey * 1000 + 1500000000) AS TIMESTAMP) AS from_unix
+                   EPOCH_MS((o_orderkey * 1000 + 1500000000) * 1000) AS from_unix
             FROM orders
         """,
         "temporal_delta": """

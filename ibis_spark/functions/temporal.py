@@ -284,23 +284,33 @@ def time(hour, minute=None, second=None):
 
 def timestamp(value, *rest):
     """ibis.timestamp: from string or Y,M,D,h,m,s components
-    (TimestampFromYMDHMS temporal.py:252)."""
+    (TimestampFromYMDHMS temporal.py:252).
+
+    The reference's timezone-less Timestamp maps to TimestampNTZ, so
+    components build via make_timestamp_ntz — wall-clock construction that
+    is independent of the session/JVM timezone (make_timestamp would
+    interpret the components in a zone)."""
     if rest:
         y, mo, d, h, mi, s = (unwrap(x) for x in (value, *rest))
-        return wrap(F.make_timestamp(y, mo, d, h, mi, s))
-    return wrap(F.to_timestamp(unwrap(value)))
+        return wrap(F.make_timestamp_ntz(y, mo, d, h, mi, s))
+    return wrap(F.to_timestamp_ntz(unwrap(value)))
 
 
 def timestamp_from_unix(value, unit="s"):
-    """TimestampFromUNIX (temporal.py:267), unit-scaled (PC:205-216)."""
+    """TimestampFromUNIX (temporal.py:267), unit-scaled (PC:205-216).
+
+    Built as TimestampNTZ holding the UTC wall time via tz-free interval
+    arithmetic (epoch + make_dt_interval with exact decimal seconds) —
+    ``timestamp_seconds`` would yield a zoned TimestampType whose
+    collected value depends on the session timezone."""
     c = unwrap(value)
-    if unit == "s":
-        return wrap(F.timestamp_seconds(c))
-    if unit == "ms":
-        return wrap(F.timestamp_millis(c))
-    if unit == "us":
-        return wrap(F.timestamp_micros(c))
-    raise ValueError(f"unsupported unix timestamp unit {unit!r}")
+    scale = {"s": 1, "ms": 1_000, "us": 1_000_000}.get(unit)
+    if scale is None:
+        raise ValueError(f"unsupported unix timestamp unit {unit!r}")
+    secs = c.cast("decimal(25,6)") / F.lit(scale)
+    epoch = F.expr("CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)")
+    zero = F.lit(0)
+    return wrap(epoch + F.call_function("make_dt_interval", zero, zero, zero, secs))
 
 
 def interval(value=None, unit="s", **kwargs):
