@@ -146,6 +146,62 @@ def _q6_forecast_revenue(spark, sf_dir):
     return t.aggregate(revenue=(t.l_extendedprice * t.l_discount).sum().round(2)).to_spark()
 
 
+def _q7_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    j = (
+        li.join(o, [("l_orderkey", "o_orderkey")])
+        .join(c, [("o_custkey", "c_custkey")])
+        .join(s, [("l_suppkey", "s_suppkey")], broadcast=True)
+    )
+    j = j.filter(
+        ((j.c_nationkey == 0) & (j.s_nationkey == 1))
+        | ((j.c_nationkey == 1) & (j.s_nationkey == 0)),
+        j.l_shipdate.between("1996-01-01", "1997-12-31"),
+    )
+    return (
+        j.group_by("c_nationkey", "s_nationkey", l_year=j.l_shipdate.year())
+        .aggregate(revenue=(j.l_extendedprice * (1 - j.l_discount)).sum().round(2))
+        .to_spark()
+    )
+
+
+def _q20_big_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    eco = li.join(p.filter(p.p_type == "ECONOMY"), [("l_partkey", "p_partkey")], broadcast=True)
+    big = (
+        eco.group_by("l_suppkey")
+        .having(eco.l_quantity.sum() > 400)
+        .aggregate(total_qty=eco.l_quantity.sum().round(2))
+    )
+    return (
+        s.semi_join(big, s.s_suppkey == big.l_suppkey)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .to_spark()
+    )
+
+
+def _q22_global_sales_opportunity(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(c.c_acctbal > 0).to_scalar(c.c_acctbal.mean())
+    rich = c.filter(c.c_acctbal > avg_bal)
+    urgent = o.filter(o.o_orderpriority == "1-URGENT")
+    never_ordered = rich.anti_join(urgent, rich.c_custkey == urgent.o_custkey)
+    return (
+        never_ordered.group_by("c_nationkey")
+        .aggregate(
+            numcust=never_ordered.c_custkey.count(),
+            totacctbal=never_ordered.c_acctbal.sum().round(2),
+        )
+        .to_spark()
+    )
+
+
 def _q10_returned_items(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -1113,6 +1169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4_order_priority,
         "q5_local_supplier_volume": _q5_local_supplier_volume,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q20_big_suppliers": _q20_big_suppliers,
+        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
         "q10_returned_items": _q10_returned_items,
         "q14_promo_revenue": _q14_promo_revenue,
         "q18_large_volume_customer": _q18_large_volume_customer,
@@ -1250,6 +1309,39 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.03 AND 0.07
               AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT c_nationkey, s_nationkey,
+                   CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE ((c_nationkey = 0 AND s_nationkey = 1)
+                   OR (c_nationkey = 1 AND s_nationkey = 0))
+              AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+            GROUP BY c_nationkey, s_nationkey, YEAR(l_shipdate)
+        """,
+        "q20_big_suppliers": """
+            SELECT s_suppkey, s_name, s_nationkey
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'ECONOMY'
+              GROUP BY l_suppkey HAVING SUM(l_quantity) > 400)
+        """,
+        "q22_global_sales_opportunity": """
+            SELECT c_nationkey,
+                   COUNT(c_custkey) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

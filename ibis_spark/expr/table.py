@@ -651,6 +651,46 @@ class Table:
     def cross_join(self, right, **kw):
         return self.join(right, (), how="cross", **kw)
 
+    def salted_join(
+        self,
+        right: "Table",
+        on,
+        *,
+        how: str = "inner",
+        salt: int = 8,
+        lname: str = "",
+        rname: str = "{name}_right",
+    ) -> "Table":
+        """Skew-resistant equi-join: the left side gets a deterministic
+        pseudo-random salt in [0, salt); the right side is replicated
+        ``salt`` times; the join runs on (keys…, salt), splitting a hot
+        key's rows across ``salt`` reducers. Reach for this when one key
+        dominates and AQE's skew-join split isn't enough; costs ``salt``×
+        duplication of the right side, so keep the right side the smaller
+        input."""
+        pairs = [(k, k) if isinstance(k, str) else k for k in _tuplize(on)]
+        ldf = self._df.withColumn("__salt__", (F.rand(42) * salt).cast("int"))
+        salts = self._df.sparkSession.range(salt).select(
+            F.col("id").cast("int").alias("__salt__")
+        )
+        rdf = right._df.crossJoin(F.broadcast(salts))
+        cond = ldf["__salt__"] == rdf["__salt__"]
+        for lk, rk in pairs:
+            cond = cond & (ldf[lk] == rdf[rk])
+        joined = ldf.join(rdf, on=cond, how=how)
+        lcols = list(self._df.columns)
+        rcols = list(right._df.columns)
+        overlap = set(lcols) & set(rcols)
+        sel = [
+            ldf[c].alias(lname.format(name=c)) if (c in overlap and lname) else ldf[c]
+            for c in lcols
+        ]
+        sel += [
+            rdf[c].alias(rname.format(name=c)) if c in overlap else rdf[c]
+            for c in rcols
+        ]
+        return Table(joined.select(*sel))
+
     def positional_join(self, right) -> "Table":
         """Positional join (relations.py:213): zip rows by position.
 

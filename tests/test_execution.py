@@ -218,6 +218,26 @@ class TestIntrospection:
         assert rows(t.filter(t.x > p(4)), "x") == [(5,), (9,)]
 
 
+class TestSaltedJoin:
+    def test_matches_plain_join(self, con):
+        import random
+
+        rng = random.Random(5)
+        left = con.memtable(
+            {"k": [rng.choice([1, 1, 1, 2, 3]) for _ in range(200)],
+             "v": list(range(200))}
+        )
+        right = con.memtable({"k": [1, 2, 3, 4], "w": ["a", "b", "c", "d"]})
+        plain = sorted(
+            (r.k, r.v, r.w) for r in left.join(right, [("k", "k")]).df.collect()
+        )
+        salted = sorted(
+            (r.k, r.v, r.w)
+            for r in left.salted_join(right, [("k", "k")], salt=4).df.collect()
+        )
+        assert salted == plain
+
+
 class TestUDF:
     def test_pandas_udf(self, con):
         from ibis_spark import udf
