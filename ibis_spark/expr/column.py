@@ -298,6 +298,24 @@ class Column(
 
         return wrap(F.format_string(fmt, self.spark()))
 
+    # -- execution sugar (reference Column.execute → pandas Series) --------------
+    def execute(self):
+        """Execute against the defining table: a reduction yields the
+        scalar value, a plain column a pandas Series (reference
+        Expr.execute, expr/types/core.py:369)."""
+        df = self._source_df
+        if df is None:
+            raise TypeError(
+                "execute() requires a table-bound expression (t.col...); "
+                "free expressions have no relation to run against"
+            )
+        name = self.get_name() or "value"
+        if self._is_reduction:
+            return df.agg(self.spark().alias(name)).collect()[0][0]
+        return df.select(self.spark().alias(name)).toPandas()[name]
+
+    to_pandas = execute
+
     # -- DummyTable: literal-only relation (relations.py:459) --------------------
     def as_table(self):
         """SELECT-without-FROM: lift a scalar expression into a 1-row

@@ -441,11 +441,13 @@ class Table:
         if on is None:
             return Table(self._df.distinct())
         on = [on] if isinstance(on, str) else [c if isinstance(c, str) else self._resolve(c)[1] for c in on]
-        if keep == "first":
-            return Table(self._df.dropDuplicates(on))
-        if keep == "last":
+        if keep in ("first", "last"):
+            # keep the first/last occurrence in row order (mono ids track
+            # file/partition order) — dropDuplicates would keep an
+            # arbitrary row, diverging from the reference semantics
             mid = F.monotonically_increasing_id()
-            w = SparkWindowSpec.partitionBy(*on).orderBy(F.col("__mid__").desc())
+            order = F.col("__mid__").asc() if keep == "first" else F.col("__mid__").desc()
+            w = SparkWindowSpec.partitionBy(*on).orderBy(order)
             return Table(
                 self._df.withColumn("__mid__", mid)
                 .withColumn("__rn__", F.row_number().over(w))

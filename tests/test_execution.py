@@ -47,6 +47,14 @@ class TestDistinct:
             (3, 40),
         ]
 
+    def test_keep_first(self, con):
+        t = con.memtable({"x": [1, 1, 2, 3], "y": [10, 20, 30, 40]})
+        assert rows(t.distinct(on="x", keep="first"), "x", "y") == [
+            (1, 10),
+            (2, 30),
+            (3, 40),
+        ]
+
     def test_keep_none(self, con):
         t = con.memtable({"x": [1, 1, 2, 3]})
         assert rows(t.distinct(on="x", keep=None), "x") == [(2,), (3,)]
@@ -216,6 +224,22 @@ class TestIntrospection:
         p = ib.param("int64")
         t = con.memtable({"x": [1, 5, 9]})
         assert rows(t.filter(t.x > p(4)), "x") == [(5,), (9,)]
+
+
+class TestColumnExecute:
+    def test_column_to_series(self, con):
+        t = con.memtable({"x": [3, 1, 2]})
+        got = t.x.execute()
+        assert sorted(got.tolist()) == [1, 2, 3]
+
+    def test_reduction_to_scalar(self, con):
+        t = con.memtable({"x": [1.0, 2.0, 3.0]})
+        assert t.x.mean().execute() == 2.0
+        assert t.x.sum().execute() == 6.0
+
+    def test_free_expression_raises(self, con):
+        with pytest.raises(TypeError, match="table-bound"):
+            ib.literal(1).execute()
 
 
 class TestSaltedJoin:
