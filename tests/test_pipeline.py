@@ -168,3 +168,19 @@ class TestMultimodal:
         out = multimodal.sample_frames(m, every_n=10, fake=True)
         frames = out.df.collect()
         assert [r.frame_idx for r in frames] == [0, 1, 2]
+
+
+class TestGeo:
+    def test_wkb_roundtrip(self, con, spark):
+        import struct
+
+        from ibis_spark import geo
+
+        wkb = struct.pack("<BIdd", 1, 1, 1.0, 2.0)  # POINT(1 2)
+        t = con.memtable([(wkb,)], schema={"g": "binary"})
+        out = t.select(geom=geo.geom_from_wkb(t.g)).mutate(
+            rt=lambda x: geo.as_binary(x.geom), sr=lambda x: geo.srid(x.geom)
+        )
+        row = out.df.collect()[0]
+        assert bytes(row.rt) == wkb
+        assert row.sr == 0
