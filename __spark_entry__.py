@@ -662,6 +662,29 @@ def _scalar_numeric(spark, sf_dir):
     ).to_spark()
 
 
+def _misc_scalars(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        lev=p.p_name.levenshtein(p.p_brand),
+        tr=p.p_name.translate("aeiou", "AEIOU"),
+        rep3=p.p_brand.repeat(2),
+        asc0=p.p_name.ascii_str(),
+        wk=p.p_name.length().greatest(ib.literal(5)),
+        least_len=p.p_name.length().least(p.p_brand.length()),
+    ).to_spark()
+
+
+def _week_doy(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        wk=o.o_orderdate.week_of_year(),
+        doy=o.o_orderdate.day_of_year(),
+        dname=o.o_orderdate.day_of_week.full_name(),
+    ).to_spark()
+
+
 def _case_when(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.select(
@@ -1215,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_strings": _scalar_strings,
         "scalar_temporal": _scalar_temporal,
         "scalar_numeric": _scalar_numeric,
+        "misc_scalars": _misc_scalars,
+        "week_doy": _week_doy,
         "case_when": _case_when,
         "bucket_histogram": _bucket_histogram,
         "quantiles": _quantiles,
@@ -1592,6 +1617,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(POWER(l_discount, 2), 8) AS pw,
                    LEAST(GREATEST(l_quantity, 5), 40) AS clipped
             FROM lineitem WHERE l_orderkey < 1000
+        """,
+        "misc_scalars": """
+            SELECT p_partkey,
+                   CAST(LEVENSHTEIN(p_name, p_brand) AS INT) AS lev,
+                   TRANSLATE(p_name, 'aeiou', 'AEIOU') AS tr,
+                   REPEAT(p_brand, 2) AS rep3,
+                   CAST(ASCII(p_name) AS INT) AS asc0,
+                   CAST(GREATEST(LENGTH(p_name), 5) AS INT) AS wk,
+                   CAST(LEAST(LENGTH(p_name), LENGTH(p_brand)) AS INT) AS least_len
+            FROM part
+        """,
+        "week_doy": """
+            SELECT o_orderkey,
+                   CAST(WEEKOFYEAR(o_orderdate) AS INT) AS wk,
+                   CAST(DAYOFYEAR(o_orderdate) AS INT) AS doy,
+                   DAYNAME(o_orderdate) AS dname
+            FROM orders
         """,
         "case_when": """
             SELECT o_orderkey,
