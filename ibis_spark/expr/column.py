@@ -199,9 +199,14 @@ class Column(
 
     # -- boolean algebra (logical.py:26-45) -----------------------------------
     def __and__(self, other):
-        from ibis_spark.expr.core import InSubquery, wrap
+        from ibis_spark.expr.core import (
+            AndPredicates,
+            ExistsSubquery,
+            InSubquery,
+            wrap,
+        )
 
-        if isinstance(other, InSubquery):
+        if isinstance(other, (InSubquery, ExistsSubquery, AndPredicates)):
             return NotImplemented
         return wrap(self.spark() & unwrap(other))
 
@@ -211,8 +216,15 @@ class Column(
         return wrap(unwrap(other) & self.spark())
 
     def __or__(self, other):
-        from ibis_spark.expr.core import wrap
+        from ibis_spark.expr.core import (
+            AndPredicates,
+            ExistsSubquery,
+            InSubquery,
+            wrap,
+        )
 
+        if isinstance(other, (InSubquery, ExistsSubquery, AndPredicates)):
+            return NotImplemented  # marker's __ror__ raises with guidance
         return wrap(self.spark() | unwrap(other))
 
     def __ror__(self, other):

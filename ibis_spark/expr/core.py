@@ -205,7 +205,37 @@ def is_scalar_subquery(v) -> bool:
     return isinstance(v, (ScalarValue, ScalarExpr))
 
 
-class ExistsSubquery:
+class AndPredicates(list):
+    """AND-composition of ordinary predicates with subquery markers
+    (``cond & t.x.isin(sub)``): Table.filter unpacks the parts and applies
+    each with its own lowering. OR-composition with a subquery marker has
+    no join-based lowering and raises."""
+
+    def __and__(self, other):
+        return AndPredicates([*self, other])
+
+    __rand__ = __and__
+
+
+class _PredicateMarkerOps:
+    """Shared &-composition for InSubquery / ExistsSubquery markers."""
+
+    def __and__(self, other):
+        return AndPredicates([self, other])
+
+    def __rand__(self, other):
+        return AndPredicates([other, self])
+
+    def __or__(self, other):
+        raise TypeError(
+            "subquery predicates cannot be OR-composed (no join lowering); "
+            "restructure with union or a boolean column"
+        )
+
+    __ror__ = __or__
+
+
+class ExistsSubquery(_PredicateMarkerOps):
     """Correlated EXISTS predicate (reference subqueries.py:28), lowered by
     Table.filter to a distributed left-semi (or left-anti when negated)
     join — never a per-row subquery."""
@@ -226,7 +256,7 @@ def exists(table, predicate) -> ExistsSubquery:
     return ExistsSubquery(table, predicate)
 
 
-class InSubquery:
+class InSubquery(_PredicateMarkerOps):
     """Deferred ``x IN (SELECT y FROM t)`` predicate
     (reference: ibis/expr/operations/subqueries.py:65).
 

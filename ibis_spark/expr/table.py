@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as SparkWindowSpec
 
 from ibis_spark.expr.core import (
+    AndPredicates,
     ExistsSubquery,
     InSubquery,
     ScalarExpr,
@@ -289,10 +290,14 @@ class Table:
         conds = []
         for p in predicates:
             if isinstance(p, (list, tuple)):
-                preds = p
+                preds = list(p)
             else:
                 preds = [p]
-            for pred in preds:
+            while preds:
+                pred = preds.pop(0)
+                if isinstance(pred, AndPredicates):
+                    preds = list(pred) + preds
+                    continue
                 if isinstance(pred, Deferred):
                     pred = pred.resolve(out)
                 elif (
@@ -1118,11 +1123,21 @@ class Table:
         self._df.write.format("delta").mode("overwrite").options(**options).save(path)
 
     def explain(self, mode: str = "formatted") -> str:
-        jdf = self._df._jdf  # noqa: SLF001 — plan text, debug only
-        jvm = self._df.sparkSession._jvm
-        return jdf.queryExecution().explainString(
-            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-        )
+        try:
+            jdf = self._df._jdf  # noqa: SLF001 — plan text, debug only
+            jvm = self._df.sparkSession._jvm
+            return jdf.queryExecution().explainString(
+                jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            )
+        except Exception:
+            # Spark Connect has no py4j handle — capture DataFrame.explain
+            import io
+            from contextlib import redirect_stdout
+
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                self._df.explain(mode=mode)
+            return buf.getvalue()
 
     def compile(self) -> str:
         """Entry point B (SURVEY §3): return the optimized Spark plan."""

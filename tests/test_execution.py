@@ -87,6 +87,16 @@ class TestInSubquery:
         h = con.memtable({"y": ["a"]})
         assert rows(n.filter(~n.x.isin(h.y)), "x") == [("b",)]
 
+    def test_subquery_and_composition(self, con):
+        t = con.memtable({"x": ["a", "b", "c"], "n": [1, 2, 3]})
+        h = con.memtable({"y": ["a", "b"]})
+        got = rows(t.filter((t.n > 1) & t.x.isin(h.y)), "x")
+        assert got == [("b",)]
+        got = rows(t.filter(t.x.isin(h.y) & (t.n > 1)), "x")
+        assert got == [("b",)]
+        with pytest.raises(TypeError, match="OR-composed"):
+            t.x.isin(h.y) | (t.n > 1)
+
     def test_in_semi_join(self, con):
         n = con.memtable({"x": ["a", "b", None]})
         h = con.memtable({"y": ["a", None]})
