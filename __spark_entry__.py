@@ -1484,6 +1484,64 @@ def oracle_sql() -> dict[str, str]:
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts <= r.ts
         """,
+        "join_asof_nearest": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   CASE WHEN b.ts IS NULL THEN f.value
+                        WHEN f.ts IS NULL THEN b.value
+                        WHEN l.ts - b.ts <= f.ts - l.ts THEN b.value
+                        ELSE f.value END AS value,
+                   CASE WHEN b.ts IS NULL THEN f.ts
+                        WHEN f.ts IS NULL THEN b.ts
+                        WHEN l.ts - b.ts <= f.ts - l.ts THEN b.ts
+                        ELSE f.ts END AS ts_right
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') b
+              ON l.user_id = b.user_id AND l.ts >= b.ts
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') f
+              ON l.user_id = f.user_id AND l.ts <= f.ts
+        """,
+        "info_table": """
+            SELECT * FROM (
+              SELECT 'o_orderkey' AS name, 'bigint' AS type, TRUE AS nullable,
+                     SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+                     COUNT(o_orderkey) AS non_nulls, COUNT(*) AS total,
+                     CAST(0 AS INT) AS pos,
+                     SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS null_frac
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', 'bigint', TRUE,
+                     SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                     COUNT(o_custkey), COUNT(*), 1,
+                     SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', 'string', TRUE,
+                     SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                     COUNT(o_orderstatus), COUNT(*), 2,
+                     SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', 'double', TRUE,
+                     SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                     COUNT(o_totalprice), COUNT(*), 3,
+                     SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderdate', 'timestamp_ntz', TRUE,
+                     SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+                     COUNT(o_orderdate), COUNT(*), 4,
+                     SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', 'string', TRUE,
+                     SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                     COUNT(o_orderpriority), COUNT(*), 5,
+                     SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+              FROM orders)
+        """,
         "join_positional": """
             SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name, n.n_regionkey
             FROM (SELECT *, ROW_NUMBER() OVER () AS rn FROM region) r
