@@ -519,6 +519,24 @@ def _window_ntile(spark, sf_dir):
     ).to_spark()
 
 
+def _window_nth(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = ib.window(
+        group_by=o.o_custkey, order_by=[o.o_orderdate.asc(), o.o_orderkey.asc()]
+    ).rows(None, None)
+    return o.mutate(second_key=o.o_orderkey.nth_value(1).over(w)).select(
+        "o_orderkey", "o_custkey", "second_key"
+    ).to_spark()
+
+
+def _substitute(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        st=o.o_orderstatus.substitute({"O": "open", "F": "filled"}, else_="other"),
+    ).to_spark()
+
+
 def _window_first_last(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = ib.window(
@@ -1229,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_moving_avg": _window_moving_avg,
         "window_ntile": _window_ntile,
         "window_first_last": _window_first_last,
+        "window_nth": _window_nth,
+        "substitute": _substitute,
         "in_subquery": _in_subquery,
         "notin_subquery": _notin_subquery,
         "scalar_subquery": _scalar_subquery,
@@ -1605,6 +1625,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "window_nth": """
+            SELECT o_orderkey, o_custkey,
+                   NTH_VALUE(o_orderkey, 2) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+            FROM orders
+        """,
+        "substitute": """
+            SELECT o_orderkey,
+                   CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+                        ELSE 'other' END AS st
+            FROM orders
         """,
         "in_subquery": """
             SELECT c_custkey, c_nationkey FROM customer
