@@ -1214,7 +1214,12 @@ class GroupedTable:
 
     def count(self, name: str = "count") -> Table:
         keys = self._key_cols()
-        gdf = self._table._df.groupBy(*[sc.alias(n) for sc, n in keys])
+        grouper = {
+            "groupby": self._table._df.groupBy,
+            "cube": self._table._df.cube,
+            "rollup": self._table._df.rollup,
+        }[self._mode]
+        gdf = grouper(*[sc.alias(n) for sc, n in keys])
         return Table(gdf.agg(F.count(F.lit(1)).alias(name)))
 
     size = count
