@@ -1122,19 +1122,32 @@ def _dedup_minhash(spark, sf_dir):
 
 
 def _dedup_minhash_verified(spark, sf_dir):
+    # verify="exact" gates candidates on the exact char-4-shingle Jaccard, so
+    # the answer is DuckDB-reproducible (all-pairs exact Jaccard + one-hop
+    # min-rep); 16 bands of r=4 give ~1-4e-10 per-pair miss probability at
+    # the planted-dup similarity (j >= 0.92). The est_jaccard column is
+    # dropped: its max-over-star-candidates is banding-dependent.
     from ibis_spark import pipeline as pl
 
     d = _t(spark, sf_dir, "documents")
-    return pl.minhash_dedup_verified(
-        d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.7
-    ).to_spark()
+    out = pl.minhash_dedup_verified(
+        d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.7,
+        verify="exact",
+    )
+    return out.select("doc_id", "rep_id", "is_dup").to_spark()
 
 
 def _dedup_ngram_jaccard(spark, sf_dir):
+    # bands=16/r=2 → per-pair miss ~1e-12 at the planted word-3-gram
+    # similarity (j >= 0.90); jaccard column dropped (star-candidate max is
+    # banding-dependent), leaving the oracle-checkable dedup answer.
     from ibis_spark import pipeline as pl
 
     d = _t(spark, sf_dir, "documents")
-    return pl.ngram_jaccard_dedup(d, "text", "doc_id", n=3, threshold=0.5).to_spark()
+    out = pl.ngram_jaccard_dedup(
+        d, "text", "doc_id", n=3, threshold=0.6, num_hashes=32, bands=16
+    )
+    return out.select("doc_id", "rep_id", "is_dup").to_spark()
 
 
 def _dedup_embedding(spark, sf_dir):
@@ -1864,6 +1877,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, SUBSTR(MD5(text), 1, 8) AS fp FROM documents
+        """,
+        "dedup_minhash_verified": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(length(text) - 3, 1) + 1),
+                       i -> text[i:i+3])) AS grams
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS x, b.doc_id AS y
+              FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                    greatest(len(a.grams) + len(b.grams)
+                             - len(list_intersect(a.grams, b.grams)), 1) >= 0.7
+            )
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(p.y), d.doc_id)) AS rep_id,
+                   LEAST(d.doc_id, COALESCE(MIN(p.y), d.doc_id)) <> d.doc_id AS is_dup
+            FROM documents d LEFT JOIN pairs p ON p.x = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        "dedup_ngram_jaccard": """
+            WITH ng AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
+                       i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+2], ' ')
+                     )) AS grams
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS x, b.doc_id AS y
+              FROM ng a JOIN ng b ON a.doc_id <> b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                    greatest(len(a.grams) + len(b.grams)
+                             - len(list_intersect(a.grams, b.grams)), 1) >= 0.6
+            )
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(p.y), d.doc_id)) AS rep_id,
+                   LEAST(d.doc_id, COALESCE(MIN(p.y), d.doc_id)) <> d.doc_id AS is_dup
+            FROM documents d LEFT JOIN pairs p ON p.x = d.doc_id
+            GROUP BY d.doc_id
         """,
         "temporal_arith": """
             SELECT o_orderkey,

@@ -86,32 +86,26 @@ def minhash_signature(col, num_hashes: int = 64, shingle_size: int = 4):
       minimum — the naive per-seed formulation (num_hashes separate
       array_min(transform(shingles...))) re-evaluates the shingle
       pipeline per seed and is quadratic in practice;
-    - per shingle only TWO xxhash64 evaluations run; the ``num_hashes``
-      family members are the affine combinations h1 + i*h2 (universal
-      hashing, Java long wrap-around is harmless for hashing), not
-      ``num_hashes`` independent hash calls.
+    - the (variable-width) shingle string is hashed ONCE; the per-seed
+      family members are xxhash64(seed, base_hash) over the fixed-width
+      64-bit base — cheap, ANSI-safe, and genuinely independent across
+      seeds. Affine combinations h1 + i*h2 WITHOUT modular wrap-around are
+      NOT usable here: i*h2 dominates as i grows, so every seed picks the
+      same argmin shingle and documents sharing common vocabulary collapse
+      to near-identical signatures (observed: docs with true Jaccard 0.26
+      agreeing on 64/64 hashes), which clumps LSH buckets quadratically at
+      scale.
     """
     sh = shingles(col, shingle_size, distinct=False).spark()
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     maxes = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
-    # hash each shingle ONCE into an (h1, h2) struct BEFORE the fold — an
-    # expression placed inside the per-member lambda would be re-evaluated
-    # num_hashes times per shingle (HOF bodies are not CSE'd). Masking to
-    # 32-bit lanes keeps i*h2 + h1 overflow-free under ANSI mode.
-    mask = F.lit((1 << 32) - 1).cast("long")
-    hashed = F.transform(
-        sh,
-        lambda s: F.struct(
-            F.xxhash64(s).bitwiseAND(mask).alias("h1"),
-            F.xxhash64(F.lit(1), s).bitwiseAND(mask).bitwiseOR(F.lit(1)).alias("h2"),
-        ),
-    )
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
     sig = F.aggregate(
         hashed,
         maxes,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(idx, lambda i: h["h1"] + i.cast("long") * h["h2"]),
+            F.transform(idx, lambda i: F.xxhash64(i, h)),
             lambda a, b: F.least(a, b),
         ),
     )
@@ -207,20 +201,30 @@ def minhash_dedup_verified(
     bands: int = 16,
     shingle_size: int = 4,
     threshold: float = 0.7,
+    verify: str = "estimate",
 ) -> Table:
     """MinHash-LSH dedup with candidate VERIFICATION: banded buckets
     propose candidate edges (star-joined to the bucket min — linear, never
-    all-pairs), then each edge is verified by the fraction of agreeing
-    minhashes (an unbiased Jaccard estimate); only edges with estimated
-    Jaccard ≥ threshold survive. Returns (id, rep_id, est_jaccard, is_dup)
-    where unverified docs keep themselves as rep."""
+    all-pairs), then each edge is verified — ``verify="estimate"`` gates on
+    the fraction of agreeing minhashes (an unbiased Jaccard estimate;
+    signatures are already in hand, zero extra state), ``verify="exact"``
+    gates on the exact Jaccard of the distinct shingle sets (carries the
+    shingle arrays to the candidate join — deterministic and
+    oracle-reproducible, costs array_intersect on candidate pairs only).
+    Returns (id, rep_id, est_jaccard, is_dup) where unverified docs keep
+    themselves as rep."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    if verify not in ("estimate", "exact"):
+        raise ValueError("verify must be 'estimate' or 'exact'")
     r = num_hashes // bands
     df = t.df
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_size).spark()
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    sig_df = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col), sig.alias("__sig__")
-    )
+    carry = [F.col(id_col), sig.alias("__sig__")]
+    if verify == "exact":
+        carry.append(shingles(F.col(text_col), shingle_size).spark().alias("__sh__"))
+    sig_df = df.repartition(n_part, F.col(id_col)).select(*carry)
     exploded = sig_df.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
@@ -234,21 +238,29 @@ def minhash_dedup_verified(
         ).alias("band_key"),
     )
     cand = _star_candidates(with_bands, id_col)
-    a = sig_df.select(F.col(id_col), F.col("__sig__").alias("__sig_a__"))
-    b = sig_df.select(
-        F.col(id_col).alias("cand"), F.col("__sig__").alias("__sig_b__")
-    )
-    agree = F.aggregate(
-        F.zip_with(
-            F.col("__sig_a__"), F.col("__sig_b__"), lambda x, y: (x == y).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    if verify == "exact":
+        a = sig_df.select(F.col(id_col), F.col("__sh__").alias("__sh_a__"))
+        b = sig_df.select(F.col(id_col).alias("cand"), F.col("__sh__").alias("__sh_b__"))
+        inter = F.size(F.array_intersect("__sh_a__", "__sh_b__"))
+        union = F.size("__sh_a__") + F.size("__sh_b__") - inter
+        score = inter.cast("double") / F.greatest(union, F.lit(1))
+    else:
+        a = sig_df.select(F.col(id_col), F.col("__sig__").alias("__sig_a__"))
+        b = sig_df.select(
+            F.col(id_col).alias("cand"), F.col("__sig__").alias("__sig_b__")
+        )
+        agree = F.aggregate(
+            F.zip_with(
+                F.col("__sig_a__"), F.col("__sig_b__"), lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        score = agree / F.lit(num_hashes)
     verified = (
         cand.join(a, on=id_col)
         .join(b, on="cand")
-        .withColumn("est_jaccard", agree / F.lit(num_hashes))
+        .withColumn("est_jaccard", score)
         .filter(F.col("est_jaccard") >= threshold)
         .groupBy(id_col)
         .agg(
@@ -283,6 +295,8 @@ def ngram_jaccard_dedup(
     (linear star join), then the exact Jaccard |A∩B|/|A∪B| over distinct
     n-gram sets decides. Exactness comes from array_intersect on the kept
     n-gram arrays — only candidate pairs pay that cost."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
     df = t.df
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
@@ -293,15 +307,10 @@ def ngram_jaccard_dedup(
     base = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), ngrams.alias("__ng__")
     )
-    # minhash over the n-gram set for candidate generation
-    mask = F.lit((1 << 32) - 1).cast("long")
-    hashed = F.transform(
-        F.col("__ng__"),
-        lambda s: F.struct(
-            F.xxhash64(s).bitwiseAND(mask).alias("h1"),
-            F.xxhash64(F.lit(1), s).bitwiseAND(mask).bitwiseOR(F.lit(1)).alias("h2"),
-        ),
-    )
+    # minhash over the n-gram set for candidate generation: base-hash each
+    # n-gram once, derive independent per-seed values from the fixed-width
+    # base (see minhash_signature on why affine h1+i*h2 is degenerate)
+    hashed = F.transform(F.col("__ng__"), lambda s: F.xxhash64(s))
     hidx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     maxes = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
     sig = F.aggregate(
@@ -309,7 +318,7 @@ def ngram_jaccard_dedup(
         maxes,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(hidx, lambda i: h["h1"] + i.cast("long") * h["h2"]),
+            F.transform(hidx, lambda i: F.xxhash64(i, h)),
             lambda x, y: F.least(x, y),
         ),
     )

@@ -36,14 +36,29 @@ class TestDedup:
 
     def test_minhash_verified_rejects_dissimilar_bucket_mates(self, con):
         base = "the quick brown fox jumps over the lazy dog " * 8
-        near = base.replace("lazy", "sleepy")
+        near = base.replace("lazy", "sleepy")  # true char-4 jaccard 0.72
         other = "completely different content about spark engines " * 8
         t = con.memtable({"doc_id": [1, 2, 3], "text": [base, near, other]})
-        out = pl.minhash_dedup_verified(t, "text", "doc_id", threshold=0.7)
+        # threshold 0.5 sits ~4 sigma below the true 0.72 (est std with 64
+        # hashes is ~0.056) and far above the ~0.0 of the dissimilar doc
+        out = pl.minhash_dedup_verified(t, "text", "doc_id", threshold=0.5)
         got = {r.doc_id: (r.rep_id, r.is_dup) for r in out.df.collect()}
         assert got[1] == (1, False)
         assert got[2] == (1, True)
         assert got[3] == (3, False)
+
+    def test_minhash_verified_exact_gate(self, con):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy")  # true char-4 jaccard 0.72
+        other = "completely different content about spark engines " * 8
+        t = con.memtable({"doc_id": [1, 2, 3], "text": [base, near, other]})
+        out = pl.minhash_dedup_verified(
+            t, "text", "doc_id", threshold=0.7, verify="exact"
+        )
+        got = {r.doc_id: (r.rep_id, round(r.est_jaccard, 2) if r.est_jaccard else None, r.is_dup) for r in out.df.collect()}
+        assert got[1] == (1, None, False)
+        assert got[2] == (1, 0.72, True)  # exact jaccard, not an estimate
+        assert got[3] == (3, None, False)
 
     def test_ngram_jaccard_dedup(self, con):
         base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
