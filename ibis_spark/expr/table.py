@@ -1072,9 +1072,40 @@ class Table:
         return self._df.toArrow()
 
     def to_pyarrow_batches(self, chunk_size: int = 1_000_000):
-        """Arrow record-batch iterator (BB:185) — streams via
-        toLocalIterator-backed Arrow collection."""
-        return self._df.toArrow().to_batches(max_chunksize=chunk_size)
+        """Streaming Arrow record-batch reader (BB:185 contract: a reader,
+        not a materialized table). Each executor-side Arrow batch is
+        IPC-serialized by ``mapInArrow`` into one binary row;
+        ``toLocalIterator`` then streams those rows partition-by-partition
+        with backpressure, so driver memory holds ONE batch at a time —
+        a 100 TB table exports without a driver OOM (``toArrow()`` would
+        collect everything first). Batch granularity executor-side follows
+        ``spark.sql.execution.arrow.maxRecordsPerBatch``; batches larger
+        than ``chunk_size`` are sliced client-side (zero-copy)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        df = self._df
+        arrow_schema = to_arrow_schema(df.schema)
+
+        def _serialize(batches):
+            for batch in batches:
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, batch.schema) as w:
+                    w.write_batch(batch)
+                yield pa.RecordBatch.from_pydict(
+                    {"ipc": [sink.getvalue().to_pybytes()]}
+                )
+
+        shipped = df.mapInArrow(_serialize, schema="ipc binary")
+
+        def _gen():
+            for row in shipped.toLocalIterator():
+                with pa.ipc.open_stream(row.ipc) as reader:
+                    for batch in reader:
+                        for start in range(0, batch.num_rows, chunk_size):
+                            yield batch.slice(start, chunk_size)
+
+        return pa.RecordBatchReader.from_batches(arrow_schema, _gen())
 
     def to_polars(self):
         """→ polars DataFrame (BB:305); requires polars installed."""

@@ -85,3 +85,31 @@ def test_csv_json_roundtrip(con):
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_to_pyarrow_batches_streams(con, spark):
+    import pyarrow as pa
+
+    from ibis_spark.expr.table import Table
+
+    df = spark.range(0, 10_000, 1, 8).selectExpr("id", "id * 2 AS dbl")
+    t = Table(df)
+    reader = t.to_pyarrow_batches(chunk_size=512)
+    # contract: a streaming RecordBatchReader, not a materialized Table
+    assert isinstance(reader, pa.RecordBatchReader)
+    total = 0
+    seen_ids = []
+    for batch in reader:
+        assert batch.num_rows <= 512
+        total += batch.num_rows
+        seen_ids.extend(batch.column("id").to_pylist())
+    assert total == 10_000
+    assert sorted(seen_ids) == list(range(10_000))
+
+
+def test_to_pyarrow_batches_empty(con, spark):
+    from ibis_spark.expr.table import Table
+
+    df = spark.range(0, 10).filter("id < 0")
+    reader = Table(df).to_pyarrow_batches()
+    assert reader.read_all().num_rows == 0
