@@ -783,6 +783,31 @@ def _group_concat(spark, sf_dir):
     )
 
 
+def _ordered_reductions_desc(spark, sf_dir):
+    # descending + mixed-direction sort keys in ordered reductions
+    # (first/last/group_concat/collect) — VERDICT r4 gap #2
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.filter(li.l_orderkey <= 200)
+    return (
+        t.group_by("l_orderkey")
+        .aggregate(
+            lines_desc=t.l_linenumber.group_concat(
+                ",", order_by=t.l_linenumber.desc()
+            ),
+            first_desc=t.l_linenumber.first(order_by=t.l_linenumber.desc()),
+            last_desc=t.l_linenumber.last(order_by=t.l_linenumber.desc()),
+            status_mixed=t.l_linestatus.first(
+                order_by=[
+                    t.l_returnflag.asc(),
+                    t.l_linenumber.desc(),
+                    t.l_linestatus.asc(),
+                ]
+            ),
+        )
+        .to_spark()
+    )
+
+
 # ---------------------------------------------------------------------------
 # arrays / unnest / json / pivot
 # ---------------------------------------------------------------------------
@@ -1250,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats": _stats,
         "count_distinct_star": _count_distinct_star,
         "group_concat": _group_concat,
+        "ordered_reductions_desc": _ordered_reductions_desc,
         "array_ops": _array_ops,
         "unnest_tokens": _unnest_tokens,
         "json_extract": _json_extract,
@@ -1839,6 +1865,15 @@ def oracle_sql() -> dict[str, str]:
         "group_concat": """
             SELECT l_orderkey,
                    STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+            FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey
+        """,
+        "ordered_reductions_desc": """
+            SELECT l_orderkey,
+                   STRING_AGG(CAST(l_linenumber AS VARCHAR), ','
+                              ORDER BY l_linenumber DESC) AS lines_desc,
+                   MAX(l_linenumber) AS first_desc,
+                   MIN(l_linenumber) AS last_desc,
+                   FIRST(l_linestatus ORDER BY l_returnflag, l_linenumber DESC, l_linestatus) AS status_mixed
             FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey
         """,
         "array_ops": """

@@ -74,14 +74,30 @@ class ReductionOps:
     def first(self, where=None, order_by=None, include_null=False):
         c = _filtered(self.spark(), where)
         if order_by is not None:
-            # PC:256-275: inject ordering via min_by/struct ordering
-            return wrap(F.min_by(c, _order_struct(order_by)))
+            # PC:256-275: inject ordering via min_by/struct ordering.
+            # all-asc → min_by, all-desc → max_by (global reversal); mixed
+            # directions fall back to a comparator sort of collected pairs.
+            ks = _sort_key_list(order_by)
+            key = _filtered(F.struct(*[k for k, _ in ks]), where)
+            if all(asc for _, asc in ks):
+                return wrap(F.min_by(c, key))
+            if all(not asc for _, asc in ks):
+                return wrap(F.max_by(c, key))
+            pairs = _sorted_pairs(self.spark(), ks, where)
+            return wrap(F.get(pairs, 0)["v"])
         return wrap(F.first(c, ignorenulls=not include_null))
 
     def last(self, where=None, order_by=None, include_null=False):
         c = _filtered(self.spark(), where)
         if order_by is not None:
-            return wrap(F.max_by(c, _order_struct(order_by)))
+            ks = _sort_key_list(order_by)
+            key = _filtered(F.struct(*[k for k, _ in ks]), where)
+            if all(asc for _, asc in ks):
+                return wrap(F.max_by(c, key))
+            if all(not asc for _, asc in ks):
+                return wrap(F.min_by(c, key))
+            pairs = _sorted_pairs(self.spark(), ks, where)
+            return wrap(F.get(pairs, F.size(pairs) - 1)["v"])
         return wrap(F.last(c, ignorenulls=not include_null))
 
     def arbitrary(self, where=None):
@@ -100,9 +116,17 @@ class ReductionOps:
             out = F.collect_list(c)
         if order_by is not None:
             # deterministic ordering: collect (key, value) structs, sort, project
-            k = _order_struct(order_by)
-            pairs = F.collect_list(F.when(unwrap(where) if where is not None else F.lit(True), F.struct(k.alias("k"), self.spark().alias("v"))))
-            out = F.transform(F.array_sort(pairs), lambda s: s["v"])
+            ks = _sort_key_list(order_by)
+            if all(asc for _, asc in ks):
+                # natural ascending struct sort (fast path)
+                k = F.struct(*[kc for kc, _ in ks])
+                pairs = F.collect_list(F.when(unwrap(where) if where is not None else F.lit(True), F.struct(k.alias("k"), self.spark().alias("v"))))
+                out = F.transform(F.array_sort(pairs), lambda s: s["v"])
+            else:
+                # descending / mixed directions: comparator-driven sort
+                out = F.transform(
+                    _sorted_pairs(self.spark(), ks, where), lambda s: s["v"]
+                )
         return wrap(out)
 
     def group_concat(self, sep=",", where=None, order_by=None):
@@ -213,26 +237,55 @@ class ReductionOps:
         return _base_wrap(out.cast("int"))
 
 
-def _order_struct(order_by):
-    """Build an orderable struct from sort keys for min_by/max_by ordering.
-
-    A SortOrder expression cannot be evaluated inside a struct, so SortKey
-    objects contribute their raw child column; descending keys are not
-    representable in an ascending struct sort and raise.
-    """
+def _sort_key_list(order_by):
+    """Normalize order_by into [(column, ascending)] pairs. A SortOrder
+    expression cannot be evaluated inside a struct, so SortKey objects
+    contribute their raw child column plus direction."""
     from ibis_spark.expr.core import SortKey
 
     keys = order_by if isinstance(order_by, (list, tuple)) else [order_by]
     out = []
     for k in keys:
         if isinstance(k, SortKey):
-            if not k.ascending:
-                raise NotImplementedError(
-                    "descending order_by is not supported in ordered "
-                    "reductions (collect/first/last/group_concat); "
-                    "negate the key or sort the result instead"
-                )
-            out.append(k.child)
+            out.append((k.child, k.ascending))
         else:
-            out.append(unwrap(k))
-    return F.struct(*out)
+            out.append((unwrap(k), True))
+    return out
+
+
+def _pair_comparator(ks):
+    """array_sort comparator over (k0..kn, v) structs honoring per-key
+    direction — works for ANY orderable type (strings included, which a
+    negate-the-key struct trick cannot handle). Null keys sort first under
+    asc and last under desc, mirroring Spark SQL's ORDER BY defaults."""
+
+    def cmp(a, b):
+        out = F.lit(0)
+        for i in reversed(range(len(ks))):
+            _, asc = ks[i]
+            ka, kb = a[f"k{i}"], b[f"k{i}"]
+            lt, gt = (-1, 1) if asc else (1, -1)
+            ci = (
+                F.when(ka.isNull() & kb.isNull(), F.lit(0))
+                .when(ka.isNull(), F.lit(lt))
+                .when(kb.isNull(), F.lit(gt))
+                .when(ka < kb, F.lit(lt))
+                .when(ka > kb, F.lit(gt))
+                .otherwise(F.lit(0))
+            )
+            out = F.when(ci != 0, ci).otherwise(out)
+        return out
+
+    return cmp
+
+
+def _sorted_pairs(value, ks, where):
+    """Collect (keys..., value) structs of the rows passing ``where`` and
+    sort them with the direction-aware comparator. Group-bounded memory —
+    the same bound every ordered collect already pays."""
+    fields = [k.alias(f"k{i}") for i, (k, _) in enumerate(ks)]
+    fields.append(value.alias("v"))
+    pair = F.struct(*fields)
+    if where is not None:
+        pair = F.when(unwrap(where), pair)
+    return F.array_sort(F.collect_list(pair), _pair_comparator(ks))

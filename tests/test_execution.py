@@ -292,3 +292,48 @@ class TestUDF:
 
         t = con.memtable({"s": ["ab"]})
         assert rows(t.select(y=repeat(t.s, ib.literal(2))), "y") == [("abab",)]
+
+
+class TestOrderedReductionDirections:
+    """Descending / mixed-direction sort keys in ordered reductions
+    (r4 VERDICT gap: the ascending-only struct trick raised)."""
+
+    def test_first_last_collect_desc(self, con):
+        t = con.memtable(
+            {"g": [1, 1, 1, 2, 2], "k": [3, 1, 2, 5, 4], "v": [30, 10, 20, 50, 40]}
+        )
+        out = t.group_by("g").aggregate(
+            f=t.v.first(order_by=t.k.desc()),
+            l=t.v.last(order_by=t.k.desc()),
+            c=t.v.collect(order_by=t.k.desc()),
+            gc=t.v.group_concat("|", order_by=t.k.desc()),
+        )
+        got = {r.g: (r.f, r.l, list(r.c), r.gc) for r in out.df.collect()}
+        assert got[1] == (30, 10, [30, 20, 10], "30|20|10")
+        assert got[2] == (50, 40, [50, 40], "50|40")
+
+    def test_mixed_direction_keys_and_strings(self, con):
+        t = con.memtable(
+            {
+                "g": [1, 1, 1],
+                "s": ["b", "a", "a"],
+                "k": [9, 1, 2],
+                "v": [90, 10, 20],
+            }
+        )
+        out = t.group_by("g").aggregate(
+            # asc string, desc numeric: ('a',2) < ('a',1) < ('b',9)
+            f=t.v.first(order_by=[t.s.asc(), t.k.desc()]),
+            l=t.v.last(order_by=[t.s.asc(), t.k.desc()]),
+            c_str=t.v.collect(order_by=t.s.desc()),
+        )
+        r = out.df.collect()[0]
+        assert (r.f, r.l) == (20, 90)
+        assert list(r.c_str)[0] == 90  # 'b' first under desc
+
+    def test_desc_with_where_filter(self, con):
+        t = con.memtable({"g": [1, 1, 1], "k": [3, 2, 1], "v": [30, 20, 10]})
+        out = t.group_by("g").aggregate(
+            f=t.v.first(order_by=t.k.desc(), where=t.k < 3),
+        )
+        assert out.df.collect()[0].f == 20
