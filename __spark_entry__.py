@@ -1179,7 +1179,14 @@ def _dedup_embedding(spark, sf_dir):
     from ibis_spark import pipeline as pl
 
     e = _t(spark, sf_dir, "embeddings")
-    return pl.embedding_dedup(e, threshold=0.99, n_planes=6).to_spark()
+    # dim passed explicitly: fully lazy build (no plan-time probe);
+    # 4 independent bands of 6 planes for banded recall. cosine column
+    # dropped (star-candidate max is banding-dependent); the remaining
+    # answer is oracle-checkable against DuckDB all-pairs exact cosine —
+    # at sf0.01 no pair reaches 0.99, so this verifies the exact-cosine
+    # gate rejects every random bucket collision (no false positives).
+    out = pl.embedding_dedup(e, threshold=0.99, n_planes=6, bands=4, dim=64)
+    return out.select("vec_id", "rep_id", "is_dup").to_spark()
 
 
 def _simhash(spark, sf_dir):
@@ -1931,6 +1938,18 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(d.doc_id, COALESCE(MIN(p.y), d.doc_id)) <> d.doc_id AS is_dup
             FROM documents d LEFT JOIN pairs p ON p.x = d.doc_id
             GROUP BY d.doc_id
+        """,
+        "dedup_embedding": """
+            WITH pairs AS (
+              SELECT a.vec_id AS x, b.vec_id AS y
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+            )
+            SELECT e.vec_id,
+                   LEAST(e.vec_id, COALESCE(MIN(p.y), e.vec_id)) AS rep_id,
+                   LEAST(e.vec_id, COALESCE(MIN(p.y), e.vec_id)) <> e.vec_id AS is_dup
+            FROM embeddings e LEFT JOIN pairs p ON p.x = e.vec_id
+            GROUP BY e.vec_id
         """,
         "dedup_ngram_jaccard": """
             WITH ng AS (

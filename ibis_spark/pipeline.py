@@ -366,31 +366,59 @@ def embedding_dedup(
     *,
     threshold: float = 0.95,
     n_planes: int = 8,
+    bands: int = 4,
+    dim: Optional[int] = None,
     seed: int = 42,
 ) -> Table:
-    """Embedding-cosine near-dup: hyperplane-sign LSH buckets propose
-    candidates (star join to the bucket min), exact cosine ≥ threshold
-    verifies. No cross product at any stage; recall is governed by
-    ``n_planes`` (fewer planes → bigger buckets → higher recall/cost)."""
+    """Embedding-cosine near-dup: ``bands`` INDEPENDENT hyperplane-sign
+    LSH tables each propose candidates (star join to the per-bucket min),
+    exact cosine ≥ threshold verifies. Banding works exactly as in MinHash
+    LSH: a near-dup pair is recalled if ANY band agrees on all its
+    ``n_planes`` sign bits — P(miss) = (1 - (1 - θ/π)^n_planes)^bands,
+    so recall no longer collapses on near-dup-heavy corpora the way a
+    single 2^n_planes-bucket table does. No cross product at any stage.
+
+    Pass ``dim`` (the embedding width) to keep the builder fully lazy;
+    when omitted, a one-row probe of the upstream plan discovers it —
+    convenient interactively, but it executes the upstream plan once at
+    build time, so production callers at scale should always pass it."""
     df = t.df
-    first = df.select(F.col(vec_col)).first()
-    if first is None:
-        return Table(
-            df.select(
-                F.col(id_col),
-                F.col(id_col).alias("rep_id"),
-                F.lit(None).cast("double").alias("cosine"),
-                F.lit(False).alias("is_dup"),
+    if dim is None:
+        first = df.select(F.col(vec_col)).first()
+        if first is None:
+            return Table(
+                df.select(
+                    F.col(id_col),
+                    F.col(id_col).alias("rep_id"),
+                    F.lit(None).cast("double").alias("cosine"),
+                    F.lit(False).alias("is_dup"),
+                )
             )
-        )
-    dim = len(first[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucket = _bucket_expr(F.col(vec_col), planes)
+        dim = len(first[0])
+    planes = _hyperplanes(dim, bands * n_planes, seed).reshape(
+        bands, n_planes, dim
+    )
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     base = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col), F.col(vec_col).alias("__v__"), bucket.alias("band_key")
-    ).withColumn("band_id", F.lit(0))
-    cand = _star_candidates(base, id_col)
+        F.col(id_col), F.col(vec_col).alias("__v__")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                _bucket_expr(F.col("__v__"), planes[b]).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    with_bands = base.select(
+        id_col, F.explode(band_structs).alias("__bb__")
+    ).select(
+        id_col,
+        F.col("__bb__.band_id").alias("band_id"),
+        F.col("__bb__.band_key").alias("band_key"),
+    )
+    cand = _star_candidates(with_bands, id_col)
     a = base.select(F.col(id_col), F.col("__v__").alias("__va__"))
     b = base.select(F.col(id_col).alias("cand"), F.col("__v__").alias("__vb__"))
     cos = cosine_similarity(F.col("__va__"), F.col("__vb__")).spark()

@@ -82,6 +82,33 @@ class TestDedup:
         assert got[2] == (1, True)
         assert got[3] == (3, False)
 
+    def test_embedding_dedup_banded_lazy(self, con, monkeypatch):
+        t = con.memtable(
+            {
+                "vec_id": [1, 2, 3, 4],
+                "embedding": [
+                    [1.0, 0.01, 0.0],
+                    [1.0, 0.02, 0.0],
+                    [0.0, 1.0, 0.0],
+                    [0.0, 0.0, 1.0],
+                ],
+            }
+        )
+        # dim= given → the builder must not probe the data (stays lazy)
+        import pyspark.sql.dataframe as psd
+
+        def _boom(self, *a, **k):
+            raise AssertionError("plan-time .first() probe in lazy path")
+
+        monkeypatch.setattr(psd.DataFrame, "first", _boom)
+        out = pl.embedding_dedup(t, threshold=0.999, n_planes=2, bands=3, dim=3)
+        monkeypatch.undo()
+        got = {r.vec_id: (r.rep_id, r.is_dup) for r in out.df.collect()}
+        assert got[1] == (1, False)
+        assert got[2] == (1, True)
+        assert got[3] == (3, False)
+        assert got[4] == (4, False)
+
     def test_simhash_hamming_separates(self, con):
         base = "alpha beta gamma delta epsilon zeta eta theta " * 4
         near = base.replace("zeta", "zetas")
