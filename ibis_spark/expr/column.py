@@ -422,14 +422,33 @@ def null(type=None) -> Column:
     return Column(c, lit=None)
 
 
+import contextvars as _contextvars
+
+#: execution-time Param → value bindings (set by ParamTable.bind_params)
+_PARAM_BINDINGS: _contextvars.ContextVar = _contextvars.ContextVar(
+    "ibis_spark_param_bindings", default=None
+)
+
+
+class UnboundParamError(TypeError):
+    """An expression referenced a Param with no value bound."""
+
+
 class Param:
     """ScalarParameter (reference generic.py:161): a typed placeholder.
 
-    The reference substitutes parameter values at compile time
-    (BC:624-626); our expressions lower eagerly, so a Param is *called*
-    with its value at query-build time — ``p = param("int64");
-    t.filter(t.x > p(5))`` — yielding a typed literal. Building an
-    expression with an unbound Param raises.
+    Two binding styles, mirroring the reference's compile-time
+    substitution (BC:624-626) within an eager-plan engine:
+
+    - eager: ``p = param("int64"); t.filter(t.x > p(5))`` — calling the
+      Param yields a typed literal at build time (zero overhead, the
+      plan embeds a constant Catalyst folds/pushes down);
+    - deferred: use the Param *unbound* inside a deferred expression —
+      ``expr = t.filter(_.x > p)`` — which returns a pending
+      ``ParamTable``; ``expr.execute(params={p: 5})`` then substitutes
+      and runs, and the SAME expression re-executes with new values
+      (``expr.execute(params={p: 9})``) without a rebuild. Each
+      execution plants a plain literal, so pushdown/folding still apply.
     """
 
     __slots__ = ("type",)
@@ -440,10 +459,17 @@ class Param:
     def __call__(self, value) -> Column:
         return literal(value, self.type)
 
-    def spark(self):
-        raise TypeError(
-            "unbound parameter: call it with a value, e.g. t.filter(t.x > p(5))"
+    def _bound(self) -> Column:
+        bindings = _PARAM_BINDINGS.get()
+        if bindings is not None and self in bindings:
+            return literal(bindings[self], self.type)
+        raise UnboundParamError(
+            "unbound parameter: bind eagerly (t.filter(t.x > p(5))) or "
+            "execute the pending expression with params={p: value}"
         )
+
+    def spark(self):
+        return self._bound().spark()
 
 
 def param(type=None) -> Param:

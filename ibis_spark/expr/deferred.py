@@ -111,6 +111,13 @@ del _n
 def _resolve_arg(value, table):
     if isinstance(value, Deferred):
         return value.resolve(table)
+    from ibis_spark.expr.column import Param
+
+    if isinstance(value, Param):
+        # substituted from the execution-time bindings; raises
+        # UnboundParamError when none are in scope, which turns the
+        # enclosing Table operation into a pending ParamTable
+        return value._bound()
     return value
 
 

@@ -1406,3 +1406,94 @@ def _with_pos(df: DataFrame, name: str = "__pos__") -> DataFrame:
         .withColumn(name, (F.col("__prn__") + F.col("__off__")).cast("long"))
         .drop("__pid__", "__mid__", "__prn__", "__off__")
     )
+
+
+# ---------------------------------------------------------------------------
+# ScalarParameter deferred execution (reference generic.py:161 + BC:624-626)
+# ---------------------------------------------------------------------------
+
+class ParamTable:
+    """A pending Table operation chain referencing unbound ScalarParameters.
+
+    Produced automatically when a Table method receives a deferred
+    expression containing an unbound ``Param`` — e.g.
+    ``expr = t.filter(_.x > p)``. The chain replays against the concrete
+    parent Table at ``execute(params={p: value})`` time, substituting each
+    Param with a typed literal, so ONE expression re-executes with
+    different values and every execution still plants a constant the
+    optimizer can fold and push down. Further chained calls
+    (``expr.select(...)``) are recorded, not executed.
+    """
+
+    __slots__ = ("_parent", "_method", "_args", "_kwargs")
+
+    def __init__(self, parent, method, args, kwargs):
+        self._parent = parent
+        self._method = method
+        self._args = args
+        self._kwargs = kwargs
+
+    def __getattr__(self, name):
+        if name.startswith("_") or name not in _PARAM_CHAINABLE:
+            raise AttributeError(
+                f"ParamTable has no attribute {name!r}; a parameterized "
+                "expression defers Table methods only — reference columns "
+                "via the deferred placeholder `_`"
+            )
+
+        def record(*args, **kwargs):
+            return ParamTable(self, name, args, kwargs)
+
+        return record
+
+    def _replay(self):
+        parent = self._parent
+        if isinstance(parent, ParamTable):
+            parent = parent._replay()
+        return getattr(parent, self._method)(*self._args, **self._kwargs)
+
+    def bind_params(self, params=None) -> "Table":
+        """Substitute parameter values and return the concrete Table."""
+        from ibis_spark.expr.column import _PARAM_BINDINGS, UnboundParamError
+
+        tok = _PARAM_BINDINGS.set(dict(params or {}))
+        try:
+            out = self._replay()
+        finally:
+            _PARAM_BINDINGS.reset(tok)
+        if isinstance(out, ParamTable):
+            raise UnboundParamError(
+                "expression still has unbound parameters after binding; "
+                "pass values for every Param in params={...}"
+            )
+        return out
+
+    def execute(self, params=None):
+        return self.bind_params(params).execute()
+
+    to_pandas = execute
+
+    def to_spark(self, params=None):
+        return self.bind_params(params).to_spark()
+
+
+def _param_deferrable(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def inner(self, *args, **kwargs):
+        from ibis_spark.expr.column import UnboundParamError
+
+        try:
+            return fn(self, *args, **kwargs)
+        except UnboundParamError:
+            return ParamTable(self, fn.__name__, args, kwargs)
+
+    return inner
+
+
+for _m in ("select", "filter", "mutate", "aggregate", "order_by"):
+    setattr(Table, _m, _param_deferrable(getattr(Table, _m)))
+Table.projection = Table.select
+_PARAM_CHAINABLE = frozenset(n for n in dir(Table) if not n.startswith("_"))
+del _m

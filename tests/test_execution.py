@@ -337,3 +337,40 @@ class TestOrderedReductionDirections:
             f=t.v.first(order_by=t.k.desc(), where=t.k < 3),
         )
         assert out.df.collect()[0].f == 20
+
+
+class TestScalarParameter:
+    """Re-executable parameterized expressions (r4 VERDICT #7): one
+    expression, multiple param bindings, no rebuild."""
+
+    def test_reexecute_with_two_values(self, con):
+        from ibis_spark import _
+
+        t = con.memtable({"x": [1, 2, 3, 4, 5]})
+        p = ib.param("int64")
+        expr = t.filter(_.x > p).select("x")
+        assert sorted(expr.execute(params={p: 3}).x) == [4, 5]
+        assert sorted(expr.execute(params={p: 1}).x) == [2, 3, 4, 5]
+
+    def test_chained_ops_and_aggregate(self, con):
+        from ibis_spark import _
+
+        t = con.memtable({"x": [1, 2, 3, 4, 5]})
+        p = ib.param("int64")
+        expr = t.filter(_.x >= p).aggregate(n=_.x.count())
+        assert expr.execute(params={p: 2}).n[0] == 4
+        assert expr.execute(params={p: 5}).n[0] == 1
+
+    def test_eager_binding_unchanged(self, con):
+        t = con.memtable({"x": [1, 2, 3]})
+        p = ib.param("int64")
+        assert sorted(t.filter(t.x > p(1)).execute().x) == [2, 3]
+
+    def test_missing_binding_raises(self, con):
+        from ibis_spark import _
+
+        t = con.memtable({"x": [1]})
+        p = ib.param("int64")
+        expr = t.filter(_.x > p)
+        with pytest.raises(TypeError, match="unbound param"):
+            expr.execute(params={})
