@@ -483,12 +483,24 @@ class Table:
     fillna = fill_null
 
     def sample(self, fraction: float, *, seed: Optional[int] = None, method: str = "row") -> "Table":
-        """Sample (relations.py:485). Only row sampling is supported;
-        block sampling has no Spark DataFrame equivalent — raise rather
-        than silently change semantics."""
-        if method != "row":
-            raise NotImplementedError(f"sample(method={method!r}); only 'row' is supported")
-        return Table(self._df.sample(fraction=fraction, seed=seed))
+        """Sample (relations.py:485). ``method="row"`` is Bernoulli row
+        sampling; ``method="block"`` lowers to SQL ``TABLESAMPLE (n
+        PERCENT)`` (the reference's block-sample lowering,
+        sql/rewrites.py:618-659), which in Spark samples whole input
+        splits — cheaper than row sampling at scale because skipped
+        blocks are never read."""
+        if method == "row":
+            return Table(self._df.sample(fraction=fraction, seed=seed))
+        if method == "block":
+            pct = float(fraction) * 100.0
+            spark = self._df.sparkSession
+            view = f"__ibis_sample_{next(_alias_counter)}__"
+            self._df.createOrReplaceTempView(view)
+            seed_sql = f" REPEATABLE ({int(seed)})" if seed is not None else ""
+            return Table(
+                spark.sql(f"SELECT * FROM {view} TABLESAMPLE ({pct} PERCENT){seed_sql}")
+            )
+        raise NotImplementedError(f"sample(method={method!r}); use 'row' or 'block'")
 
     # -- aggregation (relations.py:306) ---------------------------------------------------
     def aggregate(self, metrics=None, by=(), having=(), **named) -> "Table":

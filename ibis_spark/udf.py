@@ -151,8 +151,23 @@ class agg:
     @staticmethod
     def pandas(fn=None, *, returns: Any = None, name: Optional[str] = None):
         def deco(f):
+            import inspect
+
+            import pandas as pd
+
             rt = _return_type(f, returns)
-            spark_fn = F.pandas_udf(f, rt, F.PandasUDFType.GROUPED_AGG)
+            # Spark 4 infers GROUPED_AGG from type hints (Series... ->
+            # scalar); the PandasUDFType.GROUPED_AGG enum is deprecated.
+            # Wrap the user fn in a fixed-arity adapter carrying the hints
+            # so users never have to annotate their own function.
+            nargs = len(inspect.signature(f).parameters)
+            args = ", ".join(f"a{i}" for i in range(nargs))
+            ns = {"__f__": f}
+            exec(f"def _adapter({args}): return __f__({args})", ns)
+            adapter = ns["_adapter"]
+            adapter.__annotations__ = {f"a{i}": pd.Series for i in range(nargs)}
+            adapter.__annotations__["return"] = float
+            spark_fn = F.pandas_udf(adapter, rt)
             return _wrap_caller(spark_fn, name or f.__name__, is_reduction=True)
 
         return deco(fn) if fn is not None else deco

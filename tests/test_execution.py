@@ -374,3 +374,17 @@ class TestScalarParameter:
         expr = t.filter(_.x > p)
         with pytest.raises(TypeError, match="unbound param"):
             expr.execute(params={})
+
+
+class TestSample:
+    def test_block_sample_tablesample(self, con):
+        t = con.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+        n = t.count()
+        s = t.sample(0.5, method="block", seed=7)
+        # TABLESAMPLE is split-based: row count varies but stays a subset
+        assert 0 <= s.count() <= n
+
+    def test_unknown_method_raises(self, con):
+        t = con.memtable({"x": [1]})
+        with pytest.raises(NotImplementedError):
+            t.sample(0.5, method="cluster")
