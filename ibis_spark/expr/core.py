@@ -35,6 +35,12 @@ def unwrap(value: Any) -> SparkColumn:
         return value.spark()
     if isinstance(value, SparkColumn):
         return value
+    if isinstance(value, (ScalarValue, ScalarExpr)):
+        raise TypeError(
+            "scalar subqueries are supported in filter/select/mutate "
+            "contexts only (they lower to a broadcast cross join of the "
+            "1-row aggregate); materialize the value first for other uses"
+        )
     return F.lit(value)
 
 

@@ -187,20 +187,60 @@ class Table:
         sc, name = self._resolve(expr)
         return Column(sc, name=name)
 
+    def _lower_scalar_exprs(self, exprs, named):
+        """Lower top-level ScalarValue/ScalarExpr projection arguments
+        (scalar subqueries in select/mutate, mirroring the reference's
+        rewrite coverage of projections) by broadcast-cross-joining each
+        1-row aggregate and substituting its placeholder column. Returns
+        (base_table, exprs, named, placeholder_names)."""
+        from ibis_spark.expr.core import ScalarExpr, ScalarValue, wrap
+
+        items = list(exprs) + list(named.values())
+        svs = []
+        for e in items:
+            if isinstance(e, ScalarValue):
+                svs.append(e)
+            elif isinstance(e, ScalarExpr):
+                svs.extend(e.scalars())
+        if not svs:
+            return self, exprs, named, ()
+        df = self._df
+        phs = []
+        for sv in dict.fromkeys(svs):
+            agg_df = sv.df.agg(unwrap(sv.sc).alias(sv.ph))
+            df = df.crossJoin(F.broadcast(agg_df))
+            phs.append(sv.ph)
+
+        def conv(e):
+            if isinstance(e, ScalarValue):
+                return wrap(F.col(e.ph))
+            if isinstance(e, ScalarExpr):
+                return wrap(e.build())
+            return e
+
+        return (
+            Table(df),
+            tuple(conv(e) for e in exprs),
+            {k: conv(v) for k, v in named.items()},
+            tuple(phs),
+        )
+
     # -- projection (relations.py:121-160) ---------------------------------------
     def select(self, *exprs, **named) -> "Table":
+        base, exprs, named, _phs = self._lower_scalar_exprs(exprs, named)
         cols = []
-        for sc, name in self._resolve_many(exprs, named):
+        for sc, name in base._resolve_many(exprs, named):
             cols.append(sc.alias(name) if name else sc)
-        return Table(self._df.select(*cols))
+        return Table(base._df.select(*cols))
 
     projection = select
 
     def mutate(self, *exprs, **named) -> "Table":
         """Add/replace columns (relations.py Project; API relations.py:2340)."""
-        resolved = self._resolve_many(exprs, named)
-        df = self._df
-        existing = list(df.columns)
+        base, exprs, named, phs = self._lower_scalar_exprs(exprs, named)
+        resolved = base._resolve_many(exprs, named)
+        df = base._df
+        existing = [c for c in df.columns if c not in phs]
         replacements = {}
         additions = []
         for i, (sc, name) in enumerate(resolved):
@@ -686,7 +726,18 @@ class Table:
         key's rows across ``salt`` reducers. Reach for this when one key
         dominates and AQE's skew-join split isn't enough; costs ``salt``×
         duplication of the right side, so keep the right side the smaller
-        input."""
+        input.
+
+        Only ``how`` in {inner, left} is sound under this asymmetric
+        salting: a right/full/outer join would emit each unmatched right
+        key ``salt`` times, and semi/anti project no right columns to
+        dedupe on — use a plain join (AQE skew handling) for those."""
+        if how not in ("inner", "left", "left_outer"):
+            raise ValueError(
+                f"salted_join(how={how!r}): asymmetric salting supports "
+                "'inner' and 'left' only; use join() with AQE skew "
+                "handling for right/full/semi/anti joins"
+            )
         pairs = [(k, k) if isinstance(k, str) else k for k in _tuplize(on)]
         ldf = self._df.withColumn("__salt__", (F.rand(42) * salt).cast("int"))
         salts = self._df.sparkSession.range(salt).select(
@@ -816,6 +867,14 @@ class Table:
         elif direction == "forward":
             filled = unioned.withColumn("__match__", last_r.over(w_fwd))
         else:  # nearest: both running matches in one exchange, pick closer
+            # compare in __t__'s exact type: the struct carries the un-cast
+            # right time, so re-apply the temporal cast here — mixing
+            # TIMESTAMP with TIMESTAMP_NTZ/DATE operands would fail or
+            # coerce inconsistently under ANSI mode
+            def _match_t(name):
+                c = F.col(name)[rt]
+                return c.cast("timestamp") if _is_temporal(rdf, rt) else c
+
             filled = (
                 unioned.withColumn("__mb__", last_r.over(w_back))
                 .withColumn("__mf__", last_r.over(w_fwd))
@@ -824,8 +883,8 @@ class Table:
                     F.when(F.col("__mb__").isNull(), F.col("__mf__"))
                     .when(F.col("__mf__").isNull(), F.col("__mb__"))
                     .when(
-                        F.col("__t__") - F.col("__mb__")[rt]
-                        <= F.col("__mf__")[rt] - F.col("__t__"),
+                        F.col("__t__") - _match_t("__mb__")
+                        <= _match_t("__mf__") - F.col("__t__"),
                         F.col("__mb__"),
                     )
                     .otherwise(F.col("__mf__")),

@@ -21,12 +21,15 @@ from pyspark.sql.window import WindowSpec
 def _bound_to_spark(value, *, default):
     """Map an ibis boundary (None=unbounded, int offset, timedelta) to
     Spark's. Interval boundaries (window.py:80-106 validates these for
-    range frames) become whole seconds — the order key is cast to epoch
-    seconds to match."""
+    range frames) become exact epoch MICROSECONDS — the order key is
+    converted with unix_micros to match, so sub-second bounds (e.g.
+    timedelta(milliseconds=500)) are preserved instead of truncating to
+    whole seconds."""
     if value is None:
         return default
     if isinstance(value, datetime.timedelta):
-        return int(value.total_seconds())
+        # integer arithmetic: exact for any timedelta, incl. negatives
+        return (value.days * 86400 + value.seconds) * 1_000_000 + value.microseconds
     return int(value)
 
 
@@ -87,15 +90,15 @@ class Window:
             if resolve is not None:
                 x = resolve(x)
             if order and interval_frame:
-                # interval range frame: order key → epoch seconds so the
-                # numeric rangeBetween bounds mean seconds
+                # interval range frame: order key → epoch microseconds so
+                # the numeric rangeBetween bounds mean microseconds
                 # NTZ/date order keys need an intermediate timestamp cast
                 # (TIMESTAMP_NTZ -> BIGINT is not a valid direct cast)
                 if isinstance(x, SortKey):
-                    child = x.child.cast("timestamp").cast("long")
+                    child = F.unix_micros(x.child.cast("timestamp"))
                     return child if x.ascending else child.desc()
                 c = F.col(x) if isinstance(x, str) else unwrap(x)
-                return c.cast("timestamp").cast("long")
+                return F.unix_micros(c.cast("timestamp"))
             if isinstance(x, str):
                 return F.col(x)
             return unwrap(x)

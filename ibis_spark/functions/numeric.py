@@ -19,6 +19,9 @@ class NumericOps:
     def __add__(self, other):
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return sv.__radd__(self)
         return wrap(self.spark() + unwrap(other))
 
     def __radd__(self, other):
@@ -27,6 +30,9 @@ class NumericOps:
     def __sub__(self, other):
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return sv.__rsub__(self)
         return wrap(self.spark() - unwrap(other))
 
     def __rsub__(self, other):
@@ -35,6 +41,9 @@ class NumericOps:
     def __mul__(self, other):
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return sv.__rmul__(self)
         return wrap(self.spark() * unwrap(other))
 
     def __rmul__(self, other):
@@ -44,6 +53,9 @@ class NumericOps:
         # Divide always yields float64 (numeric.py:62-72)
         if is_scalar_subquery(other):
             return NotImplemented
+        sv = self._as_auto_scalar(other)
+        if sv is not None:
+            return sv.__rtruediv__(self)
         return wrap(self.spark().cast("double") / unwrap(other).cast("double"))
 
     def __rtruediv__(self, other):

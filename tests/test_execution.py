@@ -388,3 +388,35 @@ class TestSample:
         t = con.memtable({"x": [1]})
         with pytest.raises(NotImplementedError):
             t.sample(0.5, method="cluster")
+
+
+class TestScalarSubqueryProjection:
+    """ScalarExpr lowering in select/mutate (r4 ADVICE): broadcast
+    cross-join of the 1-row aggregate, like filter already did."""
+
+    def test_fraction_of_total_select(self, con):
+        t = con.memtable({"x": [1.0, 2.0, 3.0, 4.0]})
+        out = t.select(frac=t.x / t.x.sum())
+        assert sorted(round(r.frac, 3) for r in out.df.collect()) == [
+            0.1, 0.2, 0.3, 0.4]
+
+    def test_centered_mutate(self, con):
+        t = con.memtable({"x": [1.0, 2.0, 3.0, 4.0]})
+        out = t.mutate(c=t.x - t.x.mean())
+        assert out.columns == ["x", "c"]
+        assert sorted(r.c for r in out.df.collect()) == [-1.5, -0.5, 0.5, 1.5]
+
+    def test_cross_table_scalar(self, con):
+        t = con.memtable({"x": [1.0, 2.0]})
+        s = con.memtable({"y": [10.0, 20.0]})
+        out = t.select(b=t.x + s.as_scalar(s.y.max()))
+        assert sorted(r.b for r in out.df.collect()) == [21.0, 22.0]
+
+    def test_unsupported_context_targeted_error(self, con):
+        from ibis_spark.expr.core import ScalarValue
+        from ibis_spark.expr.core import unwrap as _unwrap
+
+        t = con.memtable({"x": [1.0]})
+        sv = t.as_scalar(t.x.sum())
+        with pytest.raises(TypeError, match="filter/select/mutate"):
+            _unwrap(sv)
