@@ -229,6 +229,128 @@ def _q14_promo_revenue(spark, sf_dir):
     ).to_spark()
 
 
+def _q8_market_share(spark, sf_dir):
+    # TPC-H Q8 family: NATION_1 suppliers' revenue share among ASIA-region
+    # customers, per year. Two independent nation dimensions; all four
+    # dimension joins broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        li.join(o, [("l_orderkey", "o_orderkey")])
+        .join(c, [("o_custkey", "c_custkey")])
+        .join(n1, [("c_nationkey", "n_nationkey")], broadcast=True)
+        .join(r, [("n_regionkey", "r_regionkey")], broadcast=True)
+        .join(s, [("l_suppkey", "s_suppkey")], broadcast=True)
+        .join(n2, [("s_nationkey", "n_nationkey")], broadcast=True)
+    )
+    j = j.filter(j.r_name == "ASIA")
+    vol = j.l_extendedprice * (1 - j.l_discount)
+    supp_nation = j.n_name_right
+    num = (supp_nation == "NATION_1").ifelse(vol, 0.0).sum()
+    return (
+        j.group_by(o_year=j.o_orderdate.year())
+        .aggregate(mkt_share=(num / vol.sum()).round(4))
+        .to_spark()
+    )
+
+
+def _q9_product_profit(spark, sf_dir):
+    # TPC-H Q9 family (no partsupp table: supply cost proxied by 10% of
+    # retail price): profit by supplier nation and year over 'red' parts
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(s, [("l_suppkey", "s_suppkey")], broadcast=True)
+        .join(p, [("l_partkey", "p_partkey")], broadcast=True)
+        .join(o, [("l_orderkey", "o_orderkey")])
+        .join(n, [("s_nationkey", "n_nationkey")], broadcast=True)
+    )
+    j = j.filter(j.p_name.contains("red"))
+    profit = (
+        j.l_extendedprice * (1 - j.l_discount)
+        - j.p_retailprice * j.l_quantity * 0.1
+    )
+    return (
+        j.group_by(nation=j.n_name, o_year=j.o_orderdate.year())
+        .aggregate(profit=profit.sum().round(2))
+        .to_spark()
+    )
+
+
+def _q13_customer_distribution(spark, sf_dir):
+    # TPC-H Q13: orders-per-customer histogram (left join keeps
+    # zero-order customers; COUNT of a null key counts 0)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.left_join(o, [("c_custkey", "o_custkey")])
+    per = j.group_by("c_custkey").aggregate(c_count=j.o_orderkey.count())
+    return (
+        per.group_by("c_count")
+        .aggregate(custdist=per.c_custkey.count())
+        .order_by("-custdist", "-c_count")
+        .to_spark()
+    )
+
+
+def _q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15: supplier(s) with the max quarterly revenue — the
+    # rev == rev.max() comparison auto-lifts to a broadcast scalar subquery
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(li.l_shipdate >= "1997-01-01", li.l_shipdate < "1997-04-01")
+        .group_by("l_suppkey")
+        .aggregate(total_rev=(li.l_extendedprice * (1 - li.l_discount)).sum().round(2))
+    )
+    top = rev.filter(rev.total_rev == rev.total_rev.max())
+    j = s.join(top, [("s_suppkey", "l_suppkey")], broadcast=True)
+    return j.select("s_suppkey", "s_name", "total_rev").to_spark()
+
+
+def _q16_supplier_cnt(spark, sf_dir):
+    # TPC-H Q16 family (lineitem stands in for partsupp): distinct
+    # supplier count per part attribute group, excluding negative-balance
+    # suppliers via NOT IN subquery
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(s.s_acctbal < 0)
+    j = p.filter(
+        p.p_brand != "Brand#1", p.p_size.isin([1, 5, 9, 13, 17, 21, 25, 29])
+    ).join(li, [("p_partkey", "l_partkey")])
+    j = j.filter(~j.l_suppkey.isin(bad.s_suppkey))
+    return (
+        j.group_by("p_brand", "p_type", "p_size")
+        .aggregate(supplier_cnt=j.l_suppkey.nunique())
+        .order_by("-supplier_cnt", "p_brand", "p_type", "p_size")
+        .limit(20)
+        .to_spark()
+    )
+
+
+def _q19_discounted_revenue(spark, sf_dir):
+    # TPC-H Q19: disjunction of bracketed brand/size/quantity predicates —
+    # exercises OR-of-ANDs pushdown through a broadcast join
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, [("l_partkey", "p_partkey")], broadcast=True)
+    c1 = (j.p_brand == "Brand#12") & j.p_size.between(1, 5) & j.l_quantity.between(1, 11)
+    c2 = (j.p_brand == "Brand#23") & j.p_size.between(1, 10) & j.l_quantity.between(10, 20)
+    c3 = (j.p_brand == "Brand#34") & j.p_size.between(1, 15) & j.l_quantity.between(20, 30)
+    j = j.filter(c1 | c2 | c3)
+    return j.aggregate(
+        revenue=(j.l_extendedprice * (1 - j.l_discount)).sum().round(2)
+    ).to_spark()
+
+
 def _q18_large_volume_customer(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -1271,6 +1393,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "describe_table": _describe_table,
         "info_table": _info_table,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_cnt": _q16_supplier_cnt,
+        "q19_discounted_revenue": _q19_discounted_revenue,
         "scalar_strings": _scalar_strings,
         "scalar_temporal": _scalar_temporal,
         "scalar_numeric": _scalar_numeric,
@@ -1307,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_escape_hatch": _sql_escape_hatch,
         "dedup_minhash_verified": _dedup_minhash_verified,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_embedding": _dedup_embedding,
         "ann_cosine_topk": _ann_cosine_topk,
         "lang_id": _lang_id,
         "quality_score": _quality_score,
@@ -1372,7 +1501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "not_exists_subquery": _not_exists_subquery,
         # -- rows-only by design (hash not DuckDB-reproducible; SURVEY §8) ---
         "dedup_minhash": _dedup_minhash,
-        "dedup_embedding": _dedup_embedding,
         "simhash": _simhash,
         "ann_lsh_topk": _ann_lsh_topk,
     }
@@ -1472,6 +1600,76 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1997-02-01'
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   ROUND(SUM(CASE WHEN s_nation = 'NATION_1' THEN volume
+                                  ELSE 0 END) / SUM(volume), 4) AS mkt_share
+            FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                         l_extendedprice * (1 - l_discount) AS volume,
+                         n2.n_name AS s_nation
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region ON n1.n_regionkey = r_regionkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                  WHERE r_name = 'ASIA')
+            GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.1), 2) AS profit
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE CONTAINS(p_name, 'red')
+            GROUP BY n_name, YEAR(o_orderdate)
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(c_custkey) AS custdist
+            FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_rev
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20
+        """,
+        "q19_discounted_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "q18_large_volume_customer": """
             SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
@@ -1922,15 +2120,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_verified": """
             WITH sh AS (
-              SELECT doc_id, list_distinct(list_transform(
-                       range(1, greatest(length(text) - 3, 1) + 1),
-                       i -> text[i:i+3])) AS grams
-              FROM documents
+              SELECT doc_id, grams, len(grams) AS n FROM (
+                SELECT doc_id, list_distinct(list_transform(
+                         range(1, greatest(length(text) - 3, 1) + 1),
+                         i -> text[i:i+3])) AS grams
+                FROM documents)
             ), pairs AS (
+              -- length-ratio prefilter: jaccard >= t forces
+              -- min(|A|,|B|) >= t * max(|A|,|B|); the expensive
+              -- list_intersect runs only on surviving pairs
               SELECT a.doc_id AS x, b.doc_id AS y
-              FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+              FROM sh a JOIN sh b
+                ON a.doc_id <> b.doc_id
+               AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
               WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
-                    greatest(len(a.grams) + len(b.grams)
+                    greatest(a.n + b.n
                              - len(list_intersect(a.grams, b.grams)), 1) >= 0.7
             )
             SELECT d.doc_id,
@@ -1953,16 +2157,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": """
             WITH ng AS (
-              SELECT doc_id, list_distinct(list_transform(
-                       range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
-                       i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+2], ' ')
-                     )) AS grams
-              FROM documents
+              SELECT doc_id, grams, len(grams) AS n FROM (
+                SELECT doc_id, list_distinct(list_transform(
+                         range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
+                         i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+2], ' ')
+                       )) AS grams
+                FROM documents)
             ), pairs AS (
               SELECT a.doc_id AS x, b.doc_id AS y
-              FROM ng a JOIN ng b ON a.doc_id <> b.doc_id
+              FROM ng a JOIN ng b
+                ON a.doc_id <> b.doc_id
+               AND a.n >= 0.6 * b.n AND b.n >= 0.6 * a.n
               WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
-                    greatest(len(a.grams) + len(b.grams)
+                    greatest(a.n + b.n
                              - len(list_intersect(a.grams, b.grams)), 1) >= 0.6
             )
             SELECT d.doc_id,

@@ -3,7 +3,13 @@
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect overhead). One warm-up pass amortizes session/JIT
-startup; reported numbers are the steady-state wall time per query.
+startup, then each query is timed REPS times (default 3) and the MINIMUM
+is reported — BASELINE.md's contract is steady-state wall time, and the
+r4 verdict measured ~2x first-timed-run residue (codegen/JIT noise) with
+a single timed pass.
+
+Set SPARK_GRAFT_BENCH_ORACLE=1 to also time each query's DuckDB oracle
+on the same parquet (single-process baseline column, best-of-REPS).
 """
 
 from __future__ import annotations
@@ -26,6 +32,11 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume_customer",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
     "agg_filtered",
     "agg_having",
     "join_inner_chain",
@@ -43,6 +54,8 @@ HEADLINE = [
     "unnest_tokens",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_verified",
+    "dedup_embedding",
     "ann_cosine_topk",
     "tumble",
     "interval_range_window",
@@ -75,6 +88,8 @@ def main():
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
     # warm-up every query once: BASELINE.md's contract is steady-state
     # (warm session) per-query time — the first run pays plan analysis +
     # whole-stage codegen compilation, which at sf0.1 dwarfs execution
@@ -86,13 +101,23 @@ def main():
 
     times = {}
     for n in names:
-        t0 = time.time()
-        try:
-            run(n)
-            times[n] = round(time.time() - t0, 3)
-        except Exception as e:
-            print(f"bench error in {n}: {e}", file=sys.stderr)
-            times[n] = None
+        best = None
+        err = False
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                run(n)
+            except Exception as e:
+                print(f"bench error in {n}: {e}", file=sys.stderr)
+                err = True
+                break
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[n] = None if err else round(best, 3)
+
+    oracle_times = None
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE"):
+        oracle_times = _oracle_baseline(entry_mod, names, reps)
 
     ok_times = [t for t in times.values() if t is not None]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -100,18 +125,63 @@ def main():
         sf = float(sf)
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(ok_times), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(ok_times), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "reps": reps,
+    }
+    if oracle_times is not None:
+        out["oracle_duckdb"] = oracle_times
+        ok_oracle = [t for t in oracle_times.values() if t is not None]
+        out["oracle_total"] = round(sum(ok_oracle), 3)
+    print(json.dumps(out))
     spark.stop()
+
+
+def _oracle_baseline(entry_mod, names, reps):
+    """Best-of-reps DuckDB wall time for each query's oracle SQL on the
+    same parquet — the single-process laptop-class baseline the 2x gate
+    compares against."""
+    try:
+        import duckdb
+    except ImportError:
+        return None
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    # these oracles verify CORRECTNESS via an all-pairs O(N^2) scan — a
+    # deliberate brute-force cross-check, not a time baseline; timing them
+    # at sf0.1 (5k docs -> 25M pairs) would measure the oracle's own
+    # quadratic blowup, so they are excluded from the baseline column
+    quadratic = {"dedup_minhash_verified", "dedup_ngram_jaccard", "dedup_embedding"}
+    oracles = entry_mod.oracle_sql()
+    out = {}
+    for n in names:
+        sql = oracles.get(n)
+        if sql is None or n in quadratic:
+            out[n] = None
+            continue
+        best = None
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                best_c = time.time() - t0
+                best = best_c if best is None else min(best, best_c)
+            out[n] = round(best, 3)
+        except Exception as e:
+            print(f"oracle bench error in {n}: {e}", file=sys.stderr)
+            out[n] = None
+    return out
 
 
 if __name__ == "__main__":
