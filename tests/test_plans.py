@@ -1,0 +1,100 @@
+"""Plan-shape regression tests: the scale properties SCALE.md claims are
+asserted here against `.explain("formatted")` output at sf0.001, so a
+refactor that silently de-optimizes a plan (drops a pushdown, turns a
+broadcast into a shuffle, introduces a cartesian product or a Python eval
+node) fails CI instead of surfacing at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry.queries()
+
+    def get(name):
+        df = qs[name](spark, SF)
+        jdf = df._jdf  # noqa: SLF001 — plan text only
+        jvm = df.sparkSession._jvm
+        return jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    return get
+
+
+def test_q1_filter_pushed_to_scan(plans):
+    p = plans("q1")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_q1_prunes_columns(plans):
+    # Q1 touches 7 of lineitem's 11 columns; the scan must not read all 11
+    p = plans("q1")
+    scan = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_partkey" not in scan and "l_suppkey" not in scan
+
+
+def test_q5_dimension_joins_broadcast(plans):
+    p = plans("q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q4_exists_lowers_to_semi_join(plans):
+    p = plans("q4_order_priority")
+    assert "LeftSemi" in p
+
+
+def test_not_exists_lowers_to_anti_join(plans):
+    p = plans("not_exists_subquery")
+    assert "LeftAnti" in p
+
+
+def test_scalar_subquery_is_broadcast_not_recompute(plans):
+    # the 1-row aggregate is cross-joined via broadcast, and the only
+    # nested-loop join allowed is that single-row broadcast
+    p = plans("scalar_subquery")
+    assert "BroadcastExchange" in p
+
+
+def test_dedup_minhash_no_cartesian_and_repartitioned(plans):
+    p = plans("dedup_minhash")
+    assert "CartesianProduct" not in p
+    # explicit pre-hash repartition must survive optimization
+    assert "REPARTITION_BY_NUM" in p
+
+
+def test_no_python_eval_in_builtin_operators(plans):
+    # Python appears only in the explicit UDF queries — never in built-ins
+    for name in (
+        "q1",
+        "q5_local_supplier_volume",
+        "window_cumsum",
+        "dedup_minhash",
+        "text_stats",
+        "array_hof",
+        "json_extract",
+    ):
+        p = plans(name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_window_single_exchange(plans):
+    # one hash exchange for the partition keys; no extra shuffles
+    p = plans("window_cumsum")
+    tree = p.split("(1)")[0]
+    assert tree.count("- Exchange") == 1
+
+
+def test_topk_uses_take_ordered(plans):
+    # sort+limit must plan TakeOrderedAndProject, not a global sort
+    p = plans("filter_sort_limit")
+    assert "TakeOrderedAndProject" in p

@@ -134,3 +134,54 @@ def test_array_index_semantics(con):
         assert r.oob is None
         assert list(r.sl) == a[1:3]
         assert r.n == len(a)
+
+
+def test_ordered_reduction_directions_fuzz(con):
+    """first/last/collect under random sort-key direction combinations
+    vs a Python oracle — covers the comparator fallback path (mixed
+    directions) and both uniform fast paths."""
+    rng = random.Random(1234)
+    n = 200
+    rows = [
+        (
+            rng.randint(0, 5),              # group
+            rng.randint(0, 8),              # k1 (ties likely)
+            rng.choice("abcde"),            # k2 string
+            i,                              # uid — unique tiebreaker
+            rng.randint(0, 999),            # value
+        )
+        for i in range(n)
+    ]
+    t = con.memtable(
+        {
+            "g": [r[0] for r in rows],
+            "k1": [r[1] for r in rows],
+            "k2": [r[2] for r in rows],
+            "uid": [r[3] for r in rows],
+            "v": [r[4] for r in rows],
+        }
+    )
+    for a1 in (True, False):
+        for a2 in (True, False):
+            keys = [
+                t.k1.asc() if a1 else t.k1.desc(),
+                t.k2.asc() if a2 else t.k2.desc(),
+                t.uid.asc(),
+            ]
+            out = t.group_by("g").aggregate(
+                f=t.v.first(order_by=list(keys)),
+                l=t.v.last(order_by=list(keys)),
+                c=t.v.collect(order_by=list(keys)),
+            )
+            got = {r.g: (r.f, r.l, list(r.c)) for r in out.df.collect()}
+
+            def sort_key(r):
+                k1 = r[1] if a1 else -r[1]
+                # string desc: invert via ord complement per char
+                k2 = r[2] if a2 else "".join(chr(255 - ord(ch)) for ch in r[2])
+                return (k1, k2, r[3])
+
+            for g in set(r[0] for r in rows):
+                grp = sorted((r for r in rows if r[0] == g), key=sort_key)
+                want = [r[4] for r in grp]
+                assert got[g] == (want[0], want[-1], want), (a1, a2, g)
