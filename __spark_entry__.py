@@ -1165,6 +1165,74 @@ def _udf_builtin(spark, sf_dir):
     return p.select("p_partkey", bits=bit_length(p.p_name)).to_spark()
 
 
+def _udf_pyarrow(spark, sf_dir):
+    from ibis_spark import udf
+
+    @udf.scalar.pyarrow(returns="int64")
+    def add_size_bonus(size, price):
+        return size + (price > 1000)
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", bonus=add_size_bonus(p.p_size, p.p_retailprice)
+    ).to_spark()
+
+
+def _arg_reductions(spark, sf_dir):
+    # ArgMax/ArgMin (reductions.py:381) via max_by/min_by; uid keys are
+    # unique within each group so ties cannot make the answer ambiguous
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.group_by("o_orderpriority")
+        .aggregate(
+            priciest=o.o_orderkey.argmax(o.o_totalprice),
+            cheapest=o.o_orderkey.argmin(o.o_totalprice),
+            pricey_open=o.o_orderkey.argmax(
+                o.o_totalprice, where=o.o_orderstatus == "O"
+            ),
+        )
+        .to_spark()
+    )
+
+
+def _collect_ordered(spark, sf_dir):
+    # ArrayCollect with an explicit ordering (reductions.py:59): arrays
+    # compare positionally in the value hash, so the order must match
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.filter(li.l_orderkey <= 100)
+    return (
+        t.group_by("l_orderkey")
+        .aggregate(
+            qtys=t.l_quantity.collect(
+                order_by=[t.l_linenumber.asc(), t.l_quantity.asc()]
+            ),
+            qtys_desc=t.l_quantity.collect(
+                order_by=[t.l_linenumber.desc(), t.l_quantity.asc()]
+            ),
+        )
+        .to_spark()
+    )
+
+
+def _selectors_across(spark, sf_dir):
+    # selectors + across (reference ibis/selectors.py): sum every numeric
+    # column per market segment in one declaration
+    from ibis_spark import selectors as s
+
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.group_by("c_mktsegment")
+        .aggregate(
+            s.across(
+                s.numeric(),
+                lambda col: col.sum().round(2),
+                names="{col}_sum",
+            )
+        )
+        .to_spark()
+    )
+
+
 def _udf_grouped_agg(spark, sf_dir):
     from ibis_spark import udf
 
@@ -1411,6 +1479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct_star": _count_distinct_star,
         "group_concat": _group_concat,
         "ordered_reductions_desc": _ordered_reductions_desc,
+        "arg_reductions": _arg_reductions,
+        "selectors_across": _selectors_across,
+        "collect_ordered": _collect_ordered,
+        "udf_pyarrow": _udf_pyarrow,
         "array_ops": _array_ops,
         "unnest_tokens": _unnest_tokens,
         "json_extract": _json_extract,
@@ -2071,6 +2143,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey,
                    STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
             FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey
+        """,
+        "selectors_across": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(c_custkey), 2) AS c_custkey_sum,
+                   ROUND(SUM(c_nationkey), 2) AS c_nationkey_sum,
+                   ROUND(SUM(c_acctbal), 2) AS c_acctbal_sum
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "arg_reductions": """
+            SELECT o_orderpriority,
+                   ARG_MAX(o_orderkey, o_totalprice) AS priciest,
+                   ARG_MIN(o_orderkey, o_totalprice) AS cheapest,
+                   ARG_MAX(o_orderkey, o_totalprice)
+                     FILTER (WHERE o_orderstatus = 'O') AS pricey_open
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "collect_ordered": """
+            SELECT l_orderkey,
+                   LIST(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys,
+                   LIST(l_quantity ORDER BY l_linenumber DESC, l_quantity) AS qtys_desc
+            FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey
+        """,
+        "udf_pyarrow": """
+            SELECT p_partkey,
+                   CAST(p_size + CASE WHEN p_retailprice > 1000 THEN 1 ELSE 0 END
+                        AS BIGINT) AS bonus
+            FROM part
         """,
         "ordered_reductions_desc": """
             SELECT l_orderkey,
