@@ -1225,7 +1225,7 @@ def _selectors_across(spark, sf_dir):
         .aggregate(
             s.across(
                 s.numeric(),
-                lambda col: col.sum().round(2),
+                lambda col: col.cast("float64").sum().round(2),
                 names="{col}_sum",
             )
         )
@@ -2146,8 +2146,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "selectors_across": """
             SELECT c_mktsegment,
-                   ROUND(SUM(c_custkey), 2) AS c_custkey_sum,
-                   ROUND(SUM(c_nationkey), 2) AS c_nationkey_sum,
+                   ROUND(SUM(CAST(c_custkey AS DOUBLE)), 2) AS c_custkey_sum,
+                   ROUND(SUM(CAST(c_nationkey AS DOUBLE)), 2) AS c_nationkey_sum,
                    ROUND(SUM(c_acctbal), 2) AS c_acctbal_sum
             FROM customer GROUP BY c_mktsegment
         """,

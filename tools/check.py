@@ -114,6 +114,23 @@ def main():
             s_sorted = _rows_to_sorted(srows, scols)
             o_sorted = _rows_to_sorted(orows, ocols)
             exact = s_sorted == o_sorted
+            if exact:
+                # value-equality can hide a cell-TYPE divergence the
+                # driver's strict hash still rejects (Decimal('0') == 0.0
+                # in Python, but hashes differently) — compare classes too
+                for sr, orow in zip(s_sorted, o_sorted):
+                    for a, b in zip(sr, orow):
+                        if a is not None and b is not None and type(a) is not type(b) \
+                                and not (isinstance(a, bool) is isinstance(b, bool)
+                                         and isinstance(a, int) and isinstance(b, int)):
+                            problems.append(
+                                f"TYPE-DIVERGENT: spark {type(a).__name__}"
+                                f"({a!r}) vs oracle {type(b).__name__}({b!r})"
+                                " — cast the oracle column"
+                            )
+                            break
+                    if problems:
+                        break
             if not exact:
                 ok = all(
                     all(_approx_eq(a, b) for a, b in zip(sr, orow))
