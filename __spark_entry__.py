@@ -285,6 +285,25 @@ def _q9_product_profit(spark, sf_dir):
     )
 
 
+def _q12_priority_shipping(spark, sf_dir):
+    # TPC-H Q12 family (no l_shipmode column: grouped by l_linestatus):
+    # per line status, count urgent vs non-urgent order lines in 1997
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, [("l_orderkey", "o_orderkey")])
+    j = j.filter(j.l_shipdate >= "1997-01-01", j.l_shipdate < "1998-01-01")
+    urgent = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    return (
+        j.group_by("l_linestatus")
+        .aggregate(
+            high_line_count=urgent.ifelse(1, 0).sum(),
+            low_line_count=urgent.ifelse(0, 1).sum(),
+        )
+        .order_by("l_linestatus")
+        .to_spark()
+    )
+
+
 def _q13_customer_distribution(spark, sf_dir):
     # TPC-H Q13: orders-per-customer histogram (left join keeps
     # zero-order customers; COUNT of a null key counts 0)
@@ -653,6 +672,18 @@ def _window_ntile(spark, sf_dir):
     return c.mutate(quartile=ib.ntile(4).over(w)).select(
         "c_custkey", "c_nationkey", "quartile"
     ).to_spark()
+
+
+def _window_percent(spark, sf_dir):
+    # PercentRank / CumeDist (2.6): exact rational outputs, so the hash
+    # matches without rounding
+    c = _t(spark, sf_dir, "customer")
+    w = ib.window(
+        group_by=c.c_nationkey, order_by=[c.c_acctbal.asc(), c.c_custkey.asc()]
+    )
+    return c.mutate(
+        pr=ib.percent_rank().over(w), cd=ib.cume_dist().over(w)
+    ).select("c_custkey", "c_nationkey", "pr", "cd").to_spark()
 
 
 def _window_nth(spark, sf_dir):
@@ -1463,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_table": _info_table,
         "q8_market_share": _q8_market_share,
         "q9_product_profit": _q9_product_profit,
+        "q12_priority_shipping": _q12_priority_shipping,
         "q13_customer_distribution": _q13_customer_distribution,
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_cnt": _q16_supplier_cnt,
@@ -1483,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selectors_across": _selectors_across,
         "collect_ordered": _collect_ordered,
         "udf_pyarrow": _udf_pyarrow,
+        "window_percent": _window_percent,
         "array_ops": _array_ops,
         "unnest_tokens": _unnest_tokens,
         "json_extract": _json_extract,
@@ -1701,6 +1734,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE CONTAINS(p_name, 'red')
             GROUP BY n_name, YEAR(o_orderdate)
+        """,
+        "q12_priority_shipping": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus
         """,
         "q13_customer_distribution": """
             SELECT c_count, COUNT(c_custkey) AS custdist
@@ -2170,6 +2214,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_size + CASE WHEN p_retailprice > 1000 THEN 1 ELSE 0 END
                         AS BIGINT) AS bonus
             FROM part
+        """,
+        "window_percent": """
+            SELECT c_custkey, c_nationkey,
+                   PERCENT_RANK() OVER w AS pr,
+                   CUME_DIST() OVER w AS cd
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey)
         """,
         "ordered_reductions_desc": """
             SELECT l_orderkey,
