@@ -68,6 +68,10 @@ from ibis_spark.functions import (  # noqa: F401
     uuid,
 )
 
+# ibis spells the map constructor `ibis.map`; keep `map_` too (shadows the
+# builtin only inside this namespace, exactly as the reference does)
+map = map_  # noqa: A001
+
 __version__ = "0.3.0"
 
 

@@ -310,6 +310,70 @@ class Column(
 
         return wrap(F.format_string(fmt, self.spark()))
 
+    # -- expression conveniences (reference expr/types/core.py, generic.py) ------
+    def pipe(self, f, *args, **kwargs):
+        """Expr.pipe (core.py:232): apply ``f(self, *args)``; a ``(f,
+        "kwarg")`` tuple passes self by keyword."""
+        if isinstance(f, tuple):
+            fn, kw = f
+            if kw in kwargs:
+                raise ValueError(f"{kw} is both the pipe target and a keyword")
+            kwargs[kw] = self
+            return fn(*args, **kwargs)
+        return f(self, *args, **kwargs)
+
+    def equals(self, other) -> bool:
+        """Expr.equals (core.py:109): structural equality of the two
+        expression trees (not an element-wise comparison — that is ==)."""
+        if not isinstance(other, Column):
+            return False
+        return str(self._sc) == str(other._sc)
+
+    def as_scalar(self):
+        """Column.as_scalar (generic.py): treat this expression as a scalar
+        subquery. A reduction becomes its 1-row aggregate; a plain column
+        asserts single-row-ness at execution (raise_error otherwise), both
+        lowered as a broadcast cross join — no per-row re-execution."""
+        from ibis_spark.expr.core import ScalarValue
+
+        df = self._source_df
+        if df is None:
+            raise TypeError(
+                "as_scalar() requires a table-bound expression (t.col...)"
+            )
+        if self._is_reduction:
+            return ScalarValue(df, self._sc)
+        agg = F.when(F.count(F.lit(1)) <= 1, F.first(self._sc)).otherwise(
+            F.raise_error(F.lit("as_scalar: relation has more than one row"))
+        )
+        return ScalarValue(df, agg)
+
+    def type(self):
+        """The dtype of this expression (reference Value.type()), derived
+        statically from the plan schema — no execution."""
+        from ibis_spark.datatypes import from_spark
+
+        return from_spark(self._plan_dtype())
+
+    def to_list(self, limit: Optional[int] = None) -> list:
+        """Column.to_list (generic.py:2964): execute → python list."""
+        out = self.execute()
+        if hasattr(out, "tolist"):
+            out = out.tolist()
+        if limit is not None and isinstance(out, list):
+            out = out[:limit]
+        return out
+
+    def preview(self, max_rows: int = 10):
+        """Column.preview: the first ``max_rows`` values as a pandas
+        Series (the reference renders a rich grid; the data contract —
+        a bounded fetch, never a full collect — is the same)."""
+        df = self._source_df
+        if df is None:
+            raise TypeError("preview() requires a table-bound expression")
+        name = self.get_name() or "value"
+        return df.select(self.spark().alias(name)).limit(max_rows).toPandas()[name]
+
     # -- execution sugar (reference Column.execute → pandas Series) --------------
     def execute(self):
         """Execute against the defining table: a reduction yields the
@@ -366,41 +430,109 @@ class Column(
         return Table(agg.orderBy(F.col(out_name).desc()).limit(int(k)))
 
 
-def _propagate_reduction_source():
-    """Re-bind every ReductionOps method on Column so its result keeps the
-    defining column's ``_source_df``. That is what lets a bare reduction
-    (``t.x.mean()``) be auto-lifted to a scalar subquery when compared
-    against another column (reference auto-rewrite,
-    expr/rewrites.py:289-304)."""
+def _propagate_source():
+    """Re-bind every operator method/property on Column so results keep the
+    defining column's ``_source_df``. This is what makes a derived
+    expression still table-bound: ``(t.x > 4).notany().execute()`` needs
+    the relation, and a bare reduction compared against a column
+    auto-lifts to a scalar subquery only when its source is known
+    (reference auto-rewrite, expr/rewrites.py:289-304). Binary ops check
+    the other operand as a fallback (``lit(5) + t.x``)."""
     import functools
 
-    for nm, fn in vars(ReductionOps).items():
-        if nm.startswith("_") or not callable(fn):
-            continue
-        if getattr(Column, nm, None) is not fn:
-            # the MRO resolves this name to another mixin's method (e.g.
-            # TemporalOps.bucket shadows ReductionOps.bucket) — setting it
-            # on Column would steal the resolution
-            continue
+    exempt = {
+        "__init__",
+        "__new__",
+        "__bool__",
+        "__hash__",
+        "__repr__",
+        "spark",
+        "get_name",
+        "execute",
+        "to_pandas",
+        "to_list",
+        "preview",
+        "equals",
+        "pipe",
+        "as_scalar",
+        "type",
+    }
 
-        def make(fn):
-            @functools.wraps(fn)
-            def inner(self, *a, **k):
-                out = fn(self, *a, **k)
-                if (
-                    isinstance(out, Column)
-                    and out._source_df is None
-                    and getattr(self, "_source_df", None) is not None
-                ):
-                    object.__setattr__(out, "_source_df", self._source_df)
-                return out
+    def bless(out, self, args):
+        if isinstance(out, Column) and out._source_df is None:
+            src = getattr(self, "_source_df", None)
+            if src is None:
+                for a in args:
+                    src = getattr(a, "_source_df", None)
+                    if src is not None:
+                        break
+            if src is not None:
+                object.__setattr__(out, "_source_df", src)
+        return out
 
-            return inner
+    def make(fn):
+        @functools.wraps(fn)
+        def inner(self, *a, **k):
+            return bless(fn(self, *a, **k), self, a)
 
-        setattr(Column, nm, make(fn))
+        return inner
+
+    mixins = (
+        GenericOps,
+        NumericOps,
+        StringOps,
+        TemporalOps,
+        ReductionOps,
+        AnalyticOps,
+        ArrayOps,
+        MapOps,
+        StructOps,
+        JsonOps,
+        Column,
+    )
+    done = set()
+    for cls in mixins:
+        for nm, fn in list(vars(cls).items()):
+            if nm in exempt or nm in done:
+                continue
+            if isinstance(fn, property):
+                if fn.fget is None:
+                    continue
+                orig = fn.fget
+
+                def pget(self, _orig=orig):
+                    return bless(_orig(self), self, ())
+
+                setattr(Column, nm, property(functools.wraps(orig)(pget)))
+                done.add(nm)
+                continue
+            if not callable(fn) or isinstance(fn, (staticmethod, classmethod)):
+                continue
+            if nm.startswith("_") and not nm.startswith("__"):
+                continue
+            resolved = getattr(Column, nm, None)
+            if resolved is not fn:
+                # the MRO resolves this name to another mixin's method
+                # (e.g. TemporalOps.bucket shadows ReductionOps.bucket) —
+                # setting it on Column would steal the resolution
+                continue
+            setattr(Column, nm, make(fn))
+            done.add(nm)
 
 
-_propagate_reduction_source()
+class _MapAccessor(Column):
+    """Returned by ``Column.map``: behaves as the JSON ``.map`` unwrap
+    (a map<string,string> Column) when used as a value, and as
+    ``ArrayValue.map(fn)`` when called — ibis dispatches those two by
+    dtype; our untyped Column dispatches by usage."""
+
+    __slots__ = ("_map_parent",)
+
+    def __call__(self, fn):
+        return self._map_parent.array_map(fn)
+
+
+_propagate_source()
 
 
 def literal(value, type=None) -> Column:

@@ -1133,11 +1133,69 @@ class Table:
     def cache(self) -> "Table":
         return Table(self._df.cache())
 
+    def release(self):
+        """CachedTable.release (expr/types/relations.py): drop this
+        table's cached blocks (unpersist; lazy plan stays valid)."""
+        self._df.unpersist()
+        return self
+
     def execute(self):
         """→ pandas DataFrame (BB:108 to_pandas)."""
         return self._df.toPandas()
 
     to_pandas = execute
+
+    # -- expression conveniences (reference expr/types/core.py) ---------------
+    def pipe(self, f, *args, **kwargs):
+        """Expr.pipe (core.py:232): ``t.pipe(f, ...)`` == ``f(t, ...)``;
+        a ``(f, "kwarg")`` tuple passes the table by keyword."""
+        if isinstance(f, tuple):
+            fn, kw = f
+            if kw in kwargs:
+                raise ValueError(f"{kw} is both the pipe target and a keyword")
+            kwargs[kw] = self
+            return fn(*args, **kwargs)
+        return f(self, *args, **kwargs)
+
+    def equals(self, other) -> bool:
+        """Expr.equals (core.py:109): structural equality of the two plans.
+        Uses Spark's semantic-equality check (canonicalized plans), which
+        is strictly stronger than the reference's node-identity check."""
+        if not isinstance(other, Table):
+            return False
+        try:
+            return self._df.sameSemantics(other._df)
+        except Exception:
+            return str(self._df._jdf.queryExecution().logical()) == str(
+                other._df._jdf.queryExecution().logical()
+            )
+
+    def get_backend(self):
+        """Expr.get_backend (core.py): the Backend this table executes on."""
+        import ibis_spark
+
+        return ibis_spark.Backend(self._df.sparkSession)
+
+    def preview(self, max_rows: int = 10):
+        """Table.preview: first ``max_rows`` rows as pandas (the reference
+        renders a rich grid; the contract — bounded fetch, never a full
+        collect — is the same)."""
+        return self._df.limit(max_rows).toPandas()
+
+    def to_pandas_batches(self, chunk_size: int = 1_000_000):
+        """Expr.to_pandas_batches (core.py:642): stream pandas chunks via
+        the Arrow batch reader — same backpressure path as
+        to_pyarrow_batches, driver holds one batch at a time."""
+        for batch in self.to_pyarrow_batches(chunk_size=chunk_size):
+            yield batch.to_pandas()
+
+    def to_xlsx(self, path: str, sheet: str = "Sheet1"):
+        """Expr.to_xlsx: write to an Excel sheet (requires openpyxl)."""
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError("to_xlsx requires the openpyxl package") from e
+        self.execute().to_excel(path, sheet_name=sheet, index=False)
 
     def to_pyarrow(self):
         return self._df.toArrow()

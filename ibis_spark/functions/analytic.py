@@ -55,6 +55,16 @@ class AnalyticOps:
         """NthValue — ibis n is 0-indexed (rewrites.py:501-507)."""
         return wrap(F.nth_value(self.spark(), int(n) + 1), needs_window=True)
 
+    nth = nth_value
+
+    # boolean cumulative sugar (expr/types/logical.py:460,:506): running
+    # OR / AND — max/min over the unbounded-preceding frame, no extra state
+    def cumany(self):
+        return wrap(F.max(self.spark()), needs_window=True, cumulative=True)
+
+    def cumall(self):
+        return wrap(F.min(self.spark()), needs_window=True, cumulative=True)
+
     def first_value(self):
         """FirstValue (sql/rewrites.py:72)."""
         return wrap(F.first(self.spark(), ignorenulls=False), needs_window=True)

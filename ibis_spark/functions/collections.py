@@ -185,6 +185,32 @@ class ArrayOps:
         )
         return wrap(F.array_max(counted).getField("v"))
 
+    def anys(self):
+        """ArrayAny as the ibis ``anys`` reduction (arrays.py:1112): OR of
+        the non-null elements; NULL if the array is empty or all-null."""
+        c = F.filter(self.spark(), lambda x: x.isNotNull())
+        return wrap(F.when(F.array_size(c) > 0, F.exists(c, lambda x: x)))
+
+    def alls(self):
+        """ArrayAll (arrays.py:1162): AND of non-null elements; NULL if
+        empty or all-null."""
+        c = F.filter(self.spark(), lambda x: x.isNotNull())
+        return wrap(F.when(F.array_size(c) > 0, F.forall(c, lambda x: x)))
+
+    # -- ibis-native spellings (expr/types/arrays.py ArrayValue user API) ----
+    # `unique` is aliased above; these make every reference method name work
+    # verbatim so an ibis user can switch without renames.
+    mins = array_min
+    maxs = array_max
+    sums = array_sum
+    means = array_mean
+    modes = array_mode
+    sort = array_sort
+    flatten = array_flatten
+    zip = array_zip
+    remove = array_remove
+    filter = array_filter
+
 
 class MapOps:
     __slots__ = ()
@@ -214,6 +240,13 @@ class MapOps:
         """MapMerge (maps.py:87) → map_concat."""
         return wrap(F.map_concat(self.spark(), unwrap(other)))
 
+    # ibis-native spellings (expr/types/maps.py MapValue user API).
+    # `contains`/`length` stay map_-prefixed: those names are taken by the
+    # string ops on this untyped Column (ibis dispatches on dtype).
+    get = map_get
+    keys = map_keys
+    values = map_values
+
 
 class StructOps:
     __slots__ = ()
@@ -237,6 +270,41 @@ class StructOps:
         # fallback when the defining DataFrame isn't tracked: derive the
         # keys from a JSON round-trip (per-row cost; schema unavailable)
         return wrap(F.json_object_keys(F.to_json(self.spark())))
+
+    @property
+    def fields(self):
+        """Mapping of field name → dtype for a struct column (reference
+        StructValue.fields property, expr/types/structs.py). Statically
+        derived from the plan schema — no execution."""
+        from pyspark.sql.types import StructType
+
+        from ibis_spark.datatypes import from_spark
+
+        dt = self._plan_dtype()
+        if not isinstance(dt, StructType):
+            raise TypeError("fields requires a struct-typed column")
+        return {f.name: from_spark(f.dataType) for f in dt.fields}
+
+    def _plan_dtype(self):
+        """The Spark data type this expression evaluates to, derived from
+        the (lazy) plan schema of a 0-row projection — metadata only."""
+        df = getattr(self, "_source_df", None)
+        if df is None:
+            raise TypeError(
+                "type information requires a table-bound expression (t.col...)"
+            )
+        return df.select(self.spark().alias("__t__")).schema["__t__"].dataType
+
+    def lift(self):
+        """Project the fields of this struct into a Table (reference
+        StructValue.lift, expr/types/structs.py). Pure projection —
+        column pruning still reaches the scan."""
+        from ibis_spark.expr.table import Table
+
+        df = getattr(self, "_source_df", None)
+        if df is None:
+            raise TypeError("lift() requires a table-bound struct column")
+        return Table(df.select(self.spark().alias("__s__")).select("__s__.*"))
 
 
 class JsonOps:
@@ -273,9 +341,14 @@ class JsonOps:
         typed extraction, NULL on type mismatch."""
         c = self.spark()
         if dtype in ("string", "str"):
-            # only unwrap actual JSON strings: reject objects/arrays/numbers
+            # only unwrap actual JSON strings: reject objects/arrays/numbers.
+            # from_json needs a container schema in Spark 4, so parse the
+            # scalar as a 1-element array — correctly handles \" escapes.
             is_str = c.rlike(r'^\s*".*"\s*$')
-            return wrap(F.when(is_str, F.from_json(c, "string")))
+            parsed = F.from_json(
+                F.concat(F.lit("["), c, F.lit("]")), "array<string>"
+            )
+            return wrap(F.when(is_str, F.get(parsed, 0)))
         if dtype in ("int64", "int"):
             is_num = c.rlike(r"^\s*-?\d+\s*$")
             return wrap(F.when(is_num, c.cast("long")))
@@ -286,6 +359,42 @@ class JsonOps:
             is_bool = c.rlike(r"^\s*(true|false)\s*$")
             return wrap(F.when(is_bool, c.cast("boolean")))
         raise ValueError(f"unsupported json unwrap type {dtype}")
+
+    # -- ibis-native accessors (expr/types/json.py JSONValue properties) -----
+    @property
+    def str(self):
+        """JSONValue.str — unwrap JSON strings, NULL on non-strings."""
+        return self.unwrap_as("string")
+
+    @property
+    def int(self):
+        return self.unwrap_as("int64")
+
+    @property
+    def float(self):
+        return self.unwrap_as("float64")
+
+    @property
+    def bool(self):
+        return self.unwrap_as("bool")
+
+    @property
+    def array(self):
+        """JSONValue.array — NULL for non-array JSON (from_json already
+        yields NULL on mismatch)."""
+        return self.json_array()
+
+    @property
+    def map(self):
+        """Dual-role accessor: as a property it is JSONValue.map (the JSON
+        object as map<string,string>); called with a lambda it is
+        ArrayValue.map (element-wise transform) — ibis dispatches these two
+        by dtype, our untyped Column dispatches by usage."""
+        from ibis_spark.expr.column import _MapAccessor
+
+        out = _MapAccessor(self.json_map().spark())
+        object.__setattr__(out, "_map_parent", self)
+        return out
 
 
 # -- constructors (functions/__init__ re-exports) -----------------------------

@@ -120,6 +120,59 @@ class NumericOps:
     def sign(self):
         return wrap(F.signum(self.spark()))
 
+    def histogram(self, *, nbins=None, binwidth=None, base=None, eps=1e-13):
+        """NumericColumn.histogram (expr/types/numeric.py): fixed-width bin
+        index ``floor((x - base)/binwidth)`` clipped to [-1, nbins-1].
+
+        The data-derived ``base``/``binwidth`` need the column's global
+        min/max: computed as ONE 1-row aggregate (a single struct of both
+        bounds) broadcast-cross-joined by the projection lowering — one
+        extra tiny stage, no single-partition window, scan count unchanged
+        at any scale."""
+        from ibis_spark.expr.core import ScalarExpr, ScalarValue
+
+        if nbins is not None and binwidth is not None:
+            raise ValueError(
+                f"Cannot pass both `nbins` (got {nbins}) and `binwidth` (got {binwidth})"
+            )
+        if binwidth is None and nbins is None:
+            raise ValueError("`nbins` is required if `binwidth` is not provided")
+        df = getattr(self, "_source_df", None)
+        if df is None:
+            raise TypeError("histogram() requires a table-bound column")
+        sc = self._sc
+        needs_stats = base is None or binwidth is None or nbins is None
+        scalars = []
+        if needs_stats:
+            cd = sc.cast("double")
+            finite = F.when(~F.isnan(cd), cd)  # NaN would poison max()
+            sv = ScalarValue(
+                df,
+                F.struct(
+                    F.min(finite).alias("mn"), F.max(finite).alias("mx")
+                ),
+            )
+            scalars.append(sv)
+
+        def build():
+            if scalars:
+                stats = F.col(scalars[0].ph)
+                mn, mx = stats.getField("mn"), stats.getField("mx")
+            base_c = (mn - F.lit(eps)) if base is None else F.lit(float(base))
+            if binwidth is None:
+                bw_c = (mx - base_c) / F.lit(int(nbins))
+            else:
+                bw_c = F.lit(float(binwidth))
+            if nbins is None:
+                nb_c = F.ceil((mx - base_c) / bw_c).cast("long")
+            else:
+                nb_c = F.lit(int(nbins)).cast("long")
+            h = F.floor((sc.cast("double") - base_c) / bw_c).cast("long")
+            clipped = F.least(F.greatest(h, F.lit(-1).cast("long")), nb_c - 1)
+            return F.when(sc.isNotNull(), clipped)
+
+        return ScalarExpr(build, scalars)
+
     def sqrt(self):
         return wrap(F.sqrt(self.spark()))
 

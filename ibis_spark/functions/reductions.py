@@ -206,6 +206,14 @@ class ReductionOps:
     def all(self, where=None):
         return wrap(F.bool_and(_filtered(self.spark(), where)))
 
+    def notany(self, where=None):
+        """BooleanColumn.notany (expr/types/logical.py:346): NOT any()."""
+        return wrap(~F.bool_or(_filtered(self.spark(), where)))
+
+    def notall(self, where=None):
+        """BooleanColumn.notall (expr/types/logical.py:421): NOT all()."""
+        return wrap(~F.bool_and(_filtered(self.spark(), where)))
+
     # -- binning (histograms.py:18) -------------------------------------------------
     def bucket(self, buckets, closed="left", close_extreme=True, include_under=False, include_over=False):
         """Bucket → SearchedCase chain (sql/rewrites.py:552-603)."""

@@ -210,6 +210,21 @@ class StringOps:
 
     # -- misc (strings.py:358-390) -----------------------------------------------
     def length(self):
+        """StringLength / ArrayLength / MapLength — ibis dispatches
+        ``.length()`` by dtype; we consult the (lazy) plan schema when the
+        column is table-bound, else default to string length."""
+        df = getattr(self, "_source_df", None)
+        if df is not None:
+            from pyspark.sql.types import ArrayType, MapType
+
+            try:
+                dt = self._plan_dtype()
+            except Exception:
+                dt = None
+            if isinstance(dt, ArrayType):
+                return self.array_length()
+            if isinstance(dt, MapType):
+                return self.map_length()
         return wrap(F.length(self.spark()))
 
     def ascii_str(self):
@@ -227,6 +242,30 @@ class StringOps:
         from ibis_spark.functions.temporal import _strptime_to_java
 
         return wrap(F.to_timestamp(self.spark(), _strptime_to_java(fmt)))
+
+    # ibis-native spellings (StringValue.as_date/as_time/as_timestamp,
+    # expr/types/strings.py:1285-1343) — strptime-style format strings
+    as_date = to_date
+
+    def as_timestamp(self, fmt: str = "s"):
+        """StringValue.as_timestamp(format) / IntegerValue.as_timestamp(unit)
+        — ibis dispatches on dtype; our untyped Column dispatches on the
+        argument: a bare epoch unit ("s"/"ms"/"us") takes the integer path,
+        anything else is a strptime format."""
+        if fmt in ("s", "ms", "us"):
+            from ibis_spark.functions.temporal import timestamp_from_unix
+
+            return timestamp_from_unix(self, fmt)
+        return self.to_timestamp(fmt)
+
+    def as_time(self, fmt: str):
+        """StringValue.as_time (strings.py:1343): parse with a strptime
+        format → our time representation (HH:mm:ss string; Spark has no
+        TimeType — temporal.py time() ctor contract)."""
+        from ibis_spark.functions.temporal import _strptime_to_java
+
+        parsed = F.to_timestamp(self.spark(), _strptime_to_java(fmt))
+        return wrap(F.date_format(parsed, "HH:mm:ss"))
 
 
 def _regex_escape(s):

@@ -175,6 +175,139 @@ class TemporalOps:
         """ExtractEpochSeconds → unix_timestamp (PC:202-204)."""
         return wrap(F.unix_timestamp(self.spark()).cast("long"))
 
+    def epoch_days(self):
+        """DateValue.epoch_days (expr/types/temporal.py:736): days since
+        1970-01-01."""
+        return wrap(
+            F.datediff(self.spark().cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+        )
+
+    def iso_year(self):
+        """ExtractIsoYear (temporal.py) → ISO-8601 week-numbering year
+        (Spark's YEAROFWEEK field; matches DuckDB isoyear)."""
+        return wrap(F.date_part(F.lit("YEAROFWEEK"), self.spark()).cast("int"))
+
+    # -- interval unit views (IntervalValue properties,
+    #    expr/types/temporal.py:1281-1333): the TOTAL length of the
+    #    interval expressed in the unit (truncating), per the documented
+    #    "number of <unit> (IntegerValue)" contract. Spark lowering:
+    #    CAST(iv AS INTERVAL <unit>) converts, CAST(... AS BIGINT) counts.
+    @property
+    def years(self):
+        return wrap(self.spark().cast("interval year").cast("long"))
+
+    @property
+    def quarters(self):
+        return wrap((self.spark().cast("interval month").cast("long") / 3).cast("long"))
+
+    @property
+    def months(self):
+        return wrap(self.spark().cast("interval month").cast("long"))
+
+    @property
+    def weeks(self):
+        return wrap((self.spark().cast("interval day").cast("long") / 7).cast("long"))
+
+    @property
+    def days(self):
+        return wrap(self.spark().cast("interval day").cast("long"))
+
+    @property
+    def hours(self):
+        return wrap(self.spark().cast("interval hour").cast("long"))
+
+    @property
+    def minutes(self):
+        return wrap(self.spark().cast("interval minute").cast("long"))
+
+    @property
+    def seconds(self):
+        return wrap(self.spark().cast("interval second").cast("long"))
+
+    @property
+    def milliseconds(self):
+        return wrap(
+            (self.spark().cast("interval second").cast("decimal(25,6)") * 1000)
+            .cast("long")
+        )
+
+    @property
+    def microseconds(self):
+        return wrap(
+            (self.spark().cast("interval second").cast("decimal(25,6)") * 1_000_000)
+            .cast("long")
+        )
+
+    @property
+    def nanoseconds(self):
+        """Sub-microsecond intervals don't exist in Spark; the count is
+        exact (micros × 1000)."""
+        return wrap(
+            (self.spark().cast("interval second").cast("decimal(25,6)") * 1_000_000)
+            .cast("long") * 1000
+        )
+
+    def as_unit(self, target_unit: str):
+        """IntervalValue.as_unit (expr/types/temporal.py:1257): this
+        interval converted to `target_unit`, still as an interval. Spark
+        has interval end-fields only for Y/M/D/h/m/s — for Q/W/ms/us/ns
+        use the integer accessor properties instead."""
+        spark_field = {
+            "Y": "interval year",
+            "M": "interval month",
+            "D": "interval day",
+            "h": "interval hour",
+            "m": "interval minute",
+            "s": "interval second",
+        }.get(target_unit)
+        if spark_field is None:
+            raise ValueError(
+                f"no Spark interval field for unit {target_unit!r}; use the "
+                "integer accessors (.quarters/.weeks/.milliseconds/...) for "
+                "a count in that unit"
+            )
+        return wrap(self.spark().cast(spark_field))
+
+    to_unit = as_unit
+
+    def as_interval(self, unit: str = "s"):
+        """IntegerValue.as_interval (expr/types/numeric.py:1549): integer
+        count → interval. Year-month units build YearMonthInterval, the
+        rest DayTimeInterval (make_* functions; exact decimal seconds for
+        the sub-second units)."""
+        c = self.spark().cast("long")
+        zero = F.lit(0)
+        if unit == "Y":
+            return wrap(F.make_ym_interval(c.cast("int"), zero))
+        if unit == "Q":
+            return wrap(F.make_ym_interval(zero, (c * 3).cast("int")))
+        if unit == "M":
+            return wrap(F.make_ym_interval(zero, c.cast("int")))
+        if unit == "W":
+            return wrap(F.make_dt_interval((c * 7).cast("int")))
+        if unit == "D":
+            return wrap(F.make_dt_interval(c.cast("int")))
+        if unit == "h":
+            return wrap(F.make_dt_interval(zero, c.cast("int")))
+        if unit == "m":
+            return wrap(F.make_dt_interval(zero, zero, c.cast("int")))
+        if unit == "s":
+            return wrap(F.make_dt_interval(zero, zero, zero, c.cast("decimal(25,6)")))
+        if unit == "ms":
+            return wrap(
+                F.make_dt_interval(
+                    zero, zero, zero, (c.cast("decimal(25,6)") / 1000)
+                )
+            )
+        if unit == "us":
+            return wrap(
+                F.make_dt_interval(
+                    zero, zero, zero, (c.cast("decimal(25,6)") / 1_000_000)
+                )
+            )
+        raise ValueError(f"unsupported interval unit {unit!r}")
+
     # -- conversions (temporal.py:214-227) --------------------------------------
     def date(self):
         return wrap(F.to_date(self.spark()))

@@ -1,0 +1,263 @@
+"""ibis-native method-name parity: every reference user-API spelling added
+in round 5 (arrays sums/means/..., boolean cum/not aggs, interval unit
+views, string/integer parse ctors, histogram, struct lift, JSON accessors,
+expression conveniences) executes with the reference's semantics.
+
+Reference surfaces: ibis/expr/types/{arrays,logical,temporal,strings,
+numeric,structs,json,core,generic}.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+
+import ibis_spark as ib
+
+
+@pytest.fixture(scope="module")
+def arr_t(con):
+    return con.memtable(
+        {
+            "a": [[1, 2, None], [None], [], None, [3, 4]],
+            "b": [[True, None], [False, False], [None], [], [True, True]],
+        }
+    )
+
+
+def test_array_named_reductions(arr_t):
+    t = arr_t
+    out = t.select(
+        sums=t.a.sums(),
+        means=t.a.means(),
+        mins=t.a.mins(),
+        maxs=t.a.maxs(),
+        modes=t.a.modes(),
+    ).execute()
+    assert out["sums"].tolist()[0] == 3.0
+    assert out["sums"].tolist()[4] == 7.0
+    # empty / all-null / NULL arrays yield NULL
+    assert pd.isna(out["sums"].tolist()[1])
+    assert pd.isna(out["sums"].tolist()[2])
+    assert pd.isna(out["sums"].tolist()[3])
+    assert out["means"].tolist()[4] == 3.5
+    assert out["mins"].tolist()[0] == 1 and out["maxs"].tolist()[0] == 2
+
+
+def test_array_anys_alls(arr_t):
+    t = arr_t
+    out = t.select(anys=t.b.anys(), alls=t.b.alls()).execute()
+    assert out["anys"].tolist()[0] is True  # [True, None] → True
+    assert out["anys"].tolist()[1] is False  # [False, False]
+    assert pd.isna(out["anys"].tolist()[2])  # [None] → NULL
+    assert pd.isna(out["anys"].tolist()[3])  # [] → NULL
+    assert out["alls"].tolist()[0] is True  # non-null elements all true
+    assert out["alls"].tolist()[1] is False
+
+
+def test_array_transform_spellings(arr_t):
+    t = arr_t
+    out = t.select(
+        srt=t.a.sort(),
+        uniq=t.a.unique(),
+        rm=t.a.remove(1),
+        fl=t.a.filter(lambda x: x > 1),
+        mp=t.a.map(lambda x: x * 10),
+        zp=t.a.zip(t.a),
+    ).execute()
+    rm0 = list(out["rm"].tolist()[0])
+    assert rm0[0] == 2 and pd.isna(rm0[1])
+    assert list(out["fl"].tolist()[0]) == [2]
+    mp0 = list(out["mp"].tolist()[0])
+    assert mp0[:2] == [10, 20] and pd.isna(mp0[2])
+    assert list(out["zp"].tolist()[4]) == [
+        {"f1": 3, "f2": 3},
+        {"f1": 4, "f2": 4},
+    ]
+
+
+def test_flatten_and_map_hybrid(con):
+    t = con.memtable({"n": [[[1, 2], [3]], [[4]]]})
+    flat = [list(v) for v in t.select(f=t.n.flatten()).execute()["f"]]
+    assert flat == [[1, 2, 3], [4]]
+
+
+def test_boolean_not_reductions(con):
+    t = con.memtable({"x": [1, 2, 3, 4]})
+    assert (t.x > 4).notany().execute() is True
+    assert (t.x > 1).notany().execute() is False
+    assert (t.x > 0).notall().execute() is False
+    assert (t.x > 2).notall(where=t.x > 2).execute() is False
+    assert (t.x > 2).notany(where=t.x < 2).execute() is True
+
+
+def test_boolean_cumany_cumall(con):
+    t = con.memtable({"i": [1, 2, 3, 4], "f": [False, True, False, False]})
+    w = ib.window(order_by=t.i)
+    out = (
+        t.mutate(ca=t.f.cumany().over(w), cl=(~t.f).cumall().over(w))
+        .order_by(t.i)
+        .execute()
+    )
+    assert out["ca"].tolist() == [False, True, True, True]
+    assert out["cl"].tolist() == [True, False, False, False]
+
+
+def test_interval_unit_views(con):
+    iv = ib.interval(seconds=95445)  # 1 day 2:30:45
+    t = con.memtable({"one": [1]})
+    row = t.select(
+        d=iv.days,
+        h=iv.hours,
+        m=iv.minutes,
+        s=iv.seconds,
+        ms=iv.milliseconds,
+        us=iv.microseconds,
+        w=iv.weeks,
+    ).execute().iloc[0]
+    assert row["d"] == 1 and row["h"] == 26 and row["m"] == 1590
+    assert row["s"] == 95445 and row["ms"] == 95445000
+    assert row["us"] == 95445000000 and row["w"] == 0
+    ym = ib.interval(months=27)
+    row2 = t.select(y=ym.years, q=ym.quarters, mo=ym.months).execute().iloc[0]
+    assert row2["y"] == 2 and row2["q"] == 9 and row2["mo"] == 27
+
+
+def test_interval_as_unit_roundtrip(con):
+    t = con.memtable({"one": [1]})
+    iv = ib.interval(seconds=95445)
+    # converting to minutes truncates the 45 s remainder
+    assert t.select(s=iv.as_unit("m").seconds).execute().iloc[0]["s"] == 95400
+    with pytest.raises(ValueError):
+        iv.as_unit("ns")
+
+
+def test_integer_as_interval_as_timestamp(con):
+    t = con.memtable({"n": [90, 3700]})
+    out = t.select(
+        m=t.n.as_interval("s").minutes,
+        ts=t.n.as_timestamp("s"),
+        d=t.n.as_interval("D").days,
+    ).execute()
+    assert out["m"].tolist() == [1, 61]
+    assert out["ts"].tolist()[0] == pd.Timestamp("1970-01-01 00:01:30")
+    assert out["d"].tolist() == [90, 3700]
+
+
+def test_string_parse_spellings(con):
+    t = con.memtable({"s": ["2021-03-04 05:06:07"]})
+    out = t.select(
+        ts=t.s.as_timestamp("%Y-%m-%d %H:%M:%S"),
+        d=t.s.as_date("%Y-%m-%d %H:%M:%S"),
+        tm=t.s.as_time("%Y-%m-%d %H:%M:%S"),
+    ).execute().iloc[0]
+    assert out["ts"] == pd.Timestamp("2021-03-04 05:06:07")
+    assert out["d"] == datetime.date(2021, 3, 4)
+    assert out["tm"] == "05:06:07"
+
+
+def test_iso_year_epoch_days(con):
+    t = con.memtable(
+        {"d": [datetime.date(2021, 1, 1), datetime.date(2024, 12, 30)]}
+    )
+    out = t.select(iy=t.d.iso_year(), ed=t.d.epoch_days()).execute()
+    # 2021-01-01 is ISO week 53 of 2020; 2024-12-30 is ISO week 1 of 2025
+    assert out["iy"].tolist() == [2020, 2025]
+    assert out["ed"].tolist() == [18628, 20087]
+
+
+def test_histogram_matches_reference_example(con):
+    t = con.memtable({"v": [-1.0, 3, 5, 6, 8, 10, 11, 23, 25]})
+    out = t.mutate(h=t.v.histogram(nbins=5)).order_by(t.v).execute()
+    # binwidth = (25 - (-1 - eps))/5 = 5.2: reference doc example bins
+    assert out["h"].tolist() == [0, 0, 1, 1, 1, 2, 2, 4, 4]
+    # binwidth given → nbins = ceil((max - base)/binwidth) = ceil(2+ε) = 3,
+    # so 25 lands in bin floor(26/13) = 2 (same as the reference formula)
+    out2 = t.mutate(h=t.v.histogram(binwidth=13.0)).order_by(t.v).execute()
+    assert out2["h"].tolist() == [0, 0, 0, 0, 0, 0, 0, 1, 2]
+    with pytest.raises(ValueError):
+        t.v.histogram(nbins=5, binwidth=1.0)
+    with pytest.raises(ValueError):
+        t.v.histogram()
+
+
+def test_struct_fields_lift(con):
+    base = con.memtable({"p": [1, 2], "q": ["a", "b"]})
+    t = base.mutate(s=ib.struct({"p": base.p, "q": base.q}))
+    assert set(t.s.fields) == {"p", "q"}
+    lifted = t.s.lift()
+    assert lifted.columns == ["p", "q"]
+    assert lifted.execute()["p"].tolist() == [1, 2]
+
+
+def test_json_accessors(con):
+    t = con.memtable({"js": ['{"x": 1}', '"hi"', "[1,2]", "true", "3.5", "7"]})
+    out = t.select(
+        s=t.js.str,
+        i=t.js.int,
+        f=t.js.float,
+        b=t.js.bool,
+        a=t.js.array,
+        m=t.js.map,
+    ).execute()
+    assert out["s"].tolist()[1] == "hi" and pd.isna(out["s"].tolist()[0])
+    assert out["i"].tolist()[5] == 7 and pd.isna(out["i"].tolist()[4])
+    assert out["f"].tolist()[4] == 3.5
+    assert out["b"].tolist()[3] is True
+    assert list(out["a"].tolist()[2]) == ["1", "2"]
+    assert dict(out["m"].tolist()[0]) == {"x": "1"}
+
+
+def test_map_named_spellings(con):
+    t = con.memtable({"one": [1]})
+    m = ib.map(["k", "j"], [1, 2])
+    out = t.select(
+        ks=m.keys(), vs=m.values(), g=m.get("missing", 0), g2=m.get("j", 0)
+    ).execute().iloc[0]
+    assert sorted(out["ks"]) == ["j", "k"]
+    assert sorted(out["vs"]) == [1, 2]
+    assert out["g"] == 0 and out["g2"] == 2
+
+
+def test_column_conveniences(con):
+    t = con.memtable({"x": [3, 1, 2], "g": ["a", "a", "b"]})
+    assert sorted(t.x.to_list()) == [1, 2, 3]
+    assert len(t.x.preview(2)) == 2
+    assert t.x.type() == ib.dtype("int64")
+    assert t.x.equals(t.x)
+    assert not t.x.equals(t.g)
+    assert t.x.pipe(lambda c: c.sum()).execute() == 6
+    # as_scalar: reduction → broadcast scalar in a projection
+    out = t.mutate(frac=(t.x / t.x.sum().as_scalar())).execute()
+    assert abs(sum(out["frac"])) == pytest.approx(1.0)
+
+
+def test_column_nth(con):
+    t = con.memtable({"i": [1, 2, 3], "x": [10, 20, 30]})
+    w = ib.window(order_by=t.i)
+    out = t.mutate(second=t.x.nth(1).over(w)).order_by(t.i).execute()
+    assert out["second"].tolist()[-1] == 20
+
+
+def test_table_conveniences(con):
+    t = con.memtable({"x": list(range(50))})
+    assert t.pipe(lambda s: s.filter(s.x > 47)).count() == 2
+    assert t.pipe((lambda n, data: data.limit(n), "data"), 3).count() == 3
+    assert t.equals(t)
+    assert not t.equals(t.limit(3))
+    assert len(t.preview(7)) == 7
+    assert type(t.get_backend()).__name__ == "Backend"
+    batches = list(t.to_pandas_batches(chunk_size=20))
+    assert sum(len(b) for b in batches) == 50
+    assert t.dropna().count() == 50
+    c = t.cache()
+    assert c.release() is c
+
+
+def test_map_constructor_export(con):
+    t = con.memtable({"one": [1]})
+    m = ib.map(["a", "b"], [1, 2])
+    out = t.select(v=m.get("b", 0)).execute()
+    assert out["v"].tolist() == [2]
