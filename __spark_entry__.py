@@ -996,6 +996,108 @@ def _json_extract(spark, sf_dir):
     ).to_spark()
 
 
+def _array_named_reductions(spark, sf_dir):
+    """ibis-native array reduction spellings (ArrayValue.sums/means/mins/
+    maxs/anys/alls, reference expr/types/arrays.py:1112-1342) — per-row JVM
+    lambda reductions, no shuffle, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    lens = d.text.split(" ").map(lambda w: w.length())
+    return d.select(
+        "doc_id",
+        tok_sum=lens.sums().cast("int64"),
+        tok_mean=lens.means(),
+        tok_min=lens.mins().cast("int64"),
+        tok_max=lens.maxs().cast("int64"),
+        any_long=lens.map(lambda n: n > 8).anys(),
+        all_short=lens.map(lambda n: n < 20).alls(),
+    ).to_spark()
+
+
+def _bool_cum_windows(spark, sf_dir):
+    """BooleanColumn.cumany/cumall (logical.py:460,:506): running OR/AND
+    per order — window max/min over rows unbounded-preceding, partitioned
+    on the group key (shuffles once on l_orderkey, scales)."""
+    e = _t(spark, sf_dir, "events")
+    w = ib.window(group_by=e.user_id, order_by=e.ts)
+    return e.select(
+        "event_id",
+        big_seen=(e.value > 40).cumany().over(w),
+        all_small=(e.value < 40).cumall().over(w),
+    ).to_spark()
+
+
+def _bool_agg_not(spark, sf_dir):
+    """BooleanColumn.notany/notall (logical.py:346,:421) incl. where=."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.aggregate(
+        no_huge=(li.l_quantity > 200).notany(),
+        not_all_small=(li.l_quantity < 10).notall(),
+        no_cheap_returns=(li.l_extendedprice < 1000).notany(
+            where=li.l_returnflag == "R"
+        ),
+    ).to_spark()
+
+
+def _interval_unit_views(spark, sf_dir):
+    """IntervalValue unit views (expr/types/temporal.py:1281-1333):
+    timestamp subtraction yields a Spark day-time interval; the accessors
+    are interval-type casts (pure expressions, codegen-friendly)."""
+    e = _t(spark, sf_dir, "events")
+    t2 = e.mutate(delta=e.ts - ib.timestamp("2024-01-01 00:00:00"))
+    return t2.select(
+        "event_id",
+        d_day=t2.delta.days,
+        d_hour=t2.delta.hours,
+        d_min=t2.delta.minutes,
+        d_sec=t2.delta.seconds,
+        d_ms=t2.delta.milliseconds,
+    ).to_spark()
+
+
+def _parse_roundtrip(spark, sf_dir):
+    """String→temporal parse spellings (StringValue.as_date/as_time/
+    as_timestamp, strings.py:1285-1343) + iso_year/epoch_days extraction."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.o_orderdate.strftime("%Y-%m-%d %H:%M:%S")
+    return o.select(
+        "o_orderkey",
+        back_ts=s.as_timestamp("%Y-%m-%d %H:%M:%S"),
+        back_d=s.as_date("%Y-%m-%d %H:%M:%S"),
+        back_t=s.as_time("%Y-%m-%d %H:%M:%S"),
+        iy=o.o_orderdate.iso_year().cast("int64"),
+        ed=o.o_orderdate.epoch_days(),
+    ).to_spark()
+
+
+def _histogram_bins(spark, sf_dir):
+    """NumericColumn.histogram (numeric.py): data-derived fixed-width bins.
+    min/max computed as ONE 1-row aggregate broadcast-cross-joined (never a
+    global unordered window) — the same plan shape at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    binned = li.mutate(hb=li.l_quantity.histogram(nbins=10))
+    return (
+        binned.group_by("hb")
+        .aggregate(n=binned.l_orderkey.count())
+        .order_by("hb")
+        .to_spark()
+    )
+
+
+def _json_typed_accessors(spark, sf_dir):
+    """JSONValue typed accessor properties (.int/.float/.str/.bool and
+    .map, expr/types/json.py:255-408) — JVM-side regex+cast unwrap."""
+    e = _t(spark, sf_dir, "events")
+    k = e.props.json_get("k")
+    return e.select(
+        "event_id",
+        k_int=k.int,
+        k_float=k.float,
+        k_str=k.str,
+        k_bool=k.bool,
+        k_via_map=e.props.map.get("k", "?"),
+    ).to_spark()
+
+
 def _pivot_wider(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1490,6 +1592,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # describe/info oracles, then the already-driver-green set, and last the
     # rows-only-by-design entries (no slot wasted on unverifiable hashes).
     return {
+        # round-5 API-parity additions (never driver-sampled → front)
+        "array_named_reductions": _array_named_reductions,
+        "bool_cum_windows": _bool_cum_windows,
+        "bool_agg_not": _bool_agg_not,
+        "interval_unit_views": _interval_unit_views,
+        "parse_roundtrip": _parse_roundtrip,
+        "histogram_bins": _histogram_bins,
+        "json_typed_accessors": _json_typed_accessors,
         "describe_table": _describe_table,
         "info_table": _info_table,
         "q8_market_share": _q8_market_share,
@@ -1613,6 +1723,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "array_named_reductions": """
+            SELECT doc_id,
+                   CAST(list_sum(ll) AS BIGINT) AS tok_sum,
+                   list_avg(ll) AS tok_mean,
+                   CAST(list_min(ll) AS BIGINT) AS tok_min,
+                   CAST(list_max(ll) AS BIGINT) AS tok_max,
+                   list_bool_or(list_transform(ll, n -> n > 8)) AS any_long,
+                   list_bool_and(list_transform(ll, n -> n < 20)) AS all_short
+            FROM (SELECT doc_id,
+                         list_transform(string_split(text, ' '),
+                                        w -> length(w)) AS ll
+                  FROM documents)
+        """,
+        "bool_cum_windows": """
+            SELECT event_id,
+                   bool_or(value > 40) OVER w AS big_seen,
+                   bool_and(value < 40) OVER w AS all_small
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "bool_agg_not": """
+            SELECT NOT bool_or(l_quantity > 200) AS no_huge,
+                   NOT bool_and(l_quantity < 10) AS not_all_small,
+                   NOT bool_or(CASE WHEN l_returnflag = 'R'
+                                    THEN l_extendedprice < 1000 END)
+                       AS no_cheap_returns
+            FROM lineitem
+        """,
+        "interval_unit_views": """
+            SELECT event_id,
+                   CAST(floor(sec / 86400) AS BIGINT) AS d_day,
+                   CAST(floor(sec / 3600) AS BIGINT) AS d_hour,
+                   CAST(floor(sec / 60) AS BIGINT) AS d_min,
+                   CAST(floor(sec) AS BIGINT) AS d_sec,
+                   CAST(floor(sec * 1000) AS BIGINT) AS d_ms
+            FROM (SELECT event_id,
+                         extract(epoch FROM (ts - TIMESTAMP '2024-01-01'))
+                             AS sec
+                  FROM events)
+        """,
+        "parse_roundtrip": """
+            SELECT o_orderkey,
+                   strptime(s, '%Y-%m-%d %H:%M:%S') AS back_ts,
+                   CAST(strptime(s, '%Y-%m-%d %H:%M:%S') AS DATE) AS back_d,
+                   strftime(strptime(s, '%Y-%m-%d %H:%M:%S'), '%H:%M:%S')
+                       AS back_t,
+                   CAST(isoyear(o_orderdate) AS BIGINT) AS iy,
+                   CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS ed
+            FROM (SELECT o_orderkey, o_orderdate,
+                         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s
+                  FROM orders)
+        """,
+        "histogram_bins": """
+            WITH stats AS (
+                SELECT MIN(CAST(l_quantity AS DOUBLE)) - 1e-13 AS mn,
+                       MAX(CAST(l_quantity AS DOUBLE)) AS mx
+                FROM lineitem)
+            SELECT CAST(LEAST(GREATEST(
+                       FLOOR((CAST(l_quantity AS DOUBLE) - mn)
+                             / ((mx - mn) / 10)), -1), 9) AS BIGINT) AS hb,
+                   COUNT(*) AS n
+            FROM lineitem, stats
+            GROUP BY 1 ORDER BY 1
+        """,
+        "json_typed_accessors": """
+            SELECT event_id,
+                   CAST(k AS BIGINT) AS k_int,
+                   CAST(k AS DOUBLE) AS k_float,
+                   CAST(NULL AS VARCHAR) AS k_str,
+                   CAST(NULL AS BOOLEAN) AS k_bool,
+                   k AS k_via_map
+            FROM (SELECT event_id,
+                         json_extract_string(props, '$.k') AS k
+                  FROM events)
+        """,
         "q1": _Q1_SQL,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate,

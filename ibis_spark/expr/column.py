@@ -458,8 +458,10 @@ def _propagate_source():
         "type",
     }
 
-    def bless(out, self, args):
-        if isinstance(out, Column) and out._source_df is None:
+    def bless(out, self, args, dunder=False):
+        if not isinstance(out, Column):
+            return out
+        if out._source_df is None:
             src = getattr(self, "_source_df", None)
             if src is None:
                 for a in args:
@@ -468,12 +470,20 @@ def _propagate_source():
                         break
             if src is not None:
                 object.__setattr__(out, "_source_df", src)
+        # shape algebra (reference Value shape, operations/core.py): a
+        # dunder combination of ONLY scalar-shaped reductions stays
+        # scalar-shaped (100 * t.x.sum() / t.y.sum() must not auto-lift to
+        # a scalar subquery mid-aggregate). Windowed results are columnar.
+        if dunder and not out._is_reduction and not out._needs_window:
+            cols = [c for c in (self, *args) if isinstance(c, Column)]
+            if cols and all(c._is_reduction for c in cols):
+                object.__setattr__(out, "_is_reduction", True)
         return out
 
-    def make(fn):
+    def make(fn, dunder=False):
         @functools.wraps(fn)
         def inner(self, *a, **k):
-            return bless(fn(self, *a, **k), self, a)
+            return bless(fn(self, *a, **k), self, a, dunder)
 
         return inner
 
@@ -516,7 +526,7 @@ def _propagate_source():
                 # (e.g. TemporalOps.bucket shadows ReductionOps.bucket) —
                 # setting it on Column would steal the resolution
                 continue
-            setattr(Column, nm, make(fn))
+            setattr(Column, nm, make(fn, dunder=nm.startswith("__")))
             done.add(nm)
 
 

@@ -256,6 +256,21 @@ def test_table_conveniences(con):
     assert c.release() is c
 
 
+def test_reduction_shape_algebra(con):
+    """A dunder combination of only reductions stays scalar-shaped: the
+    q14 pattern 100 * sum(a) / sum(b) must aggregate directly, not
+    auto-lift either side to a scalar subquery mid-aggregate."""
+    t = con.memtable({"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0]})
+    out = t.aggregate(pct=(100 * t.a.sum() / t.b.sum())).execute()
+    assert out["pct"].tolist() == [50.0]
+    # mixed shape still lifts: column compared to a bare reduction
+    assert t.filter(t.a > t.a.mean()).count() == 1
+    # windowed aggregates stay columnar even though built from reductions
+    w = ib.window(order_by=t.a)
+    out2 = t.mutate(cs=t.a.sum().over(w)).order_by(t.a).execute()
+    assert out2["cs"].tolist() == [1.0, 3.0, 6.0]
+
+
 def test_map_constructor_export(con):
     t = con.memtable({"one": [1]})
     m = ib.map(["a", "b"], [1, 2])
