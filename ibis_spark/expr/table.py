@@ -433,10 +433,27 @@ class Table:
         df = df.filter(pred.build()).drop(*phs)
         return Table(df)
 
-    def to_scalar(self, expr) -> ScalarValue:
+    def to_scalar(self, expr=None) -> ScalarValue:
         """Turn an aggregate expression over this table into a scalar
         subquery value usable in another expression
-        (reference ScalarSubquery subqueries.py:36 / Value.as_scalar)."""
+        (reference ScalarSubquery subqueries.py:36 / Value.as_scalar).
+
+        With no argument this is the reference's ``Table.as_scalar()``: the
+        table must have exactly one column, and single-row-ness is asserted
+        at execution (raise_error otherwise)."""
+        if expr is None:
+            if len(self.columns) != 1:
+                raise ValueError(
+                    "as_scalar() on a table requires exactly one column; "
+                    "pass an aggregate expression otherwise"
+                )
+            sc = self._df[self.columns[0]]
+            agg = F.when(F.count(F.lit(1)) <= 1, F.first(sc)).otherwise(
+                F.raise_error(
+                    F.lit("as_scalar: relation has more than one row")
+                )
+            )
+            return ScalarValue(self._df, agg)
         sc, _ = self._resolve(expr)
         return ScalarValue(self._df, sc)
 
@@ -777,6 +794,25 @@ class Table:
         """Attach a 0-based global row index, scale-safely (zip-by-index:
         per-partition numbering + broadcast offsets; no global sort window)."""
         return Table(_with_pos(self._df, name))
+
+    def rowid(self):
+        """Table.rowid (reference relations.py:1348): a unique integer per
+        row. Spark storage has no rowid; this is the distributed
+        zip-by-index numbering (per-partition counts + broadcast offsets),
+        which satisfies the uniqueness contract at any scale."""
+        t = self.with_row_number("rowid")
+        return t["rowid"]
+
+    def to_array(self):
+        """Deprecated reference spelling (relations.py:2330): a 1-column
+        table viewed as a scalar subquery — use as_scalar."""
+        return self.as_scalar()
+
+    def __dataframe__(self, nan_as_null: bool = False, allow_copy: bool = True):
+        """DataFrame interchange protocol (reference
+        expr/types/dataframe_interchange.py): delegate to pyarrow's
+        implementation over the executed table."""
+        return self.to_pyarrow().__dataframe__(nan_as_null, allow_copy)
 
     def asof_join(
         self,

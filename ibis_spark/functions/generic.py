@@ -51,6 +51,10 @@ class GenericOps:
     def nullif(self, value):
         return wrap(F.nullif(self.spark(), unwrap(value)))
 
+    def fillna(self, value):
+        """Deprecated reference spelling of fill_null (generic.py)."""
+        return self.fill_null(value)
+
     def fill_null(self, value):
         return wrap(F.coalesce(self.spark(), unwrap(value)))
 

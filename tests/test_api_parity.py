@@ -271,6 +271,24 @@ def test_reduction_shape_algebra(con):
     assert out2["cs"].tolist() == [1.0, 3.0, 6.0]
 
 
+def test_rowid_to_array_interchange(con):
+    t = con.memtable({"x": [10.0, 20.0, 30.0], "g": ["a", "b", "a"]})
+    assert sorted(t.rowid().to_list()) == [0, 1, 2]
+    # as_scalar() no-arg (reference Table.as_scalar: 1-col table as scalar)
+    mx = t.aggregate(m=t.x.max()).as_scalar()
+    assert t.filter(t.x == mx).execute()["x"].tolist() == [30.0]
+    with pytest.raises(ValueError):
+        t.as_scalar()  # two columns
+    # to_array (deprecated spelling) usable inside a projection
+    sel = t.select("g").distinct().filter(ib._.g == "a").to_array()
+    assert t.mutate(ga=sel).execute()["ga"].tolist() == ["a"] * 3
+    # __dataframe__ interchange protocol
+    assert list(t.__dataframe__().column_names()) == ["x", "g"]
+    # column-level deprecated fillna spelling (NULL, not NaN, semantics)
+    t2 = con.memtable({"y": [1, None, 3]})
+    assert t2.select(z=t2.y.fillna(0)).execute()["z"].tolist() == [1, 0, 3]
+
+
 def test_map_constructor_export(con):
     t = con.memtable({"one": [1]})
     m = ib.map(["a", "b"], [1, 2])
