@@ -22,6 +22,7 @@ from ibis_spark.schema import Schema, schema  # noqa: F401
 from ibis_spark.expr import (  # noqa: F401
     Column,
     Deferred,
+    Expr,
     GroupedTable,
     Table,
     Window,
@@ -30,13 +31,19 @@ from ibis_spark.expr import (  # noqa: F401
     cumulative_window,
     desc,
     exists,
+    following,
     literal,
     null,
     param,
+    preceding,
+    range_window,
     resolve,
+    rows_window,
+    trailing_range_window,
     trailing_window,
     window,
 )
+from ibis_spark import selectors  # noqa: F401
 from ibis_spark.functions import (  # noqa: F401
     array,
     case,
@@ -72,7 +79,184 @@ from ibis_spark.functions import (  # noqa: F401
 # builtin only inside this namespace, exactly as the reference does)
 map = map_  # noqa: A001
 
+# reference api.py:154 — `ibis.deferred` is the `_` placeholder itself
+deferred = _
+
+# reference type aliases: our scalar and columnar values share one class
+Value = Column
+Scalar = Column
+from ibis_spark.datatypes import DataType  # noqa: E402,F401
+
 __version__ = "0.3.0"
+
+
+# -- module-level expression API (reference ibis/expr/api.py) ----------------
+
+def and_(*predicates):
+    """ibis.and_ (api.py:729): AND-fold; True when empty."""
+    import functools
+    import operator
+
+    if not predicates:
+        return literal(True)
+    return functools.reduce(operator.and_, predicates)
+
+
+def or_(*predicates):
+    """ibis.or_ (api.py:749): OR-fold; False when empty."""
+    import functools
+    import operator
+
+    if not predicates:
+        return literal(False)
+    return functools.reduce(operator.or_, predicates)
+
+
+def join(left: Table, right: Table, predicates=(), how: str = "inner", **kwargs) -> Table:
+    """ibis.join (api.py): free-function spelling of Table.join."""
+    return left.join(right, predicates, how=how, **kwargs)
+
+
+def cross_join(left: Table, right: Table, *rest: Table) -> Table:
+    out = left.cross_join(right)
+    for t in rest:
+        out = out.cross_join(t)
+    return out
+
+
+def union(table: Table, *rest: Table, distinct: bool = False) -> Table:
+    """ibis.union (api.py:2058)."""
+    return table.union(*rest, distinct=distinct) if rest else table
+
+
+def intersect(table: Table, *rest: Table, distinct: bool = True) -> Table:
+    return table.intersect(*rest, distinct=distinct) if rest else table
+
+
+def difference(table: Table, *rest: Table, distinct: bool = True) -> Table:
+    return table.difference(*rest, distinct=distinct) if rest else table
+
+
+def aggregate(table: Table, metrics=(), by=(), having=(), **kwargs) -> Table:
+    """ibis.aggregate: free-function spelling of Table.aggregate."""
+    if by:
+        g = table.group_by(*([by] if not isinstance(by, (list, tuple)) else by))
+        if having:
+            g = g.having(*([having] if not isinstance(having, (list, tuple)) else having))
+        return g.aggregate(*([metrics] if not isinstance(metrics, (list, tuple)) else metrics), **kwargs)
+    return table.aggregate(*([metrics] if not isinstance(metrics, (list, tuple)) else metrics), **kwargs)
+
+
+def range(start, stop=None, step=1):  # noqa: A001
+    """ibis.range (api.py:2328): integer or timestamp range (half-open).
+    The reference dispatches on argument type; a non-integer ``step``
+    (timedelta or interval expression) selects the timestamp range."""
+    import datetime as _dt
+
+    if isinstance(step, _dt.timedelta) or isinstance(step, Column):
+        s = timestamp(start) if isinstance(start, str) else start
+        e = timestamp(stop) if isinstance(stop, str) else stop
+        if isinstance(step, _dt.timedelta):
+            step = interval(seconds=int(step.total_seconds()))
+        return timestamp_range(s, e, step)
+    return integer_range(start, stop, step)
+
+
+def watermark(time_col: str, allowed_delay):
+    """ibis.watermark (api.py:2308): event-time watermark spec for
+    streaming sources. ``allowed_delay`` accepts a Spark delay string
+    ("10 minutes"), a timedelta, or an ``ibis.interval(...)`` literal."""
+    import datetime as _dt
+
+    if isinstance(allowed_delay, _dt.timedelta):
+        delay = f"{int(allowed_delay.total_seconds())} seconds"
+    elif isinstance(allowed_delay, str):
+        delay = allowed_delay
+    else:
+        delay = getattr(allowed_delay, "_lit", None)
+        if not isinstance(delay, str):
+            raise TypeError(
+                "allowed_delay must be a delay string, timedelta, or an "
+                "ibis.interval(...) literal"
+            )
+    return (time_col, delay)
+
+
+_default_backend = None
+
+
+def set_backend(backend) -> None:
+    """ibis.set_backend: set the process-wide default backend."""
+    global _default_backend
+    if isinstance(backend, str):
+        raise ValueError(
+            "this engine has exactly one backend; pass a Backend instance "
+            "(ibis_spark.connect(...))"
+        )
+    _default_backend = backend
+
+
+def get_backend(expr=None):
+    """ibis.get_backend: the expression's backend, or the default one
+    (creating a local session-backed Backend on first use)."""
+    global _default_backend
+    if expr is not None:
+        return expr.get_backend()
+    if _default_backend is None:
+        _default_backend = connect()
+    return _default_backend
+
+
+def infer_dtype(value):
+    """ibis.infer_dtype (reference dt.infer, expr/datatypes/value.py:33):
+    dtype of a python VALUE — smallest fitting integer type, matching the
+    reference's rule."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(value, bool):
+        return dtype("boolean")
+    if isinstance(value, int):
+        for name, lo, hi in (
+            ("int8", -(2**7), 2**7 - 1),
+            ("int16", -(2**15), 2**15 - 1),
+            ("int32", -(2**31), 2**31 - 1),
+        ):
+            if lo <= value <= hi:
+                return dtype(name)
+        return dtype("int64")
+    if isinstance(value, float):
+        return dtype("float64")
+    if isinstance(value, str):
+        return dtype("string")
+    if isinstance(value, bytes):
+        return dtype("binary")
+    if isinstance(value, _dt.datetime):
+        return dtype("timestamp")
+    if isinstance(value, _dt.date):
+        return dtype("date")
+    if isinstance(value, _dt.time):
+        return dtype("time")
+    if isinstance(value, _dt.timedelta):
+        return dtype("interval")
+    if isinstance(value, _decimal.Decimal):
+        return dtype("decimal")
+    if isinstance(value, (list, tuple, set, frozenset)):
+        items = list(value)
+        inner = infer_dtype(items[0]) if items else dtype("null")
+        return datatypes.Array(inner)
+    if isinstance(value, dict):
+        return datatypes.Struct(
+            {k: infer_dtype(v) for k, v in value.items()}
+        )
+    if value is None:
+        return dtype("null")
+    raise TypeError(f"cannot infer a dtype for {value!r}")
+
+
+def infer_schema(obj):
+    """ibis.infer_schema: schema of a mapping / pandas / pyarrow object."""
+    return schema(obj)
 
 
 class Backend:
@@ -394,3 +578,7 @@ def _as_spark_schema(s):
     if isinstance(s, dict):
         return schema(s).to_spark()
     raise TypeError(f"cannot interpret {s!r} as a schema")
+
+
+# reference-compatible aliases (ibis/__init__.py exports)
+BaseBackend = Backend

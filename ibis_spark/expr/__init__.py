@@ -11,10 +11,20 @@ optimizer, exactly as SURVEY.md §4 prescribes.
 """
 
 from ibis_spark.expr.column import Column, Param, literal, null, param
-from ibis_spark.expr.core import ExistsSubquery, ScalarValue, SortKey, exists
+from ibis_spark.expr.core import Expr, ExistsSubquery, ScalarValue, SortKey, exists
 from ibis_spark.expr.deferred import Deferred, _, resolve
 from ibis_spark.expr.table import GroupedTable, Table, desc, asc
-from ibis_spark.expr.window import Window, cumulative_window, trailing_window, window
+from ibis_spark.expr.window import (
+    Window,
+    cumulative_window,
+    following,
+    preceding,
+    range_window,
+    rows_window,
+    trailing_range_window,
+    trailing_window,
+    window,
+)
 
 __all__ = [
     "Column",
@@ -30,10 +40,16 @@ __all__ = [
     "cumulative_window",
     "desc",
     "exists",
+    "Expr",
+    "following",
     "literal",
     "null",
     "param",
+    "preceding",
+    "range_window",
     "resolve",
+    "rows_window",
+    "trailing_range_window",
     "trailing_window",
     "window",
 ]

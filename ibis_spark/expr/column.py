@@ -16,7 +16,7 @@ from typing import Any, Optional
 import pyspark.sql.functions as F
 from pyspark.sql import Column as SparkColumn
 
-from ibis_spark.expr.core import unwrap
+from ibis_spark.expr.core import Expr, unwrap
 from ibis_spark.functions.analytic import AnalyticOps
 from ibis_spark.functions.collections import ArrayOps, JsonOps, MapOps, StructOps
 from ibis_spark.functions.generic import GenericOps
@@ -37,6 +37,7 @@ class Column(
     MapOps,
     StructOps,
     JsonOps,
+    Expr,
 ):
     """A typed, named, lazy column expression."""
 
@@ -81,6 +82,11 @@ class Column(
             # apply directly (Spark will raise a clear analysis error if a
             # window spec was genuinely required)
             return self._post(self._sc)
+        return self._sc
+
+    def op(self):
+        """Expr.op (reference core.py): the underlying node. Our IR is
+        Spark's expression tree, so this is the pyspark Column."""
         return self._sc
 
     def get_name(self) -> Optional[str]:

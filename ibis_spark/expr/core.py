@@ -14,6 +14,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column as SparkColumn
 
 
+class Expr:
+    """Common marker base for Table and Column (reference
+    ibis/expr/types/core.py Expr), so ``isinstance(x, ibis.Expr)`` works
+    the way reference code expects."""
+
+    __slots__ = ()
+
+
 def wrap(sc: SparkColumn, post=None, **meta):
     """Wrap a pyspark Column into our Column.
 

@@ -31,6 +31,7 @@ from ibis_spark.expr.core import (
     ScalarValue,
     unwrap,
 )
+from ibis_spark.expr.core import Expr as CoreExpr
 from ibis_spark.expr.deferred import Deferred
 from ibis_spark.expr.window import Window
 
@@ -60,7 +61,7 @@ def desc(key, nulls_first: bool = False):
     )
 
 
-class Table:
+class Table(CoreExpr):
     """A lazy relation; wraps a pyspark DataFrame
     (reference Table: expr/types/relations.py)."""
 
@@ -75,6 +76,11 @@ class Table:
         return self._df
 
     def to_spark(self) -> DataFrame:
+        return self._df
+
+    def op(self):
+        """Expr.op (reference core.py): the underlying node. Our IR is
+        Spark's logical plan, so this is the pyspark DataFrame."""
         return self._df
 
     @property

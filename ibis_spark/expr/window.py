@@ -141,6 +141,51 @@ def trailing_window(preceding, group_by=(), order_by=()):
     return Window(_tuplize(group_by), _tuplize(order_by), "rows", -int(preceding), 0)
 
 
+def preceding(value):
+    """ibis.preceding (expr/api.py:721): a frame boundary `value` rows (or
+    a timedelta, for range frames) BEFORE the current row. Our boundary
+    convention is signed offsets, so this is negation."""
+    return None if value is None else -value
+
+
+def following(value):
+    """ibis.following (expr/api.py:725)."""
+    return value
+
+
+def _legacy_frame(w, preceding_v, following_v, how):
+    start = None if preceding_v is None else -_abs_bound(preceding_v)
+    end = 0 if following_v is None else _abs_bound(following_v)
+    return (w.rows if how == "rows" else w.range)(start, end)
+
+
+def _abs_bound(v):
+    # accept plain magnitudes AND already-signed ibis.preceding() values
+    if isinstance(v, datetime.timedelta):
+        return abs(v)
+    return abs(int(v)) if not isinstance(v, float) else abs(v)
+
+
+def rows_window(preceding=None, following=None, group_by=(), order_by=()):
+    """ibis.rows_window (expr/api.py:1902): ROWS frame from magnitudes."""
+    return _legacy_frame(
+        Window(_tuplize(group_by), _tuplize(order_by)), preceding, following, "rows"
+    )
+
+
+def range_window(preceding=None, following=None, group_by=(), order_by=()):
+    """ibis.range_window (expr/api.py:1935): RANGE frame over the order
+    key's values (int or timedelta magnitudes)."""
+    return _legacy_frame(
+        Window(_tuplize(group_by), _tuplize(order_by)), preceding, following, "range"
+    )
+
+
+def trailing_range_window(preceding, group_by=(), order_by=()):
+    """ibis.trailing_range_window (expr/api.py): RANGE [-preceding, 0]."""
+    return range_window(preceding, 0, group_by, order_by)
+
+
 def cumulative_window(group_by=(), order_by=()):
     """Unbounded-preceding → current row (expr/api.py cumulative_window)."""
     return Window(_tuplize(group_by), _tuplize(order_by), "rows", None, 0)

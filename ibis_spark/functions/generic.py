@@ -135,6 +135,8 @@ class GenericOps:
     def type_of(self):
         return wrap(F.typeof(self.spark()))
 
+    typeof = type_of  # reference spelling (generic.py TypeOf)
+
     def hash(self):
         """64-bit integer hash (Hash generic.py:238)."""
         return wrap(F.xxhash64(self.spark()))

@@ -458,7 +458,9 @@ def interval(value=None, unit="s", **kwargs):
         raise ValueError(f"unsupported interval unit {unit!r}")
     if not isinstance(value, int):
         raise TypeError("interval value must be a Python int literal")
-    return wrap(F.expr(f"INTERVAL '{value}' {part}"))
+    # record the spec string in _lit so ibis.watermark() can recover the
+    # Spark delay string from an interval literal
+    return wrap(F.expr(f"INTERVAL '{value}' {part}"), lit=f"{value} {part.lower()}")
 
 
 def integer_range(start, stop=None, step=1):

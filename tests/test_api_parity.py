@@ -294,3 +294,66 @@ def test_map_constructor_export(con):
     m = ib.map(["a", "b"], [1, 2])
     out = t.select(v=m.get("b", 0)).execute()
     assert out["v"].tolist() == [2]
+
+
+def test_module_level_api(con):
+    import datetime
+
+    t = con.memtable({"x": [1, 2, 3, 4], "g": ["a", "b", "a", "b"]})
+    u = con.memtable({"x": [5], "g": ["c"]})
+    assert isinstance(t, ib.Expr) and isinstance(t.x, ib.Expr)
+    assert not isinstance(3, ib.Expr)
+    assert t.filter(ib.and_(t.x > 1, t.g == "a")).count() == 1
+    assert t.filter(ib.or_(t.x > 3, t.g == "a")).count() == 3
+    assert ib.union(t, u).count() == 5
+    assert ib.intersect(t, t).count() == 4
+    assert ib.difference(t, u).count() == 4
+    assert ib.cross_join(t, u).count() == 4
+    agg = ib.aggregate(t, by="g", total=ib._.x.sum()).order_by("g").execute()
+    assert agg["total"].tolist() == [4, 6]
+    assert t.filter(ib.deferred.x > 2).count() == 2
+    assert ib.watermark("ts", datetime.timedelta(minutes=5)) == ("ts", "300 seconds")
+    assert ib.watermark("ts", "10 minutes") == ("ts", "10 minutes")
+    assert ib.preceding(5) == -5 and ib.following(3) == 3
+    assert ib.BaseBackend is ib.Backend
+    assert hasattr(ib.selectors, "across")
+
+
+def test_module_level_windows(con):
+    t = con.memtable({"x": [1, 2, 3, 4]})
+    rw = ib.rows_window(preceding=1, following=0, order_by=t.x)
+    out = t.mutate(s=t.x.sum().over(rw)).order_by(t.x).execute()
+    assert out["s"].tolist() == [1, 3, 5, 7]
+    gw = ib.range_window(preceding=1, following=1, order_by=t.x)
+    out2 = t.mutate(s=t.x.sum().over(gw)).order_by(t.x).execute()
+    assert out2["s"].tolist() == [3, 6, 9, 7]
+    tw = ib.trailing_range_window(1, order_by=t.x)
+    out3 = t.mutate(s=t.x.sum().over(tw)).order_by(t.x).execute()
+    assert out3["s"].tolist() == [1, 3, 5, 7]
+
+
+def test_ranges_and_inference(con):
+    import datetime
+
+    t = con.memtable({"one": [1]})
+    r = t.select(
+        n=ib.range(3),
+        ts=ib.range(
+            "2024-01-01", "2024-01-03", datetime.timedelta(days=1)
+        ).array_length(),
+    ).execute().iloc[0]
+    assert list(r["n"]) == [0, 1, 2] and r["ts"] == 2
+    assert str(ib.infer_dtype(3)) == "int8"
+    assert str(ib.infer_dtype(300)) == "int16"
+    assert str(ib.infer_dtype(2**40)) == "int64"
+    assert str(ib.infer_dtype([1, 2])) == "array<int8>"
+    assert "a: int64" in str(ib.infer_schema({"a": "int64"}))
+
+
+def test_default_backend(con):
+    ib.set_backend(con)
+    assert ib.get_backend() is con
+    t = con.memtable({"one": [1]})
+    assert type(ib.get_backend(t)).__name__ == "Backend"
+    with pytest.raises(ValueError):
+        ib.set_backend("duckdb")
