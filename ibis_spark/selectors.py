@@ -17,10 +17,18 @@ from pyspark.sql import types as st
 __all__ = [
     "Selector",
     "across",
+    "all",
+    "all_of",
+    "any_of",
     "cols",
     "contains",
     "endswith",
+    "first",
+    "if_all",
+    "if_any",
+    "last",
     "matches",
+    "none",
     "numeric",
     "of_type",
     "startswith",
@@ -32,24 +40,48 @@ __all__ = [
 
 
 class Selector:
-    """A schema predicate; expands to matching column names."""
+    """Expands to a list of column names against a table's schema.
 
-    __slots__ = ("_pred",)
+    Constructed from a per-field predicate (the common case) or a custom
+    expansion (positional selectors like first()/last()). Compositions
+    (``& | ~``) operate on the expanded name sets, preserving table
+    column order."""
 
-    def __init__(self, pred: Callable):
-        self._pred = pred
+    __slots__ = ("_expand",)
+
+    def __init__(self, pred: Callable = None, *, expand: Callable = None):
+        if expand is None:
+            if pred is None:
+                raise TypeError("Selector needs a predicate or an expansion")
+
+            def expand(table, pred=pred):
+                return [f.name for f in table.df.schema.fields if pred(f)]
+
+        self._expand = expand
 
     def expand(self, table) -> list[str]:
-        return [f.name for f in table.df.schema.fields if self._pred(f)]
+        return self._expand(table)
 
     def __and__(self, other: "Selector") -> "Selector":
-        return Selector(lambda f: self._pred(f) and other._pred(f))
+        def both(table):
+            keep = set(self.expand(table)) & set(other.expand(table))
+            return [n for n in table.columns if n in keep]
+
+        return Selector(expand=both)
 
     def __or__(self, other: "Selector") -> "Selector":
-        return Selector(lambda f: self._pred(f) or other._pred(f))
+        def either(table):
+            keep = set(self.expand(table)) | set(other.expand(table))
+            return [n for n in table.columns if n in keep]
+
+        return Selector(expand=either)
 
     def __invert__(self) -> "Selector":
-        return Selector(lambda f: not self._pred(f))
+        return Selector(
+            expand=lambda table: [
+                n for n in table.columns if n not in set(self.expand(table))
+            ]
+        )
 
 
 def where(pred: Callable) -> Selector:
@@ -110,6 +142,90 @@ def matches(pattern: str) -> Selector:
 def cols(*names: str) -> Selector:
     s = set(names)
     return Selector(lambda f: f.name in s)
+
+
+def all() -> Selector:  # noqa: A001
+    """Every column (reference selectors.py all)."""
+    return Selector(lambda f: True)
+
+
+def none() -> Selector:
+    """No columns (reference selectors.py none)."""
+    return Selector(lambda f: False)
+
+
+def first() -> Selector:
+    """The first column (reference selectors.py:732)."""
+    return Selector(expand=lambda table: table.columns[:1])
+
+
+def last() -> Selector:
+    """The last column (reference selectors.py:756)."""
+    return Selector(expand=lambda table: table.columns[-1:])
+
+
+def _to_selector(obj) -> Selector:
+    if isinstance(obj, Selector):
+        return obj
+    if isinstance(obj, str):
+        return cols(obj)
+    raise TypeError(f"cannot interpret {obj!r} as a selector")
+
+
+def any_of(*predicates) -> Selector:
+    """Columns satisfying ANY predicate (reference selectors.py:362)."""
+    import functools
+
+    return functools.reduce(
+        lambda a, b: a | b, (_to_selector(p) for p in predicates)
+    )
+
+
+def all_of(*predicates) -> Selector:
+    """Columns satisfying ALL predicates (reference selectors.py:378)."""
+    import functools
+
+    return functools.reduce(
+        lambda a, b: a & b, (_to_selector(p) for p in predicates)
+    )
+
+
+def _apply_pred(pred, col):
+    from ibis_spark.expr.deferred import Deferred
+
+    if isinstance(pred, Deferred):
+        return pred.resolve(col)
+    return pred(col)
+
+
+def if_any(selector: Selector, predicate) -> Callable:
+    """Disjunction of `predicate` over the selected columns (reference
+    selectors.py:546) — a table-callable usable directly in filter()."""
+    import functools
+    import operator
+
+    def build(table):
+        parts = [
+            _apply_pred(predicate, table[n]) for n in selector.expand(table)
+        ]
+        return functools.reduce(operator.or_, parts)
+
+    return build
+
+
+def if_all(selector: Selector, predicate) -> Callable:
+    """Conjunction of `predicate` over the selected columns (reference
+    selectors.py:595)."""
+    import functools
+    import operator
+
+    def build(table):
+        parts = [
+            _apply_pred(predicate, table[n]) for n in selector.expand(table)
+        ]
+        return functools.reduce(operator.and_, parts)
+
+    return build
 
 
 class Across:

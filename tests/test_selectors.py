@@ -71,3 +71,26 @@ def test_find_with_end(spark):
         d=t.x.find("llo", start=3, end=5),
     ).df.collect()[0]
     assert (got.a, got.b, got.c, got.d) == (2, 8, 2, -1)
+
+
+def test_positional_and_set_selectors(con):
+    import ibis_spark.selectors as s
+
+    t = con.memtable({"a": [1, -2], "b": [4.0, -5.0], "name": ["x", "y"]})
+    assert s.all().expand(t) == ["a", "b", "name"]
+    assert s.none().expand(t) == []
+    assert s.first().expand(t) == ["a"]
+    assert s.last().expand(t) == ["name"]
+    assert s.any_of("a", s.endswith("me")).expand(t) == ["a", "name"]
+    assert s.all_of(s.numeric(), s.cols("a", "name")).expand(t) == ["a"]
+    assert (s.first() | s.numeric()).expand(t) == ["a", "b"]
+    assert (~s.first()).expand(t) == ["b", "name"]
+
+
+def test_if_any_if_all(con):
+    import ibis_spark as ib
+    import ibis_spark.selectors as s
+
+    t = con.memtable({"a": [1, -2, 3], "b": [4.0, 5.0, -6.0], "g": list("xyz")})
+    assert t.filter(s.if_any(s.numeric(), lambda c: c < 0)).count() == 2
+    assert t.filter(s.if_all(s.numeric(), ib._ > 0)).count() == 1
