@@ -44,6 +44,7 @@ from ibis_spark.expr import (  # noqa: F401
     window,
 )
 from ibis_spark import selectors  # noqa: F401
+from ibis_spark.config import options  # noqa: F401
 from ibis_spark.functions import (  # noqa: F401
     array,
     case,
@@ -186,7 +187,8 @@ _default_backend = None
 
 
 def set_backend(backend) -> None:
-    """ibis.set_backend: set the process-wide default backend."""
+    """ibis.set_backend: set the process-wide default backend (also
+    visible as ``ibis.options.default_backend``, like the reference)."""
     global _default_backend
     if isinstance(backend, str):
         raise ValueError(
@@ -194,16 +196,21 @@ def set_backend(backend) -> None:
             "(ibis_spark.connect(...))"
         )
     _default_backend = backend
+    options.default_backend = backend
 
 
 def get_backend(expr=None):
     """ibis.get_backend: the expression's backend, or the default one
-    (creating a local session-backed Backend on first use)."""
+    (``options.default_backend``, creating a local session-backed Backend
+    on first use)."""
     global _default_backend
     if expr is not None:
         return expr.get_backend()
+    if options.default_backend is not None:
+        return options.default_backend
     if _default_backend is None:
         _default_backend = connect()
+        options.default_backend = _default_backend
     return _default_backend
 
 

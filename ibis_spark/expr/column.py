@@ -116,7 +116,16 @@ class Column(
     name = alias
 
     def __repr__(self):
-        return f"Column<{self._sc}>"
+        static = f"Column<{self._sc}>"
+        from ibis_spark.config import options
+
+        if not options.interactive or self._source_df is None:
+            return static
+        try:
+            n = options.repr.interactive.max_rows
+            return repr(self.preview(n))
+        except Exception:
+            return static
 
     # -- comparisons (logical.py:76-106); must live here to override object --
     __hash__ = object.__hash__

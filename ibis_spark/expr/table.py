@@ -100,7 +100,21 @@ class Table(CoreExpr):
 
     def __repr__(self):
         cols = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in self._df.schema.fields)
-        return f"Table[{cols}]"
+        static = f"Table[{cols}]"
+        from ibis_spark.config import options
+
+        if not options.interactive:
+            return static
+        # interactive repr (reference config.py Interactive): a BOUNDED
+        # fetch of max_rows+1 rows — never a full collect
+        try:
+            n = options.repr.interactive.max_rows
+            pdf = self._df.limit(n + 1).toPandas()
+            truncated = len(pdf) > n
+            body = pdf.head(n).to_string()
+            return f"{static}\n{body}" + ("\n…" if truncated else "")
+        except Exception:
+            return static
 
     def __getattr__(self, name: str):
         if name.startswith("_"):
@@ -1170,6 +1184,13 @@ class Table(CoreExpr):
     def sql(self, query: str, *, table_name: str = "t") -> "Table":
         self._df.createOrReplaceTempView(table_name)
         return Table(self._df.sparkSession.sql(query))
+
+    def alias(self, alias: str) -> "Table":
+        """Table.alias (reference relations.py:3957): expose this
+        expression to raw SQL under `alias` (temp view, same side-effect
+        semantics as the reference documents)."""
+        self._df.createOrReplaceTempView(alias)
+        return Table(self._df.sparkSession.table(alias))
 
     # -- caching / execution ----------------------------------------------------------------
     def cache(self) -> "Table":

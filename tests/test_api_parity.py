@@ -357,3 +357,22 @@ def test_default_backend(con):
     assert type(ib.get_backend(t)).__name__ == "Backend"
     with pytest.raises(ValueError):
         ib.set_backend("duckdb")
+
+
+def test_options_interactive_repr(con):
+    t = con.memtable({"x": list(range(15))})
+    assert repr(t) == "Table[x: bigint]"
+    ib.options.interactive = True
+    try:
+        r = repr(t)
+        assert "…" in r and "Table[x: bigint]" in r
+        assert "0" in repr(t.x)
+    finally:
+        ib.options.interactive = False
+    assert repr(t) == "Table[x: bigint]"
+
+
+def test_table_alias_sql(con):
+    t = con.memtable({"x": [1, 2, 3]})
+    n = t.alias("aliased_t").sql("SELECT COUNT(*) AS n FROM aliased_t")
+    assert n.execute()["n"].tolist() == [3]
