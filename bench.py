@@ -61,6 +61,9 @@ HEADLINE = [
     "interval_range_window",
     "text_stats",
     "udf_pandas",
+    "histogram_bins",
+    "array_named_reductions",
+    "bool_cum_windows",
 ]
 
 
