@@ -185,3 +185,76 @@ def test_ordered_reduction_directions_fuzz(con):
                 grp = sorted((r for r in rows if r[0] == g), key=sort_key)
                 want = [r[4] for r in grp]
                 assert got[g] == (want[0], want[-1], want), (a1, a2, g)
+
+
+def test_array_reduction_semantics(con):
+    """sums/means/mins/maxs/anys/alls vs Python ground truth on random
+    arrays incl. empties, all-null, and mixed-null shapes."""
+    rng = random.Random(7)
+    vals = []
+    for _ in range(150):
+        n = rng.randint(0, 6)
+        arr = [rng.choice([None, rng.randint(-50, 50)]) for _ in range(n)]
+        vals.append(arr)
+    vals += [[], [None], [None, None], None, [0], [-1, 1]]
+    t = con.memtable({"i": list(range(len(vals))), "a": vals})
+    out = t.select(
+        "i",
+        s=t.a.sums(),
+        m=t.a.means(),
+        lo=t.a.mins(),
+        hi=t.a.maxs(),
+        an=t.a.map(lambda x: x > 0).anys(),
+        al=t.a.map(lambda x: x > 0).alls(),
+    ).df.collect()
+    by_i = {r.i: r for r in out}
+    for i, arr in enumerate(vals):
+        r = by_i[i]
+        nn = [x for x in (arr or []) if x is not None]
+        if not nn:
+            assert r.s is None and r.m is None and r.lo is None and r.hi is None
+            assert r.an is None and r.al is None
+        else:
+            assert r.s == sum(nn), (arr, r.s)
+            assert abs(r.m - sum(nn) / len(nn)) < 1e-9
+            assert r.lo == min(nn) and r.hi == max(nn)
+            assert r.an == any(x > 0 for x in nn)
+            assert r.al == all(x > 0 for x in nn)
+
+
+def test_interval_view_semantics(con):
+    """Interval unit views vs integer arithmetic ground truth over random
+    positive second counts (truncating conversion)."""
+    rng = random.Random(11)
+    secs = [rng.randint(0, 10**7) for _ in range(40)]
+    t = con.memtable({"i": list(range(len(secs))), "n": secs})
+    iv = t.n.as_interval("s")
+    out = t.select(
+        "i", d=iv.days, h=iv.hours, m=iv.minutes, s=iv.seconds, ms=iv.milliseconds
+    ).df.collect()
+    by_i = {r.i: r for r in out}
+    for i, n in enumerate(secs):
+        r = by_i[i]
+        assert (r.d, r.h, r.m, r.s, r.ms) == (
+            n // 86400,
+            n // 3600,
+            n // 60,
+            n,
+            n * 1000,
+        ), (n, r)
+
+
+def test_histogram_semantics(con):
+    """histogram(nbins) vs the reference formula computed in Python."""
+    rng = random.Random(13)
+    vals = [rng.uniform(-100, 100) for _ in range(300)]
+    eps = 1e-13
+    t = con.memtable({"i": list(range(len(vals))), "v": vals})
+    for nbins in (1, 4, 9):
+        out = t.select("i", h=t.v.histogram(nbins=nbins)).df.collect()
+        base = min(vals) - eps
+        bw = (max(vals) - base) / nbins
+        by_i = {r.i: r for r in out}
+        for i, v in enumerate(vals):
+            expect = min(max(math.floor((v - base) / bw), -1), nbins - 1)
+            assert by_i[i].h == expect, (v, nbins, by_i[i].h, expect)
