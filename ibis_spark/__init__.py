@@ -485,6 +485,95 @@ class Backend:
     def cache_table(self, name: str) -> None:
         self._session.catalog.cacheTable(name)
 
+    # -- catalog / database management (reference BaseBackend surface) --------
+    def create_database(self, name: str, *, force: bool = False) -> None:
+        clause = "IF NOT EXISTS " if force else ""
+        self._session.sql(f"CREATE DATABASE {clause}{name}")
+
+    def drop_database(self, name: str, *, force: bool = False) -> None:
+        clause = "IF EXISTS " if force else ""
+        self._session.sql(f"DROP DATABASE {clause}{name}")
+
+    @property
+    def current_database(self) -> str:
+        return self._session.catalog.currentDatabase()
+
+    @property
+    def current_catalog(self) -> str:
+        return self._session.catalog.currentCatalog()
+
+    def list_catalogs(self) -> list[str]:
+        return [c.name for c in self._session.catalog.listCatalogs()]
+
+    def get_schema(self, name: str) -> Schema:
+        """Schema of a catalog table without reading it."""
+        return self.table(name).schema()
+
+    def rename_table(self, old_name: str, new_name: str) -> None:
+        self._session.sql(f"ALTER TABLE {old_name} RENAME TO {new_name}")
+
+    def compute_stats(self, name: str, *, noscan: bool = False) -> None:
+        """ANALYZE TABLE ... COMPUTE STATISTICS — feeds the cost-based
+        optimizer (join reordering, broadcast decisions) exactly where a
+        100 TB deployment wants it."""
+        suffix = " NOSCAN" if noscan else ""
+        self._session.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{suffix}")
+
+    @property
+    def tables(self):
+        """Accessor: ``con.tables.lineitem`` / ``con.tables["x"]`` /
+        iteration over names (reference TablesAccessor)."""
+        return _TablesAccessor(self)
+
+    @property
+    def version(self) -> str:
+        return self._session.version
+
+    def execute(self, expr):
+        """Backend.execute: run an expression built on this session."""
+        return expr.execute()
+
+    def compile(self, expr):
+        """Backend.compile: our compiled form is the Spark plan."""
+        return expr.compile()
+
+    def has_operation(self, name: str) -> bool:
+        """Whether an operation (reference op class name or snake_case
+        user-API name) is supported: resolved against the Column/Table
+        method surface."""
+        import re as _re
+
+        from ibis_spark.expr.column import Column as _C
+
+        snake = _re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+        cands = {name, snake}
+        parts = snake.split("_")
+        if len(parts) > 1:
+            # op classes carry a type prefix the method drops
+            # (StringLength → length, ArrayDistinct → array_distinct/unique)
+            cands.add("_".join(parts[1:]))
+        return any(
+            hasattr(cls, n) for cls in (_C, Table) for n in cands
+        )
+
+    def do_connect(self, session=None, **conf) -> "Backend":
+        """Reference Backend.do_connect: (re)bind this Backend to a
+        SparkSession."""
+        if session is not None:
+            self._session = session
+        return self
+
+    @classmethod
+    def from_connection(cls, session, **kwargs) -> "Backend":
+        return cls(session, **kwargs)
+
+    def reconnect(self) -> "Backend":
+        return self
+
+    def disconnect(self) -> None:
+        """Stop the underlying SparkSession."""
+        self._session.stop()
+
     # -- sinks (BB:479-629) --------------------------------------------------------------
     def to_parquet(self, table: Table, path: str, **options) -> None:
         table.to_parquet(path, **options)
@@ -585,6 +674,32 @@ def _as_spark_schema(s):
     if isinstance(s, dict):
         return schema(s).to_spark()
     raise TypeError(f"cannot interpret {s!r} as a schema")
+
+
+class _TablesAccessor:
+    """``con.tables`` — attribute/item access to catalog tables plus
+    iteration over their names (reference TablesAccessor,
+    ibis/backends/__init__.py)."""
+
+    __slots__ = ("_con",)
+
+    def __init__(self, con: Backend):
+        self._con = con
+
+    def __getattr__(self, name: str) -> Table:
+        try:
+            return self._con.table(name)
+        except Exception as e:  # pragma: no cover - passthrough
+            raise AttributeError(name) from e
+
+    def __getitem__(self, name: str) -> Table:
+        return self._con.table(name)
+
+    def __iter__(self):
+        return iter(self._con.list_tables())
+
+    def __len__(self) -> int:
+        return len(self._con.list_tables())
 
 
 # reference-compatible aliases (ibis/__init__.py exports)

@@ -113,3 +113,24 @@ def test_to_pyarrow_batches_empty(con, spark):
     df = spark.range(0, 10).filter("id < 0")
     reader = Table(df).to_pyarrow_batches()
     assert reader.read_all().num_rows == 0
+
+
+def test_backend_catalog_surface(con):
+    t = con.memtable({"x": [1, 2, 3]})
+    con.create_view("cat_t", t)
+    assert "cat_t" in list(con.tables)
+    assert con.tables.cat_t.count() == 3
+    assert con.tables["cat_t"].count() == 3
+    assert str(dict(con.get_schema("cat_t").items())["x"]) == "int64"
+    assert con.current_database == "default"
+    assert con.current_catalog == "spark_catalog"
+    assert con.list_catalogs() == ["spark_catalog"]
+    assert con.version.startswith("4.")
+    assert con.execute(t.x.sum()) == 6
+    assert con.has_operation("StringLength")
+    assert con.has_operation("asof_join")
+    assert not con.has_operation("NoSuchOperation")
+    con.create_database("tmp_db_x", force=True)
+    assert "tmp_db_x" in con.list_databases()
+    con.drop_database("tmp_db_x", force=True)
+    assert type(type(con).from_connection(con.spark)).__name__ == "Backend"
