@@ -1083,6 +1083,25 @@ def _histogram_bins(spark, sf_dir):
     )
 
 
+def _selector_if_any(spark, sf_dir):
+    """Module-level API composition: s.if_any over a column selection
+    (reference selectors.py:546) + ibis.and_ fold — both lower to plain
+    JVM predicates, fully pushdown-eligible."""
+    import ibis_spark.selectors as s
+
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        ib.and_(
+            s.if_any(s.cols("l_tax", "l_discount"), lambda c: c > 0.07)(li),
+            li.l_quantity < 30,
+        )
+    )
+    return f.aggregate(
+        n=f.l_orderkey.count(),
+        rev=f.l_extendedprice.sum().round(2),
+    ).to_spark()
+
+
 def _json_typed_accessors(spark, sf_dir):
     """JSONValue typed accessor properties (.int/.float/.str/.bool and
     .map, expr/types/json.py:255-408) — JVM-side regex+cast unwrap."""
@@ -1600,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_roundtrip": _parse_roundtrip,
         "histogram_bins": _histogram_bins,
         "json_typed_accessors": _json_typed_accessors,
+        "selector_if_any": _selector_if_any,
         "describe_table": _describe_table,
         "info_table": _info_table,
         "q8_market_share": _q8_market_share,
@@ -1799,6 +1819,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id,
                          json_extract_string(props, '$.k') AS k
                   FROM events)
+        """,
+        "selector_if_any": """
+            SELECT COUNT(l_orderkey) AS n,
+                   ROUND(SUM(l_extendedprice), 2) AS rev
+            FROM lineitem
+            WHERE (l_tax > 0.07 OR l_discount > 0.07) AND l_quantity < 30
         """,
         "q1": _Q1_SQL,
         "q3_shipping_priority": """
