@@ -83,6 +83,21 @@ class Table(CoreExpr):
         Spark's logical plan, so this is the pyspark DataFrame."""
         return self._df
 
+    def as_table(self) -> "Table":
+        """Table.as_table (relations.py): identity, for generic code that
+        normalizes values to tables."""
+        return self
+
+    def get_name(self) -> str:
+        """Table.get_name (relations.py): a stable name for this relation
+        (the reference returns the op's name; ours derives from the plan)."""
+        import hashlib
+
+        digest = hashlib.md5(
+            self._df._jdf.queryExecution().logical().toString().encode()
+        ).hexdigest()[:8]
+        return f"ibis_spark_table_{digest}"
+
     @property
     def columns(self) -> list[str]:
         return list(self._df.columns)
