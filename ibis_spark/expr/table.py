@@ -560,6 +560,20 @@ class Table(CoreExpr):
             )
         raise ValueError(f"keep must be 'first', 'last' or None, got {keep!r}")
 
+    def drop_duplicates_within_watermark(self, subset=None) -> "Table":
+        """Streaming deduplication bounded by the event-time watermark
+        (Spark ``dropDuplicatesWithinWatermark``): per-key state is
+        dropped once the watermark passes it, so dedup memory stays
+        BOUNDED at any stream length — the streaming counterpart of
+        ``distinct(on=...)`` and the scale-safe shape for exact dedup in
+        a continuous ingestion pipeline (reference streaming semantics;
+        Spark structured-streaming dedup guide)."""
+        if isinstance(subset, str):
+            subset = [subset]
+        if subset is None:
+            return Table(self._df.dropDuplicatesWithinWatermark())
+        return Table(self._df.dropDuplicatesWithinWatermark(list(subset)))
+
     def drop_null(self, subset=None, how: str = "any") -> "Table":
         """DropNull (relations.py:477)."""
         if isinstance(subset, str):

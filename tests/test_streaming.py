@@ -132,3 +132,38 @@ def test_streaming_dir_sink_roundtrip(spark, stream_dir):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_drop_duplicates_within_watermark(spark, stream_dir):
+    """Streaming exact-dedup with bounded state: duplicates of a key
+    within the watermark window are suppressed; state is dropped as the
+    watermark advances (memory bounded at any stream length)."""
+    con = ib.connect(spark)
+    schema = con.read_parquet(stream_dir).df.schema
+    stream = con.read_parquet_dir(
+        stream_dir, schema=schema, watermark=("ts", "1 hour")
+    )
+    deduped = stream.drop_duplicates_within_watermark("event_type")
+    q = (
+        deduped.df.writeStream.format("memory")
+        .queryName("dedup_wm_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select event_type, count(*) as n from dedup_wm_smoke group by event_type"
+    ).collect()
+    assert len(rows) > 0
+    n_types = con.read_parquet(stream_dir).event_type.nunique().execute()
+    assert len(rows) == n_types
+    # within one watermark window every event_type appears exactly once
+    batch = con.read_parquet(stream_dir)
+    span_hours = (
+        batch.aggregate(
+            d=(batch.ts.max().epoch_seconds() - batch.ts.min().epoch_seconds())
+        ).execute()["d"][0]
+    ) / 3600
+    if span_hours <= 1:
+        assert all(r.n == 1 for r in rows)
