@@ -584,6 +584,31 @@ class Backend:
     def to_json(self, table: Table, path: str, **options) -> None:
         table.to_json(path, **options)
 
+    def to_foreach_batch(
+        self,
+        table: Table,
+        fn,
+        *,
+        checkpoint: Optional[str] = None,
+        trigger_available_now: bool = False,
+        **options,
+    ):
+        """Streaming escape hatch: run ``fn(batch_table, batch_id)`` on
+        each micro-batch (Spark ``foreachBatch``). The callable receives
+        the micro-batch as a (batch) Table, so the whole ibis_spark API —
+        incl. batch-only ops — applies per batch; the canonical recipe for
+        sinks Spark lacks a streaming writer for."""
+
+        def adapter(batch_df, batch_id):
+            fn(Table(batch_df), batch_id)
+
+        w = table.df.writeStream.foreachBatch(adapter).options(**options)
+        if checkpoint is not None:
+            w = w.option("checkpointLocation", checkpoint)
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
     def to_parquet_dir(self, table: Table, path: str, *, checkpoint: str, **options):
         """Streaming parquet sink (PB:1376) → StreamingQuery."""
         return (

@@ -167,3 +167,46 @@ def test_drop_duplicates_within_watermark(spark, stream_dir):
     ) / 3600
     if span_hours <= 1:
         assert all(r.n == 1 for r in rows)
+
+
+def test_stream_static_enrichment_join(spark, stream_dir):
+    """Stream-static join: every micro-batch broadcast-joins the static
+    dimension — the standard streaming enrichment shape (no stateful
+    watermark bookkeeping needed on the static side)."""
+    con = ib.connect(spark)
+    schema = con.read_parquet(stream_dir).df.schema
+    stream = con.read_parquet_dir(stream_dir, schema=schema)
+    dim = con.memtable(
+        {"event_type": ["click", "view", "purchase", "error", "signup"],
+         "weight": [1, 1, 5, 0, 3]}
+    )
+    joined = stream.join(dim, [("event_type", "event_type")], broadcast=True)
+    q = (
+        joined.df.writeStream.format("memory")
+        .queryName("enrich_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) as n, count(weight) as w from enrich_smoke").collect()[0]
+    batch_n = con.read_parquet(stream_dir).filter(
+        ib._.event_type.isin(["click", "view", "purchase", "error", "signup"])
+    ).count()
+    assert got.n == batch_n and got.w == batch_n
+
+
+def test_foreach_batch_sink(spark, stream_dir):
+    con = ib.connect(spark)
+    schema = con.read_parquet(stream_dir).df.schema
+    stream = con.read_parquet_dir(stream_dir, schema=schema)
+    seen = []
+
+    def handle(batch_table, batch_id):
+        # full batch API available per micro-batch
+        seen.append(batch_table.aggregate(n=batch_table.event_id.count()).execute()["n"][0])
+
+    q = con.to_foreach_batch(stream, handle, trigger_available_now=True)
+    q.awaitTermination(120)
+    total = con.read_parquet(stream_dir).count()
+    assert sum(seen) == total and len(seen) >= 1
