@@ -422,6 +422,7 @@ class Backend:
         name: str,
         obj: Table = None,
         *,
+        schema=None,
         temp: bool = True,
         overwrite: bool = True,
         partition_by=None,
@@ -437,7 +438,13 @@ class Backend:
         co-located-join strategy for repeatedly-joined 100 TB tables.
         """
         if obj is None:
-            raise NotImplementedError("create_table requires a table expression")
+            if schema is None:
+                raise ValueError("create_table requires `obj` or `schema`")
+            # empty table with the given schema (reference create_table
+            # with schema=, BB create_table contract)
+            obj = Table(
+                self._session.createDataFrame([], _as_spark_schema(schema))
+            )
         if temp:
             if partition_by or bucket_by:
                 raise ValueError("partitioning/bucketing requires temp=False")

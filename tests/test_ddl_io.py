@@ -134,3 +134,9 @@ def test_backend_catalog_surface(con):
     assert "tmp_db_x" in con.list_databases()
     con.drop_database("tmp_db_x", force=True)
     assert type(type(con).from_connection(con.spark)).__name__ == "Backend"
+
+
+def test_create_table_schema_only(con):
+    t = con.create_table("schema_only_t", schema={"a": "int64", "b": "string"})
+    assert t.columns == ["a", "b"]
+    assert t.count() == 0
