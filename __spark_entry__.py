@@ -1083,6 +1083,25 @@ def _histogram_bins(spark, sf_dir):
     )
 
 
+def _salted_join_agg(spark, sf_dir):
+    """Skew-resistant salted join (ibis_spark/expr/table.py:779) must be
+    RESULT-IDENTICAL to the plain equi-join — the oracle is the unsalted
+    SQL join. The salt only changes the shuffle distribution (hot keys
+    split across `salt` reducers), never the answer."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.salted_join(o, [("l_orderkey", "o_orderkey")], salt=8)
+    return (
+        j.group_by("o_orderpriority")
+        .aggregate(
+            n=j.l_orderkey.count(),
+            qty=j.l_quantity.sum().round(2),
+        )
+        .order_by("o_orderpriority")
+        .to_spark()
+    )
+
+
 def _selector_if_any(spark, sf_dir):
     """Module-level API composition: s.if_any over a column selection
     (reference selectors.py:546) + ibis.and_ fold — both lower to plain
@@ -1620,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_bins": _histogram_bins,
         "json_typed_accessors": _json_typed_accessors,
         "selector_if_any": _selector_if_any,
+        "salted_join_agg": _salted_join_agg,
         "describe_table": _describe_table,
         "info_table": _info_table,
         "q8_market_share": _q8_market_share,
@@ -1825,6 +1845,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice), 2) AS rev
             FROM lineitem
             WHERE (l_tax > 0.07 OR l_discount > 0.07) AND l_quantity < 30
+        """,
+        "salted_join_agg": """
+            SELECT o_orderpriority, COUNT(l_orderkey) AS n,
+                   ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q1": _Q1_SQL,
         "q3_shipping_priority": """
