@@ -1083,6 +1083,21 @@ def _histogram_bins(spark, sf_dir):
     )
 
 
+def _rowid_contract(spark, sf_dir):
+    """The distributed zip-by-index numbering (Table.with_row_number /
+    rowid, table.py) is order-arbitrary but contract-bound: exactly N
+    distinct values covering [0, N). Those invariants ARE SQL-expressible
+    even though the assignment isn't."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.with_row_number("rid")
+    return r.aggregate(
+        n=r.l_orderkey.count(),
+        d=r.rid.nunique(),
+        mn=r.rid.min(),
+        mx=r.rid.max(),
+    ).to_spark()
+
+
 def _salted_join_agg(spark, sf_dir):
     """Skew-resistant salted join (ibis_spark/expr/table.py:779) must be
     RESULT-IDENTICAL to the plain equi-join — the oracle is the unsalted
@@ -1640,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_typed_accessors": _json_typed_accessors,
         "selector_if_any": _selector_if_any,
         "salted_join_agg": _salted_join_agg,
+        "rowid_contract": _rowid_contract,
         "describe_table": _describe_table,
         "info_table": _info_table,
         "q8_market_share": _q8_market_share,
@@ -1851,6 +1867,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 2) AS qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "rowid_contract": """
+            SELECT COUNT(*) AS n, COUNT(*) AS d,
+                   CAST(0 AS BIGINT) AS mn,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS mx
+            FROM lineitem
         """,
         "q1": _Q1_SQL,
         "q3_shipping_priority": """
