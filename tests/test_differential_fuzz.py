@@ -1,0 +1,161 @@
+"""Differential fuzzing: randomly generated relational queries executed by
+BOTH our engine and DuckDB on the same parquet table, results compared
+cell-by-cell.
+
+Each seed draws a filter (AND/OR tree of comparisons), an optional
+group-by + aggregate set, and a deterministic sort. The generator emits
+the query twice — once through the ibis_spark API, once as ANSI SQL — so
+a mismatch localizes a semantics bug, not a test artifact. This mirrors
+the reference's backend-comparison strategy (SURVEY §5) with DuckDB as
+the trusted engine.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+import ibis_spark as ib
+
+SF_DIR = "/root/testdata/sf0.01"
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+
+@pytest.fixture(scope="module")
+def li(con):
+    return con.read_parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    d = duckdb.connect()
+    d.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    return d
+
+
+def _gen_comparison(rng):
+    """One comparison; returns (build_fn, sql)."""
+    kind = rng.choice(["num", "str", "key"])
+    if kind == "num":
+        col = rng.choice(NUM_COLS)
+        op = rng.choice(["<", "<=", ">", ">=", "=="])
+        val = round(rng.uniform(0.0, 50.0 if col == "l_quantity" else 0.1), 3)
+        sql_op = "=" if op == "==" else op
+        return (
+            lambda t, col=col, op=op, val=val: {
+                "<": t[col] < val,
+                "<=": t[col] <= val,
+                ">": t[col] > val,
+                ">=": t[col] >= val,
+                "==": t[col] == val,
+            }[op],
+            f"{col} {sql_op} {val}",
+        )
+    if kind == "str":
+        col = rng.choice(STR_COLS)
+        val = rng.choice(["A", "N", "R", "O", "F"])
+        neg = rng.random() < 0.3
+        if neg:
+            return (
+                lambda t, col=col, val=val: t[col] != val,
+                f"{col} <> '{val}'",
+            )
+        return (lambda t, col=col, val=val: t[col] == val, f"{col} = '{val}'")
+    col = rng.choice(KEY_COLS)
+    val = rng.randint(0, 2000)
+    op = rng.choice(["<", ">", "%"])
+    if op == "%":
+        m = rng.randint(2, 7)
+        return (
+            lambda t, col=col, m=m: (t[col] % m) == 0,
+            f"({col} % {m}) = 0",
+        )
+    return (
+        lambda t, col=col, op=op, val=val: (t[col] < val)
+        if op == "<"
+        else (t[col] > val),
+        f"{col} {op} {val}",
+    )
+
+
+def _gen_predicate(rng, depth=2):
+    left = _gen_comparison(rng)
+    if depth <= 0 or rng.random() < 0.4:
+        return left
+    right = _gen_predicate(rng, depth - 1)
+    if rng.random() < 0.5:
+        return (
+            lambda t, l=left[0], r=right[0]: l(t) & r(t),
+            f"({left[1]}) AND ({right[1]})",
+        )
+    return (
+        lambda t, l=left[0], r=right[0]: l(t) | r(t),
+        f"({left[1]}) OR ({right[1]})",
+    )
+
+
+AGGS = [
+    ("count", lambda c: c.count(), "COUNT({col})"),
+    ("sum", lambda c: c.sum().round(3), "ROUND(SUM({col}), 3)"),
+    ("min", lambda c: c.min(), "MIN({col})"),
+    ("max", lambda c: c.max(), "MAX({col})"),
+    ("nunique", lambda c: c.nunique(), "COUNT(DISTINCT {col})"),
+]
+
+
+def _run_case(seed, li, duck):
+    rng = random.Random(seed)
+    pred_fn, pred_sql = _gen_predicate(rng)
+    group = rng.choice(STR_COLS + ["l_returnflag"]) if rng.random() < 0.7 else None
+
+    metrics = {}
+    sql_metrics = []
+    for i in range(rng.randint(1, 3)):
+        name, fn, sql_t = AGGS[rng.randrange(len(AGGS))]
+        col = rng.choice(NUM_COLS + KEY_COLS)
+        alias = f"m{i}_{name}"
+        metrics[alias] = (fn, col)
+        sql_metrics.append(f"{sql_t.format(col=col)} AS {alias}")
+
+    f = li.filter(pred_fn(li))
+    if group is not None:
+        out = f.group_by(group).aggregate(
+            **{a: fn(f[c]) for a, (fn, c) in metrics.items()}
+        ).order_by(group)
+        sql = (
+            f"SELECT {group}, {', '.join(sql_metrics)} FROM lineitem "
+            f"WHERE {pred_sql} GROUP BY {group} ORDER BY {group}"
+        )
+    else:
+        out = f.aggregate(**{a: fn(f[c]) for a, (fn, c) in metrics.items()})
+        sql = f"SELECT {', '.join(sql_metrics)} FROM lineitem WHERE {pred_sql}"
+
+    got = out.execute()
+    want = duck.sql(sql).df()
+    assert list(got.columns) == list(want.columns), (seed, sql)
+    assert len(got) == len(want), (seed, sql, len(got), len(want))
+    for c in got.columns:
+        for g, w in zip(got[c].tolist(), want[c].tolist()):
+            if g is None and w is None:
+                continue
+            if isinstance(g, float) or isinstance(w, float):
+                gn = float("nan") if g is None else float(g)
+                wn = float("nan") if w is None else float(w)
+                assert (math.isnan(gn) and math.isnan(wn)) or math.isclose(
+                    gn, wn, rel_tol=1e-9, abs_tol=1e-9
+                ), (seed, sql, c, g, w)
+            else:
+                assert g == w, (seed, sql, c, g, w)
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_differential_random_queries(seed, li, duck):
+    _run_case(seed, li, duck)
