@@ -159,3 +159,89 @@ def _run_case(seed, li, duck):
 @pytest.mark.parametrize("seed", range(25))
 def test_differential_random_queries(seed, li, duck):
     _run_case(seed, li, duck)
+
+
+# -- window-function family (events: ts unique per user_id → deterministic) --
+
+WINDOW_FNS = [
+    ("rank", lambda c: c.rank(), "RANK() OVER w - 1"),
+    ("dense_rank", lambda c: c.dense_rank(), "DENSE_RANK() OVER w - 1"),
+    (
+        "lag",
+        lambda c: c.lag(1),
+        "LAG(value, 1) OVER w",
+    ),
+    (
+        "lead",
+        lambda c: c.lead(2),
+        "LEAD(value, 2) OVER w",
+    ),
+    (
+        "cumsum",
+        lambda c: c.cumsum(),
+        "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)",
+    ),
+    (
+        "moving_avg",
+        lambda c: c.mean(),
+        "ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3)",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def ev(con):
+    return con.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck_ev(duck):
+    duck.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    return duck
+
+
+def _run_window_case(seed, ev, duck):
+    rng = random.Random(seed)
+    name, fn, sql_expr = WINDOW_FNS[rng.randrange(len(WINDOW_FNS))]
+    w = ib.window(group_by=ev.user_id, order_by=ev.ts)
+    if name == "moving_avg":
+        w = w.rows(-2, 0)
+        col = fn(ev.value).over(w).round(3)
+    elif name == "cumsum":
+        col = fn(ev.value).over(w).round(3)
+    elif name in ("rank", "dense_rank"):
+        # rank over the ORDER key (ts), ibis 0-indexed
+        col = fn(ev.ts).over(w)
+    else:
+        col = fn(ev.value).over(w)
+    out = (
+        ev.select("event_id", x=col).order_by("event_id").execute()
+    )
+    sql = (
+        f"SELECT event_id, {sql_expr} AS x FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts) ORDER BY event_id"
+    )
+    want = duck.sql(sql).df()
+    assert len(out) == len(want)
+    for g, wv in zip(out["x"].tolist(), want["x"].tolist()):
+        if g is None or (isinstance(g, float) and math.isnan(g)):
+            assert wv is None or (isinstance(wv, float) and math.isnan(wv)), (
+                seed,
+                name,
+                g,
+                wv,
+            )
+        else:
+            assert math.isclose(float(g), float(wv), rel_tol=1e-9), (
+                seed,
+                name,
+                g,
+                wv,
+            )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_window_queries(seed, ev, duck_ev):
+    _run_window_case(seed, ev, duck_ev)
