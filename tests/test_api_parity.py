@@ -376,3 +376,23 @@ def test_table_alias_sql(con):
     t = con.memtable({"x": [1, 2, 3]})
     n = t.alias("aliased_t").sql("SELECT COUNT(*) AS n FROM aliased_t")
     assert n.execute()["n"].tolist() == [3]
+
+
+def test_pandas_udf_over_window(con):
+    """Reference AnalyticVectorizedUDF (operations/vectorized.py): a
+    pandas agg UDF applied over a window — Arrow-batched per frame, no
+    row-at-a-time Python."""
+    import pandas as pd
+
+    from ibis_spark import udf
+
+    @udf.agg.pandas
+    def smax(s: pd.Series) -> float:
+        return float(s.max())
+
+    t = con.memtable(
+        {"g": ["a", "a", "a", "b"], "i": [1, 2, 3, 1], "x": [3.0, 1.0, 2.0, 9.0]}
+    )
+    w = ib.window(group_by=t.g, order_by=t.i)
+    out = t.mutate(m=smax(t.x).over(w)).order_by(t.g, t.i).execute()
+    assert out["m"].tolist() == [3.0, 3.0, 3.0, 9.0]
