@@ -245,3 +245,73 @@ def _run_window_case(seed, ev, duck):
 @pytest.mark.parametrize("seed", range(12))
 def test_differential_window_queries(seed, ev, duck_ev):
     _run_window_case(seed, ev, duck_ev)
+
+
+# -- join family: random join type + filters, aggregated to determinism ------
+
+
+@pytest.fixture(scope="module")
+def orders(con):
+    return con.read_parquet(f"{SF_DIR}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck_orders(duck):
+    duck.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    return duck
+
+
+def _run_join_case(seed, li, orders, duck):
+    rng = random.Random(1000 + seed)
+    how = rng.choice(["inner", "left", "semi", "anti"])
+    lpred_fn, lpred_sql = _gen_comparison(rng)
+    opred_val = rng.choice(["F", "O", "P"])
+
+    lf = li.filter(lpred_fn(li))
+    of = orders.filter(orders.o_orderstatus == opred_val)
+
+    if how in ("semi", "anti"):
+        j = lf.semi_join(of, [("l_orderkey", "o_orderkey")]) if how == "semi" else lf.anti_join(of, [("l_orderkey", "o_orderkey")])
+        out = j.aggregate(
+            n=j.l_orderkey.count(), s=j.l_extendedprice.sum().round(2)
+        ).execute()
+        op = "IN" if how == "semi" else "NOT IN"
+        sql = (
+            "SELECT COUNT(l_orderkey) AS n, ROUND(SUM(l_extendedprice), 2) AS s "
+            f"FROM lineitem WHERE ({lpred_sql}) AND l_orderkey {op} "
+            f"(SELECT o_orderkey FROM orders WHERE o_orderstatus = '{opred_val}')"
+        )
+    else:
+        j = lf.join(of, [("l_orderkey", "o_orderkey")], how=how)
+        out = j.aggregate(
+            n=j.l_orderkey.count(),
+            s=j.l_extendedprice.sum().round(2),
+            k=j.o_custkey.count(),
+        ).execute()
+        jk = "JOIN" if how == "inner" else "LEFT JOIN"
+        sql = (
+            "SELECT COUNT(l_orderkey) AS n, ROUND(SUM(l_extendedprice), 2) AS s, "
+            "COUNT(o_custkey) AS k FROM "
+            f"(SELECT * FROM lineitem WHERE {lpred_sql}) l {jk} "
+            f"(SELECT * FROM orders WHERE o_orderstatus = '{opred_val}') o "
+            "ON l.l_orderkey = o.o_orderkey"
+        )
+    want = duck.sql(sql).df()
+    for c in out.columns:
+        g, w = out[c][0], want[c][0]
+        if g is None or (isinstance(g, float) and math.isnan(g)):
+            assert w is None or (isinstance(w, float) and math.isnan(w)), (seed, how, c)
+        else:
+            assert math.isclose(float(g), float(w), rel_tol=1e-9), (
+                seed,
+                how,
+                sql,
+                c,
+                g,
+                w,
+            )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_join_queries(seed, li, orders, duck_orders):
+    _run_join_case(seed, li, orders, duck_orders)
