@@ -98,3 +98,38 @@ def test_topk_uses_take_ordered(plans):
     # sort+limit must plan TakeOrderedAndProject, not a global sort
     p = plans("filter_sort_limit")
     assert "TakeOrderedAndProject" in p
+
+
+def test_histogram_stats_broadcast_not_window(plans):
+    """histogram()'s min/max must be a broadcast 1-row aggregate — never a
+    global unordered window (single-partition funnel)."""
+    p = plans("histogram_bins")
+    assert "BroadcastExchange" in p
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bool_cum_windows_single_exchange(plans):
+    """Running-OR/AND windows shuffle exactly once, on the group key."""
+    import re
+
+    p = plans("bool_cum_windows")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(user_id" in p
+    assert "CartesianProduct" not in p
+
+
+def test_array_reductions_pure_scan_project(plans):
+    """Array lambda reductions are scan+project only: no exchange, no
+    Python eval node, and only the referenced columns read."""
+    p = plans("array_named_reductions")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    scan = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in scan and "lang" not in scan
+
+
+def test_salted_join_no_broadcast_nested_loop(plans):
+    p = plans("salted_join_agg")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
