@@ -315,3 +315,83 @@ def _run_join_case(seed, li, orders, duck):
 @pytest.mark.parametrize("seed", range(12))
 def test_differential_join_queries(seed, li, orders, duck_orders):
     _run_join_case(seed, li, orders, duck_orders)
+
+
+# -- set-operation family ----------------------------------------------------
+
+
+def _run_setop_case(seed, li, duck):
+    rng = random.Random(2000 + seed)
+    p1_fn, p1_sql = _gen_comparison(rng)
+    p2_fn, p2_sql = _gen_comparison(rng)
+    op = rng.choice(["union_all", "union_distinct", "intersect", "except"])
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag"]
+    a = li.filter(p1_fn(li)).select(*cols)
+    b = li.filter(p2_fn(li)).select(*cols)
+    if op == "union_all":
+        out, sql_op = a.union(b), "UNION ALL"
+    elif op == "union_distinct":
+        out, sql_op = a.union(b, distinct=True), "UNION"
+    elif op == "intersect":
+        out, sql_op = a.intersect(b), "INTERSECT"
+    else:
+        out, sql_op = a.difference(b), "EXCEPT"
+    got = out.aggregate(
+        n=out.l_orderkey.count(), d=out.l_orderkey.nunique()
+    ).execute()
+    csel = ", ".join(cols)
+    sql = (
+        "SELECT COUNT(l_orderkey) AS n, COUNT(DISTINCT l_orderkey) AS d FROM ("
+        f"SELECT {csel} FROM lineitem WHERE {p1_sql} {sql_op} "
+        f"SELECT {csel} FROM lineitem WHERE {p2_sql})"
+    )
+    want = duck.sql(sql).df()
+    assert got["n"][0] == want["n"][0], (seed, op, sql)
+    assert got["d"][0] == want["d"][0], (seed, op, sql)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_differential_setop_queries(seed, li, duck):
+    _run_setop_case(seed, li, duck)
+
+
+# -- as-of join family vs DuckDB's native ASOF JOIN --------------------------
+# The as-of join is our highest-risk custom operator (union-tag + running
+# last(ignoreNulls) — ibis_spark/expr/table.py). DuckDB implements the same
+# backward semantics natively (l.ts >= r.ts, latest match), so random
+# left/right subset splits make a true differential oracle.
+
+
+def _run_asof_case(seed, ev, duck):
+    rng = random.Random(3000 + seed)
+    lm, rm = rng.choice([(2, 3), (3, 5), (2, 7), (4, 3)])
+    left = ev.filter(ev.event_id % lm == 0)
+    right = ev.filter(ev.event_id % rm == 0).select(
+        "user_id", "ts", rvalue=ib._.value
+    )
+    j = left.asof_join(right, on="ts", by="user_id", direction="backward")
+    got = j.aggregate(
+        n=j.event_id.count(),
+        matched=j.rvalue.count(),
+        s=j.rvalue.sum().round(2),
+    ).execute()
+    sql = f"""
+        SELECT COUNT(l.event_id) AS n, COUNT(r.rvalue) AS matched,
+               ROUND(SUM(r.rvalue), 2) AS s
+        FROM (SELECT * FROM events WHERE event_id % {lm} = 0) l
+        ASOF LEFT JOIN (SELECT user_id, ts, value AS rvalue FROM events
+                        WHERE event_id % {rm} = 0) r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+    want = duck.sql(sql).df()
+    for c in ("n", "matched", "s"):
+        g, w = got[c][0], want[c][0]
+        if g is None or (isinstance(g, float) and math.isnan(g)):
+            assert w is None or (isinstance(w, float) and math.isnan(w))
+        else:
+            assert math.isclose(float(g), float(w), rel_tol=1e-9), (seed, c, g, w)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_differential_asof_queries(seed, ev, duck_ev):
+    _run_asof_case(seed, ev, duck_ev)
