@@ -365,11 +365,13 @@ def test_differential_setop_queries(seed, li, duck):
 def _run_asof_case(seed, ev, duck):
     rng = random.Random(3000 + seed)
     lm, rm = rng.choice([(2, 3), (3, 5), (2, 7), (4, 3)])
+    direction = rng.choice(["backward", "forward"])
+    cmp_op = ">=" if direction == "backward" else "<="
     left = ev.filter(ev.event_id % lm == 0)
     right = ev.filter(ev.event_id % rm == 0).select(
         "user_id", "ts", rvalue=ib._.value
     )
-    j = left.asof_join(right, on="ts", by="user_id", direction="backward")
+    j = left.asof_join(right, on="ts", by="user_id", direction=direction)
     got = j.aggregate(
         n=j.event_id.count(),
         matched=j.rvalue.count(),
@@ -381,7 +383,7 @@ def _run_asof_case(seed, ev, duck):
         FROM (SELECT * FROM events WHERE event_id % {lm} = 0) l
         ASOF LEFT JOIN (SELECT user_id, ts, value AS rvalue FROM events
                         WHERE event_id % {rm} = 0) r
-        ON l.user_id = r.user_id AND l.ts >= r.ts
+        ON l.user_id = r.user_id AND l.ts {cmp_op} r.ts
     """
     want = duck.sql(sql).df()
     for c in ("n", "matched", "s"):
@@ -392,6 +394,6 @@ def _run_asof_case(seed, ev, duck):
             assert math.isclose(float(g), float(w), rel_tol=1e-9), (seed, c, g, w)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(8))
 def test_differential_asof_queries(seed, ev, duck_ev):
     _run_asof_case(seed, ev, duck_ev)
