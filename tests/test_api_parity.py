@@ -396,3 +396,33 @@ def test_pandas_udf_over_window(con):
     w = ib.window(group_by=t.g, order_by=t.i)
     out = t.mutate(m=smax(t.x).over(w)).order_by(t.g, t.i).execute()
     assert out["m"].tolist() == [3.0, 3.0, 3.0, 9.0]
+
+
+def test_pivot_roundtrip_property(con):
+    """pivot_longer then pivot_wider reconstructs the original relation
+    (up to row/column order) — a structural inverse property, checked on
+    random data."""
+    import random
+
+    rng = random.Random(5)
+    rows = 40
+    t = con.memtable(
+        {
+            "id": list(range(rows)),
+            "m1": [round(rng.uniform(0, 100), 3) for _ in range(rows)],
+            "m2": [round(rng.uniform(0, 100), 3) for _ in range(rows)],
+            "m3": [round(rng.uniform(0, 100), 3) for _ in range(rows)],
+        }
+    )
+    long = t.pivot_longer(["m1", "m2", "m3"], names_to="metric", values_to="v")
+    assert long.count() == rows * 3
+    wide = long.pivot_wider(
+        names_from="metric", values_from="v", values_agg="max"
+    )
+    a = t.execute().sort_values("id").reset_index(drop=True)
+    b = (
+        wide.execute()
+        .sort_values("id")
+        .reset_index(drop=True)[["id", "m1", "m2", "m3"]]
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
