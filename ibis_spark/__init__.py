@@ -140,12 +140,24 @@ def difference(table: Table, *rest: Table, distinct: bool = True) -> Table:
 
 def aggregate(table: Table, metrics=(), by=(), having=(), **kwargs) -> Table:
     """ibis.aggregate: free-function spelling of Table.aggregate."""
+    def _listify(x):
+        return [x] if not isinstance(x, (list, tuple)) else list(x)
+
+    metrics_l, having_l = _listify(metrics), _listify(having)
     if by:
-        g = table.group_by(*([by] if not isinstance(by, (list, tuple)) else by))
-        if having:
-            g = g.having(*([having] if not isinstance(having, (list, tuple)) else having))
-        return g.aggregate(*([metrics] if not isinstance(metrics, (list, tuple)) else metrics), **kwargs)
-    return table.aggregate(*([metrics] if not isinstance(metrics, (list, tuple)) else metrics), **kwargs)
+        g = table.group_by(*_listify(by))
+        if having_l:
+            g = g.having(*having_l)
+        return g.aggregate(*metrics_l, **kwargs)
+    if not having_l:
+        return table.aggregate(*metrics_l, **kwargs)
+    # ungrouped HAVING: filter the 1-row aggregate by evaluating the
+    # having aggregates alongside the metrics, then dropping them
+    hv = {f"__hv{i}__": h for i, h in enumerate(having_l)}
+    out = table.aggregate(*metrics_l, **kwargs, **hv)
+    for n in hv:
+        out = out.filter(out[n])
+    return out.drop(*hv)
 
 
 def range(start, stop=None, step=1):  # noqa: A001
@@ -170,7 +182,9 @@ def watermark(time_col: str, allowed_delay):
     import datetime as _dt
 
     if isinstance(allowed_delay, _dt.timedelta):
-        delay = f"{int(allowed_delay.total_seconds())} seconds"
+        # milliseconds, not int(seconds): a 500 ms delay must not become 0
+        ms = round(allowed_delay.total_seconds() * 1000)
+        delay = f"{ms} milliseconds"
     elif isinstance(allowed_delay, str):
         delay = allowed_delay
     else:

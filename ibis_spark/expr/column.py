@@ -339,10 +339,23 @@ class Column(
 
     def equals(self, other) -> bool:
         """Expr.equals (core.py:109): structural equality of the two
-        expression trees (not an element-wise comparison — that is ==)."""
+        expression trees INCLUDING their source relation (not an
+        element-wise comparison — that is ==)."""
         if not isinstance(other, Column):
             return False
-        return str(self._sc) == str(other._sc)
+        if str(self._sc) != str(other._sc):
+            return False
+        a, b = self._source_df, other._source_df
+        if a is None and b is None:
+            return True
+        if a is None or b is None:
+            return False
+        if a is b:
+            return True
+        try:
+            return a.sameSemantics(b)
+        except Exception:
+            return False
 
     def as_scalar(self):
         """Column.as_scalar (generic.py): treat this expression as a scalar
@@ -371,7 +384,15 @@ class Column(
         return from_spark(self._plan_dtype())
 
     def to_list(self, limit: Optional[int] = None) -> list:
-        """Column.to_list (generic.py:2964): execute → python list."""
+        """Column.to_list (generic.py:2964): execute → python list. A
+        ``limit`` is pushed into the plan (bounded fetch), never applied
+        driver-side after a full collect."""
+        if (
+            limit is not None
+            and self._source_df is not None
+            and not self._is_reduction
+        ):
+            return self.preview(limit).tolist()
         out = self.execute()
         if hasattr(out, "tolist"):
             out = out.tolist()
@@ -522,6 +543,9 @@ def _propagate_source():
                 continue
             if isinstance(fn, property):
                 if fn.fget is None:
+                    continue
+                if getattr(Column, nm, None) is not fn:
+                    # MRO resolves this name elsewhere — don't steal it
                     continue
                 orig = fn.fget
 

@@ -1263,9 +1263,17 @@ class Table(CoreExpr):
             )
 
     def get_backend(self):
-        """Expr.get_backend (core.py): the Backend this table executes on."""
+        """Expr.get_backend (core.py): the Backend this table executes on —
+        the REGISTERED backend instance when its session matches (identity
+        matters for backend-keyed caches), else a fresh wrapper."""
         import ibis_spark
 
+        for cand in (
+            ibis_spark.options.default_backend,
+            ibis_spark._default_backend,
+        ):
+            if cand is not None and cand.spark is self._df.sparkSession:
+                return cand
         return ibis_spark.Backend(self._df.sparkSession)
 
     def preview(self, max_rows: int = 10):

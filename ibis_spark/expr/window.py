@@ -154,8 +154,34 @@ def following(value):
 
 
 def _legacy_frame(w, preceding_v, following_v, how):
-    start = None if preceding_v is None else -_abs_bound(preceding_v)
-    end = 0 if following_v is None else _abs_bound(following_v)
+    """Reference LegacyWindowBuilder.preceding_following (builders.py:243):
+    a one-sided spec leaves the OTHER side unbounded; a tuple on one side
+    gives an off-center frame entirely on that side."""
+    if isinstance(preceding_v, tuple):
+        if following_v is not None:
+            raise ValueError(
+                "Can only specify one window side when you want an "
+                "off-center window"
+            )
+        s, e = preceding_v
+        if e is None:
+            raise ValueError("preceding end point cannot be None")
+        start = None if s is None else -_abs_bound(s)
+        end = -_abs_bound(e)
+    elif isinstance(following_v, tuple):
+        if preceding_v is not None:
+            raise ValueError(
+                "Can only specify one window side when you want an "
+                "off-center window"
+            )
+        s, e = following_v
+        if s is None:
+            raise ValueError("following start point cannot be None")
+        start = _abs_bound(s)
+        end = None if e is None else _abs_bound(e)
+    else:
+        start = None if preceding_v is None else -_abs_bound(preceding_v)
+        end = None if following_v is None else _abs_bound(following_v)
     return (w.rows if how == "rows" else w.range)(start, end)
 
 

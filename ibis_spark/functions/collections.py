@@ -344,11 +344,14 @@ class JsonOps:
             # only unwrap actual JSON strings: reject objects/arrays/numbers.
             # from_json needs a container schema in Spark 4, so parse the
             # scalar as a 1-element array — correctly handles \" escapes.
+            # size==1 guards the greedy regex: '"a","b"' would bracket-wrap
+            # to a 2-element array and must stay NULL, not unwrap to 'a'.
             is_str = c.rlike(r'^\s*".*"\s*$')
             parsed = F.from_json(
                 F.concat(F.lit("["), c, F.lit("]")), "array<string>"
             )
-            return wrap(F.when(is_str, F.get(parsed, 0)))
+            ok = is_str & parsed.isNotNull() & (F.array_size(parsed) == 1)
+            return wrap(F.when(ok, F.get(parsed, 0)))
         if dtype in ("int64", "int"):
             is_num = c.rlike(r"^\s*-?\d+\s*$")
             return wrap(F.when(is_num, c.cast("long")))

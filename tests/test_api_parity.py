@@ -312,7 +312,7 @@ def test_module_level_api(con):
     agg = ib.aggregate(t, by="g", total=ib._.x.sum()).order_by("g").execute()
     assert agg["total"].tolist() == [4, 6]
     assert t.filter(ib.deferred.x > 2).count() == 2
-    assert ib.watermark("ts", datetime.timedelta(minutes=5)) == ("ts", "300 seconds")
+    assert ib.watermark("ts", datetime.timedelta(minutes=5)) == ("ts", "300000 milliseconds")
     assert ib.watermark("ts", "10 minutes") == ("ts", "10 minutes")
     assert ib.preceding(5) == -5 and ib.following(3) == 3
     assert ib.BaseBackend is ib.Backend
@@ -426,3 +426,42 @@ def test_pivot_roundtrip_property(con):
         .reset_index(drop=True)[["id", "m1", "m2", "m3"]]
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_review_fixes(con):
+    """Regression tests for the round-5 self-review findings."""
+    import datetime
+
+    t = con.memtable({"i": [1, 2, 3, 4], "x": [1.0, 2.0, 3.0, 4.0]})
+    # one-sided legacy frames leave the other side UNBOUNDED (builders.py:243)
+    rw = ib.rows_window(preceding=1, order_by=t.i)
+    out = t.mutate(s=t.x.sum().over(rw)).order_by(t.i).execute()
+    assert out["s"].tolist() == [10.0, 10.0, 9.0, 7.0]  # [i-1, end]
+    fw = ib.rows_window(following=1, order_by=t.i)
+    out2 = t.mutate(s=t.x.sum().over(fw)).order_by(t.i).execute()
+    assert out2["s"].tolist() == [3.0, 6.0, 10.0, 10.0]  # [unbounded, i+1]
+    # off-center tuple frame
+    tw = ib.rows_window(preceding=(3, 1), order_by=t.i)
+    out3 = t.mutate(s=t.x.sum().over(tw)).order_by(t.i).execute()
+    assert out3["s"].tolist()[3] == 6.0  # rows i-3..i-1 for i=4
+    # ungrouped HAVING is applied, not dropped
+    kept = ib.aggregate(t, total=ib._.x.sum(), having=ib._.x.sum() > 5)
+    assert kept.execute()["total"].tolist() == [10.0]
+    empty = ib.aggregate(t, total=ib._.x.sum(), having=ib._.x.sum() > 99)
+    assert len(empty.execute()) == 0
+    # equals distinguishes same-named columns from different relations
+    t2 = con.memtable({"x": [9.0]})
+    assert not t.x.equals(t2.x)
+    assert t.x.equals(t.x)
+    # sub-second watermark delays survive
+    assert ib.watermark("ts", datetime.timedelta(milliseconds=500)) == (
+        "ts",
+        "500 milliseconds",
+    )
+    # JSON .str rejects multi-value garbage that bracket-wraps validly
+    g = con.memtable({"js": ['"a","b"', '"ok"']})
+    vals = g.select(s=g.js.str).execute()["s"].tolist()
+    assert pd.isna(vals[0]) and vals[1] == "ok"
+    # get_backend returns the registered instance
+    ib.set_backend(con)
+    assert t.get_backend() is con
