@@ -241,10 +241,19 @@ class Table(CoreExpr):
             return self, exprs, named, ()
         df = self._df
         phs = []
+        # group scalars by their source relation: ALL scalars over one
+        # relation share a single 1-row aggregate (one scan + one broadcast
+        # cross join per relation, not per scalar — at 100 TB, k scalar
+        # stats over a table must not mean k scans)
+        by_rel: dict = {}
         for sv in dict.fromkeys(svs):
-            agg_df = sv.df.agg(unwrap(sv.sc).alias(sv.ph))
+            by_rel.setdefault(id(sv.df), (sv.df, []))[1].append(sv)
+        for rel_df, group in by_rel.values():
+            agg_df = rel_df.agg(
+                *[unwrap(sv.sc).alias(sv.ph) for sv in group]
+            )
             df = df.crossJoin(F.broadcast(agg_df))
-            phs.append(sv.ph)
+            phs.extend(sv.ph for sv in group)
 
         def conv(e):
             if isinstance(e, ScalarValue):

@@ -133,3 +133,19 @@ def test_salted_join_no_broadcast_nested_loop(plans):
     p = plans("salted_join_agg")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_scalar_subqueries_share_one_aggregate(spark):
+    """k scalar statistics over one relation lower to ONE 1-row aggregate
+    + ONE broadcast cross join — never k scans."""
+    import ibis_spark as ib
+
+    con = ib.connect(spark)
+    t = con.read_parquet(f"{SF}/lineitem.parquet")
+    out = t.mutate(
+        lo=t.l_quantity.min().as_scalar(),
+        hi=t.l_quantity.max().as_scalar(),
+        mean=t.l_quantity.mean().as_scalar(),
+    )
+    p = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastNestedLoopJoin") == 1
