@@ -1416,13 +1416,31 @@ class Table(CoreExpr):
 class GroupedTable:
     """GroupBy intermediary (reference: ibis/expr/types/groupby.py)."""
 
-    __slots__ = ("_table", "_keys", "_named_keys", "_mode")
+    __slots__ = ("_table", "_keys", "_named_keys", "_mode", "_window")
 
-    def __init__(self, table: Table, keys, named_keys=None, mode: str = "groupby"):
+    def __init__(
+        self,
+        table: Table,
+        keys,
+        named_keys=None,
+        mode: str = "groupby",
+        window: Optional[Window] = None,
+    ):
         self._table = table
         self._keys = list(keys)
         self._named_keys = dict(named_keys or {})
         self._mode = mode
+        self._window = window
+
+    def _group_window(self) -> Window:
+        """The window subsequent mutate/select expressions bind to: the
+        group keys as partition, merged with any over() spec."""
+        keys = tuple(sc for sc, _ in self._key_cols())
+        if self._window is None:
+            return Window(group_by=keys)
+        return self._window._replace(
+            group_by=keys + tuple(self._window.group_by)
+        )
 
     def _key_cols(self):
         out = []
@@ -1493,27 +1511,97 @@ class GroupedTable:
 
     size = count
 
+    def _resolve_windowed(self, exprs, named):
+        """Resolve grouped projection expressions. Returns (pre, resolved):
+        ``pre`` maps placeholder names to whole-group window aggregates —
+        scalar-subquery lifts (``t.x / t.x.sum()``) re-bind to the group
+        instead of a broadcast cross join, exactly the reference's grouped
+        semantics."""
+        from ibis_spark.expr.column import Column
+        from ibis_spark.expr.core import ScalarExpr, ScalarValue
+
+        w = self._group_window()
+        group_spec = Window(
+            group_by=tuple(sc for sc, _ in self._key_cols())
+        ).to_spark()
+        pre = {}
+        resolved = []
+        idx = 0
+
+        def handle(e, name):
+            nonlocal idx
+            if isinstance(e, Deferred):
+                e = e.resolve(self._table)
+            elif callable(e) and not isinstance(e, (Column, ScalarExpr, ScalarValue)):
+                e = e(self._table)
+            if isinstance(e, ScalarValue):
+                resolved.append((unwrap(e.sc).over(group_spec), name or f"col_{idx}"))
+            elif isinstance(e, ScalarExpr):
+                for sv in e.scalars():
+                    pre[sv.ph] = unwrap(sv.sc).over(group_spec)
+                resolved.append((e.build(), name or f"col_{idx}"))
+            else:
+                col = self._grouped_resolve(e, w)
+                resolved.append(
+                    (col.spark(), name or col.get_name() or f"col_{idx}")
+                )
+            idx += 1
+
+        for e in _flatten(exprs):
+            handle(e, None)
+        for n, e in named.items():
+            handle(e, n)
+        return pre, resolved
+
     def mutate(self, *exprs, **named) -> Table:
         """Window-project: each metric over partitionBy(keys)
         (ibis grouped mutate → WindowFunction)."""
-        from ibis_spark.expr.column import Column
-
-        keys = self._key_cols()
-        w = Window(group_by=tuple(sc for sc, _ in keys))
+        pre, resolved = self._resolve_windowed(exprs, named)
         out = self._table._df
-        resolved = []
-        idx = 0
-        for e in _flatten(exprs):
-            col = self._grouped_resolve(e, w)
-            name = col.get_name() or f"col_{idx}"
-            resolved.append((col.spark(), name))
-            idx += 1
-        for n, e in named.items():
-            col = self._grouped_resolve(e, w)
-            resolved.append((col.spark(), n))
+        for ph, sc in pre.items():
+            out = out.withColumn(ph, sc)
         for sc, name in resolved:
             out = out.withColumn(name, sc)
+        if pre:
+            out = out.drop(*pre)
         return Table(out)
+
+    def select(self, *exprs, **named) -> Table:
+        """GroupedTable.select (groupby.py): project ONLY the grouped
+        window expressions — mutate keeps the original columns, select
+        does not."""
+        pre, resolved = self._resolve_windowed(exprs, named)
+        df = self._table._df
+        for ph, sc in pre.items():
+            df = df.withColumn(ph, sc)
+        return Table(df.select(*[sc.alias(n) for sc, n in resolved]))
+
+    def over(
+        self,
+        window: Optional[Window] = None,
+        *,
+        rows=None,
+        range=None,  # noqa: A002 — reference parameter name
+        group_by=None,
+        order_by=None,
+    ) -> "GroupedTable":
+        """GroupedTable.over (groupby.py): attach a window spec (frame /
+        extra ordering) that subsequent mutate/select expressions bind to,
+        always partitioned by the group keys."""
+        from ibis_spark.expr.window import window as _mk
+
+        if window is None:
+            window = _mk(
+                group_by=group_by if group_by is not None else (),
+                order_by=order_by if order_by is not None else (),
+                rows=rows,
+                range=range,
+            )
+        if not isinstance(window, Window):
+            raise TypeError(f"expected a Window, got {type(window).__name__}")
+        return GroupedTable(
+            self._table, self._keys, self._named_keys, self._mode, window
+        )
 
     def _grouped_resolve(self, expr, w: Window):
         from ibis_spark.expr.column import Column
@@ -1535,7 +1623,13 @@ class GroupedTable:
 
     def order_by(self, *keys) -> "GroupedTable":
         # ordering within group applies at window time; store as sorted table
-        return GroupedTable(self._table.order_by(*keys), self._keys, self._named_keys)
+        return GroupedTable(
+            self._table.order_by(*keys),
+            self._keys,
+            self._named_keys,
+            self._mode,
+            self._window,
+        )
 
 
 class GroupedHaving:

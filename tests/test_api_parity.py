@@ -465,3 +465,23 @@ def test_review_fixes(con):
     # get_backend returns the registered instance
     ib.set_backend(con)
     assert t.get_backend() is con
+
+
+def test_grouped_select_and_over(con):
+    """GroupedTable.select projects only the windowed expressions;
+    GroupedTable.over attaches a frame; scalar lifts (x / x.sum())
+    re-bind to the group window, not a broadcast cross join."""
+    t = con.memtable(
+        {"g": ["a", "a", "a", "b", "b"], "i": [1, 2, 3, 1, 2],
+         "x": [1.0, 2.0, 3.0, 10.0, 20.0]}
+    )
+    s = t.group_by("g").select(total=t.x.sum(), frac=t.x / t.x.sum())
+    out = s.execute()
+    assert list(out.columns) == ["total", "frac"]
+    assert sorted(out["total"]) == [6.0, 6.0, 6.0, 30.0, 30.0]
+    g2 = t.group_by("g").over(rows=(-1, 0), order_by=t.i)
+    m = g2.mutate(trail=t.x.sum()).order_by("g", "i").execute()
+    assert m["trail"].tolist() == [1.0, 3.0, 5.0, 10.0, 30.0]
+    m2 = t.group_by("g").mutate(frac=t.x / t.x.sum()).order_by("g", "i").execute()
+    assert "x" in m2.columns
+    assert abs(m2["frac"].tolist()[0] - 1 / 6) < 1e-9
