@@ -1083,6 +1083,17 @@ def _histogram_bins(spark, sf_dir):
     )
 
 
+def _grouped_fraction(spark, sf_dir):
+    """Grouped scalar-lift semantics (GroupedTable.mutate with
+    x / x.sum()): the bare reduction re-binds to the group window —
+    agg OVER (PARTITION BY keys), one shuffle, no cross join."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.group_by("l_returnflag").mutate(
+        frac=(li.l_extendedprice / li.l_extendedprice.sum()).round(9)
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "frac").to_spark()
+
+
 def _rowid_contract(spark, sf_dir):
     """The distributed zip-by-index numbering (Table.with_row_number /
     rowid, table.py) is order-arbitrary but contract-bound: exactly N
@@ -1656,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_if_any": _selector_if_any,
         "salted_join_agg": _salted_join_agg,
         "rowid_contract": _rowid_contract,
+        "grouped_fraction": _grouped_fraction,
         "describe_table": _describe_table,
         "info_table": _info_table,
         "q8_market_share": _q8_market_share,
@@ -1872,6 +1884,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n, COUNT(*) AS d,
                    CAST(0 AS BIGINT) AS mn,
                    CAST(COUNT(*) - 1 AS BIGINT) AS mx
+            FROM lineitem
+        """,
+        "grouped_fraction": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   ROUND(l_extendedprice /
+                         SUM(l_extendedprice) OVER (PARTITION BY l_returnflag),
+                         9) AS frac
             FROM lineitem
         """,
         "q1": _Q1_SQL,

@@ -106,6 +106,37 @@ class _ScalarOps:
         a, b = (other, self) if swapped else (self, other)
         return ScalarExpr.binop(op, a, b)
 
+    def _unop(self, fn):
+        """Post-compose a column transform onto this scalar expression."""
+        return ScalarExpr(
+            lambda: fn(ScalarExpr._to_col(self)), ScalarExpr._refs(self)
+        )
+
+    # common post-aggregation transforms (x / x.sum() then .round(...) is
+    # the canonical shape); anything else: wrap in the projection and
+    # transform the resulting column
+    def round(self, digits: int = 0):
+        return self._unop(lambda c: F.round(c, int(digits)))
+
+    def abs(self):
+        return self._unop(F.abs)
+
+    def floor(self):
+        return self._unop(lambda c: F.floor(c).cast("long"))
+
+    def ceil(self):
+        return self._unop(lambda c: F.ceil(c).cast("long"))
+
+    def cast(self, dtype):
+        from ibis_spark.functions.generic import _spark_type
+
+        return self._unop(lambda c: c.cast(_spark_type(dtype)))
+
+    def alias(self, name):
+        return self._unop(lambda c: c.alias(name))
+
+    name = alias
+
     def __lt__(self, other):
         return self._binop(_operator.lt, other)
 
