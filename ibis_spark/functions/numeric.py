@@ -16,15 +16,41 @@ class NumericOps:
     __slots__ = ()
 
     # -- arithmetic (numeric.py:28-82) --------------------------------------
+    def _plus_is_concat(self, other) -> bool:
+        """ibis defines ``+`` on strings as concatenation
+        (StringValue.__add__ → StringConcat). Dispatch from a str literal
+        operand or a plain string FIELD reference (schema lookup on the
+        source DataFrame — no plan analysis); derived string expressions
+        should use .concat()."""
+        if isinstance(other, str):
+            return True
+        from pyspark.sql.types import StringType
+
+        for side in (self, other):
+            df = getattr(side, "_source_df", None)
+            nm = getattr(side, "_name", None)
+            if (
+                df is not None
+                and nm
+                and nm in getattr(df, "columns", ())
+                and isinstance(df.schema[nm].dataType, StringType)
+            ):
+                return True
+        return False
+
     def __add__(self, other):
         if is_scalar_subquery(other):
             return NotImplemented
         sv = self._as_auto_scalar(other)
         if sv is not None:
             return sv.__radd__(self)
+        if self._plus_is_concat(other):
+            return wrap(F.concat(self.spark(), unwrap(other)))
         return wrap(self.spark() + unwrap(other))
 
     def __radd__(self, other):
+        if self._plus_is_concat(other):
+            return wrap(F.concat(unwrap(other), self.spark()))
         return wrap(unwrap(other) + self.spark())
 
     def __sub__(self, other):

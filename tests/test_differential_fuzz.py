@@ -397,3 +397,85 @@ def _run_asof_case(seed, ev, duck):
 @pytest.mark.parametrize("seed", range(8))
 def test_differential_asof_queries(seed, ev, duck_ev):
     _run_asof_case(seed, ev, duck_ev)
+
+
+# -- temporal family ----------------------------------------------------------
+
+TEMPORAL_OPS = [
+    ("year", lambda c: c.year(), "CAST(year(ts) AS INT)"),
+    ("month", lambda c: c.month(), "CAST(month(ts) AS INT)"),
+    ("day", lambda c: c.day(), "CAST(day(ts) AS INT)"),
+    ("hour", lambda c: c.hour(), "CAST(hour(ts) AS INT)"),
+    ("minute", lambda c: c.minute(), "CAST(minute(ts) AS INT)"),
+    ("doy", lambda c: c.day_of_year(), "CAST(dayofyear(ts) AS INT)"),
+    ("iso_year", lambda c: c.iso_year(), "CAST(isoyear(ts) AS INT)"),
+    ("epoch_days", lambda c: c.epoch_days(),
+     "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)"),
+    ("trunc_day", lambda c: c.truncate("D"), "date_trunc('day', ts)"),
+    ("trunc_hour", lambda c: c.truncate("h"), "date_trunc('hour', ts)"),
+    ("trunc_month", lambda c: c.truncate("M"), "date_trunc('month', ts)"),
+]
+
+
+def _run_temporal_case(seed, ev, duck):
+    rng = random.Random(4000 + seed)
+    name, fn, sql_expr = TEMPORAL_OPS[rng.randrange(len(TEMPORAL_OPS))]
+    out = ev.select("event_id", x=fn(ev.ts)).order_by("event_id").execute()
+    want = duck.sql(
+        f"SELECT event_id, {sql_expr} AS x FROM events ORDER BY event_id"
+    ).df()
+    assert out["x"].tolist() == want["x"].tolist(), (seed, name)
+
+
+@pytest.mark.parametrize("seed", range(11))
+def test_differential_temporal_queries(seed, ev, duck_ev):
+    _run_temporal_case(seed, ev, duck_ev)
+
+
+# -- string family (documents.text) ------------------------------------------
+
+STRING_OPS = [
+    ("lower", lambda c: c.lower(), "lower(text)"),
+    ("upper", lambda c: c.upper(), "upper(text)"),
+    ("length", lambda c: c.length(), "CAST(length(text) AS INT)"),
+    ("reverse", lambda c: c.reverse(), "reverse(text)"),
+    ("left", lambda c: c.left(7), "left(text, 7)"),
+    ("right", lambda c: c.right(5), "right(text, 5)"),
+    # ibis substr is 0-indexed; DuckDB substr is 1-indexed
+    ("substr", lambda c: c.substr(3, 9), "substr(text, 4, 9)"),
+    # ibis find is 0-indexed; DuckDB strpos is 1-indexed (-1 shift)
+    ("find", lambda c: c.find("the"), "CAST(strpos(text, 'the') - 1 AS BIGINT)"),
+    ("replace", lambda c: c.replace("the", "THE"), "replace(text, 'the', 'THE')"),
+    ("concat", lambda c: c + "|x", "text || '|x'"),
+    ("trim", lambda c: c.strip(), "trim(text)"),
+    ("startswith", lambda c: c.startswith("The"), "starts_with(text, 'The')"),
+    ("contains", lambda c: c.contains("data"), "contains(text, 'data')"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(con):
+    return con.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck_docs(duck):
+    duck.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return duck
+
+
+def _run_string_case(seed, docs, duck):
+    rng = random.Random(5000 + seed)
+    name, fn, sql_expr = STRING_OPS[rng.randrange(len(STRING_OPS))]
+    out = docs.select("doc_id", x=fn(docs.text)).order_by("doc_id").execute()
+    want = duck.sql(
+        f"SELECT doc_id, {sql_expr} AS x FROM documents ORDER BY doc_id"
+    ).df()
+    assert out["x"].tolist() == want["x"].tolist(), (seed, name)
+
+
+@pytest.mark.parametrize("seed", range(13))
+def test_differential_string_queries(seed, docs, duck_docs):
+    _run_string_case(seed, docs, duck_docs)
