@@ -64,15 +64,34 @@ class NumericOps:
     def __rsub__(self, other):
         return wrap(unwrap(other) - self.spark())
 
+    def _is_string_field(self) -> bool:
+        """Plain string FIELD reference check (schema lookup, no plan
+        analysis) — shared by the + concat and * repeat dispatches."""
+        from pyspark.sql.types import StringType
+
+        df = getattr(self, "_source_df", None)
+        nm = getattr(self, "_name", None)
+        return (
+            df is not None
+            and bool(nm)
+            and nm in getattr(df, "columns", ())
+            and isinstance(df.schema[nm].dataType, StringType)
+        )
+
     def __mul__(self, other):
         if is_scalar_subquery(other):
             return NotImplemented
         sv = self._as_auto_scalar(other)
         if sv is not None:
             return sv.__rmul__(self)
+        if self._is_string_field():
+            # ibis StringValue.__mul__ (strings.py:1719) is repetition
+            return self.repeat(other)
         return wrap(self.spark() * unwrap(other))
 
     def __rmul__(self, other):
+        if self._is_string_field():
+            return self.repeat(other)
         return wrap(unwrap(other) * self.spark())
 
     def __truediv__(self, other):

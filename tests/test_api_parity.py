@@ -485,3 +485,21 @@ def test_grouped_select_and_over(con):
     m2 = t.group_by("g").mutate(frac=t.x / t.x.sum()).order_by("g", "i").execute()
     assert "x" in m2.columns
     assert abs(m2["frac"].tolist()[0] - 1 / 6) < 1e-9
+
+
+def test_string_plus_and_star_dispatch(con):
+    """ibis string operators: + concatenates (StringConcat), * repeats
+    (strings.py:1719) — dispatched from the schema without plan analysis;
+    numeric fields keep arithmetic semantics."""
+    t = con.memtable({"s": ["ab", "c"], "n": [2, 3]})
+    out = t.select(
+        r=t.s * 2, r2=2 * t.s, plus=t.s + "!", rplus="!" + t.s, mul=t.n * 2
+    ).execute()
+    assert out["r"].tolist() == ["abab", "cc"]
+    assert out["r2"].tolist() == ["abab", "cc"]
+    assert out["plus"].tolist() == ["ab!", "c!"]
+    assert out["rplus"].tolist() == ["!ab", "!c"]
+    assert out["mul"].tolist() == [4, 6]
+    # string field + string field concatenates too
+    u = con.memtable({"a": ["x"], "b": ["y"]})
+    assert u.select(c=u.a + u.b).execute()["c"].tolist() == ["xy"]
