@@ -479,3 +479,61 @@ def _run_string_case(seed, docs, duck):
 @pytest.mark.parametrize("seed", range(13))
 def test_differential_string_queries(seed, docs, duck_docs):
     _run_string_case(seed, docs, duck_docs)
+
+
+# -- null-semantics family (3VL) over a shared null-rich table ---------------
+
+
+@pytest.fixture(scope="module")
+def nullt(con, duck):
+    import pandas as pd
+
+    rng = random.Random(99)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "i": list(range(n)),
+            "a": [rng.choice([None, rng.randint(-5, 5)]) for _ in range(n)],
+            "b": [rng.choice([None, rng.randint(0, 3)]) for _ in range(n)],
+            "s": [rng.choice([None, "x", "y", "z"]) for _ in range(n)],
+        }
+    ).astype({"a": "Int64", "b": "Int64"})
+    duck.register("nulls_t", pdf)
+    return con.memtable(pdf)
+
+
+NULL_PREDS = [
+    ("a IS NULL", lambda t: t.a.isnull()),
+    ("a IS NOT NULL", lambda t: t.a.notnull()),
+    ("COALESCE(a, b, 0) > 2", lambda t: t.a.coalesce(t.b, 0) > 2),
+    ("NULLIF(a, b) IS NULL", lambda t: t.a.nullif(t.b).isnull()),
+    ("a = b", lambda t: t.a == t.b),
+    ("a IS NOT DISTINCT FROM b", lambda t: t.a.identical_to(t.b)),
+    ("(a > 0) OR (s = 'x')", lambda t: (t.a > 0) | (t.s == "x")),
+    ("(a > 0) AND (b < 2)", lambda t: (t.a > 0) & (t.b < 2)),
+    ("s IS NULL", lambda t: t.s.isnull()),
+    ("IFNULL(s, '?') = '?'", lambda t: t.s.fill_null("?") == "?"),
+]
+
+
+def _run_null_case(seed, nullt, duck):
+    rng = random.Random(6000 + seed)
+    sql_pred, fn = NULL_PREDS[rng.randrange(len(NULL_PREDS))]
+    f = nullt.filter(fn(nullt))
+    got = f.aggregate(
+        n=f.i.count(), sa=f.a.sum(), nb=f.b.count()
+    ).execute()
+    want = duck.sql(
+        "SELECT COUNT(i) AS n, SUM(a) AS sa, COUNT(b) AS nb "
+        f"FROM nulls_t WHERE {sql_pred}"
+    ).df()
+    for c in ("n", "sa", "nb"):
+        g, w = got[c][0], want[c][0]
+        gn = None if g is None or (isinstance(g, float) and math.isnan(g)) else float(g)
+        wn = None if w is None or (isinstance(w, float) and math.isnan(w)) else float(w)
+        assert gn == wn, (seed, sql_pred, c, g, w)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_differential_null_semantics(seed, nullt, duck):
+    _run_null_case(seed, nullt, duck)
