@@ -1212,11 +1212,41 @@ class Table(CoreExpr):
         )
         return Table(stacked)
 
-    def pivot_wider(self, *, names_from: str, values_from: str, values_agg="sum", names_sort: bool = False) -> "Table":
+    def pivot_wider(
+        self,
+        *,
+        names_from: str,
+        values_from: str,
+        values_agg="sum",
+        names=None,
+        names_sort: bool = False,
+    ) -> "Table":
+        """Spread ``names_from``'s values into columns (reference
+        relations.py:4540).
+
+        Pass ``names=`` (the explicit list of pivot keys) whenever it is
+        known: without it Spark must run a distinct-values job over
+        ``names_from`` *at plan time* — a hidden driver-side action that is
+        unbounded at scale (at 100 TB that job scans the full table before
+        the plan even exists). With ``names`` given, planning is pure — no
+        job runs until the query executes. ``names_sort=True`` orders the
+        generated columns lexicographically; otherwise they follow ``names``
+        order (or Spark's discovery order when ``names`` is omitted).
+        """
         keep = [c for c in self._df.columns if c not in (names_from, values_from)]
-        gb = self._df.groupBy(*keep).pivot(names_from)
+        if names is not None:
+            names = list(names)
+            if names_sort:
+                names = sorted(names)
+            gb = self._df.groupBy(*keep).pivot(names_from, names)
+        else:
+            gb = self._df.groupBy(*keep).pivot(names_from)
         aggfn = getattr(F, values_agg if values_agg != "arbitrary" else "first")
-        return Table(gb.agg(aggfn(values_from)))
+        out = gb.agg(aggfn(values_from))
+        if names is None and names_sort:
+            pivoted = [c for c in out.columns if c not in keep]
+            out = out.select(*keep, *sorted(pivoted))
+        return Table(out)
 
     # -- raw SQL escape hatch (relations.py:4004) ------------------------------------------
     def sql(self, query: str, *, table_name: str = "t") -> "Table":

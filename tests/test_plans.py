@@ -149,3 +149,44 @@ def test_scalar_subqueries_share_one_aggregate(spark):
     )
     p = out.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert p.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_pivot_wider_explicit_names_no_plan_time_job(spark):
+    """pivot_wider(names=[...]) must plan WITHOUT running a Spark job (the
+    names-omitted path runs a distinct-values discovery job at plan time —
+    unbounded at 100 TB). Asserted via a job group: planning inside the
+    group must leave the group empty of job ids."""
+    import ibis_spark as ib
+
+    sc = spark.sparkContext
+    con = ib.connect(spark)
+    t = con.read_parquet(f"{SF}/orders.parquet").select(
+        "o_orderpriority", "o_orderstatus", "o_orderkey"
+    )
+
+    sc.setJobGroup("pivot-plan-probe", "pivot_wider names= planning")
+    try:
+        wide = t.pivot_wider(
+            names_from="o_orderstatus",
+            values_from="o_orderkey",
+            values_agg="count",
+            names=["O", "F", "P"],
+            names_sort=True,
+        )
+        cols = wide.columns  # forces analysis, still no action
+        jobs = sc.statusTracker().getJobIdsForGroup("pivot-plan-probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert jobs == [] or jobs is None
+    assert cols == ["o_orderpriority", "F", "O", "P"]
+
+    # names omitted: discovery job IS expected (documented behavior)
+    sc.setJobGroup("pivot-discovery-probe", "pivot_wider discovery planning")
+    try:
+        t.pivot_wider(
+            names_from="o_orderstatus", values_from="o_orderkey", values_agg="count"
+        ).columns
+        jobs = sc.statusTracker().getJobIdsForGroup("pivot-discovery-probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert jobs  # the hidden action the docstring warns about
