@@ -2,14 +2,17 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
 Each query is forced end-to-end with the noop sink (full execution, no
-driver-side collect overhead). One warm-up pass amortizes session/JIT
-startup, then each query is timed REPS times (default 3) and the MINIMUM
-is reported — BASELINE.md's contract is steady-state wall time, and the
-r4 verdict measured ~2x first-timed-run residue (codegen/JIT noise) with
-a single timed pass.
+driver-side collect overhead). Steady-state protocol: each query is
+warmed WARMUPS times (default 2) then timed REPS times (default 3)
+consecutively, and the MINIMUM is reported — consecutive execution keeps
+the JIT profile hot (the r5 suite-wide warm-up pass measured a 1.6-2x
+phantom regression on early queries from code-cache pollution).
 
-Set SPARK_GRAFT_BENCH_ORACLE=1 to also time each query's DuckDB oracle
-on the same parquet (single-process baseline column, best-of-REPS).
+The artifact also carries (a) a DuckDB single-process baseline column
+(each query's oracle SQL on the same parquet, best-of-REPS; disable with
+SPARK_GRAFT_BENCH_ORACLE=0) and (b) a 10x-smaller-SF column
+(SPARK_GRAFT_BENCH_SMALL_SF_DIR, default sf0.01) so fixed per-query
+overhead vs data-dependent marginal cost is machine-checkable.
 """
 
 from __future__ import annotations
@@ -92,35 +95,67 @@ def main():
         df.write.format("noop").mode("overwrite").save()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
 
-    # warm-up every query once: BASELINE.md's contract is steady-state
-    # (warm session) per-query time — the first run pays plan analysis +
-    # whole-stage codegen compilation, which at sf0.1 dwarfs execution
-    for n in names:
-        try:
-            run(n)
-        except Exception:
-            pass
-
+    # Steady-state protocol: each query is warmed then timed CONSECUTIVELY.
+    # BASELINE.md's contract is steady-state per-query time; the r5 protocol
+    # (warm all 39 queries, then re-time each) measured a 1.6-2x phantom
+    # regression on the earliest queries because 38 intervening queries
+    # polluted the JIT profile / code cache between a query's warm-up and
+    # its timed runs. Consecutive execution keeps tiered compilation hot —
+    # measured: q1 converges 1.20 -> 0.73 s at sf0.1 under this protocol.
     times = {}
     for n in names:
         best = None
         err = False
-        for _ in range(reps):
-            t0 = time.time()
-            try:
+        try:
+            for _ in range(warmups):
                 run(n)
-            except Exception as e:
-                print(f"bench error in {n}: {e}", file=sys.stderr)
-                err = True
-                break
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        except Exception as e:
+            print(f"bench error in {n}: {e}", file=sys.stderr)
+            err = True
+        if not err:
+            for _ in range(reps):
+                t0 = time.time()
+                try:
+                    run(n)
+                except Exception as e:
+                    print(f"bench error in {n}: {e}", file=sys.stderr)
+                    err = True
+                    break
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
         times[n] = None if err else round(best, 3)
 
+    # DuckDB single-process baseline column: ON by default so every BENCH
+    # artifact carries the apples-to-apples ratio (disable with =0)
     oracle_times = None
-    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE"):
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
         oracle_times = _oracle_baseline(entry_mod, names, reps)
+
+    # Marginal-cost column: the same queries at a 10x smaller SF. The
+    # per-query delta separates Spark's fixed per-query floor (scheduling,
+    # codegen, exchange setup — constant in SF) from data-dependent cost
+    # (~linear in SF); machine-checkable scale evidence, not prose.
+    small_times = None
+    small_dir = os.environ.get("SPARK_GRAFT_BENCH_SMALL_SF_DIR", "/root/testdata/sf0.01")
+    if small_dir != "0" and os.path.isdir(small_dir) and small_dir != SF_DIR:
+        small_times = {}
+        for n in names:
+            best = None
+            try:
+                df = qs[n](spark, small_dir)
+                df.write.format("noop").mode("overwrite").save()
+                for _ in range(reps):
+                    t0 = time.time()
+                    df = qs[n](spark, small_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                small_times[n] = round(best, 3)
+            except Exception as e:
+                print(f"small-sf bench error in {n}: {e}", file=sys.stderr)
+                small_times[n] = None
 
     ok_times = [t for t in times.values() if t is not None]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -140,6 +175,15 @@ def main():
         out["oracle_duckdb"] = oracle_times
         ok_oracle = [t for t in oracle_times.values() if t is not None]
         out["oracle_total"] = round(sum(ok_oracle), 3)
+    if small_times is not None:
+        out["queries_small_sf"] = small_times
+        sf_small = small_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            out["sf_small"] = float(sf_small)
+        except ValueError:
+            out["sf_small"] = None
+        ok_small = [t for t in small_times.values() if t is not None]
+        out["small_sf_total"] = round(sum(ok_small), 3)
     print(json.dumps(out))
     spark.stop()
 
