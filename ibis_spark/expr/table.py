@@ -90,12 +90,19 @@ class Table(CoreExpr):
 
     def get_name(self) -> str:
         """Table.get_name (relations.py): a stable name for this relation
-        (the reference returns the op's name; ours derives from the plan)."""
+        (the reference returns the op's name; ours derives from the plan).
+
+        Uses the public ``DataFrame.semanticHash()`` (works on classic AND
+        Spark Connect sessions — no ``_jdf``); falls back to a schema
+        digest if even that is unavailable."""
         import hashlib
 
-        digest = hashlib.md5(
-            self._df._jdf.queryExecution().logical().toString().encode()
-        ).hexdigest()[:8]
+        try:
+            digest = f"{self._df.semanticHash() & 0xFFFFFFFF:08x}"
+        except Exception:
+            digest = hashlib.md5(
+                self._df.schema.json().encode()
+            ).hexdigest()[:8]
         return f"ibis_spark_table_{digest}"
 
     @property

@@ -138,13 +138,31 @@ class ReductionOps:
         return wrap(F.array_join(F.collect_list(c.cast("string")), sep))
 
     # -- quantiles (reductions.py:247-306, :354) --------------------------------
-    def median(self, where=None):
+    def median(self, where=None, approx=False):
+        """Median (Median reductions.py:247).
+
+        SCALE: the exact path (``F.median``) buffers every group's values
+        in executor memory — at 100 TB a single hot group can OOM an
+        executor. Pass ``approx=True`` (t-digest style sketch, constant
+        memory per group, same contract as the reference's ApproxMedian)
+        for large or skewed groups.
+        """
+        if approx:
+            return self.approx_median(where=where)
         return wrap(F.median(_filtered(self.spark(), where)))
 
     def approx_median(self, where=None):
         return wrap(F.percentile_approx(_filtered(self.spark(), where), 0.5))
 
-    def quantile(self, q, where=None):
+    def quantile(self, q, where=None, approx=False):
+        """Exact quantile(s) (Quantile/MultiQuantile reductions.py:254-306).
+
+        SCALE: ``F.percentile`` is exact and buffers each group's values in
+        executor memory; a hot group at 100 TB OOMs. Pass ``approx=True``
+        to use the constant-memory sketch (``percentile_approx``) instead —
+        identical call shape, approximate rank."""
+        if approx:
+            return self.approx_quantile(q, where=where)
         c = _filtered(self.spark(), where)
         if isinstance(q, (list, tuple)):
             return wrap(F.percentile(c, F.array(*[F.lit(float(x)) for x in q])))

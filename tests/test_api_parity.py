@@ -503,3 +503,55 @@ def test_string_plus_and_star_dispatch(con):
     # string field + string field concatenates too
     u = con.memtable({"a": ["x"], "b": ["y"]})
     assert u.select(c=u.a + u.b).execute()["c"].tolist() == ["xy"]
+
+
+def test_get_name_and_equals_connect_safe(con, orders, monkeypatch):
+    """get_name/equals must not require DataFrame._jdf (absent under Spark
+    Connect). get_name's primary path is the public semanticHash(); when
+    even that fails, the schema-digest fallback must kick in rather than
+    raise. The monkeypatch blocks _jdf after pre-caching the schema —
+    modelling Connect, where .schema works without a JVM handle."""
+    t = orders.select("o_orderkey")
+    u = orders.select("o_orderkey")
+
+    # normal session: stable plan-derived name, semantic equality
+    assert t.get_name() == u.get_name()
+    assert t.get_name().startswith("ibis_spark_table_")
+    assert t.equals(u)
+    assert not t.equals(orders.select("o_custkey"))
+
+    # pre-cache schemas (classic pyspark fetches schema via _jdf once,
+    # then caches; under Connect .schema never needs a JVM handle)
+    _ = t.to_spark().schema, u.to_spark().schema
+
+    def _raise(self):
+        raise AttributeError("_jdf is unavailable under Spark Connect")
+
+    monkeypatch.setattr(
+        type(t.to_spark()), "_jdf", property(_raise), raising=False
+    )
+    name = t.get_name()  # must not raise
+    assert name.startswith("ibis_spark_table_")
+    assert name == u.get_name()  # same schema -> same fallback digest
+
+
+def test_quantile_approx_escape(con):
+    """quantile/median accept approx=True — the constant-memory sketch
+    path for hot groups (the exact path buffers whole groups; see the
+    docstring's 100 TB note)."""
+    t = con.memtable({"g": ["a"] * 50 + ["b"] * 50, "v": list(range(100))})
+    out = (
+        t.group_by("g")
+        .aggregate(
+            med=t.v.median(approx=True),
+            q90=t.v.quantile(0.9, approx=True),
+            qs=t.v.quantile([0.25, 0.75], approx=True),
+        )
+        .order_by("g")
+        .execute()
+    )
+    assert len(out) == 2
+    # sketch is exact at this tiny size: group a holds 0..49, b holds 50..99
+    assert abs(out["med"][0] - 24) <= 1 and abs(out["med"][1] - 74) <= 1
+    assert abs(out["q90"][0] - 44) <= 1 and abs(out["q90"][1] - 94) <= 1
+    assert len(out["qs"][0]) == 2
