@@ -537,3 +537,154 @@ def _run_null_case(seed, nullt, duck):
 @pytest.mark.parametrize("seed", range(10))
 def test_differential_null_semantics(seed, nullt, duck):
     _run_null_case(seed, nullt, duck)
+
+
+# ---------------------------------------------------------------------------
+# planted-duplicate family: LLM dedup operators vs Python ground truth
+# ---------------------------------------------------------------------------
+# Each seed synthesizes a corpus with PLANTED near-duplicates whose true
+# similarity (word-n-gram Jaccard / char-shingle Jaccard / cosine) is
+# computed exhaustively in Python, then asserts:
+#   precision: every dup edge the operator reports is a TRUE >=threshold
+#              pair (the verify stage is exact, so zero tolerance);
+#   recall:    >=80% of planted pairs comfortably above threshold are
+#              flagged (LSH banding has a small per-pair miss probability,
+#              so the bound is probabilistic, not exact).
+
+_VOCAB = [f"w{i:03d}" for i in range(200)]
+
+
+def _mk_corpus(rng, n_base=40, n_dup=8, words=30, mutate=2):
+    """Base docs + near-dup copies with `mutate` word substitutions."""
+    docs = {}
+    for i in range(n_base):
+        docs[i] = [rng.choice(_VOCAB) for _ in range(words)]
+    for j in range(n_dup):
+        src = rng.randrange(n_base)
+        copy = list(docs[src])
+        for _ in range(mutate):
+            copy[rng.randrange(words)] = rng.choice(_VOCAB)
+        docs[n_base + j] = copy
+    ids = sorted(docs)
+    return ids, [" ".join(docs[i]) for i in ids]
+
+
+def _word_ngrams(text, n):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+
+def _char_shingles(text, k=4):
+    return {text[i : i + k] for i in range(max(len(text) - k + 1, 1))}
+
+
+def _jac(a, b):
+    return len(a & b) / max(len(a | b), 1)
+
+
+def _check_dedup(out, ids, sims, threshold, margin=0.15):
+    """Shared assertions: exact precision, >=80% recall on easy pairs."""
+    rep = dict(zip(out["id"], out["rep_id"]))
+    dup = dict(zip(out["id"], out["is_dup"]))
+    assert set(rep) == set(ids)
+    for i in ids:
+        assert rep[i] <= i  # representative is the min of the component
+        assert dup[i] == (rep[i] != i)
+        if rep[i] != i:  # precision: reported edge must be truly similar
+            assert sims[(rep[i], i)] >= threshold - 1e-9, (
+                f"false dup: {rep[i]}<-{i} sim={sims[(rep[i], i)]}"
+            )
+    easy = [(a, b) for (a, b), s in sims.items() if s >= threshold + margin]
+    if easy:
+        caught = sum(1 for a, b in easy if dup[b] or dup[a])
+        assert caught / len(easy) >= 0.8, f"recall {caught}/{len(easy)}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_planted_ngram_jaccard_dedup(seed, con):
+    from ibis_spark import pipeline as pl
+
+    rng = random.Random(1000 + seed)
+    n = rng.choice([2, 3])
+    threshold = rng.choice([0.5, 0.6])
+    ids, texts = _mk_corpus(rng, mutate=rng.choice([1, 2]))
+    sims = {}
+    grams = {i: _word_ngrams(t, n) for i, t in zip(ids, texts)}
+    for x in ids:
+        for y in ids:
+            if x < y:
+                sims[(x, y)] = _jac(grams[x], grams[y])
+    t = con.memtable({"doc_id": ids, "text": texts})
+    out = (
+        pl.ngram_jaccard_dedup(t, "text", "doc_id", n=n, threshold=threshold)
+        .to_spark()
+        .toPandas()
+        .rename(columns={"doc_id": "id"})
+    )
+    _check_dedup(out, ids, sims, threshold)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_planted_minhash_verified_dedup(seed, con):
+    from ibis_spark import pipeline as pl
+
+    rng = random.Random(2000 + seed)
+    threshold = rng.choice([0.5, 0.6])
+    ids, texts = _mk_corpus(rng, mutate=rng.choice([1, 2]))
+    sims = {}
+    sh = {i: _char_shingles(t) for i, t in zip(ids, texts)}
+    for x in ids:
+        for y in ids:
+            if x < y:
+                sims[(x, y)] = _jac(sh[x], sh[y])
+    t = con.memtable({"doc_id": ids, "text": texts})
+    out = (
+        pl.minhash_dedup_verified(
+            t, "text", "doc_id", num_hashes=64, bands=16,
+            threshold=threshold, verify="exact",
+        )
+        .to_spark()
+        .toPandas()
+        .rename(columns={"doc_id": "id"})
+    )
+    _check_dedup(out, ids, sims, threshold)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_planted_embedding_dedup(seed, con):
+    import numpy as np
+
+    from ibis_spark import pipeline as pl
+
+    rng = random.Random(3000 + seed)
+    np_rng = np.random.default_rng(3000 + seed)
+    dim = rng.choice([8, 16, 24])
+    threshold = 0.95
+    n_base, n_dup = 40, 8
+    vecs = {}
+    for i in range(n_base):
+        v = np_rng.standard_normal(dim)
+        vecs[i] = v / np.linalg.norm(v)
+    for j in range(n_dup):
+        src = rng.randrange(n_base)
+        v = vecs[src] + np_rng.standard_normal(dim) * rng.choice([0.02, 0.1])
+        vecs[n_base + j] = v / np.linalg.norm(v)
+    ids = sorted(vecs)
+    sims = {}
+    for x in ids:
+        for y in ids:
+            if x < y:
+                sims[(x, y)] = float(vecs[x] @ vecs[y])
+    t = con.memtable(
+        {"vec_id": ids, "embedding": [[float(c) for c in vecs[i]] for i in ids]}
+    )
+    out = (
+        pl.embedding_dedup(
+            t, "embedding", "vec_id", threshold=threshold, dim=dim,
+            seed=seed,
+        )
+        .to_spark()
+        .toPandas()
+        .rename(columns={"vec_id": "id"})
+    )
+    _check_dedup(out, ids, sims, threshold, margin=0.02)
