@@ -902,18 +902,46 @@ class Table(CoreExpr):
         ties prefer backward). Forward is the same plan with a descending
         running window; nearest evaluates both windows inside the same
         exchange (one shuffle, two in-partition sorts).
+
+        SCALE — tolerance pushdown: when ``tolerance`` is a plain number
+        (numeric ``on``) or ``datetime.timedelta`` (temporal ``on``), both
+        sides are bucketed into tolerance-width time buckets and the
+        running window partitions on (by-keys, bucket): right rows are
+        replicated into the adjacent bucket(s) that could still match, so
+        window state is bounded by ~2 buckets instead of the whole key
+        history, and a GLOBAL (no ``by``) asof parallelizes across buckets
+        instead of funnelling into one partition. Results are identical to
+        the unbucketed plan (any match found beyond the bucket horizon is
+        provably outside tolerance and would be nulled anyway). A
+        column-expression tolerance falls back to the global-window plan.
         """
+        import datetime as _dt
+
         if direction not in ("backward", "forward", "nearest"):
             raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
         lt, rt = (on, on) if isinstance(on, str) else on
         by = _tuplize(by)
-        if not by:
+        _bucketable = tolerance is not None and (
+            (
+                isinstance(tolerance, _dt.timedelta)
+                and tolerance.total_seconds() > 0
+                and _is_temporal(self._df, lt)
+            )
+            or (
+                isinstance(tolerance, (int, float))
+                and not isinstance(tolerance, bool)
+                and tolerance > 0
+                and not _is_temporal(self._df, lt)
+            )
+        )
+        if not by and not _bucketable:
             import warnings
 
             warnings.warn(
                 "asof_join with no `by` keys uses a single global ordered "
                 "window — fine for small inputs, a one-partition funnel at "
-                "scale; pass `by=` partition keys for large tables",
+                "scale; pass `by=` partition keys for large tables (or a "
+                "numeric/timedelta tolerance, which buckets the window)",
                 stacklevel=2,
             )
         by_pairs = [(b, b) if isinstance(b, str) else b for b in by]
@@ -940,6 +968,35 @@ class Table(CoreExpr):
         )
         unioned = tag_l.unionByName(tag_r)
         keys = [f"__k{i}__" for i in range(len(by_pairs))]
+        if _bucketable:
+            # bucket id = floor(t / tolerance); a left row in bucket b can
+            # only match (within tolerance) right rows in bucket b or its
+            # direction-side neighbor, so right rows are replicated into
+            # exactly those groups and the window partitions on the bucket
+            if isinstance(tolerance, _dt.timedelta):
+                div = F.lit(int(tolerance.total_seconds() * 1_000_000))
+                src = F.unix_micros(F.col("__t__"))
+            else:
+                div = F.lit(tolerance)
+                src = F.col("__t__")
+            offs = {
+                "backward": (0, 1),
+                "forward": (-1, 0),
+                "nearest": (-1, 0, 1),
+            }[direction]
+            unioned = (
+                unioned.withColumn("__bkt0__", F.floor(src / div))
+                .select(
+                    "*",
+                    F.explode(
+                        F.when(F.col("__is_left__") == 1, F.array(F.lit(0)))
+                        .otherwise(F.array(*[F.lit(o) for o in offs]))
+                    ).alias("__off__"),
+                )
+                .withColumn("__bkt__", F.col("__bkt0__") + F.col("__off__"))
+                .drop("__bkt0__", "__off__")
+            )
+            keys = keys + ["__bkt__"]
         w_back = (
             Window(
                 group_by=tuple(keys),

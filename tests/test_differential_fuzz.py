@@ -688,3 +688,82 @@ def test_planted_embedding_dedup(seed, con):
         .rename(columns={"vec_id": "id"})
     )
     _check_dedup(out, ids, sims, threshold, margin=0.02)
+
+
+# ---------------------------------------------------------------------------
+# bucketed-tolerance asof family: vs pandas.merge_asof (exact oracle)
+# ---------------------------------------------------------------------------
+# A numeric/timedelta tolerance routes asof_join through the bucketed-window
+# plan (window partitioned on tolerance-width buckets; right rows replicated
+# into the neighbor bucket). pandas.merge_asof supports the identical
+# (on, by, tolerance, direction) contract and is the ground truth here.
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_differential_bucketed_asof(seed, con):
+    import pandas as pd
+
+    rng = random.Random(4000 + seed)
+    direction = rng.choice(["backward", "forward", "nearest"])
+    tol = rng.choice([3, 5, 10])
+    n_l, n_r = rng.randint(20, 60), rng.randint(20, 60)
+    groups = ["a", "b", "c"]
+    left = pd.DataFrame(
+        {
+            "g": [rng.choice(groups) for _ in range(n_l)],
+            "t": sorted(rng.randint(0, 300) for _ in range(n_l)),
+            "lv": list(range(n_l)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "g": [rng.choice(groups) for _ in range(n_r)],
+            "t": sorted(rng.randint(0, 300) for _ in range(n_r)),
+            "rv": list(range(n_r)),
+        }
+    )
+    # pandas merge_asof requires unique (by, on) on the right for a
+    # well-defined nearest row under ties — dedupe keeping the last
+    right = right.drop_duplicates(subset=["g", "t"], keep="last").reset_index(
+        drop=True
+    )
+
+    lt_t = con.memtable(left.to_dict("list"))
+    rt_t = con.memtable(right.to_dict("list"))
+    got = (
+        lt_t.asof_join(
+            rt_t, on="t", by="g", tolerance=tol, direction=direction
+        )
+        .to_spark()
+        .toPandas()
+        .sort_values(["g", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("t", kind="stable"),
+        on="t",
+        by="g",
+        tolerance=tol,
+        direction=direction,
+        suffixes=("", "_right"),
+    ).sort_values(["g", "t", "lv"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for i in range(len(exp)):
+        g_rv, e_rv = got["rv"][i], exp["rv"][i]
+        if pd.isna(e_rv):
+            assert pd.isna(g_rv), f"row {i}: expected no match, got rv={g_rv}"
+        else:
+            # ties between equidistant right rows may resolve differently —
+            # accept any right row at the same distance with the same keys
+            if g_rv != e_rv:
+                cand = right[(right["g"] == got["g"][i])]
+                d_e = abs(
+                    int(cand[cand["rv"] == e_rv]["t"].iloc[0]) - got["t"][i]
+                )
+                d_g = abs(
+                    int(cand[cand["rv"] == g_rv]["t"].iloc[0]) - got["t"][i]
+                )
+                assert d_g == d_e, (
+                    f"row {i}: got rv={g_rv} (d={d_g}) exp rv={e_rv} (d={d_e})"
+                )
