@@ -1630,6 +1630,21 @@ def _ann_lsh_topk(spark, sf_dir):
     return pl.ann_lsh_topk(e, qvec, 10, n_planes=4).to_spark()
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    # IVF-Flat scale path (pipeline.ann_ivf_topk): probing ALL centroids
+    # makes the search exhaustive, so the result provably equals the
+    # brute-force baseline and the same DuckDB oracle hash-checks the whole
+    # machinery (deterministic centroid sample, JVM argmin assignment
+    # filter, exact cosine re-rank); recall at n_probe < n_centroids is
+    # covered by tests/test_pipeline.py
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in e.filter(e.vec_id == 0).to_spark().first()["embedding"]]
+    out = pl.ann_ivf_topk(e, qvec, 10, n_centroids=8, n_probe=8)
+    return out.select("vec_id", sim=out.sim.round(6)).to_spark()
+
+
 def _lang_id(spark, sf_dir):
     from ibis_spark import pipeline as pl
 
@@ -1721,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         # -- new round-6 queries ---------------------------------------------
         "pivot_wider_explicit": _pivot_wider_explicit,
+        "ann_ivf_topk": _ann_ivf_topk,
         # -- r4-green refresh (fill the remainder of the 50-slot window) -----
         "q1": _q1,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2751,6 +2767,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey
         """,
         "ann_cosine_topk": """
+            SELECT vec_id,
+                   ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[],
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim
+            FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "ann_ivf_topk": """
             SELECT vec_id,
                    ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[],
                          (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim

@@ -565,6 +565,115 @@ def ann_lsh_topk(
     return Table(df.orderBy(F.col(sim_name).desc(), F.col(id_col)).limit(int(k)))
 
 
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_centroid(vec, centroids):
+    """0-based index of the squared-L2-nearest centroid — pure JVM
+    (transform + aggregate lambdas over a literal array<array<double>>)."""
+    cent = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    d2 = F.transform(cent, lambda c: _sq_l2(vec, c))
+    return F.array_position(d2, F.array_min(d2)) - 1
+
+
+def ivf_centroids(
+    t: Table,
+    vec_col: str = "embedding",
+    *,
+    n_centroids: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+) -> list:
+    """Coarse-quantizer centroids for IVF: a deterministic sample of
+    ``n_centroids`` vectors (lowest xxhash64(id) — one TakeOrdered pass,
+    no full sort), optionally refined by ``iters`` Lloyd steps (assign =
+    JVM argmin, update = one posexplode+groupBy mean per step, collecting
+    only n_centroids x dim cells).
+
+    This IS the index-build step, and it executes jobs: IVF's coarse
+    quantizer must be materialized before queries can prune. At 100 TB
+    build once, persist the centroid list (it is plain Python floats) and
+    the per-row assignment, and pass ``centroids=`` to ann_ivf_topk.
+    """
+    df = t.df
+    sampled = (
+        df.select(F.col(vec_col).alias("__v__"), F.xxhash64(F.col(id_col)).alias("__h__"))
+        .orderBy("__h__")
+        .limit(int(n_centroids))
+        .collect()
+    )
+    centroids = [list(map(float, r["__v__"])) for r in sampled]
+    for _ in range(int(iters)):
+        assign = _nearest_centroid(F.col(vec_col), centroids)
+        means = (
+            df.select(assign.alias("__c__"), F.posexplode(F.col(vec_col)))
+            .groupBy("__c__", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        acc = {}
+        for r in means:
+            acc.setdefault(r["__c__"], {})[r["pos"]] = r["m"]
+        for ci, dims in acc.items():
+            new[ci] = [dims[p] for p in sorted(dims)]
+        centroids = new
+    return centroids
+
+
+def ann_ivf_topk(
+    t: Table,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 0,
+    centroids=None,
+    sim_name: str = "sim",
+) -> Table:
+    """IVF-Flat approximate top-k: rows are pruned to the ``n_probe``
+    clusters whose centroids are nearest the query, then re-ranked by
+    exact cosine (TakeOrderedAndProject — partial top-k per partition).
+
+    The scan-side filter is a pure JVM expression (argmin over the
+    broadcast centroid literals), so pruning costs one pass with no
+    shuffle; at scale, persist the assignment as a partition column and
+    the filter becomes partition pruning at the source. With
+    ``n_probe >= n_centroids`` the search is exhaustive and exactly
+    equals the brute-force baseline (the oracle contract); recall at
+    ``n_probe < n_centroids`` is the documented trade.
+
+    Pass ``centroids=`` (from ivf_centroids) to keep this call fully
+    lazy; omitting it builds the quantizer inline (runs the sampling —
+    and, with ``iters>0``, Lloyd — jobs at plan time)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_centroids(
+            t, vec_col, n_centroids=n_centroids, iters=iters, id_col=id_col
+        )
+    qv = np.asarray(list(query_vec), dtype="float64")
+    d2 = [float(((np.asarray(c) - qv) ** 2).sum()) for c in centroids]
+    probes = sorted(np.argsort(d2)[: max(int(n_probe), 1)].tolist())
+    vec = F.col(vec_col)
+    assign = _nearest_centroid(vec, centroids)
+    pruned = t.df.filter(assign.isin(probes))
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    sim = cosine_similarity(vec, q).spark()
+    df = pruned.select(F.col(id_col), sim.alias(sim_name))
+    return Table(df.orderBy(F.col(sim_name).desc(), F.col(id_col)).limit(int(k)))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

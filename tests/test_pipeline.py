@@ -144,6 +144,57 @@ class TestSimilarity:
         got = [r.vec_id for r in out.df.collect()]
         assert 1 in got
 
+    def test_ivf_exhaustive_probe_equals_brute_force(self, con):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        n, dim = 300, 12
+        vecs = rng.standard_normal((n, dim))
+        t = con.memtable(
+            {
+                "vec_id": list(range(n)),
+                "embedding": [list(map(float, v)) for v in vecs],
+            }
+        )
+        q = list(map(float, rng.standard_normal(dim)))
+        exact = [r.vec_id for r in pl.cosine_topk(t, q, 10).df.collect()]
+        # probe every centroid -> exhaustive -> exact equality (the oracle
+        # contract in __spark_entry__.ann_ivf_topk)
+        ivf = [
+            r.vec_id
+            for r in pl.ann_ivf_topk(t, q, 10, n_centroids=8, n_probe=8).df.collect()
+        ]
+        assert ivf == exact
+        # Lloyd-refined centroids preserve exhaustive equality too
+        cents = pl.ivf_centroids(t, "embedding", n_centroids=8, iters=2)
+        ivf2 = [
+            r.vec_id
+            for r in pl.ann_ivf_topk(t, q, 10, centroids=cents, n_probe=8).df.collect()
+        ]
+        assert ivf2 == exact
+
+    def test_ivf_pruned_probe_recall_and_plan(self, con):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        n, dim = 300, 12
+        vecs = rng.standard_normal((n, dim))
+        t = con.memtable(
+            {
+                "vec_id": list(range(n)),
+                "embedding": [list(map(float, v)) for v in vecs],
+            }
+        )
+        q = list(map(float, rng.standard_normal(dim)))
+        exact = {r.vec_id for r in pl.cosine_topk(t, q, 10).df.collect()}
+        out = pl.ann_ivf_topk(t, q, 10, n_centroids=8, n_probe=3)
+        plan = out.explain("formatted")
+        # prune is a scan-side filter: no shuffle-join, no Python eval
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        assert "EvalPython" not in plan
+        got = {r.vec_id for r in out.df.collect()}
+        assert len(got & exact) >= 5  # recall >= 0.5 at 3/8 probes
+
 
 class TestTextAnalysis:
     def test_lang_id(self, con):
