@@ -1685,6 +1685,19 @@ def _text_stats(spark, sf_dir):
     ).to_spark()
 
 
+def _repetition_score(spark, sf_dir):
+    # within-doc duplicate-bigram fraction (pipeline.repetition_score) —
+    # the Gopher-style repetition quality signal, scan-only JVM lambdas
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rep2=pl.repetition_score(d.text, n=2),
+        rep3=pl.repetition_score(d.text, n=3),
+    ).to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1737,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-6 queries ---------------------------------------------
         "pivot_wider_explicit": _pivot_wider_explicit,
         "ann_ivf_topk": _ann_ivf_topk,
+        "repetition_score": _repetition_score,
         # -- r4-green refresh (fill the remainder of the 50-slot window) -----
         "q1": _q1,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2596,6 +2610,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS O,
                    COUNT(CASE WHEN o_orderstatus = 'P' THEN o_orderkey END) AS P
             FROM orders GROUP BY o_orderpriority
+        """,
+        "repetition_score": """
+            SELECT doc_id,
+                   ROUND(1.0 - len(list_distinct(g2)) * 1.0
+                             / GREATEST(len(g2), 1), 4) AS rep2,
+                   ROUND(1.0 - len(list_distinct(g3)) * 1.0
+                             / GREATEST(len(g3), 1), 4) AS rep3
+            FROM (
+              SELECT doc_id,
+                     list_transform(range(1, GREATEST(len(t) - 1, 1) + 1),
+                                    i -> array_to_string(t[i:i+1], ' ')) AS g2,
+                     list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
+                                    i -> array_to_string(t[i:i+2], ' ')) AS g3
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                    FROM documents)
+            )
         """,
         "pivot_wider_explicit": """
             SELECT o_orderpriority,

@@ -744,3 +744,24 @@ def doc_fingerprint(col, width: int = 8):
     whitespace-normalized text."""
     c = F.lower(F.trim(F.regexp_replace(unwrap(col), r"\s+", " ")))
     return wrap(F.substring(F.md5(c.cast("binary")), 1, width))
+
+
+def repetition_score(col, n: int = 2):
+    """Within-document repetition: the fraction of word ``n``-grams that
+    are duplicates of an earlier one — ``1 - distinct/total`` in [0, 1)
+    (the Gopher-style repetition quality signal; boilerplate and
+    looping-generation text score high). Pure JVM array lambdas: one
+    tokenize, one n-gram transform, one array_distinct — scan-only, no
+    shuffle, no UDF."""
+    toks = F.split(F.lower(unwrap(col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    total = F.size(grams)
+    return wrap(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.greatest(total, F.lit(1)),
+            4,
+        )
+    )

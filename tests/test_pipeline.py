@@ -277,3 +277,31 @@ class TestGeo:
         row = out.df.collect()[0]
         assert bytes(row.rt) == wkb
         assert row.sr == 0
+
+
+class TestRepetition:
+    def test_repetition_score_values(self, con):
+        t = con.memtable(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spam spam spam spam",      # bigrams: 3x "spam spam" -> 2/3 dup
+                    "all words here differ",    # no duplicate bigrams
+                    "one",                      # single token -> 0
+                ],
+            }
+        )
+        out = {
+            r.doc_id: r.rep
+            for r in t.select(
+                "doc_id", rep=pl.repetition_score(t.text, n=2)
+            ).df.collect()
+        }
+        assert out[1] == round(1 - 1 / 3, 4)  # score rounds to 4 decimals
+        assert out[2] == 0.0
+        assert out[3] == 0.0
+
+    def test_repetition_scan_only_plan(self, con):
+        t = con.memtable({"doc_id": [1], "text": ["a b c"]})
+        plan = t.select(r=pl.repetition_score(t.text)).explain("formatted")
+        assert "Exchange" not in plan and "EvalPython" not in plan
