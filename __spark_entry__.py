@@ -1685,6 +1685,17 @@ def _text_stats(spark, sf_dir):
     ).to_spark()
 
 
+def _winnow_fingerprint(spark, sf_dir):
+    # MOSS winnowing over a Horner-mod polynomial rolling hash
+    # (pipeline.winnow_fingerprint) — plain arithmetic, so DuckDB
+    # reproduces every fingerprint member bit-for-bit; exploded to rows so
+    # the driver canonicalizer can sort/hash them
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return pl.winnow_fingerprint(d, "text", "doc_id").to_spark()
+
+
 def _repetition_score(spark, sf_dir):
     # within-doc duplicate-bigram fraction (pipeline.repetition_score) —
     # the Gopher-style repetition quality signal, scan-only JVM lambdas
@@ -1751,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wider_explicit": _pivot_wider_explicit,
         "ann_ivf_topk": _ann_ivf_topk,
         "repetition_score": _repetition_score,
+        "winnow_fingerprint": _winnow_fingerprint,
         # -- r4-green refresh (fill the remainder of the 50-slot window) -----
         "q1": _q1,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2610,6 +2622,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS O,
                    COUNT(CASE WHEN o_orderstatus = 'P' THEN o_orderkey END) AS P
             FROM orders GROUP BY o_orderpriority
+        """,
+        "winnow_fingerprint": """
+            SELECT doc_id,
+                   unnest(list_sort(list_distinct(
+                     list_transform(range(1, GREATEST(len(kh) - 3, 1) + 1),
+                                    i -> list_min(kh[i:i+3]))
+                   ))) AS fp
+            FROM (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, GREATEST(length(text) - 4, 1) + 1),
+                       i -> list_reduce(cs[i:i+4],
+                                        (a, b) -> (a * 257 + b) % 1000000007)
+                     ) AS kh
+              FROM (
+                SELECT doc_id,
+                       list_transform(range(1, GREATEST(length(text), 1) + 1),
+                                      i -> CAST(ascii(text[i:i]) AS BIGINT)) AS cs,
+                       text
+                FROM documents
+              )
+            )
         """,
         "repetition_score": """
             SELECT doc_id,

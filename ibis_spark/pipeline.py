@@ -746,6 +746,71 @@ def doc_fingerprint(col, width: int = 8):
     return wrap(F.substring(F.md5(c.cast("binary")), 1, width))
 
 
+def winnow_fingerprint(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> Table:
+    """MOSS-style winnowing fingerprint → rows (id, fp): polynomial
+    rolling hash of every char ``k``-gram (Horner, mod ``mod`` — plain
+    arithmetic, reproducible bit-for-bit by any engine, unlike md5/xxhash
+    shortcuts), then the minimum hash over each ``window`` of consecutive
+    k-grams, distinct per document. Documents sharing enough text share
+    fingerprint members regardless of position — the classic
+    plagiarism/near-dup signature.
+
+    Plan shape (the 100 TB one): positions are EXPLODED to rows, the
+    k-gram hash works on a k-char substring (O(k²) per row, whole-stage
+    codegen), the window minimum is a doc-keyed sliding window (one
+    exchange), distinct partial-aggregates map-side. Nested array-lambda
+    formulations (transform-inside-transform) re-evaluate the inner array
+    per outer element — O(n³) per document — and are exactly what this
+    layout avoids.
+
+    Intermediate values stay < mod*base + 255 < 2^63 (no overflow)."""
+    from pyspark.sql import Window as SW
+
+    df = t.df
+    text = F.col(text_col)
+    n_k = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    pos = df.select(
+        F.col(id_col),
+        text.alias("__txt__"),
+        n_k.alias("__nk__"),
+        F.explode(F.sequence(F.lit(1), n_k)).alias("__i__"),
+    )
+    grams = pos.select(
+        id_col,
+        "__nk__",
+        "__i__",
+        F.substring(F.col("__txt__"), F.col("__i__"), k).alias("__g__"),
+    )
+    g = F.col("__g__")
+    kh = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.length(g), F.lit(k))),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * base + F.ascii(F.substring(g, j, 1))) % mod,
+    )
+    hashed = grams.select(id_col, "__nk__", "__i__", kh.alias("__kh__"))
+    w = (
+        SW.partitionBy(id_col)
+        .orderBy("__i__")
+        .rowsBetween(SW.currentRow, window - 1)
+    )
+    mins = hashed.select(
+        id_col,
+        F.min("__kh__").over(w).alias("fp"),
+        "__i__",
+        "__nk__",
+    ).filter(F.col("__i__") <= F.greatest(F.col("__nk__") - (window - 1), F.lit(1)))
+    return Table(mins.select(id_col, "fp").distinct())
+
+
 def repetition_score(col, n: int = 2):
     """Within-document repetition: the fraction of word ``n``-grams that
     are duplicates of an earlier one — ``1 - distinct/total`` in [0, 1)

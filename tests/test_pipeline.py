@@ -305,3 +305,38 @@ class TestRepetition:
         t = con.memtable({"doc_id": [1], "text": ["a b c"]})
         plan = t.select(r=pl.repetition_score(t.text)).explain("formatted")
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestWinnowing:
+    def test_shared_text_shares_fingerprints(self, con):
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        t = con.memtable(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "prefix one " + shared,
+                    shared + " suffix two",   # same text, different position
+                    "entirely unrelated words compose this third document here",
+                ],
+            }
+        )
+        out = pl.winnow_fingerprint(t, "text", "doc_id").df.collect()
+        fps = {i: set() for i in (1, 2, 3)}
+        for r in out:
+            fps[r.doc_id].add(r.fp)
+        overlap_12 = len(fps[1] & fps[2]) / min(len(fps[1]), len(fps[2]))
+        overlap_13 = len(fps[1] & fps[3]) / min(len(fps[1]), len(fps[3]))
+        assert overlap_12 > 0.5      # position-independent shared members
+        assert overlap_13 < 0.1
+        # deterministic plain arithmetic: same text -> same members
+        again = pl.winnow_fingerprint(t, "text", "doc_id").df.collect()
+        assert {(r.doc_id, r.fp) for r in again} == {
+            (r.doc_id, r.fp) for r in out
+        }
+
+    def test_winnow_plan_no_python_single_doc_exchange(self, con):
+        t = con.memtable({"doc_id": [1], "text": ["abcdefghij"]})
+        plan = pl.winnow_fingerprint(t, "text", "doc_id").explain("formatted")
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "hashpartitioning(doc_id" in plan  # doc-keyed window, no global sort
