@@ -210,3 +210,51 @@ def test_foreach_batch_sink(spark, stream_dir):
     q.awaitTermination(120)
     total = con.read_parquet(stream_dir).count()
     assert sum(seen) == total and len(seen) >= 1
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    """Stream-stream inner join with watermarks on BOTH sides and a
+    time-range predicate — the bounded-state shape Structured Streaming
+    requires to drop old state: each side keeps only rows inside its
+    watermark + the interval bound. Verified against the equivalent batch
+    join."""
+    import pyspark.sql.functions as SF
+
+    con = ib.connect(spark)
+    schema = con.read_parquet(stream_dir).df.schema
+
+    left = con.read_parquet_dir(stream_dir, schema=schema, watermark=("ts", "1 hour"))
+    right = con.read_parquet_dir(stream_dir, schema=schema, watermark=("ts", "2 hours"))
+
+    # rename right columns up front (stream-stream self-join needs
+    # unambiguous sides)
+    right = right.select(
+        r_user=right.user_id, r_ts=right.ts, r_event=right.event_id
+    )
+    j = left.join(
+        right,
+        (left.user_id == right.r_user)
+        & (right.r_ts >= left.ts)
+        & (right.r_ts <= left.ts + ib.interval(minutes=30)),
+    )
+    out = j.select("event_id", "r_event")
+    q = (
+        out.df.writeStream.format("memory")
+        .queryName("ss_join_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select count(*) as n from ss_join_smoke").collect()[0].n
+
+    b = con.read_parquet(stream_dir)
+    b2 = con.read_parquet(stream_dir).view()
+    b2 = b2.select(r_user=b2.user_id, r_ts=b2.ts, r_event=b2.event_id)
+    expected = b.join(
+        b2,
+        (b.user_id == b2.r_user)
+        & (b2.r_ts >= b.ts)
+        & (b2.r_ts <= b.ts + ib.interval(minutes=30)),
+    ).count()
+    assert got == expected and got > 0
