@@ -706,6 +706,7 @@ def test_differential_bucketed_asof(seed, con):
     rng = random.Random(4000 + seed)
     direction = rng.choice(["backward", "forward", "nearest"])
     tol = rng.choice([3, 5, 10])
+    use_by = rng.random() < 0.7  # ~3 seeds hit the GLOBAL bucketed path
     n_l, n_r = rng.randint(20, 60), rng.randint(20, 60)
     groups = ["a", "b", "c"]
     left = pd.DataFrame(
@@ -724,30 +725,40 @@ def test_differential_bucketed_asof(seed, con):
     )
     # pandas merge_asof requires unique (by, on) on the right for a
     # well-defined nearest row under ties — dedupe keeping the last
-    right = right.drop_duplicates(subset=["g", "t"], keep="last").reset_index(
-        drop=True
-    )
+    if not use_by:
+        # no-by global asof: the bucketed window replaces the single-
+        # partition funnel; drop g entirely and dedupe on t alone
+        left = left.drop(columns=["g"])
+        right = right.drop(columns=["g"])
+    right = right.drop_duplicates(
+        subset=(["g", "t"] if use_by else ["t"]), keep="last"
+    ).reset_index(drop=True)
 
     lt_t = con.memtable(left.to_dict("list"))
     rt_t = con.memtable(right.to_dict("list"))
+    sort_cols = (["g", "t", "lv"] if use_by else ["t", "lv"])
     got = (
         lt_t.asof_join(
-            rt_t, on="t", by="g", tolerance=tol, direction=direction
+            rt_t,
+            on="t",
+            by=("g" if use_by else ()),
+            tolerance=tol,
+            direction=direction,
         )
         .to_spark()
         .toPandas()
-        .sort_values(["g", "t", "lv"])
+        .sort_values(sort_cols)
         .reset_index(drop=True)
     )
     exp = pd.merge_asof(
         left.sort_values("t", kind="stable"),
         right.sort_values("t", kind="stable"),
         on="t",
-        by="g",
+        by=("g" if use_by else None),
         tolerance=tol,
         direction=direction,
         suffixes=("", "_right"),
-    ).sort_values(["g", "t", "lv"]).reset_index(drop=True)
+    ).sort_values(sort_cols).reset_index(drop=True)
     assert len(got) == len(exp)
     for i in range(len(exp)):
         g_rv, e_rv = got["rv"][i], exp["rv"][i]
@@ -757,7 +768,7 @@ def test_differential_bucketed_asof(seed, con):
             # ties between equidistant right rows may resolve differently —
             # accept any right row at the same distance with the same keys
             if g_rv != e_rv:
-                cand = right[(right["g"] == got["g"][i])]
+                cand = right[(right["g"] == got["g"][i])] if use_by else right
                 d_e = abs(
                     int(cand[cand["rv"] == e_rv]["t"].iloc[0]) - got["t"][i]
                 )
