@@ -2657,7 +2657,8 @@ def oracle_sql() -> dict[str, str]:
                                     i -> array_to_string(t[i:i+1], ' ')) AS g2,
                      list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
                                     i -> array_to_string(t[i:i+2], ' ')) AS g3
-              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(text), '\\s+') AS t
                     FROM documents)
             )
         """,

@@ -90,10 +90,6 @@ def main():
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    def run(name):
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
 
@@ -104,28 +100,26 @@ def main():
     # polluted the JIT profile / code cache between a query's warm-up and
     # its timed runs. Consecutive execution keeps tiered compilation hot —
     # measured: q1 converges 1.20 -> 0.73 s at sf0.1 under this protocol.
-    times = {}
-    for n in names:
+    def time_one(name, sf_dir):
+        """warmups consecutive warm passes, then best-of-reps — the ONE
+        protocol every timing column uses (columns must stay comparable)."""
         best = None
-        err = False
         try:
             for _ in range(warmups):
-                run(n)
-        except Exception as e:
-            print(f"bench error in {n}: {e}", file=sys.stderr)
-            err = True
-        if not err:
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
             for _ in range(reps):
                 t0 = time.time()
-                try:
-                    run(n)
-                except Exception as e:
-                    print(f"bench error in {n}: {e}", file=sys.stderr)
-                    err = True
-                    break
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-        times[n] = None if err else round(best, 3)
+        except Exception as e:
+            print(f"bench error in {name} @ {sf_dir}: {e}", file=sys.stderr)
+            return None
+        return round(best, 3)
+
+    times = {n: time_one(n, SF_DIR) for n in names}
 
     # DuckDB single-process baseline column: ON by default so every BENCH
     # artifact carries the apples-to-apples ratio (disable with =0)
@@ -140,22 +134,9 @@ def main():
     small_times = None
     small_dir = os.environ.get("SPARK_GRAFT_BENCH_SMALL_SF_DIR", "/root/testdata/sf0.01")
     if small_dir != "0" and os.path.isdir(small_dir) and small_dir != SF_DIR:
-        small_times = {}
-        for n in names:
-            best = None
-            try:
-                df = qs[n](spark, small_dir)
-                df.write.format("noop").mode("overwrite").save()
-                for _ in range(reps):
-                    t0 = time.time()
-                    df = qs[n](spark, small_dir)
-                    df.write.format("noop").mode("overwrite").save()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-                small_times[n] = round(best, 3)
-            except Exception as e:
-                print(f"small-sf bench error in {n}: {e}", file=sys.stderr)
-                small_times[n] = None
+        # identical warmups+reps protocol as the main column — the per-query
+        # delta is only meaningful if both columns are equally steady-state
+        small_times = {n: time_one(n, small_dir) for n in names}
 
     ok_times = [t for t in times.values() if t is not None]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

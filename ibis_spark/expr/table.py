@@ -94,7 +94,9 @@ class Table(CoreExpr):
 
         Uses the public ``DataFrame.semanticHash()`` (works on classic AND
         Spark Connect sessions — no ``_jdf``); falls back to a schema
-        digest if even that is unavailable."""
+        digest if even that is unavailable. NB: the schema-digest fallback
+        is NOT plan-unique — two different plans with identical schemas
+        share a name there; do not key caches on it in such sessions."""
         import hashlib
 
         try:
@@ -1355,15 +1357,22 @@ class Table(CoreExpr):
     def equals(self, other) -> bool:
         """Expr.equals (core.py:109): structural equality of the two plans.
         Uses Spark's semantic-equality check (canonicalized plans), which
-        is strictly stronger than the reference's node-identity check."""
+        is strictly stronger than the reference's node-identity check.
+        ``sameSemantics`` is a public API that works on classic AND Spark
+        Connect sessions; if even it fails, the `_jdf` plan-text compare is
+        tried, and the last resort is object identity (conservative: never
+        a false positive, may under-report equality)."""
         if not isinstance(other, Table):
             return False
         try:
             return self._df.sameSemantics(other._df)
         except Exception:
-            return str(self._df._jdf.queryExecution().logical()) == str(
-                other._df._jdf.queryExecution().logical()
-            )
+            try:
+                return str(self._df._jdf.queryExecution().logical()) == str(
+                    other._df._jdf.queryExecution().logical()
+                )
+            except Exception:
+                return self._df is other._df
 
     def get_backend(self):
         """Expr.get_backend (core.py): the Backend this table executes on —

@@ -689,6 +689,14 @@ def ann_ivf_topk(
     import numpy as np
 
     if centroids is None:
+        if cluster_col is not None:
+            # silently resampling a quantizer here would rank probes
+            # against DIFFERENT centroids than the ones that produced the
+            # persisted cluster ids — wrong pruning with no error
+            raise ValueError(
+                "cluster_col requires the same centroids that produced it: "
+                "pass centroids= (from ivf_centroids / the persisted index)"
+            )
         centroids = ivf_centroids(
             t, vec_col, n_centroids=n_centroids, iters=iters, id_col=id_col
         )

@@ -765,9 +765,15 @@ def test_differential_bucketed_asof(seed, con):
         if pd.isna(e_rv):
             assert pd.isna(g_rv), f"row {i}: expected no match, got rv={g_rv}"
         else:
-            # ties between equidistant right rows may resolve differently —
-            # accept any right row at the same distance with the same keys
+            # direction='nearest' can tie two equidistant right rows (one on
+            # each side) and resolve differently; backward/forward have a
+            # UNIQUE match under unique (by, t), so any mismatch there is a
+            # genuine bug (e.g. a flipped bucket-offset sign)
             if g_rv != e_rv:
+                assert direction == "nearest", (
+                    f"row {i}: {direction} match must be unique, "
+                    f"got rv={g_rv} exp rv={e_rv}"
+                )
                 cand = right[(right["g"] == got["g"][i])] if use_by else right
                 d_e = abs(
                     int(cand[cand["rv"] == e_rv]["t"].iloc[0]) - got["t"][i]

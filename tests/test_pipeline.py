@@ -195,6 +195,32 @@ class TestSimilarity:
         got = {r.vec_id for r in out.df.collect()}
         assert len(got & exact) >= 5  # recall >= 0.5 at 3/8 probes
 
+    def test_ivf_persisted_cluster_col(self, con):
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        n, dim = 200, 8
+        vecs = rng.standard_normal((n, dim))
+        t = con.memtable(
+            {
+                "vec_id": list(range(n)),
+                "embedding": [list(map(float, v)) for v in vecs],
+            }
+        )
+        q = list(map(float, rng.standard_normal(dim)))
+        cents = pl.ivf_centroids(t, "embedding", n_centroids=4, id_col="vec_id")
+        stored = pl.ivf_assign(t, cents)
+        assert "cluster" in stored.columns
+        # persisted-cluster prune with full probing == brute force
+        exact = [r.vec_id for r in pl.cosine_topk(t, q, 5).df.collect()]
+        got = [
+            r.vec_id
+            for r in pl.ann_ivf_topk(
+                stored, q, 5, centroids=cents, cluster_col="cluster", n_probe=4
+            ).df.collect()
+        ]
+        assert got == exact
+
 
 class TestTextAnalysis:
     def test_lang_id(self, con):
@@ -340,30 +366,3 @@ class TestWinnowing:
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "hashpartitioning(doc_id" in plan  # doc-keyed window, no global sort
-
-
-    def test_ivf_persisted_cluster_col(self, con):
-        import numpy as np
-
-        rng = np.random.default_rng(13)
-        n, dim = 200, 8
-        vecs = rng.standard_normal((n, dim))
-        t = con.memtable(
-            {
-                "vec_id": list(range(n)),
-                "embedding": [list(map(float, v)) for v in vecs],
-            }
-        )
-        q = list(map(float, rng.standard_normal(dim)))
-        cents = pl.ivf_centroids(t, "embedding", n_centroids=4, id_col="vec_id")
-        stored = pl.ivf_assign(t, cents)
-        assert "cluster" in stored.columns
-        # persisted-cluster prune with full probing == brute force
-        exact = [r.vec_id for r in pl.cosine_topk(t, q, 5).df.collect()]
-        got = [
-            r.vec_id
-            for r in pl.ann_ivf_topk(
-                stored, q, 5, centroids=cents, cluster_col="cluster", n_probe=4
-            ).df.collect()
-        ]
-        assert got == exact
