@@ -1696,6 +1696,20 @@ def _winnow_fingerprint(spark, sf_dir):
     return pl.winnow_fingerprint(d, "text", "doc_id").to_spark()
 
 
+def _pretokenize(spark, sf_dir):
+    # GPT-2-style BPE pretokenizer (pipeline.pretokenize) — lookahead-free
+    # pattern, so DuckDB's RE2 reproduces the identical token stream; the
+    # counts (not the arrays) are emitted so the driver can hash them
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_pre=pl.pretoken_count(d.text),
+        n_all=pl.pretokenize(d.text).array_length(),
+    ).to_spark()
+
+
 def _repetition_score(spark, sf_dir):
     # within-doc duplicate-bigram fraction (pipeline.repetition_score) —
     # the Gopher-style repetition quality signal, scan-only JVM lambdas
@@ -1763,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "repetition_score": _repetition_score,
         "winnow_fingerprint": _winnow_fingerprint,
+        "pretokenize": _pretokenize,
         # -- r4-green refresh (fill the remainder of the 50-slot window) -----
         "q1": _q1,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2622,6 +2637,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS O,
                    COUNT(CASE WHEN o_orderstatus = 'P' THEN o_orderkey END) AS P
             FROM orders GROUP BY o_orderpriority
+        """,
+        "pretokenize": """
+            SELECT doc_id,
+                   CAST(len(list_filter(g,
+                        t -> NOT regexp_matches(t, '^\\s+$'))) AS INT) AS n_pre,
+                   CAST(len(g) AS INT) AS n_all
+            FROM (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                     ) AS g
+              FROM documents
+            )
         """,
         "winnow_fingerprint": """
             SELECT doc_id,

@@ -735,11 +735,33 @@ def tokenize(col, pattern: str = r"\s+"):
 
 def token_count(col, *, bpe_estimate: bool = False):
     """Token count: whitespace tokens, or the classic chars/4 BPE cost
-    estimate when ``bpe_estimate``."""
+    estimate when ``bpe_estimate``. For the unit actual BPE merges operate
+    on, see :func:`pretokenize` / :func:`pretoken_count`."""
     c = unwrap(col)
     if bpe_estimate:
         return wrap(F.ceil(F.length(c) / 4).cast("int"))
     return wrap(F.array_size(F.split(c, r"\s+")))
+
+
+# GPT-2-style pretokenizer, simplified to be lookahead-free so Java regex
+# (Spark) and RE2 (DuckDB and most other engines) produce IDENTICAL token
+# streams: contractions, space-prefixed letter/digit/punctuation runs,
+# whitespace runs
+_BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def pretokenize(col):
+    """BPE pretokens (array<string>): the GPT-2-style split BPE merges
+    operate on — a far better token-cost unit than whitespace words or
+    chars/4. One JVM regexp_extract_all, scan-only."""
+    return wrap(F.regexp_extract_all(unwrap(col), F.lit(_BPE_PRETOKEN_RE), 0))
+
+
+def pretoken_count(col):
+    """Number of non-whitespace BPE pretokens (the sequence length a
+    BPE-family tokenizer would start from, before merges)."""
+    toks = F.regexp_extract_all(unwrap(col), F.lit(_BPE_PRETOKEN_RE), 0)
+    return wrap(F.size(F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))))
 
 
 def quality_score(col):

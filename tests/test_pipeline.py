@@ -366,3 +366,21 @@ class TestWinnowing:
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "hashpartitioning(doc_id" in plan  # doc-keyed window, no global sort
+
+
+class TestPretokenize:
+    def test_gpt2_style_stream(self, con):
+        t = con.memtable({"text": ["Hello world, it's 2026!  ok"]})
+        toks = t.select(x=pl.pretokenize(t.text)).df.collect()[0].x
+        assert list(toks) == [
+            "Hello", " world", ",", " it", "'s", " 2026", "!", "  ", "ok"
+        ]
+        n = t.select(
+            n_pre=pl.pretoken_count(t.text)
+        ).df.collect()[0].n_pre
+        assert n == 8  # whitespace-run token excluded
+
+    def test_pretokenize_scan_only(self, con):
+        t = con.memtable({"text": ["a b"]})
+        plan = t.select(x=pl.pretoken_count(t.text)).explain("formatted")
+        assert "Exchange" not in plan and "EvalPython" not in plan
