@@ -2866,10 +2866,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
         """,
         "ann_ivf_topk": """
+            -- ORDER BY the UNROUNDED similarity: the engine ranks by exact
+            -- sim then vec_id and rounds only for display, while a bare
+            -- `ORDER BY sim` here would resolve to the rounded output alias
+            -- and could pick a different rank-10 row when sims differ only
+            -- past 6 decimals
             SELECT vec_id,
                    ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[],
                          (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS sim
-            FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
+            FROM embeddings
+            ORDER BY LIST_COSINE_SIMILARITY(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC,
+                     vec_id
+            LIMIT 10
         """,
         "lang_id": """
             SELECT doc_id,
@@ -2894,7 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": """
             SELECT doc_id,
-                   ROUND(((CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   ROUND(((CAST(LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]', '', 'g')) AS DOUBLE)
                            / GREATEST(LENGTH(text), 1))
                           + LEAST(CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS DOUBLE) / 100.0, 1.0)
                          ) / 2.0, 4) AS q

@@ -67,6 +67,10 @@ class Table(CoreExpr):
 
     __slots__ = ("_df",)
 
+    # serializes Table.sql's register-view→analyze pair so concurrent
+    # callers sharing the default view name can't read each other's table
+    _SQL_LOCK = __import__("threading").Lock()
+
     def __init__(self, df: DataFrame):
         object.__setattr__(self, "_df", df)
 
@@ -974,20 +978,47 @@ class Table(CoreExpr):
             # bucket id = floor(t / tolerance); a left row in bucket b can
             # only match (within tolerance) right rows in bucket b or its
             # direction-side neighbor, so right rows are replicated into
-            # exactly those groups and the window partitions on the bucket
+            # exactly those groups and the window partitions on the bucket.
+            # Bucketing is EXACT integer arithmetic whenever both sides are
+            # integral (timestamps→micros, integer `on` + integer tolerance):
+            # double division can land a value one bucket off past 2^53 (or
+            # on exact float quotients), and the one-neighbor replication
+            # invariant would then silently drop a within-tolerance match.
+            _int_types = ("byte", "short", "int", "integer", "bigint", "long")
             if isinstance(tolerance, _dt.timedelta):
-                div = F.lit(int(tolerance.total_seconds() * 1_000_000))
-                src = F.unix_micros(F.col("__t__"))
+                # exact micros (total_seconds() float-truncates large tols)
+                idiv = tolerance // _dt.timedelta(microseconds=1)
+                unioned = unioned.withColumn(
+                    "__tsrc__", F.unix_micros(F.col("__t__"))
+                )
+            elif (
+                isinstance(tolerance, int)
+                and unioned.schema["__t__"].dataType.simpleString() in _int_types
+            ):
+                idiv = tolerance
+                unioned = unioned.withColumn("__tsrc__", F.col("__t__"))
             else:
+                idiv = None
                 div = F.lit(tolerance)
                 src = F.col("__t__")
+            if idiv is not None:
+                # floor division in pure integer arithmetic: pmod is
+                # nonnegative for a positive divisor, so the adjusted
+                # numerator is exactly divisible and `div` (truncating
+                # integral division) equals floor
+                src = F.expr(
+                    f"(__tsrc__ - pmod(__tsrc__, {idiv})) div {idiv}"
+                )
+                div = None
             offs = {
                 "backward": (0, 1),
                 "forward": (-1, 0),
                 "nearest": (-1, 0, 1),
             }[direction]
             unioned = (
-                unioned.withColumn("__bkt0__", F.floor(src / div))
+                unioned.withColumn(
+                    "__bkt0__", src if idiv is not None else F.floor(src / div)
+                )
                 .select(
                     "*",
                     F.explode(
@@ -996,7 +1027,7 @@ class Table(CoreExpr):
                     ).alias("__off__"),
                 )
                 .withColumn("__bkt__", F.col("__bkt0__") + F.col("__off__"))
-                .drop("__bkt0__", "__off__")
+                .drop("__bkt0__", "__off__", "__tsrc__")
             )
             keys = keys + ["__bkt__"]
         w_back = (
@@ -1316,8 +1347,20 @@ class Table(CoreExpr):
 
     # -- raw SQL escape hatch (relations.py:4004) ------------------------------------------
     def sql(self, query: str, *, table_name: str = "t") -> "Table":
-        self._df.createOrReplaceTempView(table_name)
-        return Table(self._df.sparkSession.sql(query))
+        """Run raw SQL with this table visible as ``table_name``.
+
+        The register→analyze pair runs under a process-wide lock and the
+        result's schema is touched before returning, so two interleaved
+        ``sql()`` calls binding the same ``table_name`` (the default
+        ``"t"``) each resolve against their OWN table instead of silently
+        reading whichever view registration landed last. The view binding
+        is transient — use :meth:`alias` to keep a durable name.
+        """
+        with Table._SQL_LOCK:
+            self._df.createOrReplaceTempView(table_name)
+            out = self._df.sparkSession.sql(query)
+            out.schema  # force analysis while our binding is live
+        return Table(out)
 
     def alias(self, alias: str) -> "Table":
         """Table.alias (reference relations.py:3957): expose this

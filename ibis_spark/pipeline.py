@@ -602,7 +602,18 @@ def ivf_centroids(
     build once, persist the centroid list (it is plain Python floats) and
     the per-row assignment, and pass ``centroids=`` to ann_ivf_topk.
     """
-    df = t.df
+    # null vectors / null elements would poison F.avg in the Lloyd update
+    # (a dim silently dropping out of the rebuilt centroid) and crash the
+    # later F.lit(float(x)) broadcast — exclude them from index build
+    vec = F.col(vec_col)
+    if t.df.schema[vec_col].dataType.simpleString() == "void":
+        # an all-null column types as VOID and F.exists won't analyze
+        raise ValueError(
+            f"ivf_centroids: no non-null vectors in {vec_col!r} to sample"
+        )
+    df = t.df.filter(
+        vec.isNotNull() & ~F.exists(vec, lambda x: x.isNull())
+    )
     sampled = (
         df.select(F.col(vec_col).alias("__v__"), F.xxhash64(F.col(id_col)).alias("__h__"))
         .orderBy("__h__")
@@ -610,6 +621,18 @@ def ivf_centroids(
         .collect()
     )
     centroids = [list(map(float, r["__v__"])) for r in sampled]
+    if not centroids:
+        raise ValueError(
+            f"ivf_centroids: no non-null vectors in {vec_col!r} to sample"
+        )
+    dim = len(centroids[0])
+    for ci, c in enumerate(centroids):
+        if len(c) != dim:
+            raise ValueError(
+                f"ivf_centroids: vector dim mismatch in sample (centroid "
+                f"{ci} has {len(c)} dims, expected {dim})"
+            )
+    df = df.filter(F.size(vec) == dim)
     for _ in range(int(iters)):
         assign = _nearest_centroid(F.col(vec_col), centroids)
         means = (
@@ -623,7 +646,14 @@ def ivf_centroids(
         for r in means:
             acc.setdefault(r["__c__"], {})[r["pos"]] = r["m"]
         for ci, dims in acc.items():
-            new[ci] = [dims[p] for p in sorted(dims)]
+            rebuilt = [dims[p] for p in sorted(dims)]
+            if len(rebuilt) != dim or sorted(dims) != list(range(dim)):
+                raise AssertionError(
+                    f"ivf_centroids: Lloyd update for cluster {ci} produced "
+                    f"{len(rebuilt)} dims, expected {dim} — input vectors "
+                    "are ragged or contain nulls"
+                )
+            new[ci] = rebuilt
         centroids = new
     return centroids
 
@@ -769,7 +799,8 @@ def quality_score(col):
     character ratio and a saturating length score. Pure JVM expressions."""
     c = unwrap(col)
     n_char = F.length(c)
-    alpha = F.length(F.regexp_replace(c, "[^a-z]", ""))
+    # lower first so uppercase letters count as alphabetic
+    alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]", ""))
     alpha_ratio = alpha.cast("double") / F.greatest(n_char, F.lit(1))
     n_tok = F.array_size(F.split(c, r"\s+"))
     len_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))

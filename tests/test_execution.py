@@ -420,3 +420,53 @@ class TestScalarSubqueryProjection:
         sv = t.as_scalar(t.x.sum())
         with pytest.raises(TypeError, match="filter/select/mutate"):
             _unwrap(sv)
+
+
+class TestRound7Fixes:
+    def test_asof_integer_bucket_exact_beyond_2_53(self, con):
+        # bucketing must be exact integer arithmetic: double division of
+        # on-values past 2^53 can land a row one bucket off, and the
+        # one-neighbor replication invariant would silently drop a
+        # genuinely within-tolerance match
+        base = 2**53
+        left = con.memtable(
+            {"g": [1, 1, 1], "t": [base + 4, base + 10, base + 40], "lv": ["a", "b", "c"]}
+        )
+        right = con.memtable(
+            {"g": [1, 1, 1], "t": [base + 3, base + 9, base + 20], "rv": ["p", "q", "r"]}
+        )
+        j = left.asof_join(right, on="t", by="g", tolerance=2)
+        assert rows(j, "lv", "rv") == [("a", "p"), ("b", "q"), ("c", None)]
+
+    def test_asof_large_timedelta_tolerance_exact_micros(self, con):
+        # timedelta -> micros via `tol // timedelta(microseconds=1)` is
+        # exact where int(total_seconds()*1e6) float-truncates
+        base = datetime.datetime(2024, 1, 1)
+        left = con.memtable({"g": [1], "t": [base + datetime.timedelta(days=2)], "lv": ["a"]})
+        right = con.memtable({"g": [1], "t": [base], "rv": ["p"]})
+        j = left.asof_join(
+            right, on="t", by="g", tolerance=datetime.timedelta(days=106751)
+        )
+        assert rows(j, "lv", "rv") == [("a", "p")]
+
+    def test_sql_interleaved_default_view(self, con):
+        # two interleaved Table.sql calls binding the default view name
+        # must each resolve against their OWN table
+        a = con.memtable({"x": [1, 2]})
+        b = con.memtable({"x": [10, 20]})
+        qa = a.sql("SELECT SUM(x) AS s FROM t")
+        qb = b.sql("SELECT SUM(x) AS s FROM t")
+        assert qa.df.collect()[0].s == 3
+        assert qb.df.collect()[0].s == 30
+
+    def test_sql_threaded_default_view(self, con):
+        import concurrent.futures
+
+        tables = [con.memtable({"x": [i, i, i]}) for i in range(8)]
+
+        def run(i):
+            return tables[i].sql("SELECT SUM(x) AS s FROM t").df.collect()[0].s
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            got = list(ex.map(run, range(8)))
+        assert got == [3 * i for i in range(8)]

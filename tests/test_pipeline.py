@@ -384,3 +384,34 @@ class TestPretokenize:
         t = con.memtable({"text": ["a b"]})
         plan = t.select(x=pl.pretoken_count(t.text)).explain("formatted")
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestRound7PipelineFixes:
+    def test_quality_score_counts_uppercase(self, con):
+        # alphabetic ratio is case-insensitive: "ABC" == "abc"
+        t = con.memtable({"doc_id": [1, 2], "text": ["ABC DEF", "abc def"]})
+        got = {r.doc_id: r.q for r in t.select("doc_id", q=pl.quality_score(t.text)).df.collect()}
+        assert got[1] == got[2]
+
+    def test_ivf_centroids_skips_null_and_ragged_vectors(self, con):
+        t = con.memtable(
+            {
+                "vec_id": [1, 2, 3, 4, 5],
+                "embedding": [
+                    [1.0, 0.0],
+                    [0.0, 1.0],
+                    None,          # null vector
+                    [1.0, None],   # null element
+                    [2.0, 2.0],
+                ],
+            }
+        )
+        cents = pl.ivf_centroids(t, n_centroids=2, iters=2)
+        assert len(cents) == 2
+        assert all(len(c) == 2 for c in cents)
+        assert all(v is not None for c in cents for v in c)
+
+    def test_ivf_centroids_all_null_raises(self, con):
+        t = con.memtable({"vec_id": [1], "embedding": [None]})
+        with pytest.raises(ValueError, match="no non-null vectors"):
+            pl.ivf_centroids(t, n_centroids=2)
