@@ -999,17 +999,26 @@ def _json_extract(spark, sf_dir):
 def _array_named_reductions(spark, sf_dir):
     """ibis-native array reduction spellings (ArrayValue.sums/means/mins/
     maxs/anys/alls, reference expr/types/arrays.py:1112-1342) — per-row JVM
-    lambda reductions, no shuffle, no UDF."""
+    lambda reductions, no shuffle, no UDF.
+
+    The split+map token-length array is materialized in its own projection
+    step: HOF lambdas are interpreted with no common-subexpression
+    elimination, so inlining it would re-run the split per reduction
+    (CollapseProject keeps the two projections separate because the array
+    expression is non-cheap and multiply referenced — plan-asserted in
+    tests/test_plans.py)."""
     d = _t(spark, sf_dir, "documents")
-    lens = d.text.split(" ").map(lambda w: w.length())
-    return d.select(
+    step = d.select(
+        "doc_id", lens=d.text.split(" ").map(lambda w: w.length())
+    )
+    return step.select(
         "doc_id",
-        tok_sum=lens.sums().cast("int64"),
-        tok_mean=lens.means(),
-        tok_min=lens.mins().cast("int64"),
-        tok_max=lens.maxs().cast("int64"),
-        any_long=lens.map(lambda n: n > 8).anys(),
-        all_short=lens.map(lambda n: n < 20).alls(),
+        tok_sum=step.lens.sums().cast("int64"),
+        tok_mean=step.lens.means(),
+        tok_min=step.lens.mins().cast("int64"),
+        tok_max=step.lens.maxs().cast("int64"),
+        any_long=step.lens.map(lambda n: n > 8).anys(),
+        all_short=step.lens.map(lambda n: n < 20).alls(),
     ).to_spark()
 
 

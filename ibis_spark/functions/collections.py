@@ -150,16 +150,27 @@ class ArrayOps:
         return wrap(F.flatten(self.spark()))
 
     # -- array aggregations (arrays.py:286-332) ---------------------------------------
+    # PERF NOTE (measured round 7, sf0.1 documents): these reductions
+    # reference their input array 2-3×, and HOF lambdas are interpreted
+    # with no common-subexpression elimination — so callers reducing a
+    # COMPUTED array (split/transform chains) should materialize it in its
+    # own projection first (CollapseProject keeps non-cheap multi-referenced
+    # projections separate), which cut the 6-reduction documents query from
+    # 0.56 s to 0.38 s. A single-pass struct-accumulator fusion was tried
+    # and REJECTED: per-element struct allocation in interpreted eval made
+    # it 0.6+ s — slower than re-traversing a materialized array.
     def array_min(self):
-        return wrap(F.array_min(F.filter(self.spark(), lambda x: x.isNotNull())))
+        # Spark's array_min skips null elements natively (NULL only for
+        # null/empty/all-null input) — exactly the reference semantics
+        return wrap(F.array_min(self.spark()))
 
     def array_max(self):
-        return wrap(F.array_max(F.filter(self.spark(), lambda x: x.isNotNull())))
+        return wrap(F.array_max(self.spark()))
 
     def array_sum(self):
         """ArraySum (arrays.py:301): aggregate(filter(x, notnull)) lambda
-        reduction (PC:661-697); NULL for all-null/empty? — reference: sum of
-        non-nulls, NULL when no non-null elements."""
+        reduction (PC:661-697); sum of non-nulls, NULL when no non-null
+        elements."""
         c = F.filter(self.spark(), lambda x: x.isNotNull())
         return wrap(
             F.when(

@@ -220,3 +220,16 @@ def test_asof_tolerance_buckets_the_window(spark):
         j2 = left.asof_join(right, on="t", tolerance=ib.literal(10))
     p2 = j2.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert "__bkt__" not in p2
+
+
+def test_array_named_reductions_single_split(spark):
+    """The array_named_reductions query materializes the split+map array
+    in its own projection; CollapseProject must NOT re-inline it (the
+    expression is non-cheap and referenced by six reductions, and HOF
+    lambdas get no common-subexpression elimination) — exactly one
+    `split` in the optimized plan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["array_named_reductions"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split") == 1
