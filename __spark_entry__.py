@@ -1654,6 +1654,27 @@ def _ann_ivf_topk(spark, sf_dir):
     return out.select("vec_id", sim=out.sim.round(6)).to_spark()
 
 
+def _ann_recall(spark, sf_dir):
+    """Recall@k of the IVF index (pipeline.ann_recall): centroids are the
+    embeddings of vec_id 0..7 and queries those of vec_id 8..12 (disjoint
+    from the centroids, so pruning is real) — a deterministic index DuckDB
+    can rebuild in pure SQL, so the recall numbers themselves (not just
+    row counts) are oracle-checked. n_probe=2 of 8 yields recalls in the
+    0.3-0.6 range at sf0.01: the measurement discriminates."""
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "embeddings")
+    crows = e.filter(e.vec_id < 8).to_spark().collect()
+    cents = [
+        list(map(float, r["embedding"]))
+        for r in sorted(crows, key=lambda r: r["vec_id"])
+    ]
+    qs = e.filter((e.vec_id >= 8) & (e.vec_id < 13)).select(
+        q_id=e.vec_id, qvec=e.embedding
+    )
+    return pl.ann_recall(e, qs, 10, centroids=cents, n_probe=2).to_spark()
+
+
 def _lang_id(spark, sf_dir):
     from ibis_spark import pipeline as pl
 
@@ -1784,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-6 queries ---------------------------------------------
         "pivot_wider_explicit": _pivot_wider_explicit,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_recall": _ann_recall,
         "repetition_score": _repetition_score,
         "winnow_fingerprint": _winnow_fingerprint,
         "pretokenize": _pretokenize,
@@ -2888,6 +2910,58 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC,
                      vec_id
             LIMIT 10
+        """,
+        "ann_recall": """
+            -- rebuild the deterministic IVF index in pure SQL: centroids =
+            -- embeddings of vec_id<8, queries = vec_id 8..12, n_probe=2,
+            -- k=10. list_distance is sqrt(sum-sq) — same argmin/ordering
+            -- as the engine's squared-L2, ties to the smaller centroid id.
+            WITH cents AS (
+              SELECT vec_id AS c_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id < 8
+            ),
+            qs AS (
+              SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id >= 8 AND vec_id < 13
+            ),
+            assign AS (
+              SELECT e.vec_id, e.embedding::DOUBLE[] AS vec,
+                     (SELECT c.c_id FROM cents c
+                      ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC,
+                               c.c_id ASC
+                      LIMIT 1) AS cluster
+              FROM embeddings e
+            ),
+            probes AS (
+              SELECT q_id, c_id FROM (
+                SELECT q.q_id, c.c_id,
+                       row_number() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY list_distance(q.qvec, c.cvec) ASC, c.c_id ASC
+                       ) AS pr
+                FROM qs q CROSS JOIN cents c
+              ) WHERE pr <= 2
+            ),
+            scored AS (
+              SELECT q.q_id, a.vec_id,
+                     list_cosine_similarity(a.vec, q.qvec) AS sim,
+                     EXISTS (SELECT 1 FROM probes p
+                             WHERE p.q_id = q.q_id AND p.c_id = a.cluster) AS cand
+              FROM assign a CROSS JOIN qs q
+            ),
+            ranked AS (
+              SELECT q_id, cand,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, vec_id ASC) AS rk,
+                     SUM(CASE WHEN cand THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crk
+              FROM scored
+            )
+            SELECT q_id,
+                   SUM(CASE WHEN rk <= 10 AND cand AND crk <= 10
+                            THEN 1 ELSE 0 END) / 10.0 AS recall
+            FROM ranked GROUP BY q_id
         """,
         "lang_id": """
             SELECT doc_id,

@@ -745,6 +745,101 @@ def ann_ivf_topk(
     return Table(df.orderBy(F.col(sim_name).desc(), F.col(id_col)).limit(int(k)))
 
 
+def ann_recall(
+    t: Table,
+    queries: Table,
+    k: int = 10,
+    *,
+    centroids,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "qvec",
+    q_id_col: str = "q_id",
+    cluster_col: str = None,
+    recall_name: str = "recall",
+) -> Table:
+    """Recall@k of IVF-pruned ANN against the exact brute-force baseline,
+    one row per query: ``|ivf_topk ∩ brute_topk| / k``.
+
+    Distributed shape: the (small) query set is BROADCAST against one
+    scan of the data table, so similarities for every query come out of a
+    single pass, and BOTH rankings come out of one window exchange —
+    ``row_number`` gives the overall rank while a running count of
+    candidate rows gives the rank *within the pruned candidate set* (a
+    second window partitioned on the candidate flag would mean a second
+    shuffle). Adding queries costs compute, not extra scans. The shuffle
+    is ``N x Q`` rows keyed by query id — the honest cost of exact
+    recall measurement; at 100 TB sample the data side.
+
+    Candidate set = rows whose cluster (``cluster_col`` if the assignment
+    is persisted, else inline argmin) is among the query's ``n_probe``
+    nearest centroids — exactly :func:`ann_ivf_topk`'s pruning rule, so
+    this measures the same index the production path queries. Both
+    rankings tie-break on (sim desc, id) like the topk operators.
+    """
+    from pyspark.sql.window import Window as W
+
+    centroids = [list(map(float, c)) for c in centroids]
+    if int(n_probe) >= len(centroids):
+        raise ValueError(
+            "n_probe >= n_centroids probes every cluster: recall is 1.0 "
+            "by construction and the measurement is meaningless"
+        )
+    ddf = t.df
+    vec = F.col(vec_col)
+    if cluster_col is None:
+        ddf = ddf.withColumn("__cl__", _nearest_centroid(vec, centroids))
+        cluster_col = "__cl__"
+    # per-query probe set: indices of the n_probe nearest centroids
+    # (squared-L2, ties to the smaller index — same rule as the argmin
+    # assignment)
+    qcol = F.col(q_vec_col)
+    cent_scored = F.array(
+        *[
+            F.struct(
+                _sq_l2(qcol, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(cent_scored), 1, int(n_probe)),
+        lambda s: s.getField("i"),
+    )
+    qdf = queries.df.select(
+        F.col(q_id_col), qcol.alias("__qv__"), probes.alias("__probes__")
+    )
+    joined = ddf.crossJoin(F.broadcast(qdf))
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_similarity(vec, F.col("__qv__")).spark().alias("__sim__"),
+        F.array_contains(
+            F.col("__probes__"), F.col(cluster_col).cast("int")
+        ).alias("__cand__"),
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.col("__sim__").desc(), F.col(id_col))
+    ranked = scored.select(
+        q_id_col,
+        "__cand__",
+        F.row_number().over(w).alias("__rk__"),
+        F.sum(F.col("__cand__").cast("int"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("__crk__"),
+    )
+    hit = (
+        (F.col("__rk__") <= int(k))
+        & F.col("__cand__")
+        & (F.col("__crk__") <= int(k))
+    ).cast("int")
+    out = ranked.groupBy(q_id_col).agg(
+        (F.sum(hit) / float(int(k))).alias(recall_name)
+    )
+    return Table(out)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

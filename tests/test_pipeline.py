@@ -415,3 +415,76 @@ class TestRound7PipelineFixes:
         t = con.memtable({"vec_id": [1], "embedding": [None]})
         with pytest.raises(ValueError, match="no non-null vectors"):
             pl.ivf_centroids(t, n_centroids=2)
+
+
+class TestAnnRecall:
+    def _numpy_recall(self, X, C, Q, qids, k, n_probe):
+        # independent reference: same tie rules (dist ties -> smaller
+        # centroid idx; sim ties -> smaller vec_id)
+        import numpy as np
+
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cluster = d2.argmin(axis=1)  # argmin ties -> first (smaller idx)
+        out = {}
+        for qi, q in zip(qids, Q):
+            qd2 = ((C - q) ** 2).sum(axis=1)
+            probes = set(np.argsort(qd2, kind="stable")[:n_probe].tolist())
+            sim = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+            order = np.lexsort((np.arange(len(X)), -sim))
+            brute = set(order[:k].tolist())
+            cand_order = [i for i in order if cluster[i] in probes]
+            var = set(cand_order[:k])
+            out[qi] = len(brute & var) / k
+        return out
+
+    def test_matches_numpy_reference(self, con):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(200, 8)).round(3)  # rounding kills float-tie risk
+        C = X[:4].copy()
+        Q = X[50:53].copy()
+        qids = [50, 51, 52]
+        t = con.memtable(
+            {"vec_id": list(range(200)), "embedding": [list(map(float, r)) for r in X]}
+        )
+        qs = con.memtable(
+            {"q_id": qids, "qvec": [list(map(float, r)) for r in Q]}
+        )
+        got = {
+            r.q_id: r.recall
+            for r in pl.ann_recall(
+                t, qs, 10, centroids=[list(map(float, c)) for c in C], n_probe=2
+            ).df.collect()
+        }
+        want = self._numpy_recall(X, C, Q, qids, 10, 2)
+        assert got == want
+        assert any(v < 1.0 for v in got.values())  # pruning really prunes
+
+    def test_planted_clusters_full_recall(self, con):
+        # vectors planted in tight clusters around orthogonal axes: probing
+        # the query's own cluster must find every true neighbor
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        dim, per = 6, 30
+        rows, ids = [], []
+        for c in range(3):
+            center = np.zeros(dim); center[c] = 10.0
+            pts = center + rng.normal(scale=0.05, size=(per, dim))
+            rows += [list(map(float, p)) for p in pts]
+            ids += [c * per + i for i in range(per)]
+        t = con.memtable({"vec_id": ids, "embedding": rows})
+        cents = [rows[0], rows[per], rows[2 * per]]
+        qs = con.memtable({"q_id": [0, 1], "qvec": [rows[5], rows[per + 5]]})
+        got = {
+            r.q_id: r.recall
+            for r in pl.ann_recall(t, qs, 10, centroids=cents, n_probe=1).df.collect()
+        }
+        assert got == {0: 1.0, 1: 1.0}
+
+    def test_exhaustive_probe_rejected(self, con):
+        t = con.memtable({"vec_id": [1], "embedding": [[1.0, 0.0]]})
+        qs = con.memtable({"q_id": [1], "qvec": [[1.0, 0.0]]})
+        with pytest.raises(ValueError, match="n_probe"):
+            pl.ann_recall(t, qs, 1, centroids=[[1.0, 0.0], [0.0, 1.0]], n_probe=2)
