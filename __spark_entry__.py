@@ -1740,6 +1740,79 @@ def _pretokenize(spark, sf_dir):
     ).to_spark()
 
 
+# demo BPE merge list for the oracle-checked bpe_encode query: well-formed
+# (every multi-char side is produced by an earlier rule), small enough for
+# the JVM replace-chain path
+_BPE_DEMO_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("o", "n"),
+    ("a", "n"), ("an", "d"), (" ", "t"), (" t", "h"), (" th", "e"),
+    ("r", "e"), ("e", "d"), (" ", "a"), (" a", "n"), (" an", "d"),
+]
+
+
+def _bpe_encode(spark, sf_dir):
+    """Exact BPE token stream (pipeline.bpe_encode): separator-encoded
+    pretokens + one literal replace per merge rule — a pure scan-local
+    string plan whose construction DuckDB reproduces verbatim, so the
+    token stream itself (count + first-8 prefix) is hash-checked."""
+    import pyspark.sql.functions as F
+
+    from ibis_spark import pipeline as pl
+    from ibis_spark.expr.core import unwrap, wrap
+
+    d = _t(spark, sf_dir, "documents")
+    toks = unwrap(pl.bpe_encode(d.text, _BPE_DEMO_MERGES))
+    return d.select(
+        "doc_id",
+        n_bpe=wrap(F.array_size(toks)),
+        head=wrap(F.array_join(F.slice(toks, 1, 8), "\x1f")),
+    ).to_spark()
+
+
+def _bpe_oracle_sql():
+    """Build the DuckDB mirror of bpe_encode's replace chain: same
+    separator encoding (chr(1)), same rule order, same final split."""
+
+    def lit(s):
+        parts, buf = [], ""
+        for ch in s:
+            if ch == "\x01":
+                if buf:
+                    parts.append("'" + buf.replace("'", "''") + "'")
+                    buf = ""
+                parts.append("chr(1)")
+            else:
+                buf += ch
+        if buf:
+            parts.append("'" + buf.replace("'", "''") + "'")
+        return "||".join(parts)
+
+    pretok_re = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    expr = (
+        "array_to_string(list_transform(regexp_extract_all("
+        "replace(text, chr(1), ''), '" + pretok_re.replace("'", "''") + "'), "
+        "t -> chr(1)||chr(1)||regexp_replace(t, '(?s)(.)', "
+        "'\\1'||chr(1)||chr(1), 'g')), '')"
+    )
+    S = "\x01"
+    for a, b in _BPE_DEMO_MERGES:
+        expr = (
+            f"replace({expr}, {lit(S + a + S + S + b + S)}, "
+            f"{lit(S + a + b + S)})"
+        )
+    return f"""
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_bpe,
+               array_to_string(toks[1:8], chr(31)) AS head
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex({expr}, chr(1)||'+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        )
+    """
+
+
 def _repetition_score(spark, sf_dir):
     # within-doc duplicate-bigram fraction (pipeline.repetition_score) —
     # the Gopher-style repetition quality signal, scan-only JVM lambdas
@@ -1806,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wider_explicit": _pivot_wider_explicit,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_recall": _ann_recall,
+        "bpe_encode": _bpe_encode,
         "repetition_score": _repetition_score,
         "winnow_fingerprint": _winnow_fingerprint,
         "pretokenize": _pretokenize,
@@ -2911,6 +2985,7 @@ def oracle_sql() -> dict[str, str]:
                      vec_id
             LIMIT 10
         """,
+        "bpe_encode": _bpe_oracle_sql(),
         "ann_recall": """
             -- rebuild the deterministic IVF index in pure SQL: centroids =
             -- embeddings of vec_id<8, queries = vec_id 8..12, n_probe=2,

@@ -37,9 +37,16 @@ __all__ = [
     "ann_lsh_topk",
     "tokenize",
     "token_count",
+    "pretokenize",
+    "pretoken_count",
+    "bpe_encode",
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "ann_recall",
+    "ivf_centroids",
+    "ivf_assign",
+    "ann_ivf_topk",
 ]
 
 
@@ -861,7 +868,8 @@ def tokenize(col, pattern: str = r"\s+"):
 def token_count(col, *, bpe_estimate: bool = False):
     """Token count: whitespace tokens, or the classic chars/4 BPE cost
     estimate when ``bpe_estimate``. For the unit actual BPE merges operate
-    on, see :func:`pretokenize` / :func:`pretoken_count`."""
+    on, see :func:`pretokenize` / :func:`pretoken_count`; for an EXACT
+    count under a real merge list, ``bpe_encode(col, merges).length()``."""
     c = unwrap(col)
     if bpe_estimate:
         return wrap(F.ceil(F.length(c) / 4).cast("int"))
@@ -880,6 +888,124 @@ def pretokenize(col):
     operate on — a far better token-cost unit than whitespace words or
     chars/4. One JVM regexp_extract_all, scan-only."""
     return wrap(F.regexp_extract_all(unwrap(col), F.lit(_BPE_PRETOKEN_RE), 0))
+
+
+def _validate_merges(merges, sep):
+    """BPE merge lists must be WELL-FORMED — each side of a rule is a
+    single character or the output of an earlier rule. For such lists,
+    rank-ordered one-pass-per-rule application (what both the JVM plan
+    and the DuckDB oracle implement) is provably equivalent to GPT-2's
+    iterative min-rank-pair loop; for malformed lists they diverge, so we
+    reject instead of silently tokenizing differently."""
+    out = []
+    produced = set()
+    for i, (a, b) in enumerate(merges):
+        a, b = str(a), str(b)
+        for side in (a, b):
+            if len(side) > 1 and side not in produced:
+                raise ValueError(
+                    f"bpe merge rule {i} ({a!r},{b!r}): {side!r} is neither "
+                    "a single character nor the output of an earlier rule"
+                )
+            if sep in side:
+                raise ValueError(
+                    f"bpe merge rule {i}: token contains the reserved "
+                    f"separator {sep!r}"
+                )
+        produced.add(a + b)
+        out.append((a, b))
+    return out
+
+
+def bpe_encode(col, merges, *, udf_threshold: int = 512):
+    """Exact BPE merge application over the :func:`pretokenize` stream →
+    array<string> of BPE tokens per document.
+
+    JVM plan (scale path, no Python): the pretoken stream is encoded as
+    one string per document — ``\\x01\\x01`` between characters, so a
+    pretoken boundary (the concatenation of two encodings) carries FOUR
+    separators that no rule pattern can straddle — and each merge rule
+    ``(a, b)`` is a single literal ``replace('\\x01a\\x01\\x01b\\x01' →
+    '\\x01ab\\x01')``. Literal replace scans left-to-right and
+    non-overlapping, which IS the BPE within-rule pass order, and because
+    the replacement restores its trailing separator, consecutive
+    occurrences (shared-boundary runs like ``[a,b,a,b]``) all merge in
+    the one pass. The whole encode is a linear chain of scan-local
+    string ops — codegen, no shuffle, no HOF-per-rule, and the identical
+    construction runs in DuckDB (pure RE2 + replace), making the token
+    stream itself oracle-checkable.
+
+    Merge lists longer than ``udf_threshold`` switch to an Arrow-batched
+    pandas UDF applying the standard min-rank loop with a rank dict
+    (equivalent on well-formed lists, validated) — a 50k-rule production
+    vocab as one broadcast dict instead of a 50k-deep expression tree.
+    """
+    S = "\x01"
+    merges = _validate_merges(merges, S)
+    c = unwrap(col)
+    if len(merges) > int(udf_threshold):
+        return _bpe_encode_udf(c, merges)
+    cleaned = F.replace(c, F.lit(S), F.lit(""))
+    pretoks = F.regexp_extract_all(cleaned, F.lit(_BPE_PRETOKEN_RE), 0)
+    enc = F.array_join(
+        F.transform(
+            pretoks,
+            lambda t: F.concat(
+                F.lit(S + S), F.regexp_replace(t, "(?s)(.)", "$1" + S + S)
+            ),
+        ),
+        "",
+    )
+    s = enc
+    for a, b in merges:
+        s = F.replace(s, F.lit(S + a + S + S + b + S), F.lit(S + a + b + S))
+    return wrap(F.filter(F.split(s, S + "+"), lambda x: x != ""))
+
+
+def _bpe_encode_udf(c, merges):
+    """Large-vocab path: JVM pretokenize, then an Arrow-batched pandas
+    UDF applies the min-rank merge loop per pretoken (rank dict broadcast
+    with the serialized closure). Python, but vectorized transfer and
+    still embarrassingly parallel — no shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    # `from __future__ import annotations` stringifies hints and pyspark
+    # resolves them against the function's globals — bind pd there
+    globals().setdefault("pd", pd)
+
+    def _apply(tok: str) -> list:
+        parts = list(tok)
+        while len(parts) > 1:
+            best, bi = None, -1
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            a, b = merges[best]
+            out, i = [], 0
+            while i < len(parts):
+                if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            parts = out
+        return parts
+
+    @pandas_udf("array<string>")
+    def _encode(toks: pd.Series) -> pd.Series:
+        return toks.map(
+            lambda arr: None
+            if arr is None
+            else [p for t in arr for p in _apply(t)]
+        )
+
+    return wrap(_encode(F.regexp_extract_all(c, F.lit(_BPE_PRETOKEN_RE), 0)))
 
 
 def pretoken_count(col):

@@ -488,3 +488,53 @@ class TestAnnRecall:
         qs = con.memtable({"q_id": [1], "qvec": [[1.0, 0.0]]})
         with pytest.raises(ValueError, match="n_probe"):
             pl.ann_recall(t, qs, 1, centroids=[[1.0, 0.0], [0.0, 1.0]], n_probe=2)
+
+
+class TestBpeEncode:
+    MERGES = [
+        ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("o", "n"),
+        ("a", "n"), ("an", "d"), (" ", "t"), (" t", "h"), (" th", "e"),
+    ]
+
+    def test_hand_computed(self, con):
+        t = con.memtable({"doc_id": [1, 2, 3, 4],
+                          "text": ["the thin thread", "in and on", "aaa", ""]})
+        got = {r.doc_id: r.toks
+               for r in t.select("doc_id", toks=pl.bpe_encode(t.text, self.MERGES)).df.collect()}
+        # "the" -> th+e -> the; " thin": (t,h) outranks (' ',t) -> [' ', th, in]
+        assert got[1] == ["the", " ", "th", "in", " ", "th", "r", "e", "a", "d"]
+        assert got[2] == ["in", " ", "and", " ", "on"]
+        assert got[3] == ["a", "a", "a"]  # no (a,a) rule: chars stay
+        assert got[4] == []
+
+    def test_consecutive_pair_runs_merge_in_one_pass(self, con):
+        # the shared-boundary case the double-separator encoding exists
+        # for: [t,h,t,h,...] must ALL merge, and (th,e) must then apply
+        t = con.memtable({"doc_id": [1], "text": ["thththe"]})
+        got = t.select(toks=pl.bpe_encode(t.text, self.MERGES)).df.collect()[0].toks
+        assert got == ["th", "th", "the"]
+
+    def test_no_merge_across_pretokens(self, con):
+        # "t h" pretokenizes to ['t', ' h'] (wait: ' h') — rule (t,h)
+        # must not fire across the boundary; punctuation split likewise
+        t = con.memtable({"doc_id": [1, 2], "text": ["t h", "t,h"]})
+        got = {r.doc_id: r.toks
+               for r in t.select("doc_id", toks=pl.bpe_encode(t.text, self.MERGES)).df.collect()}
+        assert "th" not in got[1] and "th" not in got[2]
+
+    def test_udf_path_equivalent(self, con):
+        texts = ["the thin thread", "in and on", "ttthhh", "a,b.c!d",
+                 "  double  spaces  ", "don't", "123 456", "thethethe"]
+        t = con.memtable({"doc_id": list(range(len(texts))), "text": texts})
+        jvm = {r.doc_id: r.toks
+               for r in t.select("doc_id", toks=pl.bpe_encode(t.text, self.MERGES)).df.collect()}
+        udf = {r.doc_id: r.toks
+               for r in t.select("doc_id", toks=pl.bpe_encode(t.text, self.MERGES, udf_threshold=0)).df.collect()}
+        assert jvm == udf
+
+    def test_malformed_merges_rejected(self, con):
+        t = con.memtable({"doc_id": [1], "text": ["x"]})
+        with pytest.raises(ValueError, match="earlier rule"):
+            pl.bpe_encode(t.text, [("a", "bc")])
+        with pytest.raises(ValueError, match="separator"):
+            pl.bpe_encode(t.text, [("a", "\x01")])
