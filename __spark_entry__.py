@@ -1832,72 +1832,22 @@ def _repetition_score(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness harness samples the FIRST
-    # 50 entries. Round-6 rotation: the 26 entries never sampled in r4/r5
-    # (maps/structs, array HOF, regex, hash, bitwise, temporal ctors/delta,
-    # UDF x4, streaming windows x3, rollup/cube, sql escape hatch, verified
-    # dedups) come first, then the two queries whose driver-representation
-    # fixes landed this round (info_table BIGINT oracle casts,
-    # collect_ordered stringified arrays), then the rows-only-by-design
-    # trio (driver records the weaker rows check — evidence the judge sees),
-    # then a refresh of r4-green entries to fill the 50-slot window.
+    # 50 entries. Round-7 rotation (evidence freshness): slots 1-5 are the
+    # queries added or semantically changed this round (ann_recall,
+    # bpe_encode new; quality_score case fix, ann_ivf_topk oracle tiebreak,
+    # array_named_reductions materialized plan), then the 34 entries whose
+    # latest driver sample is r4 (joins, set ops, windows, subqueries,
+    # distinct family), then r5-era refreshes to fill the window. Everything
+    # outside the window was driver-green in r5/r6 and stays <=2 rounds
+    # stale; the rows-only-by-design trio sits last (no oracle signal).
     return {
-        # -- never driver-sampled in r4/r5 → front ---------------------------
-        "map_struct_ops": _map_struct_ops,
-        "array_hof": _array_hof,
-        "regex_ops": _regex_ops,
-        "hash_ops": _hash_ops,
-        "bitwise_ops": _bitwise_ops,
-        "temporal_ctors": _temporal_ctors,
-        "temporal_delta": _temporal_delta,
-        "integer_range_unnest": _integer_range_unnest,
-        "sql_escape_hatch": _sql_escape_hatch,
-        "dedup_minhash_verified": _dedup_minhash_verified,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_embedding": _dedup_embedding,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "lang_id": _lang_id,
-        "quality_score": _quality_score,
-        "token_count_bpe": _token_count_bpe,
-        "udf_pandas": _udf_pandas,
-        "udf_python": _udf_python,
-        "udf_builtin": _udf_builtin,
-        "udf_grouped_agg": _udf_grouped_agg,
-        "tumble": _tumble,
-        "hop": _hop,
-        "session_window": _session_window,
-        "rollup_agg": _rollup_agg,
-        "cube_agg": _cube_agg,
-        "interval_range_window": _interval_range_window,
-        # -- driver-representation fixes landed round 6 ----------------------
-        "info_table": _info_table,
-        "collect_ordered": _collect_ordered,
-        # -- rows-only by design (hash not DuckDB-reproducible; SURVEY §8) ---
-        "dedup_minhash": _dedup_minhash,
-        "simhash": _simhash,
-        "ann_lsh_topk": _ann_lsh_topk,
-        # -- new round-6 queries ---------------------------------------------
-        "pivot_wider_explicit": _pivot_wider_explicit,
-        "ann_ivf_topk": _ann_ivf_topk,
+        # -- new / changed in round 7 --------------------------------------
         "ann_recall": _ann_recall,
         "bpe_encode": _bpe_encode,
-        "repetition_score": _repetition_score,
-        "winnow_fingerprint": _winnow_fingerprint,
-        "pretokenize": _pretokenize,
-        # -- r4-green refresh (fill the remainder of the 50-slot window) -----
-        "q1": _q1,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q4_order_priority": _q4_order_priority,
-        "q5_local_supplier_volume": _q5_local_supplier_volume,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "q7_volume_shipping": _q7_volume_shipping,
-        "q20_big_suppliers": _q20_big_suppliers,
-        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
-        "q10_returned_items": _q10_returned_items,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q18_large_volume_customer": _q18_large_volume_customer,
-        "filter_sort_limit": _filter_sort_limit,
-        "agg_filtered": _agg_filtered,
-        "agg_having": _agg_having,
+        "quality_score": _quality_score,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "array_named_reductions": _array_named_reductions,
+        # -- oldest driver evidence (last green r4) --------------------------
         "distinct_rows": _distinct_rows,
         "distinct_keep_none": _distinct_keep_none,
         "distinct_keep_last": _distinct_keep_last,
@@ -1932,29 +1882,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": _q17_small_quantity,
         "exists_subquery": _exists_subquery,
         "not_exists_subquery": _not_exists_subquery,
-        # -- driver-green in r5 (CORRECTNESS_r05.json) -----------------------
-        "array_named_reductions": _array_named_reductions,
+        # -- r5 refresh fill (window slots 40-50) ----------------------------
+        "scalar_strings": _scalar_strings,
+        "scalar_temporal": _scalar_temporal,
+        "scalar_numeric": _scalar_numeric,
+        "describe_table": _describe_table,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "pivot_longer": _pivot_longer,
+        "pivot_wider": _pivot_wider,
+        "json_typed_accessors": _json_typed_accessors,
+        "selectors_across": _selectors_across,
+        "udf_pyarrow": _udf_pyarrow,
+        # -- outside the 50-slot window: driver-green r5/r6 ------------------
+        "map_struct_ops": _map_struct_ops,
+        "array_hof": _array_hof,
+        "regex_ops": _regex_ops,
+        "hash_ops": _hash_ops,
+        "bitwise_ops": _bitwise_ops,
+        "temporal_ctors": _temporal_ctors,
+        "temporal_delta": _temporal_delta,
+        "integer_range_unnest": _integer_range_unnest,
+        "sql_escape_hatch": _sql_escape_hatch,
+        "dedup_minhash_verified": _dedup_minhash_verified,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_embedding": _dedup_embedding,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "lang_id": _lang_id,
+        "token_count_bpe": _token_count_bpe,
+        "udf_pandas": _udf_pandas,
+        "udf_python": _udf_python,
+        "udf_builtin": _udf_builtin,
+        "udf_grouped_agg": _udf_grouped_agg,
+        "tumble": _tumble,
+        "hop": _hop,
+        "session_window": _session_window,
+        "rollup_agg": _rollup_agg,
+        "cube_agg": _cube_agg,
+        "interval_range_window": _interval_range_window,
+        "info_table": _info_table,
+        "collect_ordered": _collect_ordered,
+        "pivot_wider_explicit": _pivot_wider_explicit,
+        "repetition_score": _repetition_score,
+        "winnow_fingerprint": _winnow_fingerprint,
+        "pretokenize": _pretokenize,
+        "q1": _q1,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q4_order_priority": _q4_order_priority,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q20_big_suppliers": _q20_big_suppliers,
+        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q18_large_volume_customer": _q18_large_volume_customer,
+        "filter_sort_limit": _filter_sort_limit,
+        "agg_filtered": _agg_filtered,
+        "agg_having": _agg_having,
         "bool_cum_windows": _bool_cum_windows,
         "bool_agg_not": _bool_agg_not,
         "interval_unit_views": _interval_unit_views,
         "parse_roundtrip": _parse_roundtrip,
         "histogram_bins": _histogram_bins,
-        "json_typed_accessors": _json_typed_accessors,
         "selector_if_any": _selector_if_any,
         "salted_join_agg": _salted_join_agg,
         "rowid_contract": _rowid_contract,
         "grouped_fraction": _grouped_fraction,
-        "describe_table": _describe_table,
-        "q8_market_share": _q8_market_share,
-        "q9_product_profit": _q9_product_profit,
         "q12_priority_shipping": _q12_priority_shipping,
         "q13_customer_distribution": _q13_customer_distribution,
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_cnt": _q16_supplier_cnt,
         "q19_discounted_revenue": _q19_discounted_revenue,
-        "scalar_strings": _scalar_strings,
-        "scalar_temporal": _scalar_temporal,
-        "scalar_numeric": _scalar_numeric,
         "misc_scalars": _misc_scalars,
         "week_doy": _week_doy,
         "case_when": _case_when,
@@ -1965,14 +1964,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_concat": _group_concat,
         "ordered_reductions_desc": _ordered_reductions_desc,
         "arg_reductions": _arg_reductions,
-        "selectors_across": _selectors_across,
-        "udf_pyarrow": _udf_pyarrow,
         "window_percent": _window_percent,
         "array_ops": _array_ops,
         "unnest_tokens": _unnest_tokens,
         "json_extract": _json_extract,
-        "pivot_wider": _pivot_wider,
-        "pivot_longer": _pivot_longer,
         "dedup_exact": _dedup_exact,
         "fingerprint": _fingerprint,
         "text_stats": _text_stats,
@@ -1981,6 +1976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_values": _in_values,
         "between_time": _between_time,
         "table_cast": _table_cast,
+        # -- rows-only by design (hash not DuckDB-reproducible; SURVEY §8) ---
+        "dedup_minhash": _dedup_minhash,
+        "simhash": _simhash,
+        "ann_lsh_topk": _ann_lsh_topk,
     }
 
 
