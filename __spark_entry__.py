@@ -1769,6 +1769,31 @@ def _bpe_encode(spark, sf_dir):
     ).to_spark()
 
 
+def _hash_oracles():
+    """hash_sample / hash_split oracles share the engine's own hex
+    thresholds (pipeline._hex_threshold) so the comparison constant can
+    never drift between the Spark plan and the DuckDB SQL."""
+    from ibis_spark.pipeline import _hex_threshold
+
+    t20 = _hex_threshold(0.2)
+    t80, t90 = _hex_threshold(0.8), _hex_threshold(0.9)
+    return {
+        "hash_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t20}'
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN h < '{t80}' THEN 'train'
+                        WHEN h < '{t90}' THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                  FROM documents)
+        """,
+    }
+
+
 def _bpe_oracle_sql():
     """Build the DuckDB mirror of bpe_encode's replace chain: same
     separator encoding (chr(1)), same rule order, same final split."""
@@ -1813,6 +1838,60 @@ def _bpe_oracle_sql():
     """
 
 
+def _hash_sample(spark, sf_dir):
+    """Deterministic md5-bucket sample (pipeline.hash_sample): pure scan
+    filter, reproducible across engines/runs/cluster sizes — DuckDB
+    replays the identical hex-threshold comparison, so membership itself
+    is the oracle."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return pl.hash_sample(d, 0.2, "doc_id", salt="s1").select("doc_id").to_spark()
+
+
+def _hash_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment (pipeline.hash_split)."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    out = pl.hash_split(
+        d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="v1"
+    )
+    return out.select("doc_id", "split").to_spark()
+
+
+def _chunk_text(spark, sf_dir):
+    """Context-window chunking (pipeline.chunk_text): 40-token windows,
+    8-token overlap — scan + explode of start offsets, no shuffle."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pl.chunk_text(d, "text", max_tokens=40, overlap=8)
+    return out.select("doc_id", "chunk_idx", "chunk").to_spark()
+
+
+def _redact(spark, sf_dir):
+    """PII scrubbing (pipeline.redact): urls → emails → phones, chained
+    JVM regexp_replace in the RE2∩Java dialect so DuckDB replays the
+    identical substitutions. Synthetic PII is appended per-row so the
+    replacements demonstrably fire."""
+    import pyspark.sql.functions as F
+
+    from ibis_spark import pipeline as pl
+    from ibis_spark.expr.core import wrap
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pii = wrap(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com or http://ex.io/p?id="),
+            did, F.lit(" tel +1 (555) 010-"), did,
+        )
+    )
+    return d.select("doc_id", red=pl.redact(pii)).to_spark()
+
+
 def _repetition_score(spark, sf_dir):
     # within-doc duplicate-bigram fraction (pipeline.repetition_score) —
     # the Gopher-style repetition quality signal, scan-only JVM lambdas
@@ -1844,6 +1923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed in round 7 --------------------------------------
         "ann_recall": _ann_recall,
         "bpe_encode": _bpe_encode,
+        "hash_sample": _hash_sample,
+        "hash_split": _hash_split,
+        "chunk_text": _chunk_text,
+        "redact": _redact,
         "quality_score": _quality_score,
         "ann_ivf_topk": _ann_ivf_topk,
         "array_named_reductions": _array_named_reductions,
@@ -1889,12 +1972,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_table": _describe_table,
         "q8_market_share": _q8_market_share,
         "q9_product_profit": _q9_product_profit,
+        "selectors_across": _selectors_across,
+        # -- outside the 50-slot window: driver-green r5/r6 ------------------
         "pivot_longer": _pivot_longer,
         "pivot_wider": _pivot_wider,
         "json_typed_accessors": _json_typed_accessors,
-        "selectors_across": _selectors_across,
         "udf_pyarrow": _udf_pyarrow,
-        # -- outside the 50-slot window: driver-green r5/r6 ------------------
         "map_struct_ops": _map_struct_ops,
         "array_hof": _array_hof,
         "regex_ops": _regex_ops,
@@ -2985,6 +3068,33 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "bpe_encode": _bpe_oracle_sql(),
+        "hash_sample": _hash_oracles()["hash_sample"],
+        "hash_split": _hash_oracles()["hash_split"],
+        "chunk_text": """
+            SELECT doc_id,
+                   CAST(start / 32 AS INT) AS chunk_idx,
+                   array_to_string(toks[start+1 : start+40], ' ') AS chunk
+            FROM (
+              SELECT doc_id,
+                     string_split_regex(text, '\\s+') AS toks,
+                     UNNEST(range(0, len(string_split_regex(text, '\\s+')), 32))
+                         AS start
+              FROM documents
+            )
+        """,
+        "redact": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or http://ex.io/p?id='
+                          || CAST(doc_id AS VARCHAR)
+                          || ' tel +1 (555) 010-' || CAST(doc_id AS VARCHAR),
+                     'https?://[^\\s]+', '[URL]', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '[PHONE]', 'g') AS red
+            FROM documents
+        """,
         "ann_recall": """
             -- rebuild the deterministic IVF index in pure SQL: centroids =
             -- embeddings of vec_id<8, queries = vec_id 8..12, n_probe=2,

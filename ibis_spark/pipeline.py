@@ -43,6 +43,10 @@ __all__ = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "hash_sample",
+    "hash_split",
+    "chunk_text",
+    "redact",
     "ann_recall",
     "ivf_centroids",
     "ivf_assign",
@@ -845,6 +849,140 @@ def ann_recall(
         (F.sum(hit) / float(int(k))).alias(recall_name)
     )
     return Table(out)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting (training-pipeline primitives)
+# ---------------------------------------------------------------------------
+
+def _hash_bucket(key_col, salt: str):
+    """First 8 hex chars of md5(salt || key) — a uniform 32-bit bucket as a
+    fixed-width lowercase hex STRING. String comparison of fixed-width
+    lowercase hex is monotone with the numeric value, and both Spark and
+    DuckDB emit identical lowercase md5 hex, so thresholds compare
+    engine-identically with zero numeric conversion."""
+    k = F.concat(F.lit(salt), unwrap(key_col).cast("string"))
+    return F.substring(F.md5(k.cast("binary")), 1, 8)
+
+
+def _hex_threshold(fraction: float) -> str:
+    n = int(round(float(fraction) * 16**8))
+    if n >= 16**8:
+        return "g"  # lexicographically above every 8-char hex string
+    return format(n, "08x")
+
+
+def hash_sample(t: Table, fraction: float, key_col: str, *, salt: str = "") -> Table:
+    """Deterministic, reproducible sample: keep rows whose 32-bit
+    md5(salt||key) bucket falls below ``fraction``. Unlike TABLESAMPLE /
+    ``Table.sample`` this is a pure scan filter with NO randomness — the
+    same (key, salt) always lands on the same side, across engines, runs
+    and cluster sizes, which is what a 100 TB training pipeline needs for
+    resumable/reproducible subsetting (and it co-samples joined tables
+    sharing the key). Disjoint samples: vary ``salt``."""
+    if not (0 <= float(fraction) <= 1):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    h = _hash_bucket(F.col(key_col), salt)
+    return Table(t.df.filter(h < F.lit(_hex_threshold(float(fraction)))))
+
+
+def hash_split(
+    t: Table,
+    key_col: str,
+    weights: dict,
+    *,
+    salt: str = "",
+    split_name: str = "split",
+) -> Table:
+    """Deterministic train/valid/test (or arbitrary) split: assigns each
+    row a label by which cumulative md5-bucket band its key hashes into.
+    Weights are normalized; label order follows dict insertion order.
+    Same scan-only determinism contract as :func:`hash_sample` — a row's
+    split never changes when the data grows or the job reruns."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {label: weight} dict")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive number")
+    h = _hash_bucket(F.col(key_col), salt)
+    labels = list(weights)
+    cum, expr = 0.0, None
+    for lab in labels[:-1]:
+        cum += float(weights[lab]) / total
+        cond = h < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    last = F.lit(labels[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return Table(t.df.withColumn(split_name, out))
+
+
+def chunk_text(
+    t: Table,
+    text_col: str,
+    *,
+    max_tokens: int,
+    overlap: int = 0,
+    chunk_name: str = "chunk",
+    index_name: str = "chunk_idx",
+) -> Table:
+    """Split documents into (overlapping) whitespace-token windows of at
+    most ``max_tokens`` — the context-window chunking step of a training
+    pipeline. One tokenize + explode of the start offsets + slice/join
+    per chunk: scan-local, no shuffle, output rows ≈ input tokens /
+    (max_tokens - overlap). Chunk ``i`` covers tokens
+    ``[i*step, i*step + max_tokens)`` with ``step = max_tokens - overlap``.
+    """
+    max_tokens, overlap = int(max_tokens), int(overlap)
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    df = (
+        t.df.withColumn("__toks__", toks)
+        .withColumn(
+            "__start__",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.size("__toks__") - 1, F.lit(step)
+                )
+            ),
+        )
+        .withColumn(index_name, (F.col("__start__") / step).cast("int"))
+        .withColumn(
+            chunk_name,
+            F.array_join(
+                F.slice(F.col("__toks__"), F.col("__start__") + 1, max_tokens),
+                " ",
+            ),
+        )
+        .drop("__toks__", "__start__", text_col)
+    )
+    return Table(df)
+
+
+_REDACT_PATTERNS = {
+    # Java-regex ∩ RE2 common subset only (no lookarounds) so the DuckDB
+    # oracle replays the exact same substitutions
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\s.-]{6,}[0-9]",
+}
+
+
+def redact(col, kinds=("url", "email", "phone")):
+    """PII scrubbing: replace each matched kind with its ``[KIND]`` tag.
+    Chained JVM regexp_replace — scan-only, order fixed (urls before
+    emails so an address inside a URL is already gone)."""
+    c = unwrap(col)
+    for kind in kinds:
+        if kind not in _REDACT_PATTERNS:
+            raise ValueError(
+                f"unknown redact kind {kind!r}; have {sorted(_REDACT_PATTERNS)}"
+            )
+        c = F.regexp_replace(c, _REDACT_PATTERNS[kind], f"[{kind.upper()}]")
+    return wrap(c)
 
 
 # ---------------------------------------------------------------------------

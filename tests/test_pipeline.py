@@ -538,3 +538,88 @@ class TestBpeEncode:
             pl.bpe_encode(t.text, [("a", "bc")])
         with pytest.raises(ValueError, match="separator"):
             pl.bpe_encode(t.text, [("a", "\x01")])
+
+
+class TestSamplingSplitting:
+    def test_hash_sample_deterministic_and_proportional(self, con):
+        t = con.memtable({"k": list(range(2000))})
+        a = sorted(r.k for r in pl.hash_sample(t, 0.25, "k", salt="x").df.collect())
+        b = sorted(r.k for r in pl.hash_sample(t, 0.25, "k", salt="x").df.collect())
+        assert a == b                      # rerun-stable
+        assert 0.2 < len(a) / 2000 < 0.3   # ~fraction
+        c = sorted(r.k for r in pl.hash_sample(t, 0.25, "k", salt="y").df.collect())
+        assert a != c                      # salt varies membership
+
+    def test_hash_sample_subset_monotone(self, con):
+        # a smaller fraction is a strict subset of a larger one (same salt)
+        t = con.memtable({"k": list(range(500))})
+        small = {r.k for r in pl.hash_sample(t, 0.1, "k").df.collect()}
+        big = {r.k for r in pl.hash_sample(t, 0.5, "k").df.collect()}
+        assert small <= big
+
+    def test_hash_sample_edges(self, con):
+        t = con.memtable({"k": [1, 2, 3]})
+        assert pl.hash_sample(t, 1.0, "k").df.count() == 3
+        assert pl.hash_sample(t, 0.0, "k").df.count() == 0
+        with pytest.raises(ValueError, match="fraction"):
+            pl.hash_sample(t, 1.5, "k")
+
+    def test_hash_split_partitions_everything(self, con):
+        t = con.memtable({"k": list(range(1000))})
+        out = pl.hash_split(t, "k", {"train": 8, "valid": 1, "test": 1})
+        counts = {r.split: r.n for r in
+                  out.df.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+        assert sum(counts.values()) == 1000
+        assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+        assert 0.7 < counts["train"] / 1000 < 0.9
+
+    def test_hash_split_agrees_with_sample(self, con):
+        # the first split band IS hash_sample at the same cumulative
+        # fraction and salt — the two primitives compose
+        t = con.memtable({"k": list(range(500))})
+        split = pl.hash_split(t, "k", {"a": 0.3, "b": 0.7}, salt="z")
+        train = {r.k for r in split.df.filter("split = 'a'").collect()}
+        sample = {r.k for r in pl.hash_sample(t, 0.3, "k", salt="z").df.collect()}
+        assert train == sample
+
+
+class TestChunkText:
+    def test_hand_computed_overlap(self, con):
+        text = " ".join(str(i) for i in range(10))  # tokens 0..9
+        t = con.memtable({"doc_id": [1], "text": [text]})
+        out = pl.chunk_text(t, "text", max_tokens=4, overlap=1)
+        got = {r.chunk_idx: r.chunk for r in out.df.collect()}
+        # step=3: starts 0,3,6,9
+        assert got == {0: "0 1 2 3", 1: "3 4 5 6", 2: "6 7 8 9", 3: "9"}
+
+    def test_no_overlap_and_empty(self, con):
+        t = con.memtable({"doc_id": [1, 2], "text": ["a b c d", ""]})
+        out = pl.chunk_text(t, "text", max_tokens=2)
+        got = sorted((r.doc_id, r.chunk_idx, r.chunk) for r in out.df.collect())
+        assert got == [(1, 0, "a b"), (1, 1, "c d"), (2, 0, "")]
+
+    def test_validation(self, con):
+        t = con.memtable({"doc_id": [1], "text": ["x"]})
+        with pytest.raises(ValueError, match="overlap"):
+            pl.chunk_text(t, "text", max_tokens=4, overlap=4)
+        with pytest.raises(ValueError, match="max_tokens"):
+            pl.chunk_text(t, "text", max_tokens=0)
+
+
+class TestRedact:
+    def test_kinds(self, con):
+        t = con.memtable({"doc_id": [1], "text":
+            ["mail a.b+c@foo.co.uk or https://x.io/p?q=1 call +1 (555) 010-1234 done"]})
+        got = t.select(r=pl.redact(t.text)).df.collect()[0].r
+        assert "[EMAIL]" in got and "[URL]" in got and "[PHONE]" in got
+        assert "@" not in got and "http" not in got and "555" not in got
+
+    def test_url_swallows_embedded_email_first(self, con):
+        t = con.memtable({"doc_id": [1], "text": ["see https://x.io/a@b.com rest"]})
+        got = t.select(r=pl.redact(t.text)).df.collect()[0].r
+        assert got == "see [URL] rest"
+
+    def test_unknown_kind(self, con):
+        t = con.memtable({"doc_id": [1], "text": ["x"]})
+        with pytest.raises(ValueError, match="unknown redact kind"):
+            pl.redact(t.text, kinds=("ssn",))
