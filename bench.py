@@ -67,6 +67,12 @@ HEADLINE = [
     "histogram_bins",
     "array_named_reductions",
     "bool_cum_windows",
+    # round-7 additions
+    "ann_recall",
+    "bpe_encode",
+    "hash_split",
+    "chunk_text",
+    "redact",
 ]
 
 
