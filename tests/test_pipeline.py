@@ -623,3 +623,27 @@ class TestRedact:
         t = con.memtable({"doc_id": [1], "text": ["x"]})
         with pytest.raises(ValueError, match="unknown redact kind"):
             pl.redact(t.text, kinds=("ssn",))
+
+
+class TestChunkTextProperties:
+    def test_nonoverlapping_chunks_reconstruct_document(self, con):
+        # property: with overlap=0, joining the chunks in index order
+        # restores the exact token stream for every document
+        texts = ["alpha beta gamma delta epsilon zeta eta theta iota",
+                 "one two", "single", ""]
+        t = con.memtable({"doc_id": list(range(len(texts))), "text": texts})
+        out = pl.chunk_text(t, "text", max_tokens=3)
+        rows = sorted((r.doc_id, r.chunk_idx, r.chunk) for r in out.df.collect())
+        rebuilt = {}
+        for did, _, chunk in rows:
+            rebuilt[did] = (rebuilt.get(did, "") + " " + chunk).strip()
+        assert rebuilt == {i: texts[i] for i in range(len(texts))}
+
+    def test_overlap_chunks_cover_all_tokens(self, con):
+        text = " ".join(f"w{i}" for i in range(100))
+        t = con.memtable({"doc_id": [1], "text": [text]})
+        out = pl.chunk_text(t, "text", max_tokens=16, overlap=4)
+        toks = set()
+        for r in out.df.collect():
+            toks.update(r.chunk.split(" "))
+        assert toks == {f"w{i}" for i in range(100)}
