@@ -1169,7 +1169,12 @@ def quality_score(col):
 def lang_id(col):
     """Stopword-list language guess over {en,fr,es,de,zh}: per-language
     token-hit counts, argmax (ties: lexicographically-greatest language,
-    zero hits → 'und'). One pass of JVM array lambdas."""
+    zero hits → 'und'). One pass of JVM array lambdas.
+
+    Tie example: ``"de un"`` hits the es AND fr stopword lists twice
+    each, so the lexicographically-greater code wins and the guess is
+    ``'fr'``. The DuckDB oracle encodes the same rule; if a different
+    precedence matters, re-rank on per-language counts yourself."""
     toks = F.split(F.lower(unwrap(col)), r"\s+")
 
     def _hits(words):
