@@ -1675,6 +1675,68 @@ def _ann_recall(spark, sf_dir):
     return pl.ann_recall(e, qs, 10, centroids=cents, n_probe=2).to_spark()
 
 
+def _ann_recall_lsh(spark, sf_dir):
+    """Recall@k of the hyperplane-LSH bucket prune (pipeline.ann_recall
+    method='lsh'): the planes come from the same seeded construction on
+    both sides — embedded as literals in the oracle SQL — so the recall
+    values themselves hash-check."""
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter((e.vec_id >= 8) & (e.vec_id < 13)).select(
+        q_id=e.vec_id, qvec=e.embedding
+    )
+    return pl.ann_recall(
+        e, qs, 10, method="lsh", dim=64, n_planes=4, seed=42
+    ).to_spark()
+
+
+def _lsh_recall_oracle():
+    """DuckDB mirror of ann_recall(method='lsh'): the seeded hyperplanes
+    are generated by the ENGINE's own _hyperplanes and embedded as
+    double literals (repr round-trips exactly), so the bucket keys and
+    therefore the candidate sets are engine-identical."""
+    from ibis_spark.pipeline import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 42)
+
+    def bucket(col):
+        cases = "||".join(
+            "(CASE WHEN list_dot_product(" + col + ", ["
+            + ", ".join(repr(float(x)) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        return "(" + cases + ")"
+
+    return f"""
+        WITH qs AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvec
+          FROM embeddings WHERE vec_id >= 8 AND vec_id < 13
+        ),
+        d AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        scored AS (
+          SELECT q.q_id, d.vec_id,
+                 list_cosine_similarity(d.vec, q.qvec) AS sim,
+                 {bucket('d.vec')} = {bucket('q.qvec')} AS cand
+          FROM d CROSS JOIN qs q
+        ),
+        ranked AS (
+          SELECT q_id, cand,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rk,
+                 SUM(CASE WHEN cand THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, vec_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crk
+          FROM scored
+        )
+        SELECT q_id,
+               SUM(CASE WHEN rk <= 10 AND cand AND crk <= 10
+                        THEN 1 ELSE 0 END) / 10.0 AS recall
+        FROM ranked GROUP BY q_id
+    """
+
+
 def _lang_id(spark, sf_dir):
     from ibis_spark import pipeline as pl
 
@@ -1922,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new / changed in round 7 --------------------------------------
         "ann_recall": _ann_recall,
+        "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
         "hash_sample": _hash_sample,
         "hash_split": _hash_split,
@@ -1972,8 +2035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_table": _describe_table,
         "q8_market_share": _q8_market_share,
         "q9_product_profit": _q9_product_profit,
-        "selectors_across": _selectors_across,
         # -- outside the 50-slot window: driver-green r5/r6 ------------------
+        "selectors_across": _selectors_across,
         "pivot_longer": _pivot_longer,
         "pivot_wider": _pivot_wider,
         "json_typed_accessors": _json_typed_accessors,
@@ -3095,6 +3158,7 @@ def oracle_sql() -> dict[str, str]:
                      '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '[PHONE]', 'g') AS red
             FROM documents
         """,
+        "ann_recall_lsh": _lsh_recall_oracle(),
         "ann_recall": """
             -- rebuild the deterministic IVF index in pure SQL: centroids =
             -- embeddings of vec_id<8, queries = vec_id 8..12, n_probe=2,

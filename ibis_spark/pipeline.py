@@ -761,8 +761,12 @@ def ann_recall(
     queries: Table,
     k: int = 10,
     *,
-    centroids,
+    method: str = "ivf",
+    centroids=None,
     n_probe: int = 2,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     q_vec_col: str = "qvec",
@@ -770,8 +774,15 @@ def ann_recall(
     cluster_col: str = None,
     recall_name: str = "recall",
 ) -> Table:
-    """Recall@k of IVF-pruned ANN against the exact brute-force baseline,
-    one row per query: ``|ivf_topk ∩ brute_topk| / k``.
+    """Recall@k of a pruned ANN variant against the exact brute-force
+    baseline, one row per query: ``|variant_topk ∩ brute_topk| / k``.
+
+    ``method="ivf"`` (requires ``centroids``): candidates are rows whose
+    cluster is among the query's ``n_probe`` nearest centroids —
+    :func:`ann_ivf_topk`'s pruning rule. ``method="lsh"`` (requires
+    ``dim``): candidates are rows in the query's hyperplane sign-bucket
+    (``n_planes``/``seed`` as :func:`ann_lsh_topk`); both bucket keys are
+    computed JVM-side from the same plane literals, no driver probe.
 
     Distributed shape: the (small) query set is BROADCAST against one
     scan of the data table, so similarities for every query come out of a
@@ -791,45 +802,64 @@ def ann_recall(
     """
     from pyspark.sql.window import Window as W
 
-    centroids = [list(map(float, c)) for c in centroids]
-    if int(n_probe) >= len(centroids):
-        raise ValueError(
-            "n_probe >= n_centroids probes every cluster: recall is 1.0 "
-            "by construction and the measurement is meaningless"
-        )
+    if method not in ("ivf", "lsh"):
+        raise ValueError(f"method must be 'ivf' or 'lsh', got {method!r}")
     ddf = t.df
     vec = F.col(vec_col)
-    if cluster_col is None:
-        ddf = ddf.withColumn("__cl__", _nearest_centroid(vec, centroids))
-        cluster_col = "__cl__"
-    # per-query probe set: indices of the n_probe nearest centroids
-    # (squared-L2, ties to the smaller index — same rule as the argmin
-    # assignment)
     qcol = F.col(q_vec_col)
-    cent_scored = F.array(
-        *[
-            F.struct(
-                _sq_l2(qcol, F.array(*[F.lit(x) for x in c])).alias("d"),
-                F.lit(i).alias("i"),
+    if method == "ivf":
+        if centroids is None:
+            raise ValueError("method='ivf' requires centroids=")
+        centroids = [list(map(float, c)) for c in centroids]
+        if int(n_probe) >= len(centroids):
+            raise ValueError(
+                "n_probe >= n_centroids probes every cluster: recall is "
+                "1.0 by construction and the measurement is meaningless"
             )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(cent_scored), 1, int(n_probe)),
-        lambda s: s.getField("i"),
-    )
-    qdf = queries.df.select(
-        F.col(q_id_col), qcol.alias("__qv__"), probes.alias("__probes__")
-    )
+        if cluster_col is None:
+            ddf = ddf.withColumn("__cl__", _nearest_centroid(vec, centroids))
+            cluster_col = "__cl__"
+        # per-query probe set: indices of the n_probe nearest centroids
+        # (squared-L2, ties to the smaller index — same rule as the
+        # argmin assignment)
+        cent_scored = F.array(
+            *[
+                F.struct(
+                    _sq_l2(qcol, F.array(*[F.lit(x) for x in c])).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        probes = F.transform(
+            F.slice(F.array_sort(cent_scored), 1, int(n_probe)),
+            lambda s: s.getField("i"),
+        )
+        qdf = queries.df.select(
+            F.col(q_id_col), qcol.alias("__qv__"), probes.alias("__key__")
+        )
+        cand = F.array_contains(
+            F.col("__key__"), F.col(cluster_col).cast("int")
+        )
+    else:
+        if dim is None:
+            raise ValueError(
+                "method='lsh' requires dim= (plane construction must not "
+                "probe the data at plan time)"
+            )
+        planes = _hyperplanes(int(dim), int(n_planes), int(seed))
+        qdf = queries.df.select(
+            F.col(q_id_col),
+            qcol.alias("__qv__"),
+            _bucket_expr(qcol, planes).alias("__key__"),
+        )
+        cand = _bucket_expr(vec, planes) == F.col("__key__")
     joined = ddf.crossJoin(F.broadcast(qdf))
     scored = joined.select(
         F.col(q_id_col),
         F.col(id_col),
         cosine_similarity(vec, F.col("__qv__")).spark().alias("__sim__"),
-        F.array_contains(
-            F.col("__probes__"), F.col(cluster_col).cast("int")
-        ).alias("__cand__"),
+        cand.alias("__cand__"),
     )
     w = W.partitionBy(q_id_col).orderBy(F.col("__sim__").desc(), F.col(id_col))
     ranked = scored.select(

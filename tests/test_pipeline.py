@@ -647,3 +647,44 @@ class TestChunkTextProperties:
         for r in out.df.collect():
             toks.update(r.chunk.split(" "))
         assert toks == {f"w{i}" for i in range(100)}
+
+
+class TestAnnRecallLsh:
+    def test_matches_numpy_reference(self, con):
+        import numpy as np
+
+        from ibis_spark.pipeline import _hyperplanes
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(150, 8)).round(3)
+        Q = X[40:43]
+        qids = [40, 41, 42]
+        n_planes, seed, k = 3, 42, 10
+        t = con.memtable({"vec_id": list(range(150)),
+                          "embedding": [list(map(float, r)) for r in X]})
+        qs = con.memtable({"q_id": qids, "qvec": [list(map(float, r)) for r in Q]})
+        got = {r.q_id: r.recall
+               for r in pl.ann_recall(t, qs, k, method="lsh", dim=8,
+                                      n_planes=n_planes, seed=seed).df.collect()}
+        planes = _hyperplanes(8, n_planes, seed)
+        bits = (X @ planes.T >= 0)
+        want = {}
+        for qi, q in zip(qids, Q):
+            qbits = (planes @ q >= 0)
+            cand = (bits == qbits).all(axis=1)
+            sim = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+            order = np.lexsort((np.arange(len(X)), -sim))
+            brute = set(order[:k].tolist())
+            var = set([i for i in order if cand[i]][:k])
+            want[qi] = len(brute & var) / k
+        assert got == want
+
+    def test_lsh_requires_dim(self, con):
+        t = con.memtable({"vec_id": [1], "embedding": [[1.0, 0.0]]})
+        qs = con.memtable({"q_id": [1], "qvec": [[1.0, 0.0]]})
+        with pytest.raises(ValueError, match="dim"):
+            pl.ann_recall(t, qs, 1, method="lsh")
+        with pytest.raises(ValueError, match="method"):
+            pl.ann_recall(t, qs, 1, method="exact")
+        with pytest.raises(ValueError, match="centroids"):
+            pl.ann_recall(t, qs, 1, method="ivf")
