@@ -1954,6 +1954,26 @@ def _redact(spark, sf_dir):
     return d.select("doc_id", red=pl.redact(pii)).to_spark()
 
 
+def _top_ngrams(spark, sf_dir):
+    """Corpus-wide top-k word bigrams (pipeline.top_ngrams): scan +
+    explode + ONE count exchange (map-side partial agg) + TakeOrdered."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return pl.top_ngrams(d, "text", n=2, k=25).to_spark()
+
+
+def _tfidf(spark, sf_dir):
+    """Per-(doc, term) TF-IDF (pipeline.tfidf); restricted to doc_id < 50
+    to keep the driver compare tractable while exercising the full
+    corpus-level df/N statistics."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    out = pl.tfidf(d, "text", "doc_id")
+    return out.filter(out.doc_id < 50).to_spark()
+
+
 def _repetition_score(spark, sf_dir):
     # within-doc duplicate-bigram fraction (pipeline.repetition_score) —
     # the Gopher-style repetition quality signal, scan-only JVM lambdas
@@ -1990,6 +2010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _hash_split,
         "chunk_text": _chunk_text,
         "redact": _redact,
+        "top_ngrams": _top_ngrams,
+        "tfidf": _tfidf,
         "quality_score": _quality_score,
         "ann_ivf_topk": _ann_ivf_topk,
         "array_named_reductions": _array_named_reductions,
@@ -2033,9 +2055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_temporal": _scalar_temporal,
         "scalar_numeric": _scalar_numeric,
         "describe_table": _describe_table,
+        # -- outside the 50-slot window: driver-green r5/r6 ------------------
         "q8_market_share": _q8_market_share,
         "q9_product_profit": _q9_product_profit,
-        # -- outside the 50-slot window: driver-green r5/r6 ------------------
         "selectors_across": _selectors_across,
         "pivot_longer": _pivot_longer,
         "pivot_wider": _pivot_wider,
@@ -3157,6 +3179,43 @@ def oracle_sql() -> dict[str, str]:
                      '[EMAIL]', 'g'),
                      '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '[PHONE]', 'g') AS red
             FROM documents
+        """,
+        "top_ngrams": """
+            -- bigrams: i ranges 1..len-1 (range upper bound is exclusive,
+            -- and is empty when len < 2 — same guard as the engine)
+            SELECT ng AS ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+              SELECT array_to_string(toks[i : i+1], ' ') AS ng
+              FROM (
+                SELECT toks, UNNEST(range(1, len(toks))) AS i
+                FROM (
+                  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '') AS toks
+                  FROM documents
+                )
+              )
+            )
+            GROUP BY ng ORDER BY cnt DESC, ng LIMIT 25
+        """,
+        "tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                   ROUND(t.tf * LN(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+            FROM tf t JOIN df d USING(term) CROSS JOIN n
+            WHERE t.doc_id < 50
         """,
         "ann_recall_lsh": _lsh_recall_oracle(),
         "ann_recall": """

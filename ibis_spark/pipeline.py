@@ -47,6 +47,8 @@ __all__ = [
     "hash_split",
     "chunk_text",
     "redact",
+    "top_ngrams",
+    "tfidf",
     "ann_recall",
     "ivf_centroids",
     "ivf_assign",
@@ -877,6 +879,93 @@ def ann_recall(
     ).cast("int")
     out = ranked.groupBy(q_id_col).agg(
         (F.sum(hit) / float(int(k))).alias(recall_name)
+    )
+    return Table(out)
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+def top_ngrams(
+    t: Table,
+    text_col: str,
+    *,
+    n: int = 2,
+    k: int = 20,
+    ngram_name: str = "ngram",
+    count_name: str = "cnt",
+) -> Table:
+    """Top-k word n-grams across the corpus: tokenize (lowered,
+    whitespace), slide an n-window per document, one hash-partitioned
+    count shuffle with map-side partial aggregation, TakeOrdered for the
+    top-k (no global sort). Ties break on the n-gram text. The canonical
+    corpus-vocabulary scan — at 100 TB this is exactly a word-count:
+    scan + one exchange on the n-gram key."""
+    n, k = int(n), int(k)
+    if n <= 0 or k <= 0:
+        raise ValueError("n and k must be positive")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    # guard: sequence(1, 0) in Spark is DESCENDING [1, 0] — a doc with
+    # fewer than n tokens must yield no n-grams, not bogus ones
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    df = (
+        t.df.select(F.explode(grams).alias(ngram_name))
+        .groupBy(ngram_name)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .orderBy(F.col(count_name).desc(), F.col(ngram_name))
+        .limit(k)
+    )
+    return Table(df)
+
+
+def tfidf(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    round_to: int = 6,
+) -> Table:
+    """Per-(document, term) TF-IDF: ``tf * ln(N / df)`` over lowered
+    whitespace terms → columns (id, term, tf, df, tfidf).
+
+    Shuffle shape: explode → one (doc, term) count exchange → one term
+    exchange for document frequency → term-keyed join back (AQE picks
+    broadcast when the vocabulary is small); the corpus size N is a
+    broadcast 1-row aggregate, never a driver collect. ``tfidf`` is
+    rounded (default 6dp) so cross-engine libm ln() ulp differences
+    can't flake comparisons."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    pairs = t.df.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t.df.agg(F.count(F.lit(1)).alias("__n__"))
+    out = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n__").cast("double") / F.col("df")),
+                int(round_to),
+            ).alias("tfidf"),
+        )
     )
     return Table(out)
 

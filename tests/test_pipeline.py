@@ -688,3 +688,30 @@ class TestAnnRecallLsh:
             pl.ann_recall(t, qs, 1, method="exact")
         with pytest.raises(ValueError, match="centroids"):
             pl.ann_recall(t, qs, 1, method="ivf")
+
+
+class TestCorpusStats:
+    def test_top_ngrams_hand_computed(self, con):
+        t = con.memtable({"doc_id": [1, 2, 3],
+                          "text": ["a b a b", "a b c", "x"]})
+        out = pl.top_ngrams(t, "text", n=2, k=3)
+        got = [(r.ngram, r.cnt) for r in out.df.collect()]
+        # bigrams: doc1: "a b","b a","a b"; doc2: "a b","b c"; doc3: none
+        assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+    def test_short_docs_yield_no_ngrams(self, con):
+        # the sequence(1,0)-descending trap: <n tokens must contribute 0
+        t = con.memtable({"doc_id": [1, 2], "text": ["solo", ""]})
+        assert pl.top_ngrams(t, "text", n=2, k=5).df.count() == 0
+
+    def test_tfidf_hand_computed(self, con):
+        import math
+
+        t = con.memtable({"doc_id": [1, 2], "text": ["a a b", "b c"]})
+        out = pl.tfidf(t, "text", "doc_id")
+        got = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf) for r in out.df.collect()}
+        ln2 = round(math.log(2.0), 6)
+        assert got[(1, "a")] == (2, 1, round(2 * math.log(2 / 1), 6))
+        assert got[(1, "b")] == (1, 2, 0.0)   # ln(2/2) = 0
+        assert got[(2, "c")] == (1, 1, ln2)
+        assert len(got) == 4
