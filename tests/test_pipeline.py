@@ -715,3 +715,34 @@ class TestCorpusStats:
         assert got[(1, "b")] == (1, 2, 0.0)   # ln(2/2) = 0
         assert got[(2, "c")] == (1, 1, ln2)
         assert len(got) == 4
+
+
+class TestBpeDifferentialFuzz:
+    def test_random_wellformed_merge_lists(self, con):
+        # the JVM separator-replace chain and the Python min-rank loop are
+        # INDEPENDENT implementations of BPE — agreement over random
+        # well-formed merge lists and random texts is a real differential
+        import random
+
+        for seed in range(4):
+            rng = random.Random(seed)
+            alphabet = list("abcdet ")
+            produced = []
+            merges = []
+            for _ in range(12):
+                pool = alphabet + produced
+                a, b = rng.choice(pool), rng.choice(pool)
+                if "\x01" in a + b:
+                    continue
+                merges.append((a, b))
+                produced.append(a + b)
+            texts = [
+                "".join(rng.choice("abcdet  ") for _ in range(rng.randint(0, 60)))
+                for _ in range(25)
+            ]
+            t = con.memtable({"doc_id": list(range(len(texts))), "text": texts})
+            jvm = {r.doc_id: r.toks for r in
+                   t.select("doc_id", toks=pl.bpe_encode(t.text, merges)).df.collect()}
+            udf = {r.doc_id: r.toks for r in
+                   t.select("doc_id", toks=pl.bpe_encode(t.text, merges, udf_threshold=0)).df.collect()}
+            assert jvm == udf, f"seed {seed}: paths diverge"
