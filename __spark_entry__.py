@@ -1954,6 +1954,18 @@ def _redact(spark, sf_dir):
     return d.select("doc_id", red=pl.redact(pii)).to_spark()
 
 
+def _sessionize(spark, sf_dir):
+    """Gap-based sessionization (pipeline.sessionize): 30-minute gap per
+    user over events — one exchange, lag + running sum in one sort."""
+    import datetime
+
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = pl.sessionize(e, "ts", "user_id", datetime.timedelta(minutes=30))
+    return out.select("event_id", "user_id", "session_id").to_spark()
+
+
 def _top_ngrams(spark, sf_dir):
     """Corpus-wide top-k word bigrams (pipeline.top_ngrams): scan +
     explode + ONE count exchange (map-side partial agg) + TakeOrdered."""
@@ -2012,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact": _redact,
         "top_ngrams": _top_ngrams,
         "tfidf": _tfidf,
+        "sessionize": _sessionize,
         "quality_score": _quality_score,
         "ann_ivf_topk": _ann_ivf_topk,
         "array_named_reductions": _array_named_reductions,
@@ -2054,8 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_strings": _scalar_strings,
         "scalar_temporal": _scalar_temporal,
         "scalar_numeric": _scalar_numeric,
-        "describe_table": _describe_table,
         # -- outside the 50-slot window: driver-green r5/r6 ------------------
+        "describe_table": _describe_table,
         "q8_market_share": _q8_market_share,
         "q9_product_profit": _q9_product_profit,
         "selectors_across": _selectors_across,
@@ -3179,6 +3192,22 @@ def oracle_sql() -> dict[str, str]:
                      '[EMAIL]', 'g'),
                      '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '[PHONE]', 'g') AS red
             FROM documents
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+                   CAST(SUM(new_sess) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - 1 AS BIGINT) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                              IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts)) > 1800.0
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
         """,
         "top_ngrams": """
             -- bigrams: i ranges 1..len-1 (range upper bound is exclusive,

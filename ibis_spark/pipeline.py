@@ -49,6 +49,7 @@ __all__ = [
     "redact",
     "top_ngrams",
     "tfidf",
+    "sessionize",
     "ann_recall",
     "ivf_centroids",
     "ivf_assign",
@@ -884,6 +885,57 @@ def ann_recall(
 
 
 # ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    t: Table,
+    ts_col: str,
+    by,
+    gap,
+    *,
+    session_name: str = "session_id",
+) -> Table:
+    """Gap-based sessionization: events of one ``by`` key belong to the
+    same session while consecutive gaps stay ≤ ``gap`` (number for
+    numeric ``ts_col``, ``datetime.timedelta`` for temporal). Appends an
+    integer ``session_id`` (0-based per key, ordered by time).
+
+    Plan: ONE hash exchange on the ``by`` keys, then two stacked window
+    functions inside the same sort — lag() marks session starts, a
+    running sum numbers them. No self-join, no second shuffle; state per
+    partition is a single row. This is the batch mirror of the streaming
+    ``session_window`` aggregation (expr/temporal_windows.py) — use that
+    for unbounded streams, this for backfills over stored history."""
+    import datetime as _dt
+
+    from pyspark.sql.window import Window as W
+
+    by = [by] if isinstance(by, str) else list(by)
+    if isinstance(gap, _dt.timedelta):
+        gap_lit = F.lit(gap.total_seconds())
+        tsv = F.col(ts_col).cast("timestamp").cast("double")
+    else:
+        gap_lit = F.lit(gap)
+        tsv = F.col(ts_col)
+    w = W.partitionBy(*by).orderBy(F.col(ts_col))
+    prev = F.lag(tsv).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((tsv - prev) > gap_lit), 1
+    ).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # two chained Window operators over the SAME partitioning+ordering:
+    # Catalyst satisfies the second from the first's exchange+sort, so
+    # this is still one shuffle (window functions can't nest in one step)
+    df = t.df.withColumn("__new_sess__", new_sess)
+    df = df.withColumn(
+        session_name,
+        (F.sum("__new_sess__").over(run) - 1).cast("bigint"),
+    ).drop("__new_sess__")
+    return Table(df)
+
+
+# ---------------------------------------------------------------------------
 # corpus statistics
 # ---------------------------------------------------------------------------
 
@@ -1017,7 +1069,10 @@ def hash_split(
     row a label by which cumulative md5-bucket band its key hashes into.
     Weights are normalized; label order follows dict insertion order.
     Same scan-only determinism contract as :func:`hash_sample` — a row's
-    split never changes when the data grows or the job reruns."""
+    split never changes when the data grows or the job reruns. NULL keys
+    hash to NULL, every band comparison is NULL, and the CASE falls
+    through to the LAST label (identically in the DuckDB oracle) —
+    filter nulls first if that's not the contract you want."""
     if not weights:
         raise ValueError("weights must be a non-empty {label: weight} dict")
     total = float(sum(weights.values()))

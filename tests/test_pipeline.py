@@ -746,3 +746,36 @@ class TestBpeDifferentialFuzz:
             udf = {r.doc_id: r.toks for r in
                    t.select("doc_id", toks=pl.bpe_encode(t.text, merges, udf_threshold=0)).df.collect()}
             assert jvm == udf, f"seed {seed}: paths diverge"
+
+
+class TestSessionize:
+    def test_hand_computed_numeric_gap(self, con):
+        t = con.memtable({
+            "ev": [1, 2, 3, 4, 5, 6],
+            "u": ["a", "a", "a", "a", "b", "b"],
+            "t": [0, 10, 100, 105, 0, 500],
+        })
+        out = pl.sessionize(t, "t", "u", 50)
+        got = {r.ev: r.session_id for r in out.df.collect()}
+        # user a: 0,10 (s0) | 100,105 (s1); user b: 0 (s0) | 500 (s1)
+        assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 1}
+
+    def test_timedelta_gap_and_single_shuffle(self, con):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        t = con.memtable({
+            "ev": [1, 2, 3],
+            "u": ["x", "x", "x"],
+            "ts": [base, base + datetime.timedelta(minutes=10),
+                   base + datetime.timedelta(hours=2)],
+        })
+        out = pl.sessionize(t, "ts", "u", datetime.timedelta(minutes=30))
+        got = {r.ev: r.session_id for r in out.df.collect()}
+        assert got == {1: 0, 2: 0, 3: 1}
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString repeats the tree under "== Initial Plan ==" —
+        # count exchanges in the final section only
+        plan = plan.split("== Initial Plan ==")[0]
+        import re
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
