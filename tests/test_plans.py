@@ -233,3 +233,21 @@ def test_array_named_reductions_single_split(spark):
     df = E.queries()["array_named_reductions"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split") == 1
+
+
+def test_round7_ops_plan_shapes(spark):
+    """Pin the intended physical shapes of the round-7 operators:
+    bpe_encode/redact/chunk_text are scan-local (no exchange, no Python
+    eval), top_ngrams ends in a partial-agg count exchange + TakeOrdered."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    q = E.queries()
+    for name in ("bpe_encode", "redact", "chunk_text"):
+        p = q[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        p = p.split("== Initial Plan ==")[0]
+        assert "Exchange" not in p, f"{name} must be scan-local"
+        assert "Python" not in p, f"{name} must not run Python"
+    p = q["top_ngrams"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "HashAggregate" in p
