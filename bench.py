@@ -73,6 +73,9 @@ HEADLINE = [
     "hash_split",
     "chunk_text",
     "redact",
+    "top_ngrams",
+    "tfidf",
+    "sessionize",
 ]
 
 
