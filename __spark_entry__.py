@@ -382,6 +382,88 @@ def _q18_large_volume_customer(spark, sf_dir):
     return j.select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty").to_spark()
 
 
+def _q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 family (no partsupp: lineitem links parts to suppliers,
+    # s_acctbal stands in for the supply-cost criterion, maximised instead
+    # of minimised): for STANDARD small parts, the best-balance EUROPEAN
+    # supplier of each part. The correlated "= (SELECT MAX(..) per part)"
+    # subquery becomes a group-max + join-back — one shuffle on p_partkey,
+    # all dimension joins broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    pf = p.filter(p.p_type == "STANDARD", p.p_size <= 10)
+    eur = (
+        s.join(n, [("s_nationkey", "n_nationkey")], broadcast=True)
+        .join(r.filter(r.r_name == "EUROPE"), [("n_regionkey", "r_regionkey")], broadcast=True)
+    )
+    pairs = (
+        li.join(pf, [("l_partkey", "p_partkey")], broadcast=True)
+        .join(eur, [("l_suppkey", "s_suppkey")], broadcast=True)
+        .select("p_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+        .distinct()
+    )
+    best = pairs.group_by("p_partkey").aggregate(max_bal=pairs.s_acctbal.max())
+    j = pairs.join(best, [("p_partkey", "p_partkey")])
+    j = j.filter(j.s_acctbal == j.max_bal)
+    return (
+        j.select(s_acctbal=j.s_acctbal.round(2), s_name=j.s_name, n_name=j.n_name, p_partkey=j.p_partkey)
+        .order_by(ib.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .to_spark()
+    )
+
+
+def _q11_important_stock(spark, sf_dir):
+    # TPC-H Q11 family (no partsupp: lineitem revenue stands in for stock
+    # value): per-part revenue from low-key-nation suppliers, keeping parts
+    # whose share exceeds a fraction of the total — HAVING against a
+    # broadcast scalar subquery over the same aggregate.
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    j = li.join(s.filter(s.s_nationkey < 13), [("l_suppkey", "s_suppkey")], broadcast=True)
+    vals = j.group_by("l_partkey").aggregate(value=j.l_extendedprice.sum())
+    total = vals.to_scalar(vals.value.sum())
+    return (
+        vals.filter(vals.value > total * 0.0007)
+        .select(l_partkey=vals.l_partkey, value=vals.value.round(2))
+        .order_by(ib.desc("value"), "l_partkey")
+        .to_spark()
+    )
+
+
+def _q21_suppliers_kept_waiting(spark, sf_dir):
+    # TPC-H Q21 family (no l_commitdate/l_receiptdate: "late" means shipped
+    # more than 60 days after the order date): suppliers who were the SOLE
+    # late supplier on a multi-supplier finished order. EXISTS + NOT EXISTS
+    # correlated on the same fact table, both lowered to semi/anti joins.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.join(o.filter(o.o_orderstatus == "F"), [("l_orderkey", "o_orderkey")])
+    late = lo.filter(lo.l_shipdate > lo.o_orderdate + ib.interval(days=60)).select(
+        "l_orderkey", "l_suppkey"
+    )
+    t1 = late.filter(
+        ib.exists(li, lambda a, l: (a.l_orderkey == l.l_orderkey) & (a.l_suppkey != l.l_suppkey))
+    )
+    t1 = t1.filter(
+        ~ib.exists(
+            late.view(),  # self-reference: NOT EXISTS against the same derived table
+            lambda a, l3: (a.l_orderkey == l3.l_orderkey) & (a.l_suppkey != l3.l_suppkey),
+        )
+    )
+    j = t1.join(s, [("l_suppkey", "s_suppkey")], broadcast=True)
+    return (
+        j.group_by("s_name")
+        .aggregate(numwait=j.l_orderkey.nunique())
+        .order_by(ib.desc("numwait"), "s_name")
+        .limit(20)
+        .to_spark()
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational core
 # ---------------------------------------------------------------------------
@@ -2118,6 +2200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q14_promo_revenue": _q14_promo_revenue,
         "q18_large_volume_customer": _q18_large_volume_customer,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q11_important_stock": _q11_important_stock,
+        "q21_suppliers_kept_waiting": _q21_suppliers_kept_waiting,
         "filter_sort_limit": _filter_sort_limit,
         "agg_filtered": _agg_filtered,
         "agg_having": _agg_having,
@@ -2331,6 +2416,52 @@ def oracle_sql() -> dict[str, str]:
               JOIN part ON l_partkey = p_partkey
               WHERE p_type = 'ECONOMY'
               GROUP BY l_suppkey HAVING SUM(l_quantity) > 400)
+        """,
+        "q2_min_cost_supplier": """
+            WITH pairs AS (
+              SELECT DISTINCT p_partkey, s_suppkey, s_acctbal, s_name, n_name
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE p_type = 'STANDARD' AND p_size <= 10 AND r_name = 'EUROPE')
+            SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey
+            FROM pairs p1
+            WHERE s_acctbal = (SELECT MAX(s_acctbal) FROM pairs p2
+                               WHERE p2.p_partkey = p1.p_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        """,
+        "q11_important_stock": """
+            WITH v AS (
+              SELECT l_partkey, SUM(l_extendedprice) AS value
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey < 13
+              GROUP BY l_partkey)
+            SELECT l_partkey, ROUND(value, 2) AS value
+            FROM v
+            WHERE value > (SELECT SUM(value) FROM v) * 0.0007
+            ORDER BY value DESC, l_partkey
+        """,
+        "q21_suppliers_kept_waiting": """
+            WITH late AS (
+              SELECT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+            FROM late l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "q22_global_sales_opportunity": """
             SELECT c_nationkey,

@@ -251,3 +251,20 @@ def test_round7_ops_plan_shapes(spark):
     p = q["top_ngrams"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_q2_q21_full_tpch_plan_shapes(plans):
+    """Round-7 completes the 22-query TPC-H suite: q2's correlated-min
+    rewrite keeps every dimension join broadcast (one shuffle, on
+    p_partkey, for the group-max join-back); q21's EXISTS/NOT-EXISTS pair
+    lowers to one LeftSemi + one LeftAnti join, no cartesian products."""
+    p = plans("q2_min_cost_supplier")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    p = plans("q21_suppliers_kept_waiting")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    p = plans("q11_important_stock")
+    # HAVING-vs-total is a broadcast 1-row aggregate, not a recompute
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
