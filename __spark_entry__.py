@@ -2081,6 +2081,84 @@ def _repetition_score(spark, sf_dir):
     ).to_spark()
 
 
+def _line_dedup(spark, sf_dir):
+    """CCNet-style cross-corpus line dedup (pipeline.line_dedup): docs are
+    first rebuilt as three ~18-token lines (the corpus has no newlines),
+    then every line that occurs anywhere else keeps only its first
+    (doc_id, pos) occurrence and docs are reassembled. Two key-partitioned
+    shuffles: line-hash window + doc-id regroup."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    prep = d.sql(
+        "SELECT doc_id, concat_ws('\\n', "
+        " array_join(slice(split(text, ' '), 1, 18), ' '), "
+        " array_join(slice(split(text, ' '), 19, 18), ' '), "
+        " array_join(slice(split(text, ' '), 37, 1000), ' ')) AS text "
+        "FROM t"
+    )
+    return pl.line_dedup(prep, "text", "doc_id").to_spark()
+
+
+def _gopher_filter(spark, sf_dir):
+    """Gopher quality-rule bundle (pipeline.gopher_filter, flag mode):
+    five boolean rules + the combined pass flag, scan-only JVM lambdas."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    out = pl.gopher_filter(d, "text")
+    return out.select(
+        "doc_id",
+        "ok_words",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_alpha_words",
+        "ok_stopwords",
+        "gopher_pass",
+    ).to_spark()
+
+
+def _domain_quota_sample(spark, sf_dir):
+    """Deterministic per-domain quota sampling (pipeline.
+    domain_quota_sample): at most 10 docs per source, chosen by
+    md5(salt||doc_id) hash order — ONE window exchange on the domain,
+    reproducible across runs and cluster sizes."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    out = pl.domain_quota_sample(d, "source", 10, "doc_id", salt="r7")
+    return out.select("doc_id", "source").to_spark()
+
+
+def _decontaminate(spark, sf_dir):
+    """Benchmark decontamination (pipeline.decontaminate): docs whose
+    doc_id % 10 == 0 stand in for the eval set; every other doc is
+    flagged when any of its word 6-grams appears in that set. Broadcast
+    semi-join of exploded n-grams — the corpus never shuffles."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(d.doc_id % 10 == 0)
+    corp = d.filter(d.doc_id % 10 != 0)
+    out = pl.decontaminate(corp, bench, "text", "doc_id", n=6)
+    return out.select("doc_id", "contaminated").to_spark()
+
+
+def _connected_components(spark, sf_dir):
+    """Connected components by min-label propagation (pipeline.
+    connected_components) over a deterministic sparse supplier–part
+    co-occurrence graph (part nodes offset by 100000): the glue step
+    that turns pairwise dedup candidate edges into duplicate clusters.
+    Iterative join + min-agg with per-iteration localCheckpoint; the
+    DuckDB oracle rebuilds the same components via a recursive CTE."""
+    from ibis_spark import pipeline as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(li.l_quantity > 49.0, li.l_discount > 0.08)
+    edges = f.select(a=f.l_suppkey, b=f.l_partkey + 100000).distinct()
+    return pl.connected_components(edges, "a", "b").to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2097,6 +2175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stale; the rows-only-by-design trio sits last (no oracle signal).
     return {
         # -- new / changed in round 7 --------------------------------------
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q11_important_stock": _q11_important_stock,
+        "q21_suppliers_kept_waiting": _q21_suppliers_kept_waiting,
+        "line_dedup": _line_dedup,
+        "gopher_filter": _gopher_filter,
+        "domain_quota_sample": _domain_quota_sample,
+        "decontaminate": _decontaminate,
+        "connected_components": _connected_components,
         "ann_recall": _ann_recall,
         "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
@@ -2200,9 +2286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q14_promo_revenue": _q14_promo_revenue,
         "q18_large_volume_customer": _q18_large_volume_customer,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q11_important_stock": _q11_important_stock,
-        "q21_suppliers_kept_waiting": _q21_suppliers_kept_waiting,
         "filter_sort_limit": _filter_sort_limit,
         "agg_filtered": _agg_filtered,
         "agg_having": _agg_having,
@@ -3323,6 +3406,108 @@ def oracle_sql() -> dict[str, str]:
                      '[EMAIL]', 'g'),
                      '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '[PHONE]', 'g') AS red
             FROM documents
+        """,
+        "line_dedup": """
+            WITH prep AS (
+              -- COALESCE: DuckDB's array_to_string([]) is NULL (concat_ws
+              -- would skip it) where Spark's array_join([]) is '' — short
+              -- docs must still produce the empty third line on both sides
+              SELECT doc_id, concat_ws(chr(10),
+                       COALESCE(array_to_string(toks[1:18], ' '), ''),
+                       COALESCE(array_to_string(toks[19:36], ' '), ''),
+                       COALESCE(array_to_string(toks[37:], ' '), '')) AS text
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents)),
+            lines AS (
+              SELECT doc_id, i - 1 AS pos, parts[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+                    FROM prep),
+                   UNNEST(range(1, len(parts) + 1)) AS u(i)),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                           ORDER BY doc_id, pos) AS rn
+              FROM lines)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """,
+        "gopher_filter": """
+            SELECT doc_id,
+                   n BETWEEN 50 AND 100000 AS ok_words,
+                   mean_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+                   n_symbols / sn <= 0.1 AS ok_symbol_ratio,
+                   alpha_words / sn >= 0.8 AS ok_alpha_words,
+                   n_stop >= 2 AS ok_stopwords,
+                   (n BETWEEN 50 AND 100000)
+                     AND (mean_len BETWEEN 3.0 AND 10.0)
+                     AND (n_symbols / sn <= 0.1)
+                     AND (alpha_words / sn >= 0.8)
+                     AND (n_stop >= 2) AS gopher_pass
+            FROM (
+              SELECT doc_id, len(toks) AS n,
+                     GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS sn,
+                     CAST(list_sum(list_transform(toks, x -> length(x)))
+                          AS DOUBLE)
+                       / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS mean_len,
+                     CAST(len(string_split(text, '#')) - 1
+                          + len(string_split(text, '...')) - 1
+                          AS DOUBLE) AS n_symbols,
+                     CAST(len(list_filter(toks,
+                              x -> regexp_matches(x, '[a-z]')))
+                          AS DOUBLE) AS alpha_words,
+                     len(list_intersect(list_distinct(toks),
+                         ['the','be','to','of','and','that','have','with']))
+                       AS n_stop
+              FROM (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+              )
+            )
+        """,
+        "domain_quota_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('r7' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM documents)
+            WHERE rn <= 10
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            bench AS (
+              SELECT DISTINCT array_to_string(toks[i : i+5], ' ') AS gram
+              FROM (SELECT toks, UNNEST(range(1, len(toks) - 4)) AS i
+                    FROM toks WHERE doc_id % 10 = 0)),
+            docg AS (
+              SELECT doc_id, array_to_string(toks[i : i+5], ' ') AS gram
+              FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) - 4)) AS i
+                    FROM toks WHERE doc_id % 10 <> 0))
+            SELECT doc_id,
+                   doc_id IN (SELECT DISTINCT doc_id FROM docg
+                              WHERE gram IN (SELECT gram FROM bench))
+                     AS contaminated
+            FROM documents WHERE doc_id % 10 <> 0
+        """,
+        "connected_components": """
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey AS b
+              FROM lineitem
+              WHERE l_quantity > 49.0 AND l_discount > 0.08),
+            sym AS (SELECT a, b FROM e0
+                    UNION SELECT b AS a, a AS b FROM e0),
+            reach(src, dst) AS (
+              SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+            SELECT src AS id, MIN(dst) AS component
+            FROM reach GROUP BY src
         """,
         "sessionize": """
             SELECT event_id, user_id,

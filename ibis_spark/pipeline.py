@@ -50,6 +50,11 @@ __all__ = [
     "top_ngrams",
     "tfidf",
     "sessionize",
+    "line_dedup",
+    "gopher_filter",
+    "domain_quota_sample",
+    "decontaminate",
+    "connected_components",
     "ann_recall",
     "ivf_centroids",
     "ivf_assign",
@@ -1461,4 +1466,316 @@ def repetition_score(col, n: int = 2):
             / F.greatest(total, F.lit(1)),
             4,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level cleaning (round 7)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n",
+    min_len: int = 0,
+) -> Table:
+    """CCNet-style cross-corpus line deduplication: every line that
+    appears anywhere else in the corpus keeps only its FIRST occurrence
+    (ordered by (id, position)); later copies are dropped and each
+    document is reassembled from its surviving lines. Lines shorter than
+    ``min_len`` characters are exempt (always kept) — the CCNet guard
+    against collapsing common short lines like blank separators.
+
+    Returns (id, text) with the deduplicated text. Documents whose every
+    line was dropped disappear from the output.
+
+    Plan: posexplode → ONE window exchange keyed on the md5 of the line
+    (rank the occurrences; the hash keeps the shuffle key fixed-width no
+    matter how long lines get) → one group exchange on the doc id to
+    reassemble in position order. No self-join, no all-pairs product —
+    at 100 TB this is two key-partitioned shuffles, the same shape as
+    word-count. First-occurrence choice is deterministic (min (id, pos)),
+    so reruns and cluster-size changes can't flip survivors."""
+    from pyspark.sql.window import Window as W
+
+    df = t.df
+    # sep is a LITERAL separator (it is also the reassembly joiner), so
+    # quote it out of Java-regex metacharacter interpretation
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+        ).alias("__pos__", "__line__"),
+    )
+    w = W.partitionBy(F.md5(F.col("__line__"))).orderBy(
+        F.col(id_col), F.col("__pos__")
+    )
+    ranked = lines.withColumn("__rn__", F.row_number().over(w))
+    kept = ranked.filter(
+        (F.col("__rn__") == 1) | (F.length("__line__") < min_len)
+    )
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos__", "__line__"))
+                    ),
+                    lambda s: s["__line__"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )
+    return Table(out)
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    t: Table,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    mode: str = "flag",
+) -> Table:
+    """The Gopher quality-filter rule bundle (Rae et al. 2021 §A1.1),
+    re-expressed as pure JVM array lambdas — scan-only, no shuffle, no
+    Python. Rules over lowered whitespace tokens:
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (``#`` or ``...`` occurrences / words) at most
+      ``max_symbol_ratio``;
+    - at least ``min_alpha_word_ratio`` of words contain an alphabetic
+      character;
+    - at least ``min_stopwords`` distinct common stopwords present (the
+      Gopher 8: the/be/to/of/and/that/have/with).
+
+    ``mode="flag"`` appends one boolean column per rule plus
+    ``gopher_pass``; ``mode="filter"`` keeps only passing rows (flags
+    dropped). Flag mode is the 100 TB-friendly default: compute once,
+    slice many ways downstream without rescanning."""
+    if mode not in ("flag", "filter"):
+        raise ValueError("mode must be 'flag' or 'filter'")
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    nd = n.cast("double")
+    safe_n = F.greatest(nd, F.lit(1.0))
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        .cast("double")
+        / safe_n
+    )
+    n_symbols = (
+        F.size(F.split(c, r"#", -1)) - 1 + F.size(F.split(c, r"\.\.\.", -1)) - 1
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    flags = {
+        "ok_words": (n >= min_words) & (n <= max_words),
+        "ok_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "ok_symbol_ratio": n_symbols.cast("double") / safe_n <= max_symbol_ratio,
+        "ok_alpha_words": alpha_words.cast("double") / safe_n
+        >= min_alpha_word_ratio,
+        "ok_stopwords": n_stop >= min_stopwords,
+    }
+    df = t.df
+    for name, expr in flags.items():
+        df = df.withColumn(name, expr)
+    df = df.withColumn(
+        "gopher_pass",
+        F.expr(" AND ".join(flags.keys())),
+    )
+    if mode == "filter":
+        return Table(df.filter(F.col("gopher_pass")).drop(*flags.keys(), "gopher_pass"))
+    return Table(df)
+
+
+def domain_quota_sample(
+    t: Table,
+    domain_col: str,
+    quota: int,
+    key_col: str,
+    *,
+    salt: str = "",
+) -> Table:
+    """Per-domain quota sampling: keep at most ``quota`` rows per value of
+    ``domain_col``, chosen by deterministic hash order over ``key_col``
+    (md5(salt || key), tie-broken by the key) — the standard guard
+    against a handful of crawl domains dominating a training mix.
+
+    Deterministic: same inputs → same sample, independent of partition
+    count or cluster size, and monotone in ``quota`` (raising the quota
+    only ADDS rows). Plan: ONE hash exchange on the domain (window
+    row_number), filter — no sort of the full corpus, no driver
+    involvement. A domain with billions of rows makes that window key
+    hot; pre-filtering with a cheap per-partition local limit or salting
+    the domain key are the documented escapes, not needed below ~100M
+    rows per domain."""
+    from pyspark.sql.window import Window as W
+
+    if quota <= 0:
+        raise ValueError("quota must be positive")
+    key_s = F.col(key_col).cast("string")
+    w = W.partitionBy(F.col(domain_col)).orderBy(
+        F.md5(F.concat(F.lit(salt), key_s)), F.col(key_col)
+    )
+    df = (
+        t.df.withColumn("__qrn__", F.row_number().over(w))
+        .filter(F.col("__qrn__") <= quota)
+        .drop("__qrn__")
+    )
+    return Table(df)
+
+
+def decontaminate(
+    t: Table,
+    benchmark: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    bench_text_col: Optional[str] = None,
+    mode: str = "flag",
+) -> Table:
+    """Benchmark decontamination: a document is contaminated when any of
+    its word ``n``-grams (lowered, whitespace tokens) also occurs in the
+    benchmark/eval corpus — the standard n-gram-overlap rule used to
+    scrub eval sets out of training data.
+
+    ``mode="flag"`` appends a boolean ``contaminated``; ``mode="filter"``
+    drops contaminated rows.
+
+    Plan: the benchmark's distinct n-gram set is built once (explode +
+    distinct — small by definition: eval sets are tiny next to training
+    corpora) and BROADCAST; the corpus side explodes its n-grams and
+    left-semi-joins against the broadcast set, then the distinct matching
+    ids join back. No shuffle of the corpus itself beyond the explode —
+    at 100 TB this is a broadcast-semi-join scan, the only scalable shape
+    for a needles-in-haystack membership test."""
+    if mode not in ("flag", "filter"):
+        raise ValueError("mode must be 'flag' or 'filter'")
+    n = int(n)
+    if n <= 0:
+        raise ValueError("n must be positive")
+    bcol = bench_text_col or text_col
+
+    def _grams(col):
+        toks = F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        benchmark.df.select(F.explode(_grams(F.col(bcol))).alias("__gram__"))
+        .distinct()
+    )
+    doc_grams = t.df.select(
+        F.col(id_col), F.explode(_grams(F.col(text_col))).alias("__gram__")
+    )
+    bad_ids = (
+        doc_grams.join(F.broadcast(bench_grams), "__gram__", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__contaminated__", F.lit(True))
+    )
+    if mode == "filter":
+        return Table(t.df.join(bad_ids.drop("__contaminated__"), id_col, "left_anti"))
+    out = (
+        t.df.join(F.broadcast(bad_ids), id_col, "left")
+        .withColumn("contaminated", F.coalesce(F.col("__contaminated__"), F.lit(False)))
+        .drop("__contaminated__")
+    )
+    return Table(out)
+
+
+def connected_components(
+    edges: Table,
+    src: str,
+    dst: str,
+    *,
+    id_name: str = "id",
+    comp_name: str = "component",
+    max_iter: int = 50,
+) -> Table:
+    """Connected components by min-label propagation — the glue step that
+    turns pairwise dedup candidate edges into duplicate CLUSTERS (pick
+    one representative per component to keep).
+
+    Returns (id, component) where ``component`` is the smallest node id
+    reachable from ``id``. Deterministic for a given edge set.
+
+    Distributed shape: the edge list is symmetrized once; each iteration
+    is (join labels to edges on the destination) → (min-aggregate per
+    source) → (join back, take the smaller label). Labels shrink
+    monotonically, so convergence needs at most ``diameter`` iterations
+    (single-digit for dedup clusters, which are near-cliques around a
+    representative). Each iteration runs ``localCheckpoint`` to cut the
+    lineage — without it the plan doubles per iteration and the 10th
+    iteration replans the previous nine — and ONE driver-side count as
+    the convergence test (an O(1)-row action, not a collect of data).
+    ``max_iter`` bounds pathological chains; hitting it raises rather
+    than silently returning unconverged labels.
+
+    For graphs whose diameter is itself huge (billion-edge web graphs),
+    the alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce") halves the diameter per round —
+    same join primitives, different rewiring; this implementation is the
+    simple variant because dedup-cluster graphs are shallow."""
+    a, b = F.col(src), F.col(dst)
+    e0 = edges.df.select(a.alias("__a__"), b.alias("__b__")).filter(
+        F.col("__a__") != F.col("__b__")
+    )
+    sym = (
+        e0.union(e0.select(F.col("__b__").alias("__a__"), F.col("__a__").alias("__b__")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("__a__").alias(id_name))
+        .distinct()
+        .withColumn(comp_name, F.col(id_name))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["__b__"] == labels[id_name])
+            .groupBy("__a__")
+            .agg(F.min(comp_name).alias("__nbr_min__"))
+        )
+        new = (
+            labels.join(nbr_min, labels[id_name] == nbr_min["__a__"], "left")
+            .select(
+                labels[id_name],
+                F.least(
+                    F.col(comp_name), F.coalesce(F.col("__nbr_min__"), F.col(comp_name))
+                ).alias("__new__"),
+                F.col(comp_name).alias("__old__"),
+            )
+        )
+        new = new.localCheckpoint()
+        changed = new.filter(F.col("__new__") < F.col("__old__")).count()
+        labels = new.select(F.col(id_name), F.col("__new__").alias(comp_name))
+        if changed == 0:
+            return Table(labels)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
     )

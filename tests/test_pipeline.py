@@ -779,3 +779,83 @@ class TestSessionize:
         plan = plan.split("== Initial Plan ==")[0]
         import re
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+class TestCorpusCleaning:
+    """Round-7 corpus-level cleaning ops: line dedup, Gopher rules,
+    quota sampling, decontamination, connected components."""
+
+    def test_line_dedup_keeps_first_occurrence_and_order(self, con):
+        t = con.memtable(
+            {
+                "doc_id": [1, 2],
+                "text": ["alpha\nshared line\nomega", "shared line\nunique"],
+            }
+        )
+        out = {r.doc_id: r.text for r in pl.line_dedup(t, "text", "doc_id").df.collect()}
+        # doc 1 owns the first occurrence (lower doc_id); doc 2 loses it
+        assert out[1] == "alpha\nshared line\nomega"
+        assert out[2] == "unique"
+
+    def test_line_dedup_min_len_exempts_short_lines(self, con):
+        t = con.memtable({"doc_id": [1, 2], "text": ["x\nlong shared line", "x\nlong shared line"]})
+        out = {r.doc_id: r.text for r in pl.line_dedup(t, "text", "doc_id", min_len=3).df.collect()}
+        assert out[1] == "x\nlong shared line"
+        assert out[2] == "x"  # short line exempt, long one deduped
+
+    def test_line_dedup_regex_metachar_separator(self, con):
+        # sep is a literal, not a regex — '.' must not match every char
+        t = con.memtable({"doc_id": [1], "text": ["a.b"]})
+        out = pl.line_dedup(t, "text", "doc_id", sep=".").df.collect()
+        assert out[0].text == "a.b"
+
+    def test_gopher_filter_rules(self, con):
+        good = ("the quick brown fox and that dog have fun with words " * 6).strip()
+        short = "too short"
+        no_stop = "alpha beta gamma delta epsilon zeta " * 10
+        symbols = ("the and of to #tag " * 12).strip()
+        t = con.memtable(
+            {"doc_id": [1, 2, 3, 4], "text": [good, short, no_stop, symbols]}
+        )
+        out = {r.doc_id: r for r in pl.gopher_filter(t, "text").df.collect()}
+        assert out[1].gopher_pass
+        assert not out[2].ok_words
+        assert not out[3].ok_stopwords
+        assert not out[4].ok_symbol_ratio
+        # filter mode keeps exactly the passing rows, flags dropped
+        kept = pl.gopher_filter(t, "text", mode="filter")
+        assert [r.doc_id for r in kept.df.collect()] == [1]
+        assert "gopher_pass" not in kept.columns
+
+    def test_domain_quota_sample_deterministic_and_monotone(self, con):
+        rows = {"d": [f"dom{i % 3}" for i in range(60)], "k": list(range(60))}
+        t = con.memtable(rows)
+        s5 = {r.k for r in pl.domain_quota_sample(t, "d", 5, "k").df.collect()}
+        s5b = {r.k for r in pl.domain_quota_sample(t, "d", 5, "k").df.collect()}
+        s9 = {r.k for r in pl.domain_quota_sample(t, "d", 9, "k").df.collect()}
+        assert len(s5) == 15 and s5 == s5b  # 3 domains x 5, reproducible
+        assert s5 < s9  # raising the quota only adds rows
+        # different salt, different (but valid) sample
+        salted = {r.k for r in pl.domain_quota_sample(t, "d", 5, "k", salt="z").df.collect()}
+        assert len(salted) == 15 and salted != s5
+
+    def test_decontaminate_flags_overlap(self, con):
+        bench = con.memtable({"doc_id": [100], "text": ["secret eval question about the meaning of life here"]})
+        leak = "padding words " * 3 + "secret eval question about the meaning of life here and more"
+        clean = "totally unrelated training document with plenty of words in it"
+        t = con.memtable({"doc_id": [1, 2], "text": [leak, clean]})
+        out = {r.doc_id: r.contaminated for r in pl.decontaminate(t, bench, "text", "doc_id", n=8).df.collect()}
+        assert out == {1: True, 2: False}
+        kept = pl.decontaminate(t, bench, "text", "doc_id", n=8, mode="filter")
+        assert [r.doc_id for r in kept.df.collect()] == [2]
+
+    def test_connected_components_multi_hop(self, con):
+        # chain 1-2-3 merges transitively; 8-9 separate; self-loop ignored
+        e = con.memtable({"a": [2, 3, 9, 5], "b": [1, 2, 8, 5]})
+        out = {r.id: r.component for r in pl.connected_components(e, "a", "b").df.collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+    def test_connected_components_max_iter_raises(self, con):
+        e = con.memtable({"a": [1, 2, 3, 4], "b": [2, 3, 4, 5]})
+        with pytest.raises(RuntimeError, match="converge"):
+            pl.connected_components(e, "a", "b", max_iter=1)
