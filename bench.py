@@ -76,6 +76,14 @@ HEADLINE = [
     "top_ngrams",
     "tfidf",
     "sessionize",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q21_suppliers_kept_waiting",
+    "line_dedup",
+    "gopher_filter",
+    "domain_quota_sample",
+    "decontaminate",
+    "connected_components",
 ]
 
 

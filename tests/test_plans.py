@@ -268,3 +268,21 @@ def test_q2_q21_full_tpch_plan_shapes(plans):
     p = plans("q11_important_stock")
     # HAVING-vs-total is a broadcast 1-row aggregate, not a recompute
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ngram_ops_materialize_tokens_once(spark):
+    """HOF lambdas get no CSE: the token array must be materialized in
+    its own projection so the split/lower/filter chain appears exactly
+    once per scan in the optimized plan — inline tokens re-tokenize per
+    n-gram position (measured 8.6× slower at sf0.1)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    q = E.queries()
+    p = q["top_ngrams"](spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+    assert p.count("split(") == 1
+    p = q["decontaminate"](spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+    # one tokenize per scan side (corpus + benchmark)
+    assert p.count("split(") == 2
+    p = q["gopher_filter"](spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+    assert p.count("split(lower") == 1
