@@ -1194,6 +1194,19 @@ _STOPWORDS = {
 }
 
 
+def _bind(value, fn):
+    """Evaluate ``fn(x)`` with ``x`` bound ONCE to ``value`` — per-row
+    common-subexpression elimination for column-level functions that
+    cannot add a projection. Catalyst re-evaluates an inline expression
+    at every reference (and at every element inside HOF lambdas), but a
+    lambda variable is bound once: wrapping the shared value in a 1-element
+    array and transforming it turns N evaluations into 1 (repetition_score
+    measured 9× faster at sf0.1). Table-level operators should prefer a
+    real projection (see _toks_ngrams); this is the expression-level
+    equivalent."""
+    return F.transform(F.array(value), fn)[0]
+
+
 def tokenize(col, pattern: str = r"\s+"):
     """Whitespace tokenization (JVM split)."""
     return wrap(F.split(unwrap(col), pattern))
@@ -1370,7 +1383,9 @@ def lang_id(col):
     Tie example: ``"de un"`` hits the es AND fr stopword lists twice
     each, so the lexicographically-greater code wins and the guess is
     ``'fr'``. The DuckDB oracle encodes the same rule; if a different
-    precedence matters, re-rank on per-language counts yourself."""
+    precedence matters, re-rank on per-language counts yourself. The
+    token array is lambda-bound (_bind) so the five per-language filters
+    share ONE tokenization per row."""
     toks = F.split(F.lower(unwrap(col)), r"\s+")
 
     def _hits(words):
@@ -1378,18 +1393,26 @@ def lang_id(col):
         # index to two-parameter lambdas, which would clobber a default arg
         return lambda x: x.isin(words)
 
-    scored = F.array(
-        *[
-            F.struct(
-                F.array_size(F.filter(toks, _hits(words))).alias("n"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, words in sorted(_STOPWORDS.items())
-        ]
-    )
-    best = F.array_max(scored)
+    def _best(tk):
+        scored = F.array(
+            *[
+                F.struct(
+                    F.array_size(F.filter(tk, _hits(words))).alias("n"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, words in sorted(_STOPWORDS.items())
+            ]
+        )
+        return F.array_max(scored)
+
+    # bind the argmax struct too: when/otherwise reference it twice
     return wrap(
-        F.when(best.getField("n") == 0, "und").otherwise(best.getField("lang"))
+        _bind(
+            _bind(toks, _best),
+            lambda b: F.when(b.getField("n") == 0, "und").otherwise(
+                b.getField("lang")
+            ),
+        )
     )
 
 
@@ -1471,19 +1494,25 @@ def repetition_score(col, n: int = 2):
     (the Gopher-style repetition quality signal; boilerplate and
     looping-generation text score high). Pure JVM array lambdas: one
     tokenize, one n-gram transform, one array_distinct — scan-only, no
-    shuffle, no UDF."""
+    shuffle, no UDF. The token and n-gram arrays are lambda-BOUND
+    (see _bind): inlining them re-tokenizes per n-gram position — 9×
+    slower measured at sf0.1."""
     toks = F.split(F.lower(unwrap(col)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    total = F.size(grams)
-    return wrap(
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(grams)).cast("double")
-            / F.greatest(total, F.lit(1)),
-            4,
+
+    def _score(tk):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        return _bind(
+            grams,
+            lambda g: F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(g)).cast("double")
+                / F.greatest(F.size(g), F.lit(1)),
+                4,
+            ),
         )
-    )
+
+    return wrap(_bind(toks, _score))
 
 
 # ---------------------------------------------------------------------------
