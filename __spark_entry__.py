@@ -2081,6 +2081,20 @@ def _repetition_score(spark, sf_dir):
     ).to_spark()
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering (pipeline.dedup_clusters): verified
+    MinHash-LSH edges (exact char-4-shingle Jaccard >= 0.7) fed through
+    min-label-propagation connected components; cluster_id = smallest id
+    in the transitive cluster. DuckDB oracle: all-pairs exact Jaccard
+    edges + recursive-CTE components (the band parameters put per-pair
+    LSH miss probability at ~1e-10 for >=0.7 similarity, so full recall
+    is the oracle assumption, as for dedup_minhash_verified)."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return pl.dedup_clusters(d, "text", "doc_id", threshold=0.7).to_spark()
+
+
 def _line_dedup(spark, sf_dir):
     """CCNet-style cross-corpus line dedup (pipeline.line_dedup): docs are
     first rebuilt as three ~18-token lines (the corpus has no newlines),
@@ -2178,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q11_important_stock": _q11_important_stock,
         "q21_suppliers_kept_waiting": _q21_suppliers_kept_waiting,
+        "dedup_clusters": _dedup_clusters,
         "line_dedup": _line_dedup,
         "gopher_filter": _gopher_filter,
         "domain_quota_sample": _domain_quota_sample,
@@ -3406,6 +3421,33 @@ def oracle_sql() -> dict[str, str]:
                      '[EMAIL]', 'g'),
                      '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '[PHONE]', 'g') AS red
             FROM documents
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, grams, len(grams) AS n FROM (
+                SELECT doc_id, list_distinct(list_transform(
+                         range(1, greatest(length(text) - 3, 1) + 1),
+                         i -> text[i:i+3])) AS grams
+                FROM documents)
+            ), pairs AS (
+              SELECT a.doc_id AS x, b.doc_id AS y
+              FROM sh a JOIN sh b
+                ON a.doc_id <> b.doc_id
+               AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+              WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                    greatest(a.n + b.n
+                             - len(list_intersect(a.grams, b.grams)), 1) >= 0.7
+            ), reach(src, dst) AS (
+              SELECT x, x FROM (SELECT DISTINCT x FROM pairs)
+              UNION
+              SELECT r.src, p.y FROM reach r JOIN pairs p ON r.dst = p.x
+            ), comp AS (
+              SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+            )
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   COALESCE(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
         """,
         "line_dedup": """
             WITH prep AS (

@@ -859,3 +859,20 @@ class TestCorpusCleaning:
         e = con.memtable({"a": [1, 2, 3, 4], "b": [2, 3, 4, 5]})
         with pytest.raises(RuntimeError, match="converge"):
             pl.connected_components(e, "a", "b", max_iter=1)
+
+    def test_dedup_clusters_transitive_merge(self, con):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near1 = base.replace("lazy", "sleepy")
+        near2 = base.replace("quick", "swift")
+        other = "completely different content about spark engines " * 8
+        t = con.memtable(
+            {"doc_id": [4, 2, 3, 9], "text": [base, near1, near2, other]}
+        )
+        out = {r.doc_id: (r.cluster_id, r.is_dup) for r in
+               pl.dedup_clusters(t, "text", "doc_id", threshold=0.5).df.collect()}
+        # near1/near2 are both ~0.7 similar to base; even if they are not
+        # direct candidates of each other, the component merges all three
+        assert out[2] == (2, False)  # smallest id is the representative
+        assert out[4] == (2, True)
+        assert out[3] == (2, True)
+        assert out[9] == (9, False)
