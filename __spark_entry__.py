@@ -1921,7 +1921,25 @@ def _hash_oracles():
 
     t20 = _hex_threshold(0.2)
     t80, t90 = _hex_threshold(0.8), _hex_threshold(0.9)
+    m100, m50, m25, m10 = (
+        _hex_threshold(1.0),
+        _hex_threshold(0.5),
+        _hex_threshold(0.25),
+        _hex_threshold(0.1),
+    )
     return {
+        "mixture_sample": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     substr(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+              FROM documents)
+            WHERE h < CASE source
+                        WHEN 'src0' THEN '{m100}'
+                        WHEN 'src1' THEN '{m50}'
+                        WHEN 'src2' THEN '{m25}'
+                        WHEN 'src3' THEN '{m10}'
+                        ELSE '00000000' END
+        """,
         "hash_sample": f"""
             SELECT doc_id FROM documents
             WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t20}'
@@ -2081,6 +2099,34 @@ def _repetition_score(spark, sf_dir):
     ).to_spark()
 
 
+def _mixture_sample(spark, sf_dir):
+    """Deterministic data-mix weighting (pipeline.mixture_sample): keep
+    src0 at 100%, src1 at 50%, src2 at 25%, src3 at 10%, everything else
+    dropped — per-domain md5-bucket thresholds, pure scan filter."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    out = pl.mixture_sample(
+        d,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        "doc_id",
+        salt="mx",
+    )
+    return out.select("doc_id", "source").to_spark()
+
+
+def _ngram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM perplexity per document
+    (pipeline.ngram_lm_score): add-1-smoothed P(w2|w1) trained on the
+    whole corpus, then each doc scored by mean negative log-prob. Two
+    training count exchanges + model join + one group-by-doc mean."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return pl.ngram_lm_score(d, "text", "doc_id").to_spark()
+
+
 def _dedup_clusters(spark, sf_dir):
     """Transitive near-dup clustering (pipeline.dedup_clusters): verified
     MinHash-LSH edges (exact char-4-shingle Jaccard >= 0.7) fed through
@@ -2193,6 +2239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": _q11_important_stock,
         "q21_suppliers_kept_waiting": _q21_suppliers_kept_waiting,
         "dedup_clusters": _dedup_clusters,
+        "mixture_sample": _mixture_sample,
+        "ngram_lm_score": _ngram_lm_score,
         "line_dedup": _line_dedup,
         "gopher_filter": _gopher_filter,
         "domain_quota_sample": _domain_quota_sample,
@@ -3397,6 +3445,33 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_oracle_sql(),
         "hash_sample": _hash_oracles()["hash_sample"],
         "hash_split": _hash_oracles()["hash_split"],
+        "mixture_sample": _hash_oracles()["mixture_sample"],
+        "ngram_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            bg AS (
+              SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+              FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+                    FROM toks)),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+            uni AS (SELECT doc_id, UNNEST(toks) AS w1 FROM toks),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
+            v AS (SELECT COUNT(DISTINCT w1) AS v FROM uni),
+            scored AS (
+              SELECT doc_id, -LN((c12 + 1.0) / (c1 + 1.0 * v)) AS nll
+              FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams, AVG(nll) AS a
+              FROM scored GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(a, 6) AS avg_nll,
+                   ROUND(EXP(a), 6) AS ppl
+            FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        """,
         "chunk_text": """
             SELECT doc_id,
                    CAST(start / 32 AS INT) AS chunk_idx,

@@ -45,6 +45,8 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "hash_sample",
+    "mixture_sample",
+    "ngram_lm_score",
     "hash_split",
     "chunk_text",
     "redact",
@@ -1908,3 +1910,111 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+def mixture_sample(
+    t: Table,
+    domain_col: str,
+    fractions: dict,
+    key_col: str,
+    *,
+    salt: str = "",
+    default: float = 0.0,
+) -> Table:
+    """Deterministic mixture weighting: keep each domain at its own
+    target fraction — the data-mix step of a training pipeline ("webtext
+    at 30%, code at 100%, forums at 5%"). Per-domain md5-bucket
+    thresholds (the :func:`hash_sample` rule applied per domain): pure
+    scan filter, NO shuffle, NO randomness — the same (key, salt) always
+    lands on the same side across runs, engines, and cluster sizes, and
+    raising a domain's fraction only ADDS rows (subset-monotone).
+    Domains absent from ``fractions`` keep ``default`` (0.0 = drop)."""
+    for d, f in fractions.items():
+        if not (0 <= float(f) <= 1):
+            raise ValueError(f"fraction for {d!r} must be in [0, 1], got {f}")
+    if not (0 <= float(default) <= 1):
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    h = _hash_bucket(F.col(key_col), salt)
+    thr = F.lit(_hex_threshold(float(default)))
+    for dom, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(domain_col) == dom, F.lit(_hex_threshold(float(frac)))
+        ).otherwise(thr)
+    return Table(t.df.filter(h < thr))
+
+
+def ngram_lm_score(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    k_smooth: float = 1.0,
+    round_to: int = 6,
+) -> Table:
+    """Corpus-trained bigram language-model scoring → (id, n_bigrams,
+    avg_nll, ppl): train add-k-smoothed bigram probabilities on the
+    WHOLE corpus (lowered whitespace tokens), then score each document by
+    its mean negative log-probability (``avg_nll``) and perplexity — the classic cheap fluency
+    signal (CCNet buckets its corpus by exactly this kind of LM score;
+    gibberish and boilerplate score high-perplexity).
+
+    ``P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V)`` with V the unigram
+    vocabulary size. Documents with fewer than 2 tokens get NULL scores.
+
+    Shuffle shape: ONE (w1,w2) count exchange trains the model, one w1
+    exchange for the context counts, then the document bigram stream
+    joins the model on its keys (AQE broadcasts when the vocabulary is
+    small) and one final group-by-doc mean — every stage is a
+    key-partitioned aggregate or join, nothing all-pairs, no driver
+    state. ``avg_nll``/``ppl`` are rounded (default 6dp) against
+    cross-engine libm ulp drift."""
+    k = float(k_smooth)
+    if k <= 0:
+        raise ValueError("k_smooth must be positive")
+    toks_df = t.df.select(
+        F.col(id_col), _lower_toks(text_col).alias("__toks__")
+    )
+    bg = toks_df.select(
+        F.col(id_col),
+        F.explode(_toks_ngrams(F.col("__toks__"), 2)).alias("__bg__"),
+    ).select(
+        F.col(id_col),
+        F.split_part(F.col("__bg__"), F.lit(" "), F.lit(1)).alias("__w1__"),
+        F.split_part(F.col("__bg__"), F.lit(" "), F.lit(2)).alias("__w2__"),
+    )
+    c12 = bg.groupBy("__w1__", "__w2__").agg(F.count(F.lit(1)).alias("__c12__"))
+    uni = toks_df.select(F.explode("__toks__").alias("__w1__"))
+    c1 = uni.groupBy("__w1__").agg(F.count(F.lit(1)).alias("__c1__"))
+    vocab = uni.agg(F.count_distinct("__w1__").alias("__v__"))
+    scored = (
+        bg.join(c12, on=["__w1__", "__w2__"])
+        .join(c1, on="__w1__")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.col("__c12__") + F.lit(k))
+                    / (F.col("__c1__") + F.lit(k) * F.col("__v__"))
+                )
+            ).alias("__nll__"),
+        )
+    )
+    out = (
+        toks_df.select(F.col(id_col))
+        .join(
+            scored.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.avg("__nll__").alias("__avg__"),
+            ),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("__avg__"), int(round_to)).alias("avg_nll"),
+            F.round(F.exp(F.col("__avg__")), int(round_to)).alias("ppl"),
+        )
+    )
+    return Table(out)

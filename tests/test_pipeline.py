@@ -876,3 +876,32 @@ class TestCorpusCleaning:
         assert out[4] == (2, True)
         assert out[3] == (2, True)
         assert out[9] == (9, False)
+
+    def test_mixture_sample_respects_fractions(self, con):
+        rows = {"d": ["a"] * 400 + ["b"] * 400 + ["c"] * 200, "k": list(range(1000))}
+        t = con.memtable(rows)
+        out = pl.mixture_sample(t, "d", {"a": 1.0, "b": 0.25}, "k")
+        got = out.df.groupBy("d").count().collect()
+        by = {r.d: r["count"] for r in got}
+        assert by["a"] == 400          # fraction 1.0 keeps everything
+        assert 60 <= by.get("b", 0) <= 140  # ~100 of 400
+        assert "c" not in by           # unlisted domains default to 0
+        # monotone: raising b's fraction only adds rows
+        small = {r.k for r in pl.mixture_sample(t, "d", {"b": 0.25}, "k").df.collect()}
+        big = {r.k for r in pl.mixture_sample(t, "d", {"b": 0.5}, "k").df.collect()}
+        assert small <= big
+
+    def test_ngram_lm_score_hand_computed(self, con):
+        import math
+
+        t = con.memtable({"doc_id": [1, 2, 3], "text": ["a a a", "a b", "x"]})
+        # C(a,a)=2 C(a,b)=1 C(a)=4 C(b)=1 V=3; P(a|a)=(2+1)/(4+3)
+        out = {r.doc_id: r for r in pl.ngram_lm_score(t, "text", "doc_id").df.collect()}
+        p_aa = 3 / 7
+        p_ab = 2 / 7
+        assert out[1].n_bigrams == 2
+        assert abs(out[1].avg_nll - round(-math.log(p_aa), 6)) < 1e-9
+        assert abs(out[1].ppl - round(1 / p_aa, 6)) < 1e-6
+        assert abs(out[2].avg_nll - round(-math.log(p_ab), 6)) < 1e-9
+        # single-token doc: no bigrams, NULL scores
+        assert out[3].n_bigrams == 0 and out[3].avg_nll is None
