@@ -784,3 +784,98 @@ def test_differential_bucketed_asof(seed, con):
                 assert d_g == d_e, (
                     f"row {i}: got rv={g_rv} (d={d_g}) exp rv={e_rv} (d={d_e})"
                 )
+
+
+# ---------------------------------------------------------------------------
+# connected_components vs Python union-find (random graphs)
+# ---------------------------------------------------------------------------
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # component label = min node id in the component
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_connected_components(seed, con):
+    """Random sparse graphs (including chains, stars, and isolated
+    pairs) checked against a driver-side union-find: the iterative
+    min-label propagation must converge to min-reachable-id exactly."""
+    import random
+
+    import ibis_spark.pipeline as pl
+
+    rng = random.Random(1000 + seed)
+    n_nodes = rng.randint(10, 80)
+    n_edges = rng.randint(5, n_nodes * 2)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    # force one long chain so convergence needs multiple iterations
+    chain_len = rng.randint(3, 9)
+    chain = rng.sample(range(n_nodes), min(chain_len, n_nodes))
+    edges += list(zip(chain, chain[1:]))
+    edges = [e for e in edges if e[0] != e[1]]
+    if not edges:
+        edges = [(0, 1)]
+    t = con.memtable({"a": [a for a, _ in edges], "b": [b for _, b in edges]})
+    got = {
+        r.id: r.component
+        for r in pl.connected_components(t, "a", "b").df.collect()
+    }
+    nodes = sorted({x for e in edges for x in e})
+    want = _union_find_components(edges, nodes)
+    assert got == want, f"seed {seed}: CC mismatch"
+
+
+# ---------------------------------------------------------------------------
+# line_dedup vs a driver-side reference implementation
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_line_dedup(seed, con):
+    """Random multi-line docs with planted shared lines vs a pure-Python
+    first-occurrence reference (same (id, pos) order rule)."""
+    import random
+
+    import ibis_spark.pipeline as pl
+
+    rng = random.Random(2000 + seed)
+    vocab = ["red", "green", "blue", "shared line one", "shared line two", ""]
+    docs = {}
+    for doc_id in range(rng.randint(3, 10)):
+        n_lines = rng.randint(1, 6)
+        docs[doc_id] = [rng.choice(vocab) for _ in range(n_lines)]
+    # reference: first (doc_id, pos) occurrence of each line survives
+    seen = set()
+    want = {}
+    for doc_id in sorted(docs):
+        kept = []
+        for line in docs[doc_id]:
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            want[doc_id] = "\n".join(kept)
+    t = con.memtable(
+        {"doc_id": list(docs), "text": ["\n".join(v) for v in docs.values()]}
+    )
+    got = {
+        r.doc_id: r.text for r in pl.line_dedup(t, "text", "doc_id").df.collect()
+    }
+    assert got == want, f"seed {seed}: line_dedup mismatch"
