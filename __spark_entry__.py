@@ -2223,17 +2223,34 @@ def _connected_components(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+# The driver's correctness harness samples the FIRST 50 queries() entries.
+# Round-7 window: all 21 never-driver-sampled oracle-backed entries (the
+# round-7 operators, both halves of the round) first, then 29 of the 34
+# entries whose latest green sample is r4. The remaining 5 r4-era entries
+# (set_union_distinct/set_intersect/set_difference/window_lag/
+# window_moving_avg) are each covered by a dedicated differential-fuzz
+# family and rotate into the r8 window; everything else was driver-green
+# in r5/r6. The rows-only-by-design trio sits last (no oracle signal).
+_SAMPLE_WINDOW = [
+    "q2_min_cost_supplier", "q11_important_stock", "q21_suppliers_kept_waiting",
+    "dedup_clusters", "mixture_sample", "ngram_lm_score", "line_dedup",
+    "gopher_filter", "domain_quota_sample", "decontaminate",
+    "connected_components", "ann_recall", "ann_recall_lsh", "bpe_encode",
+    "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
+    "tfidf", "sessionize",
+    "distinct_rows", "distinct_keep_none", "distinct_keep_last",
+    "value_counts", "topk", "drop_fill_null", "join_inner_chain",
+    "join_left", "join_semi", "join_anti", "join_theta", "join_asof",
+    "join_asof_forward", "join_asof_nearest", "join_positional",
+    "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
+    "window_ntile", "window_first_last", "window_nth", "substitute",
+    "in_subquery", "notin_subquery", "scalar_subquery",
+    "q17_small_quantity", "exists_subquery", "not_exists_subquery",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order matters: the driver's correctness harness samples the FIRST
-    # 50 entries. Round-7 rotation (evidence freshness): slots 1-5 are the
-    # queries added or semantically changed this round (ann_recall,
-    # bpe_encode new; quality_score case fix, ann_ivf_topk oracle tiebreak,
-    # array_named_reductions materialized plan), then the 34 entries whose
-    # latest driver sample is r4 (joins, set ops, windows, subqueries,
-    # distinct family), then r5-era refreshes to fill the window. Everything
-    # outside the window was driver-green in r5/r6 and stays <=2 rounds
-    # stale; the rows-only-by-design trio sits last (no oracle signal).
-    return {
+    d = {
         # -- new / changed in round 7 --------------------------------------
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q11_important_stock": _q11_important_stock,
@@ -2393,6 +2410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "ann_lsh_topk": _ann_lsh_topk,
     }
+    missing = [k for k in _SAMPLE_WINDOW if k not in d]
+    assert not missing, f"sample window names unknown queries: {missing}"
+    ordered = _SAMPLE_WINDOW + [k for k in d if k not in _SAMPLE_WINDOW]
+    return {k: d[k] for k in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
