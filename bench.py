@@ -84,6 +84,9 @@ HEADLINE = [
     "domain_quota_sample",
     "decontaminate",
     "connected_components",
+    "dedup_clusters",
+    "mixture_sample",
+    "ngram_lm_score",
 ]
 
 

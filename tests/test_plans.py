@@ -286,3 +286,16 @@ def test_ngram_ops_materialize_tokens_once(spark):
     assert p.count("split(") == 2
     p = q["gopher_filter"](spark, sf)._jdf.queryExecution().optimizedPlan().toString()
     assert p.count("split(lower") == 1
+
+
+def test_mixture_lm_cluster_plan_shapes(plans):
+    """mixture_sample is a pure scan filter (no exchange, no Python);
+    ngram_lm_score's only nested-loop join is the broadcast 1-row vocab
+    aggregate; dedup_clusters inherits the no-cartesian banded-LSH shape."""
+    p = plans("mixture_sample")
+    assert "Exchange" not in p  # pure scan filter — nothing to shuffle
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+    p = plans("ngram_lm_score")
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
