@@ -88,7 +88,7 @@ Value = Column
 Scalar = Column
 from ibis_spark.datatypes import DataType  # noqa: E402,F401
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 
 # -- module-level expression API (reference ibis/expr/api.py) ----------------
