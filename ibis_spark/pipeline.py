@@ -1624,15 +1624,17 @@ def line_dedup(
     Returns (id, text) with the deduplicated text. Documents whose every
     line was dropped disappear from the output.
 
-    Plan: posexplode → ONE window exchange keyed on the md5 of the line
-    (rank the occurrences; the hash keeps the shuffle key fixed-width no
-    matter how long lines get) → one group exchange on the doc id to
-    reassemble in position order. No self-join, no all-pairs product —
-    at 100 TB this is two key-partitioned shuffles, the same shape as
-    word-count. First-occurrence choice is deterministic (min (id, pos)),
+    Plan (the skew-safe one): posexplode → first-occurrence via
+    ``groupBy(md5(line)).agg(min(struct(id, pos)))`` + join-back, then
+    one group exchange on the doc id to reassemble in position order.
+    A window-rank formulation is one shuffle cheaper on paper, but a hot
+    line (blank lines, boilerplate headers — at corpus scale, billions
+    of copies of the same line) lands its ENTIRE occurrence list in one
+    window partition with no mitigation; the aggregate formulation
+    collapses the hot key map-side (min is algebraic) and the join-back
+    is AQE-skew-splittable. ``min_len``-exempt lines bypass the shuffle
+    entirely. First-occurrence choice is deterministic (min (id, pos)),
     so reruns and cluster-size changes can't flip survivors."""
-    from pyspark.sql.window import Window as W
-
     df = t.df
     # sep is a LITERAL separator (it is also the reassembly joiner), so
     # quote it out of Java-regex metacharacter interpretation
@@ -1642,12 +1644,21 @@ def line_dedup(
             F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
         ).alias("__pos__", "__line__"),
     )
-    w = W.partitionBy(F.md5(F.col("__line__"))).orderBy(
-        F.col(id_col), F.col("__pos__")
+    exempt = lines.filter(F.length("__line__") < min_len)
+    dedupable = lines.filter(F.length("__line__") >= min_len).withColumn(
+        "__h__", F.md5(F.col("__line__"))
     )
-    ranked = lines.withColumn("__rn__", F.row_number().over(w))
-    kept = ranked.filter(
-        (F.col("__rn__") == 1) | (F.length("__line__") < min_len)
+    firsts = dedupable.groupBy("__h__").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos__"))).alias("__first__")
+    )
+    kept = (
+        dedupable.join(firsts, on="__h__")
+        .filter(
+            (F.col(id_col) == F.col("__first__")[id_col])
+            & (F.col("__pos__") == F.col("__first__.__pos__"))
+        )
+        .select(id_col, "__pos__", "__line__")
+        .unionByName(exempt)
     )
     out = (
         kept.groupBy(id_col)
