@@ -2099,6 +2099,17 @@ def _repetition_score(spark, sf_dir):
     ).to_spark()
 
 
+def _funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user (pipeline.funnel):
+    chained conditional-minimum semantics computed as ONE key exchange +
+    a sorted JVM fold — no N-pass joins. Oracle: the literal chained
+    MIN(CASE ...) formulation."""
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "events")
+    return pl.funnel(e, "ts", "user_id", ["view", "click", "purchase"]).to_spark()
+
+
 def _mixture_sample(spark, sf_dir):
     """Deterministic data-mix weighting (pipeline.mixture_sample): keep
     src0 at 100%, src1 at 50%, src2 at 25%, src3 at 10%, everything else
@@ -2228,12 +2239,13 @@ def _connected_components(spark, sf_dir):
 # round-7 operators, both halves of the round) first, then 29 of the 34
 # entries whose latest green sample is r4. The remaining 5 r4-era entries
 # (set_union_distinct/set_intersect/set_difference/window_lag/
-# window_moving_avg) are each covered by a dedicated differential-fuzz
+# window_moving_avg, plus not_exists_subquery once funnel joined the
+# window) are each covered by a dedicated differential-fuzz
 # family and rotate into the r8 window; everything else was driver-green
 # in r5/r6. The rows-only-by-design trio sits last (no oracle signal).
 _SAMPLE_WINDOW = [
     "q2_min_cost_supplier", "q11_important_stock", "q21_suppliers_kept_waiting",
-    "dedup_clusters", "mixture_sample", "ngram_lm_score", "line_dedup",
+    "dedup_clusters", "funnel", "mixture_sample", "ngram_lm_score", "line_dedup",
     "gopher_filter", "domain_quota_sample", "decontaminate",
     "connected_components", "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
@@ -2245,7 +2257,7 @@ _SAMPLE_WINDOW = [
     "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
     "window_ntile", "window_first_last", "window_nth", "substitute",
     "in_subquery", "notin_subquery", "scalar_subquery",
-    "q17_small_quantity", "exists_subquery", "not_exists_subquery",
+    "q17_small_quantity", "exists_subquery",
 ]
 
 
@@ -2256,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": _q11_important_stock,
         "q21_suppliers_kept_waiting": _q21_suppliers_kept_waiting,
         "dedup_clusters": _dedup_clusters,
+        "funnel": _funnel,
         "mixture_sample": _mixture_sample,
         "ngram_lm_score": _ngram_lm_score,
         "line_dedup": _line_dedup,
@@ -3466,6 +3479,32 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_oracle_sql(),
         "hash_sample": _hash_oracles()["hash_sample"],
         "hash_split": _hash_oracles()["hash_split"],
+        "funnel": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')),
+            a AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+              FROM e GROUP BY user_id),
+            b AS (
+              SELECT e.user_id,
+                     MIN(CASE WHEN event_type = 'click' AND ts >= t1
+                              THEN ts END) AS t2
+              FROM e JOIN a USING (user_id) GROUP BY e.user_id),
+            c AS (
+              SELECT e.user_id,
+                     MIN(CASE WHEN event_type = 'purchase' AND ts >= t2
+                              THEN ts END) AS t3
+              FROM e JOIN b USING (user_id) GROUP BY e.user_id)
+            SELECT a.user_id,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1
+                        ELSE 0 END AS depth,
+                   a.t1 AS t_view, b.t2 AS t_click, c.t3 AS t_purchase
+            FROM a JOIN b USING (user_id) JOIN c USING (user_id)
+        """,
         "mixture_sample": _hash_oracles()["mixture_sample"],
         "ngram_lm_score": """
             WITH toks AS (

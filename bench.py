@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_clusters",
     "mixture_sample",
     "ngram_lm_score",
+    "funnel",
 ]
 
 

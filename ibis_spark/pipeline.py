@@ -53,6 +53,7 @@ __all__ = [
     "top_ngrams",
     "tfidf",
     "sessionize",
+    "funnel",
     "line_dedup",
     "gopher_filter",
     "domain_quota_sample",
@@ -2035,5 +2036,72 @@ def ngram_lm_score(
             F.round(F.col("__avg__"), int(round_to)).alias("avg_nll"),
             F.round(F.exp(F.col("__avg__")), int(round_to)).alias("ppl"),
         )
+    )
+    return Table(out)
+
+
+def funnel(
+    t: Table,
+    ts_col: str,
+    by,
+    steps: Sequence[str],
+    type_col: str = "event_type",
+    *,
+    ts_prefix: str = "t_",
+    depth_name: str = "depth",
+) -> Table:
+    """Ordered funnel analysis per key: the earliest time each ``steps``
+    stage was reached IN ORDER (stage i counts only at-or-after stage
+    i-1's time) → (by, depth, t_<step1>, …, t_<stepN>). The classic
+    conversion query ("view → click → purchase").
+
+    Semantics: equivalent to the chained conditional minimum
+    ``t1 = MIN(ts | step1)``, ``t2 = MIN(ts | step2, ts >= t1)``, … —
+    same-instant events count for the LATER stage (ties broken by stage
+    index), and stages cannot be skipped.
+
+    Plan: filter to funnel events (scan, pushed down) → ONE hash
+    exchange on the key (groupBy collect_list) → a sorted JVM
+    ``aggregate`` fold that appends stage i's timestamp the first time a
+    stage-i event appears at depth i. State per key is one array of at
+    most N timestamps — no joins, no N-pass chained aggregates, no
+    window; the 100 TB cost is one key-partitioned shuffle of the
+    (already filtered) funnel events."""
+    by = [by] if isinstance(by, str) else list(by)
+    steps = [str(s) for s in steps]
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    n = len(steps)
+    idx_expr = F.when(F.col(type_col) == steps[0], 0)
+    for i, s in enumerate(steps[1:], start=1):
+        idx_expr = idx_expr.when(F.col(type_col) == s, i)
+    ev = t.df.filter(F.col(type_col).isin(steps)).select(
+        *by,
+        F.struct(
+            F.col(ts_col).alias("__ts__"), idx_expr.alias("__idx__")
+        ).alias("__e__"),
+    )
+    per = ev.groupBy(*by).agg(
+        F.array_sort(F.collect_list("__e__")).alias("__evs__")
+    )
+    ts_type = t.df.schema[ts_col].dataType.simpleString()
+    state = F.aggregate(
+        F.col("__evs__"),
+        F.array().cast(f"array<{ts_type}>"),
+        lambda acc, e: F.when(
+            (F.size(acc) < n) & (e["__idx__"] == F.size(acc)),
+            F.concat(acc, F.array(e["__ts__"])),
+        ).otherwise(acc),
+    )
+    out = per.withColumn("__state__", state).select(
+        *by,
+        F.size("__state__").alias(depth_name),
+        *[
+            # try_: depth < N leaves later stages NULL (ANSI element_at throws)
+            F.try_element_at("__state__", F.lit(i + 1)).alias(f"{ts_prefix}{s}")
+            for i, s in enumerate(steps)
+        ],
     )
     return Table(out)

@@ -905,3 +905,29 @@ class TestCorpusCleaning:
         assert abs(out[2].avg_nll - round(-math.log(p_ab), 6)) < 1e-9
         # single-token doc: no bigrams, NULL scores
         assert out[3].n_bigrams == 0 and out[3].avg_nll is None
+
+    def test_funnel_order_and_ties(self, con):
+        rows = [
+            # user 1: full funnel, with an early purchase that must NOT count
+            (1, 1.0, "purchase"), (1, 2.0, "view"), (1, 3.0, "click"), (1, 4.0, "purchase"),
+            # user 2: click before any view — depth 0
+            (2, 1.0, "click"), (2, 2.0, "signup"),
+            # user 3: same-instant view+click: later stage counts at the tie
+            (3, 5.0, "view"), (3, 5.0, "click"),
+            # user 4: view only
+            (4, 9.0, "view"),
+        ]
+        t = con.memtable(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+        out = {r.user_id: r for r in pl.funnel(t, "ts", "user_id", ["view", "click", "purchase"]).df.collect()}
+        assert (out[1].depth, out[1].t_view, out[1].t_click, out[1].t_purchase) == (3, 2.0, 3.0, 4.0)
+        assert (out[2].depth, out[2].t_view) == (0, None)
+        assert (out[3].depth, out[3].t_view, out[3].t_click) == (2, 5.0, 5.0)
+        assert (out[4].depth, out[4].t_click) == (1, None)
+        # user with no funnel events at all is absent
+        assert set(out) == {1, 2, 3, 4}
