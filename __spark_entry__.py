@@ -2099,6 +2099,17 @@ def _repetition_score(spark, sf_dir):
     ).to_spark()
 
 
+def _retention(spark, sf_dir):
+    """Daily cohort retention over events (pipeline.retention): first-
+    activity-day cohorts x day offsets, count of active users. Two
+    key-partitioned aggregates + one join, nothing per-event after the
+    first distinct."""
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "events")
+    return pl.retention(e, "ts", "user_id", period="day").to_spark()
+
+
 def _funnel(spark, sf_dir):
     """Ordered view→click→purchase funnel per user (pipeline.funnel):
     chained conditional-minimum semantics computed as ONE key exchange +
@@ -2245,7 +2256,7 @@ def _connected_components(spark, sf_dir):
 # in r5/r6. The rows-only-by-design trio sits last (no oracle signal).
 _SAMPLE_WINDOW = [
     "q2_min_cost_supplier", "q11_important_stock", "q21_suppliers_kept_waiting",
-    "dedup_clusters", "funnel", "mixture_sample", "ngram_lm_score", "line_dedup",
+    "dedup_clusters", "funnel", "retention", "mixture_sample", "ngram_lm_score", "line_dedup",
     "gopher_filter", "domain_quota_sample", "decontaminate",
     "connected_components", "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
@@ -2257,7 +2268,7 @@ _SAMPLE_WINDOW = [
     "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
     "window_ntile", "window_first_last", "window_nth", "substitute",
     "in_subquery", "notin_subquery", "scalar_subquery",
-    "q17_small_quantity", "exists_subquery",
+    "q17_small_quantity",
 ]
 
 
@@ -2269,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_suppliers_kept_waiting": _q21_suppliers_kept_waiting,
         "dedup_clusters": _dedup_clusters,
         "funnel": _funnel,
+        "retention": _retention,
         "mixture_sample": _mixture_sample,
         "ngram_lm_score": _ngram_lm_score,
         "line_dedup": _line_dedup,
@@ -3479,6 +3491,18 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_oracle_sql(),
         "hash_sample": _hash_oracles()["hash_sample"],
         "hash_split": _hash_oracles()["hash_split"],
+        "retention": """
+            WITH activity AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS p
+              FROM events),
+            cohort AS (
+              SELECT user_id, MIN(p) AS c FROM activity GROUP BY user_id)
+            SELECT c AS cohort,
+                   CAST(DATE_DIFF('day', c, p) AS INT) AS offset,
+                   COUNT(*) AS n_active
+            FROM activity JOIN cohort USING (user_id)
+            GROUP BY c, DATE_DIFF('day', c, p)
+        """,
         "funnel": """
             WITH e AS (
               SELECT user_id, ts, event_type FROM events

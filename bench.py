@@ -88,6 +88,7 @@ HEADLINE = [
     "mixture_sample",
     "ngram_lm_score",
     "funnel",
+    "retention",
 ]
 
 

@@ -54,6 +54,7 @@ __all__ = [
     "tfidf",
     "sessionize",
     "funnel",
+    "retention",
     "line_dedup",
     "gopher_filter",
     "domain_quota_sample",
@@ -2103,5 +2104,53 @@ def funnel(
             F.try_element_at("__state__", F.lit(i + 1)).alias(f"{ts_prefix}{s}")
             for i, s in enumerate(steps)
         ],
+    )
+    return Table(out)
+
+
+def retention(
+    t: Table,
+    ts_col: str,
+    by,
+    *,
+    period: str = "week",
+    cohort_name: str = "cohort",
+    offset_name: str = "offset",
+    count_name: str = "n_active",
+) -> Table:
+    """Cohort retention: assign each key to the period of its FIRST
+    activity (its cohort), then count how many of each cohort's keys are
+    active 0, 1, 2, … periods later → long-format rows
+    (cohort, offset, n_active) — the classic retention triangle.
+
+    ``period`` is ``'day'``, ``'week'`` (ISO, Monday-start) or
+    ``'month'``.
+
+    Plan: distinct (key, period) activity pairs (one exchange with
+    map-side partial agg — raw events collapse to at most
+    keys × periods), per-key min for the cohort (same key partitioning,
+    no second wide shuffle), join back on the key, then one
+    (cohort, offset) count exchange. Nothing is per-event after the
+    first distinct; no windows, no driver state."""
+    by = [by] if isinstance(by, str) else list(by)
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be 'day', 'week' or 'month'")
+    p = F.date_trunc(period, F.col(ts_col))
+    activity = t.df.select(*by, p.alias("__p__")).distinct()
+    cohort = activity.groupBy(*by).agg(F.min("__p__").alias("__cohort__"))
+    j = activity.join(cohort, on=by)
+    if period == "month":
+        off = (
+            (F.year("__p__") - F.year("__cohort__")) * 12
+            + F.month("__p__")
+            - F.month("__cohort__")
+        )
+    else:
+        days = F.datediff(F.col("__p__"), F.col("__cohort__"))
+        off = (days / 7).cast("int") if period == "week" else days
+    out = (
+        j.select(F.col("__cohort__").alias(cohort_name), off.alias(offset_name))
+        .groupBy(cohort_name, offset_name)
+        .agg(F.count(F.lit(1)).alias(count_name))
     )
     return Table(out)

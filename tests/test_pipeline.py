@@ -931,3 +931,21 @@ class TestCorpusCleaning:
         assert (out[4].depth, out[4].t_click) == (1, None)
         # user with no funnel events at all is absent
         assert set(out) == {1, 2, 3, 4}
+
+    def test_retention_week_cohorts(self, con):
+        import datetime as dt
+
+        def d(day):
+            return dt.datetime(2024, 1, day)
+
+        rows = [
+            # u1 first active week of Jan 1 (Mon), returns weeks 0, 1, 3
+            (1, d(2)), (1, d(3)), (1, d(8)), (1, d(23)),
+            # u2 first active week of Jan 8, returns week 1
+            (2, d(10)), (2, d(16)),
+        ]
+        t = con.memtable({"user_id": [r[0] for r in rows], "ts": [r[1] for r in rows]})
+        out = {(r.cohort.date(), r.offset): r.n_active
+               for r in pl.retention(t, "ts", "user_id", period="week").df.collect()}
+        w1, w2 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+        assert out == {(w1, 0): 1, (w1, 1): 1, (w1, 3): 1, (w2, 0): 1, (w2, 1): 1}
