@@ -1851,8 +1851,11 @@ def decontaminate(
     )
     if mode == "filter":
         return Table(t.df.join(bad_ids.drop("__contaminated__"), id_col, "left_anti"))
+    # no broadcast hint: the contaminated-id set is usually tiny (AQE will
+    # broadcast it), but a heavily-contaminated corpus can make it
+    # arbitrarily large — forcing a broadcast would OOM the driver there
     out = (
-        t.df.join(F.broadcast(bad_ids), id_col, "left")
+        t.df.join(bad_ids, id_col, "left")
         .withColumn("contaminated", F.coalesce(F.col("__contaminated__"), F.lit(False)))
         .drop("__contaminated__")
     )
