@@ -2121,6 +2121,17 @@ def _funnel(spark, sf_dir):
     return pl.funnel(e, "ts", "user_id", ["view", "click", "purchase"]).to_spark()
 
 
+def _embedding_clusters(spark, sf_dir):
+    """Transitive embedding-cosine clustering (pipeline.embedding_clusters):
+    LSH-verified cosine>=0.99 edges through connected components. DuckDB
+    oracle: all-pairs cosine edges + recursive-CTE components (full-recall
+    assumption as for dedup_embedding)."""
+    from ibis_spark import pipeline as pl
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pl.embedding_clusters(e, "embedding", "vec_id", threshold=0.99, dim=64).to_spark()
+
+
 def _mixture_sample(spark, sf_dir):
     """Deterministic data-mix weighting (pipeline.mixture_sample): keep
     src0 at 100%, src1 at 50%, src2 at 25%, src3 at 10%, everything else
@@ -2256,7 +2267,8 @@ def _connected_components(spark, sf_dir):
 # in r5/r6. The rows-only-by-design trio sits last (no oracle signal).
 _SAMPLE_WINDOW = [
     "q2_min_cost_supplier", "q11_important_stock", "q21_suppliers_kept_waiting",
-    "dedup_clusters", "funnel", "retention", "mixture_sample", "ngram_lm_score", "line_dedup",
+    "dedup_clusters", "funnel", "retention", "embedding_clusters",
+    "mixture_sample", "ngram_lm_score", "line_dedup",
     "gopher_filter", "domain_quota_sample", "decontaminate",
     "connected_components", "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
@@ -2268,7 +2280,6 @@ _SAMPLE_WINDOW = [
     "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
     "window_ntile", "window_first_last", "window_nth", "substitute",
     "in_subquery", "notin_subquery", "scalar_subquery",
-    "q17_small_quantity",
 ]
 
 
@@ -2281,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "funnel": _funnel,
         "retention": _retention,
+        "embedding_clusters": _embedding_clusters,
         "mixture_sample": _mixture_sample,
         "ngram_lm_score": _ngram_lm_score,
         "line_dedup": _line_dedup,
@@ -3491,6 +3503,23 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_oracle_sql(),
         "hash_sample": _hash_oracles()["hash_sample"],
         "hash_split": _hash_oracles()["hash_split"],
+        "embedding_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS x, b.vec_id AS y
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+            ), reach(src, dst) AS (
+              SELECT x, x FROM (SELECT DISTINCT x FROM pairs)
+              UNION
+              SELECT r.src, p.y FROM reach r JOIN pairs p ON r.dst = p.x
+            ), comp AS (
+              SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+            )
+            SELECT e.vec_id,
+                   COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+                   COALESCE(c.cluster_id, e.vec_id) <> e.vec_id AS is_dup
+            FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+        """,
         "retention": """
             WITH activity AS (
               SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS p

@@ -31,6 +31,7 @@ __all__ = [
     "dedup_clusters",
     "ngram_jaccard_dedup",
     "embedding_dedup",
+    "embedding_clusters",
     "dedup_exact",
     "simhash",
     "cosine_similarity",
@@ -491,17 +492,53 @@ def embedding_dedup(
     convenient interactively, but it executes the upstream plan once at
     build time, so production callers at scale should always pass it."""
     df = t.df
+    edges = _embedding_verified_edges(
+        df, vec_col, id_col,
+        threshold=threshold, n_planes=n_planes, bands=bands, dim=dim, seed=seed,
+    )
+    if edges is None:  # empty relation and no dim given
+        return Table(
+            df.select(
+                F.col(id_col),
+                F.col(id_col).alias("rep_id"),
+                F.lit(None).cast("double").alias("cosine"),
+                F.lit(False).alias("is_dup"),
+            )
+        )
+    verified = edges.groupBy(id_col).agg(
+        F.min("cand").alias("rep_cand"), F.max("cosine").alias("cosine")
+    )
+    ids = df.select(F.col(id_col))
+    return Table(
+        ids.join(verified, on=id_col, how="left")
+        .withColumn(
+            "rep_id", F.least(F.coalesce("rep_cand", F.col(id_col)), F.col(id_col))
+        )
+        .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
+        .select(id_col, "rep_id", "cosine", "is_dup")
+    )
+
+
+def _embedding_verified_edges(
+    df,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float,
+    n_planes: int,
+    bands: int,
+    dim: Optional[int],
+    seed: int,
+):
+    """Verified cosine candidate EDGES (id, cand, cosine) from banded
+    hyperplane-sign LSH — shared by :func:`embedding_dedup` (one-hop rep)
+    and :func:`embedding_clusters` (transitive components). Returns None
+    when the relation is empty and ``dim`` was not given (nothing to
+    probe)."""
     if dim is None:
         first = df.select(F.col(vec_col)).first()
         if first is None:
-            return Table(
-                df.select(
-                    F.col(id_col),
-                    F.col(id_col).alias("rep_id"),
-                    F.lit(None).cast("double").alias("cosine"),
-                    F.lit(False).alias("is_dup"),
-                )
-            )
+            return None
         dim = len(first[0])
     planes = _hyperplanes(dim, bands * n_planes, seed).reshape(
         bands, n_planes, dim
@@ -530,22 +567,54 @@ def embedding_dedup(
     a = base.select(F.col(id_col), F.col("__v__").alias("__va__"))
     b = base.select(F.col(id_col).alias("cand"), F.col("__v__").alias("__vb__"))
     cos = cosine_similarity(F.col("__va__"), F.col("__vb__")).spark()
-    verified = (
+    return (
         cand.join(a, on=id_col)
         .join(b, on="cand")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .groupBy(id_col)
-        .agg(F.min("cand").alias("rep_cand"), F.max("cosine").alias("cosine"))
+        .select(id_col, "cand", "cosine")
     )
-    ids = df.select(F.col(id_col))
-    return Table(
-        ids.join(verified, on=id_col, how="left")
-        .withColumn(
-            "rep_id", F.least(F.coalesce("rep_cand", F.col(id_col)), F.col(id_col))
+
+
+def embedding_clusters(
+    t: Table,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 4,
+    dim: Optional[int] = None,
+    seed: int = 42,
+    max_iter: int = 50,
+) -> Table:
+    """Transitive embedding-cosine near-dup CLUSTERING: banded
+    hyperplane-LSH candidates → exact-cosine verified edges → connected
+    components → (id, cluster_id, is_dup) — :func:`dedup_clusters` for
+    vectors. ``cluster_id`` is the smallest id reachable through
+    cosine-≥-threshold edges, so chains A≈B≈C collapse to ONE survivor
+    even when A and C are not direct candidates."""
+    edges = _embedding_verified_edges(
+        t.df, vec_col, id_col,
+        threshold=threshold, n_planes=n_planes, bands=bands, dim=dim, seed=seed,
+    )
+    if edges is None:
+        return Table(
+            t.df.select(
+                F.col(id_col),
+                F.col(id_col).alias("cluster_id"),
+                F.lit(False).alias("is_dup"),
+            )
         )
-        .withColumn("is_dup", F.col("rep_id") != F.col(id_col))
-        .select(id_col, "rep_id", "cosine", "is_dup")
+    comp = connected_components(
+        Table(edges), id_col, "cand", id_name=id_col, comp_name="cluster_id",
+        max_iter=max_iter,
+    )
+    ids = t.df.select(F.col(id_col))
+    return Table(
+        ids.join(comp.df, on=id_col, how="left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("is_dup", F.col("cluster_id") != F.col(id_col))
     )
 
 
