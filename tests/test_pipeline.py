@@ -949,3 +949,26 @@ class TestCorpusCleaning:
                for r in pl.retention(t, "ts", "user_id", period="week").df.collect()}
         w1, w2 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
         assert out == {(w1, 0): 1, (w1, 1): 1, (w1, 3): 1, (w2, 0): 1, (w2, 1): 1}
+
+    def test_embedding_clusters_transitive_merge(self, con):
+        # b is 0.99+ similar to a and to c, but a and c are farther apart:
+        # the component still merges all three through b
+        import math
+
+        def unit(theta):
+            return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+        eps = 0.08  # cos(0.08) ~ 0.9968 ; cos(0.16) ~ 0.9872 < 0.995
+        t = con.memtable(
+            {
+                "vec_id": [10, 11, 12, 99],
+                "embedding": [unit(0.0), unit(eps), unit(2 * eps), unit(1.2)],
+            }
+        )
+        out = {r.vec_id: (r.cluster_id, r.is_dup) for r in
+               pl.embedding_clusters(t, "embedding", "vec_id", threshold=0.995,
+                                     dim=8, bands=8, n_planes=4).df.collect()}
+        assert out[10] == (10, False)
+        assert out[11] == (10, True)
+        assert out[12] == (10, True)  # merged via 11 despite cos(10,12) < 0.995
+        assert out[99] == (99, False)
