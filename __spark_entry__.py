@@ -1990,7 +1990,7 @@ def _bpe_oracle_sql():
     return f"""
         SELECT doc_id,
                CAST(len(toks) AS INT) AS n_bpe,
-               array_to_string(toks[1:8], chr(31)) AS head
+               COALESCE(array_to_string(toks[1:8], chr(31)), '') AS head
         FROM (
           SELECT doc_id,
                  list_filter(string_split_regex({expr}, chr(1)||'+'),
@@ -2187,7 +2187,7 @@ def _line_dedup(spark, sf_dir):
         "SELECT doc_id, concat_ws('\\n', "
         " array_join(slice(split(text, ' '), 1, 18), ' '), "
         " array_join(slice(split(text, ' '), 19, 18), ' '), "
-        " array_join(slice(split(text, ' '), 37, 1000), ' ')) AS text "
+        " array_join(slice(split(text, ' '), 37, size(split(text, ' '))), ' ')) AS text "
         "FROM t"
     )
     return pl.line_dedup(prep, "text", "doc_id").to_spark()

@@ -984,7 +984,7 @@ class Table(CoreExpr):
             # double division can land a value one bucket off past 2^53 (or
             # on exact float quotients), and the one-neighbor replication
             # invariant would then silently drop a within-tolerance match.
-            _int_types = ("byte", "short", "int", "integer", "bigint", "long")
+            _int_types = ("tinyint", "smallint", "int", "bigint")  # simpleString() names
             if isinstance(tolerance, _dt.timedelta):
                 # exact micros (total_seconds() float-truncates large tols)
                 idiv = tolerance // _dt.timedelta(microseconds=1)
@@ -1365,9 +1365,15 @@ class Table(CoreExpr):
     def alias(self, alias: str) -> "Table":
         """Table.alias (reference relations.py:3957): expose this
         expression to raw SQL under `alias` (temp view, same side-effect
-        semantics as the reference documents)."""
-        self._df.createOrReplaceTempView(alias)
-        return Table(self._df.sparkSession.table(alias))
+        semantics as the reference documents). Takes the same lock as
+        :meth:`sql` — an alias registration racing a ``sql()`` call on
+        the same view name must not land between that call's register and
+        analyze steps (every registration path sharing a name has to
+        serialize for the resolve-against-your-OWN-table guarantee)."""
+        with Table._SQL_LOCK:
+            self._df.createOrReplaceTempView(alias)
+            out = self._df.sparkSession.table(alias)
+        return Table(out)
 
     # -- caching / execution ----------------------------------------------------------------
     def cache(self) -> "Table":

@@ -1019,7 +1019,11 @@ def ann_recall(
             qcol.alias("__qv__"),
             _bucket_expr(qcol, planes).alias("__key__"),
         )
-        cand = _bucket_expr(vec, planes) == F.col("__key__")
+        # precompute the data-side bucket BEFORE the query cross join —
+        # evaluated inline it would recompute the n_planes·dim dot
+        # products once per (row, query) pair instead of once per row
+        ddf = ddf.withColumn("__dkey__", _bucket_expr(vec, planes))
+        cand = F.col("__dkey__") == F.col("__key__")
     joined = ddf.crossJoin(F.broadcast(qdf))
     scored = joined.select(
         F.col(q_id_col),
@@ -1175,11 +1179,8 @@ def tfidf(
     broadcast 1-row aggregate, never a driver collect. ``tfidf`` is
     rounded (default 6dp) so cross-engine libm ln() ulp differences
     can't flake comparisons."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
-    )
     pairs = t.df.select(
-        F.col(id_col), F.explode(toks).alias("term")
+        F.col(id_col), F.explode(_lower_toks(text_col)).alias("term")
     )
     tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -1510,7 +1511,11 @@ def _bpe_encode_udf(c, merges):
             else [p for t in arr for p in _apply(t)]
         )
 
-    return wrap(_encode(F.regexp_extract_all(c, F.lit(_BPE_PRETOKEN_RE), 0)))
+    # strip the reserved separator BEFORE pretokenizing, exactly like the
+    # JVM path's replace(c, S, '') — the two paths must stay token-identical
+    # for text that happens to contain \x01
+    cleaned = F.replace(c, F.lit("\x01"), F.lit(""))
+    return wrap(_encode(F.regexp_extract_all(cleaned, F.lit(_BPE_PRETOKEN_RE), 0)))
 
 
 def pretoken_count(col):

@@ -972,3 +972,13 @@ class TestCorpusCleaning:
         assert out[11] == (10, True)
         assert out[12] == (10, True)  # merged via 11 despite cos(10,12) < 0.995
         assert out[99] == (99, False)
+
+    def test_bpe_encode_udf_path_strips_separator_like_jvm(self, con):
+        # the reserved \x01 separator in input text must not change tokens,
+        # and both the JVM path and the >threshold pandas-UDF path must agree
+        t = con.memtable({"doc_id": [1], "text": ["a\x01b cd"]})
+        merges = [("a", "b"), ("c", "d")]
+        jvm = t.select(out=pl.bpe_encode(t.text, merges)).df.collect()[0].out
+        udf = t.select(out=pl.bpe_encode(t.text, merges, udf_threshold=1)).df.collect()[0].out
+        assert jvm == udf  # the two paths must stay token-identical
+        assert "\x01" not in "".join(jvm)
