@@ -834,13 +834,14 @@ def test_differential_connected_components(seed, con):
     if not edges:
         edges = [(0, 1)]
     t = con.memtable({"a": [a for a, _ in edges], "b": [b for _, b in edges]})
-    got = {
-        r.id: r.component
-        for r in pl.connected_components(t, "a", "b").df.collect()
-    }
     nodes = sorted({x for e in edges for x in e})
     want = _union_find_components(edges, nodes)
-    assert got == want, f"seed {seed}: CC mismatch"
+    algorithm = "pointer" if seed % 2 else "label"
+    got = {
+        r.id: r.component
+        for r in pl.connected_components(t, "a", "b", algorithm=algorithm).df.collect()
+    }
+    assert got == want, f"seed {seed} ({algorithm}): CC mismatch"
 
 
 # ---------------------------------------------------------------------------

@@ -982,3 +982,15 @@ class TestCorpusCleaning:
         udf = t.select(out=pl.bpe_encode(t.text, merges, udf_threshold=1)).df.collect()[0].out
         assert jvm == udf  # the two paths must stay token-identical
         assert "\x01" not in "".join(jvm)
+
+    def test_connected_components_pointer_jumping_halves_depth(self, con):
+        # a 120-node chain: label propagation needs ~120 rounds (raises at
+        # max_iter=12), pointer jumping converges within 12
+        n = 120
+        e = con.memtable({"a": list(range(n - 1)), "b": list(range(1, n))})
+        with pytest.raises(RuntimeError, match="converge"):
+            pl.connected_components(e, "a", "b", max_iter=12)
+        out = {r.id: r.component
+               for r in pl.connected_components(e, "a", "b", max_iter=12,
+                                                algorithm="pointer").df.collect()}
+        assert set(out.values()) == {0} and len(out) == n
