@@ -2132,6 +2132,16 @@ def _embedding_clusters(spark, sf_dir):
     return pl.embedding_clusters(e, "embedding", "vec_id", threshold=0.99, dim=64).to_spark()
 
 
+def _key_skew_stats(spark, sf_dir):
+    """Heavy-hitter diagnostic (pipeline.key_skew_stats): top-10 l_suppkey
+    values by lineitem row count with corpus fraction — one partial-agg
+    exchange + TakeOrdered + broadcast 1-row total."""
+    from ibis_spark import pipeline as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pl.key_skew_stats(li, "l_suppkey", top_n=10).to_spark()
+
+
 def _mixture_sample(spark, sf_dir):
     """Deterministic data-mix weighting (pipeline.mixture_sample): keep
     src0 at 100%, src1 at 50%, src2 at 25%, src3 at 10%, everything else
@@ -2268,7 +2278,7 @@ def _connected_components(spark, sf_dir):
 _SAMPLE_WINDOW = [
     "q2_min_cost_supplier", "q11_important_stock", "q21_suppliers_kept_waiting",
     "dedup_clusters", "funnel", "retention", "embedding_clusters",
-    "mixture_sample", "ngram_lm_score", "line_dedup",
+    "key_skew_stats", "mixture_sample", "ngram_lm_score", "line_dedup",
     "gopher_filter", "domain_quota_sample", "decontaminate",
     "connected_components", "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
@@ -2279,7 +2289,7 @@ _SAMPLE_WINDOW = [
     "join_asof_forward", "join_asof_nearest", "join_positional",
     "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
     "window_ntile", "window_first_last", "window_nth", "substitute",
-    "in_subquery", "notin_subquery", "scalar_subquery",
+    "in_subquery", "notin_subquery",
 ]
 
 
@@ -2293,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _funnel,
         "retention": _retention,
         "embedding_clusters": _embedding_clusters,
+        "key_skew_stats": _key_skew_stats,
         "mixture_sample": _mixture_sample,
         "ngram_lm_score": _ngram_lm_score,
         "line_dedup": _line_dedup,
@@ -3557,6 +3568,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS depth,
                    a.t1 AS t_view, b.t2 AS t_click, c.t3 AS t_purchase
             FROM a JOIN b USING (user_id) JOIN c USING (user_id)
+        """,
+        "key_skew_stats": """
+            SELECT l_suppkey, cnt,
+                   ROUND(cnt * 1.0 / (SELECT COUNT(*) FROM lineitem), 6) AS frac
+            FROM (SELECT l_suppkey, COUNT(*) AS cnt
+                  FROM lineitem GROUP BY l_suppkey)
+            ORDER BY cnt DESC, l_suppkey LIMIT 10
         """,
         "mixture_sample": _hash_oracles()["mixture_sample"],
         "ngram_lm_score": """

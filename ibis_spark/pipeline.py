@@ -56,6 +56,7 @@ __all__ = [
     "sessionize",
     "funnel",
     "retention",
+    "key_skew_stats",
     "line_dedup",
     "gopher_filter",
     "domain_quota_sample",
@@ -2255,5 +2256,37 @@ def retention(
         j.select(F.col("__cohort__").alias(cohort_name), off.alias(offset_name))
         .groupBy(cohort_name, offset_name)
         .agg(F.count(F.lit(1)).alias(count_name))
+    )
+    return Table(out)
+
+
+def key_skew_stats(
+    t: Table,
+    key_col,
+    *,
+    top_n: int = 20,
+) -> Table:
+    """Heavy-hitter diagnostic for a prospective shuffle key: the
+    ``top_n`` most frequent key values with their counts and fraction of
+    all rows → (key…, cnt, frac) ordered by cnt desc. Run this BEFORE
+    keying a 100 TB join/groupBy on a column — a top key holding >1% of
+    rows is the signal to salt it (salted_join_agg) or let AQE skew-split.
+
+    One partial-agg count exchange + TakeOrdered for the top-n; the total
+    is a broadcast 1-row aggregate, no second scan of the counts."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    if top_n <= 0:
+        raise ValueError("top_n must be positive")
+    counts = t.df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = t.df.agg(F.count(F.lit(1)).alias("__total__"))
+    out = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total__"), 6).alias("frac"),
+        )
+        .orderBy(F.col("cnt").desc(), *keys)
+        .limit(top_n)
     )
     return Table(out)
