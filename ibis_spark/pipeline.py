@@ -55,6 +55,7 @@ __all__ = [
     "tfidf",
     "sessionize",
     "funnel",
+    "streaming_funnel",
     "retention",
     "key_skew_stats",
     "line_dedup",
@@ -2290,3 +2291,77 @@ def key_skew_stats(
         .limit(top_n)
     )
     return Table(out)
+
+
+def streaming_funnel(
+    t: Table,
+    ts_col: str,
+    by: str,
+    steps: Sequence[str],
+    type_col: str = "event_type",
+    *,
+    ts_prefix: str = "t_",
+    depth_name: str = "depth",
+    timeout: str = "NoTimeout",
+) -> Table:
+    """Streaming mirror of :func:`funnel`: per-key funnel state kept in
+    ``applyInPandasWithState`` GroupState across micro-batches, emitting
+    the key's (depth, t_<step>…) row whenever a batch advances it.
+
+    Contract: each micro-batch is processed in (ts, stage-index) order
+    and stages only ever ADVANCE, so the result equals the batch
+    :func:`funnel` exactly when events arrive in event-time order across
+    batches (replays, log tailing). Under cross-batch disorder a
+    late-arriving earlier stage cannot retroactively enable a stage the
+    state already skipped — depth is then a lower bound; bound the state
+    with ``timeout`` (e.g. event-time timeouts) in production streams.
+
+    State per key is ONE row holding at most ``len(steps)`` timestamps —
+    bounded regardless of stream length."""
+    import pandas as pd
+
+    steps = [str(s) for s in steps]
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    n = len(steps)
+    idx_of = {s: i for i, s in enumerate(steps)}
+
+    def _advance(key, pdfs, state):
+        times = list(state.get[0]) if state.exists else []
+        before = len(times)
+        for pdf in pdfs:
+            sub = pdf[[ts_col, type_col]]
+            sub = sub[sub[type_col].isin(idx_of)]
+            if sub.empty:
+                continue
+            sub = sub.assign(__idx__=sub[type_col].map(idx_of)).sort_values(
+                [ts_col, "__idx__"], kind="mergesort"
+            )
+            for ts, idx in zip(sub[ts_col], sub["__idx__"]):
+                if idx == len(times) and len(times) < n:
+                    times.append(ts)
+        if times:
+            state.update((times,))
+        if len(times) > before or (not state.exists and times):
+            row = {c: [v] for c, v in zip([by], key)}
+            row[depth_name] = [len(times)]
+            for i, s in enumerate(steps):
+                row[f"{ts_prefix}{s}"] = [times[i] if i < len(times) else None]
+            yield pd.DataFrame(row)
+
+    ts_type = t.df.schema[ts_col].dataType.simpleString()
+    by_type = t.df.schema[by].dataType.simpleString()
+    out_schema = (
+        f"{by} {by_type}, {depth_name} int, "
+        + ", ".join(f"{ts_prefix}{s} {ts_type}" for s in steps)
+    )
+    return t.map_groups_with_state(
+        by,
+        _advance,
+        output_schema=out_schema,
+        state_schema=f"times array<{ts_type}>",
+        output_mode="update",
+        timeout=timeout,
+    )

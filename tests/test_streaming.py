@@ -258,3 +258,61 @@ def test_stream_stream_interval_join(spark, stream_dir):
         & (b2.r_ts <= b.ts + ib.interval(minutes=30)),
     ).count()
     assert got == expected and got > 0
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """streaming_funnel over an event-time-ordered multi-file stream
+    (maxFilesPerTrigger=1 → one micro-batch per file, GroupState carried
+    across batches) converges to the batch funnel for every key that
+    progressed (depth >= 1; streaming emits no depth-0 rows)."""
+    import pandas as pd
+
+    from ibis_spark import pipeline as pl
+
+    con = ib.connect(spark)
+    ev = con.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "funnel_stream")
+    # two files split at the median ts — event-time ordered ACROSS batches
+    df = ev.df.select("user_id", "ts", "event_type")
+    rows = df.orderBy("ts").collect()
+    half = len(rows) // 2
+    sess = spark
+    sess.createDataFrame(rows[:half], df.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/f=1")
+    sess.createDataFrame(rows[half:], df.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/f=2")
+    schema = df.schema
+    stream = con.read_parquet_dir(d + "/*", schema=schema, maxFilesPerTrigger="1")
+    out = pl.streaming_funnel(
+        stream, "ts", "user_id", ["view", "click", "purchase"]
+    )
+    q = (
+        out.df.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: (r.depth, r.t_view, r.t_click, r.t_purchase)
+        for r in spark.sql(
+            """select user_id, depth, t_view, t_click, t_purchase from (
+                 select *, row_number() over (
+                   partition by user_id order by depth desc) rn
+                 from funnel_stream) where rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.depth, r.t_view, r.t_click, r.t_purchase)
+        for r in pl.funnel(
+            ib.connect(spark).read_parquet("/root/testdata/sf0.001/events.parquet"),
+            "ts",
+            "user_id",
+            ["view", "click", "purchase"],
+        ).df.collect()
+        if r.depth >= 1
+    }
+    assert want and got == want
