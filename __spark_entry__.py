@@ -2184,6 +2184,17 @@ def _dedup_clusters(spark, sf_dir):
     return pl.dedup_clusters(d, "text", "doc_id", threshold=0.7).to_spark()
 
 
+def _remove_duplicated_spans(spark, sf_dir):
+    """Exact substring dedup (pipeline.remove_duplicated_spans): spans of
+    >=8 consecutive tokens occurring more than once corpus-wide keep only
+    their globally-first occurrence; later copies are excised and docs
+    reassembled. Three key-partitioned exchanges, no suffix array."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    return pl.remove_duplicated_spans(d, "text", "doc_id", k=8).to_spark()
+
+
 def _line_dedup(spark, sf_dir):
     """CCNet-style cross-corpus line dedup (pipeline.line_dedup): docs are
     first rebuilt as three ~18-token lines (the corpus has no newlines),
@@ -2279,7 +2290,8 @@ _SAMPLE_WINDOW = [
     "q2_min_cost_supplier", "q11_important_stock", "q21_suppliers_kept_waiting",
     "dedup_clusters", "funnel", "retention", "embedding_clusters",
     "key_skew_stats", "mixture_sample", "ngram_lm_score", "line_dedup",
-    "gopher_filter", "domain_quota_sample", "decontaminate",
+    "remove_duplicated_spans", "gopher_filter", "domain_quota_sample",
+    "decontaminate",
     "connected_components", "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
     "tfidf", "sessionize",
@@ -2289,7 +2301,7 @@ _SAMPLE_WINDOW = [
     "join_asof_forward", "join_asof_nearest", "join_positional",
     "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
     "window_ntile", "window_first_last", "window_nth", "substitute",
-    "in_subquery", "notin_subquery",
+    "in_subquery",
 ]
 
 
@@ -2307,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _mixture_sample,
         "ngram_lm_score": _ngram_lm_score,
         "line_dedup": _line_dedup,
+        "remove_duplicated_spans": _remove_duplicated_spans,
         "gopher_filter": _gopher_filter,
         "domain_quota_sample": _domain_quota_sample,
         "decontaminate": _decontaminate,
@@ -3654,6 +3667,41 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
                    COALESCE(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
             FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        """,
+        "remove_duplicated_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            tokens AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
+              FROM toks, UNNEST(range(1, len(tk) + 1)) u(i)),
+            grams AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos,
+                     array_to_string(tk[i : i+7], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(tk) - 6)) u(i)),
+            stats AS (SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram),
+            firsts AS (
+              SELECT gram, doc_id AS fid, gpos AS fpos FROM (
+                SELECT gram, doc_id, gpos,
+                       ROW_NUMBER() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, gpos) AS rn
+                FROM grams) WHERE rn = 1),
+            dup AS (
+              SELECT g.doc_id, g.gpos FROM grams g
+              JOIN stats USING (gram) JOIN firsts USING (gram)
+              WHERE c > 1 AND NOT (g.doc_id = fid AND g.gpos = fpos)),
+            ev AS (
+              SELECT doc_id, pos, tok, CAST(NULL AS BIGINT) AS dstart, 1 AS typ
+              FROM tokens
+              UNION ALL
+              SELECT doc_id, gpos, NULL, gpos, 0 FROM dup),
+            marked AS (
+              SELECT *, MAX(dstart) OVER (PARTITION BY doc_id
+                          ORDER BY pos, typ ROWS UNBOUNDED PRECEDING) AS runmax
+              FROM ev)
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM marked
+            WHERE typ = 1 AND (runmax IS NULL OR runmax < pos - 7)
+            GROUP BY doc_id
         """,
         "line_dedup": """
             WITH prep AS (

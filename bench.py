@@ -90,6 +90,7 @@ HEADLINE = [
     "funnel",
     "retention",
     "embedding_clusters",
+    "remove_duplicated_spans",
 ]
 
 

@@ -59,6 +59,7 @@ __all__ = [
     "retention",
     "key_skew_stats",
     "line_dedup",
+    "remove_duplicated_spans",
     "gopher_filter",
     "domain_quota_sample",
     "decontaminate",
@@ -2365,3 +2366,113 @@ def streaming_funnel(
         output_mode="update",
         timeout=timeout,
     )
+
+
+def remove_duplicated_spans(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+    sep: str = " ",
+) -> Table:
+    """Exact substring-level dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" ExactSubstr operation,
+    re-expressed relationally): every span of ``k`` or more consecutive
+    tokens that occurs more than once in the corpus keeps only its
+    globally-first occurrence (min (id, position)); the tokens covered by
+    every other occurrence are REMOVED and documents are reassembled
+    from the surviving tokens. Documents left with no tokens disappear.
+
+    Instead of the paper's suffix array (a global sort of every suffix),
+    this is three key-partitioned exchanges, each skew-safe:
+
+    1. token k-gram occurrences → ``groupBy(gram)`` with
+       count + min-(id,pos) (map-side partial agg absorbs hot
+       boilerplate grams) — an occurrence is *duplicated* when its gram
+       count > 1 and it is not the canonical first;
+    2. duplicated-occurrence start positions union'd with the token
+       stream through ONE doc-keyed window: a running MAX of span starts
+       marks token ``p`` covered iff some duplicated span started in
+       ``[p-k+1, p]`` — the gaps-and-islands interval-union trick, no
+       k-fold row blowup, no self-join;
+    3. one doc-keyed regroup reassembles survivors in position order.
+
+    Overlapping and adjacent duplicated spans merge naturally (the
+    running max extends coverage); a span of length m ≥ k removes all m
+    tokens because each of its m-k+1 constituent k-grams is duplicated."""
+    if k < 2:
+        raise ValueError("k must be at least 2")
+    pat = "\\Q" + sep + "\\E"
+    toks_df = t.df.select(
+        F.col(id_col), F.split(F.col(text_col), F.lit(pat), -1).alias("__tk__")
+    )
+    tokens = toks_df.select(
+        F.col(id_col),
+        F.posexplode("__tk__").alias("__pos__", "__tok__"),
+    )
+    grams = toks_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("__tk__") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk__") - (k - 1)),
+                    lambda i: F.array_join(F.slice(F.col("__tk__"), i, k), sep),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__gpos__", "__gram__"),
+    )
+    stats = grams.groupBy("__gram__").agg(
+        F.count(F.lit(1)).alias("__cnt__"),
+        F.min(F.struct(F.col(id_col), F.col("__gpos__"))).alias("__first__"),
+    )
+    dup_occ = (
+        grams.join(stats, on="__gram__")
+        .filter(
+            (F.col("__cnt__") > 1)
+            & ~(
+                (F.col(id_col) == F.col("__first__")[id_col])
+                & (F.col("__gpos__") == F.col("__first__.__gpos__"))
+            )
+        )
+        .select(F.col(id_col), F.col("__gpos__"))
+    )
+    ev = tokens.select(
+        F.col(id_col),
+        F.col("__pos__").cast("long").alias("__pos__"),
+        F.col("__tok__"),
+        F.lit(None).cast("long").alias("__dstart__"),
+        F.lit(1).alias("__typ__"),
+    ).unionByName(
+        dup_occ.select(
+            F.col(id_col),
+            F.col("__gpos__").cast("long").alias("__pos__"),
+            F.lit(None).cast("string").alias("__tok__"),
+            F.col("__gpos__").cast("long").alias("__dstart__"),
+            F.lit(0).alias("__typ__"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(id_col).orderBy("__pos__", "__typ__").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    marked = ev.withColumn("__runmax__", F.max("__dstart__").over(w))
+    kept = marked.filter(
+        (F.col("__typ__") == 1)
+        & (
+            F.col("__runmax__").isNull()
+            | (F.col("__runmax__") < F.col("__pos__") - (k - 1))
+        )
+    )
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__tok__"))),
+                lambda s: s["__tok__"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return Table(out)

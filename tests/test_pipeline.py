@@ -994,3 +994,37 @@ class TestCorpusCleaning:
                for r in pl.connected_components(e, "a", "b", max_iter=12,
                                                 algorithm="pointer").df.collect()}
         assert set(out.values()) == {0} and len(out) == n
+
+    def test_remove_duplicated_spans(self, con):
+        boiler = "this exact boilerplate phrase repeats in many documents verbatim"
+        t = con.memtable(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta " + boiler + " gamma delta",
+                    "unique two " + boiler + " tail ending",
+                    "totally original content here nothing repeated at all okay",
+                ],
+            }
+        )
+        out = {r.doc_id: r.text for r in
+               pl.remove_duplicated_spans(t, "text", "doc_id", k=5).df.collect()}
+        # doc 1 holds the first occurrence: untouched
+        assert out[1] == "alpha beta " + boiler + " gamma delta"
+        # doc 2 loses exactly the 9-token boilerplate span (its boundary
+        # 5-grams differ between the docs), keeps its unique flanks
+        assert out[2] == "unique two tail ending"
+        assert out[3] == "totally original content here nothing repeated at all okay"
+
+    def test_remove_duplicated_spans_merges_overlaps_and_short_docs(self, con):
+        t = con.memtable(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a b c d e f g h", "a b c d e f g h", "tiny doc"],
+            }
+        )
+        out = {r.doc_id: r.text for r in
+               pl.remove_duplicated_spans(t, "text", "doc_id", k=3).df.collect()}
+        assert out[1] == "a b c d e f g h"   # first occurrence intact
+        assert 2 not in out                   # fully duplicated doc vanishes
+        assert out[3] == "tiny doc"           # shorter than k: never covered
