@@ -2273,6 +2273,25 @@ def _connected_components(spark, sf_dir):
     return pl.connected_components(edges, "a", "b").to_spark()
 
 
+def _pagerank(spark, sf_dir):
+    """Fixed-iteration simplified PageRank (pipeline.pagerank) over the
+    directed part->supplier supply graph: the link-graph centrality
+    signal a web-corpus pipeline uses to weight crawl sources. 3
+    iterations at damping 0.85; per-iteration shape is one key join +
+    one groupBy(dst) shuffle + a node-list left join, lineage cut by
+    localCheckpoint. Ranks are ~1/N (~1e-4 here) so the oracle compares
+    at 9 decimal places — float sum-order drift is ~1e-18 absolute,
+    ten orders of magnitude below the rounding quantum."""
+    from ibis_spark import pipeline as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(li.l_quantity > 45.0)
+    edges = f.select(src=f.l_partkey + 100000, dst=f.l_suppkey).distinct()
+    pr = pl.pagerank(edges, "src", "dst", iters=3, damping=0.85,
+                     id_name="node", rank_name="pr")
+    return pr.select("node", pr=pr.pr.round(9)).to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2282,8 +2301,8 @@ def _connected_components(spark, sf_dir):
 # round-7 operators, both halves of the round) first, then 29 of the 34
 # entries whose latest green sample is r4. The remaining 5 r4-era entries
 # (set_union_distinct/set_intersect/set_difference/window_lag/
-# window_moving_avg, plus not_exists_subquery once funnel joined the
-# window) are each covered by a dedicated differential-fuzz
+# window_moving_avg/in_subquery, plus not_exists_subquery once funnel
+# joined the window) are each covered by a dedicated differential-fuzz
 # family and rotate into the r8 window; everything else was driver-green
 # in r5/r6. The rows-only-by-design trio sits last (no oracle signal).
 _SAMPLE_WINDOW = [
@@ -2292,7 +2311,8 @@ _SAMPLE_WINDOW = [
     "key_skew_stats", "mixture_sample", "ngram_lm_score", "line_dedup",
     "remove_duplicated_spans", "gopher_filter", "domain_quota_sample",
     "decontaminate",
-    "connected_components", "ann_recall", "ann_recall_lsh", "bpe_encode",
+    "connected_components", "pagerank",
+    "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
     "tfidf", "sessionize",
     "distinct_rows", "distinct_keep_none", "distinct_keep_last",
@@ -2301,7 +2321,6 @@ _SAMPLE_WINDOW = [
     "join_asof_forward", "join_asof_nearest", "join_positional",
     "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
     "window_ntile", "window_first_last", "window_nth", "substitute",
-    "in_subquery",
 ]
 
 
@@ -2324,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota_sample": _domain_quota_sample,
         "decontaminate": _decontaminate,
         "connected_components": _connected_components,
+        "pagerank": _pagerank,
         "ann_recall": _ann_recall,
         "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
@@ -3804,6 +3824,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
             SELECT src AS id, MIN(dst) AS component
             FROM reach GROUP BY src
+        """,
+        "pagerank": """
+            -- simplified PageRank, 3 iterations unrolled (the engine's
+            -- fixed-iteration semantics are exactly SQL-reproducible);
+            -- ranks ~1e-4 compared at 9dp, far above float drift
+            WITH e AS (
+              SELECT DISTINCT 100000 + l_partkey AS src, l_suppkey AS dst
+              FROM lineitem WHERE l_quantity > 45.0),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                    FROM e GROUP BY src),
+            r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+            c1 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+                   FROM e JOIN deg d ON e.src = d.src
+                          JOIN r0 r ON e.src = r.id GROUP BY e.dst),
+            r1 AS (SELECT nodes.id,
+                          (1 - 0.85) / nn.n + 0.85 * COALESCE(c1.c, 0) AS rank
+                   FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+            c2 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+                   FROM e JOIN deg d ON e.src = d.src
+                          JOIN r1 r ON e.src = r.id GROUP BY e.dst),
+            r2 AS (SELECT nodes.id,
+                          (1 - 0.85) / nn.n + 0.85 * COALESCE(c2.c, 0) AS rank
+                   FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
+            c3 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+                   FROM e JOIN deg d ON e.src = d.src
+                          JOIN r2 r ON e.src = r.id GROUP BY e.dst),
+            r3 AS (SELECT nodes.id,
+                          (1 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0) AS rank
+                   FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id)
+            SELECT id AS node, ROUND(rank, 9) AS pr FROM r3
         """,
         "sessionize": """
             SELECT event_id, user_id,

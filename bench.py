@@ -84,6 +84,7 @@ HEADLINE = [
     "domain_quota_sample",
     "decontaminate",
     "connected_components",
+    "pagerank",
     "dedup_clusters",
     "mixture_sample",
     "ngram_lm_score",

@@ -64,6 +64,7 @@ __all__ = [
     "domain_quota_sample",
     "decontaminate",
     "connected_components",
+    "pagerank",
     "ann_recall",
     "ivf_centroids",
     "ivf_assign",
@@ -2037,6 +2038,94 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+def pagerank(
+    edges: Table,
+    src: str,
+    dst: str,
+    *,
+    iters: int = 10,
+    damping: float = 0.85,
+    id_name: str = "id",
+    rank_name: str = "rank",
+) -> Table:
+    """Fixed-iteration PageRank over a directed edge list — the
+    link-graph centrality signal web-corpus curation uses to weight
+    crawl domains/pages (the companion to :func:`connected_components`,
+    which handles the undirected clustering side).
+
+    Semantics (the *simplified* formulation, chosen because it is exactly
+    reproducible in plain SQL): ranks start uniform at ``1/N``; each of
+    the ``iters`` rounds computes
+
+        rank'(v) = (1 - damping)/N + damping * sum_{u -> v} rank(u)/outdeg(u)
+
+    Dangling nodes (no out-edges) simply leak their mass rather than
+    redistributing it — deterministic, and the variant the original
+    PageRank paper's iteration also admits. Duplicate edges are
+    collapsed first; self-loops are kept (they are real links).
+
+    Distributed shape: the (src, dst, outdeg) edge relation is built
+    ONCE, hash-partitioned on ``src`` and checkpointed; each iteration
+    is one key-partitioned join (edges x ranks on src, both sides
+    already partitioned on the key after the first round) + one
+    ``groupBy(dst)`` shuffle with map-side partial sums + a broadcast-
+    able left join back onto the node list. ``localCheckpoint`` per
+    iteration cuts the lineage so iteration k does not replan the
+    previous k-1 (same discipline as :func:`connected_components`).
+    ``N`` is one count() action at build time — O(1) rows to the
+    driver, the same cost class as connected_components' convergence
+    probes. No driver-side data loops, no Python in the iteration.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError("damping must be in [0, 1]")
+    e = (
+        edges.df.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
+        .filter(F.col("__src__").isNotNull() & F.col("__dst__").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("__src__").alias(id_name))
+        .union(e.select(F.col("__dst__").alias(id_name)))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("__src__").agg(F.count(F.lit(1)).alias("__deg__"))
+    em = (
+        e.join(outdeg, "__src__")
+        .select("__src__", "__dst__", "__deg__")
+        .localCheckpoint()
+    )
+    base = (1.0 - damping) / n
+    ranks = nodes.select(
+        F.col(id_name), F.lit(1.0 / n).alias(rank_name)
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            em.join(ranks, em["__src__"] == ranks[id_name])
+            .groupBy("__dst__")
+            .agg(
+                F.sum(F.col(rank_name) / F.col("__deg__").cast("double")).alias(
+                    "__c__"
+                )
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes[id_name] == contrib["__dst__"], "left")
+            .select(
+                nodes[id_name],
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("__c__"), F.lit(0.0))
+                ).alias(rank_name),
+            )
+            .localCheckpoint()
+        )
+    return Table(ranks)
 
 
 def mixture_sample(

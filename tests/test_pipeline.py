@@ -1028,3 +1028,67 @@ class TestCorpusCleaning:
         assert out[1] == "a b c d e f g h"   # first occurrence intact
         assert 2 not in out                   # fully duplicated doc vanishes
         assert out[3] == "tiny doc"           # shorter than k: never covered
+
+
+class TestPagerank:
+    def test_cycle_is_uniform(self, con):
+        # 1→2→3→1: uniform 1/3 is the fixed point, every iteration
+        e = con.memtable({"s": [1, 2, 3], "d": [2, 3, 1]})
+        out = {r.id: r.rank for r in pl.pagerank(e, "s", "d", iters=4).df.collect()}
+        assert set(out) == {1, 2, 3}
+        for v in out.values():
+            assert abs(v - 1.0 / 3.0) < 1e-12
+
+    def test_star_one_iteration_hand_computed(self, con):
+        # 1,2,3 → 4; N=4, damping .85, 1 iter:
+        # leaves: 0.15/4 = 0.0375; hub: 0.0375 + 0.85*(3 * 0.25) = 0.675
+        # (hub is dangling — its mass leaks, by the documented semantics)
+        e = con.memtable({"s": [1, 2, 3], "d": [4, 4, 4]})
+        out = {r.id: r.rank for r in pl.pagerank(e, "s", "d", iters=1).df.collect()}
+        assert abs(out[4] - 0.675) < 1e-12
+        for leaf in (1, 2, 3):
+            assert abs(out[leaf] - 0.0375) < 1e-12
+
+    def test_duplicate_edges_collapse(self, con):
+        e1 = con.memtable({"s": [1, 1, 1], "d": [2, 2, 2]})
+        e2 = con.memtable({"s": [1], "d": [2]})
+        r1 = {r.id: r.rank for r in pl.pagerank(e1, "s", "d", iters=2).df.collect()}
+        r2 = {r.id: r.rank for r in pl.pagerank(e2, "s", "d", iters=2).df.collect()}
+        assert r1 == r2
+
+    def test_numpy_differential(self, con):
+        import random
+
+        import numpy as np
+
+        rng = random.Random(1234)
+        n = 40
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(160)})
+        srcs = [a for a, _ in edges]
+        dsts = [b for _, b in edges]
+        t = con.memtable({"s": srcs, "d": dsts})
+        got = {r.id: r.rank
+               for r in pl.pagerank(t, "s", "d", iters=5, damping=0.85).df.collect()}
+        # reference: same simplified formulation in dense numpy
+        nodes = sorted({*srcs, *dsts})
+        idx = {v: i for i, v in enumerate(nodes)}
+        nn = len(nodes)
+        deg = np.zeros(nn)
+        for a, _ in edges:
+            deg[idx[a]] += 1
+        rank = np.full(nn, 1.0 / nn)
+        for _ in range(5):
+            contrib = np.zeros(nn)
+            for a, b in edges:
+                contrib[idx[b]] += rank[idx[a]] / deg[idx[a]]
+            rank = (1 - 0.85) / nn + 0.85 * contrib
+        assert set(got) == set(nodes)
+        for v in nodes:
+            assert abs(got[v] - rank[idx[v]]) < 1e-12
+
+    def test_rejects_bad_params(self, con):
+        e = con.memtable({"s": [1], "d": [2]})
+        with pytest.raises(ValueError, match="iters"):
+            pl.pagerank(e, "s", "d", iters=0)
+        with pytest.raises(ValueError, match="damping"):
+            pl.pagerank(e, "s", "d", damping=1.5)
