@@ -2292,6 +2292,26 @@ def _pagerank(spark, sf_dir):
     return pr.select("node", pr=pr.pr.round(9)).to_spark()
 
 
+def _range_join(spark, sf_dir):
+    """Bucketed interval-containment join (Table.range_join): every order
+    whose total price falls inside a sampled order's ±5% price band.
+    With bucket=5000 the inequality join runs as a hash equi-join on the
+    price bucket (intervals exploded to their overlapping buckets, range
+    predicate as residual) instead of Spark's O(n*m)
+    BroadcastNestedLoopJoin — the pair meets in exactly one bucket, so
+    no dedup pass. The DuckDB oracle is the plain BETWEEN join."""
+    o = _t(spark, sf_dir, "orders")
+    iv = o.filter(o.o_orderkey % 97 == 0)
+    iv = iv.select(
+        i_key=iv.o_orderkey,
+        lo=iv.o_totalprice * 0.95,
+        hi=iv.o_totalprice * 1.05,
+    )
+    pts = o.select(p_key=o.o_orderkey, val=o.o_totalprice)
+    out = pts.range_join(iv, "val", ("lo", "hi"), bucket=5000.0)
+    return out.select("p_key", "i_key", "val").to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2301,17 +2321,17 @@ def _pagerank(spark, sf_dir):
 # round-7 operators, both halves of the round) first, then 29 of the 34
 # entries whose latest green sample is r4. The remaining 5 r4-era entries
 # (set_union_distinct/set_intersect/set_difference/window_lag/
-# window_moving_avg/in_subquery, plus not_exists_subquery once funnel
-# joined the window) are each covered by a dedicated differential-fuzz
-# family and rotate into the r8 window; everything else was driver-green
-# in r5/r6. The rows-only-by-design trio sits last (no oracle signal).
+# window_moving_avg/in_subquery/substitute, plus not_exists_subquery once
+# funnel joined the window) are each covered by a dedicated
+# differential-fuzz family and rotate into the r8 window; everything else
+# was driver-green in r5/r6. The rows-only trio sits last (no signal).
 _SAMPLE_WINDOW = [
     "q2_min_cost_supplier", "q11_important_stock", "q21_suppliers_kept_waiting",
     "dedup_clusters", "funnel", "retention", "embedding_clusters",
     "key_skew_stats", "mixture_sample", "ngram_lm_score", "line_dedup",
     "remove_duplicated_spans", "gopher_filter", "domain_quota_sample",
     "decontaminate",
-    "connected_components", "pagerank",
+    "connected_components", "pagerank", "range_join",
     "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
     "tfidf", "sessionize",
@@ -2320,7 +2340,7 @@ _SAMPLE_WINDOW = [
     "join_left", "join_semi", "join_anti", "join_theta", "join_asof",
     "join_asof_forward", "join_asof_nearest", "join_positional",
     "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
-    "window_ntile", "window_first_last", "window_nth", "substitute",
+    "window_ntile", "window_first_last", "window_nth",
 ]
 
 
@@ -2344,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "connected_components": _connected_components,
         "pagerank": _pagerank,
+        "range_join": _range_join,
         "ann_recall": _ann_recall,
         "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
@@ -3856,6 +3877,18 @@ def oracle_sql() -> dict[str, str]:
                           (1 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0) AS rank
                    FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id)
             SELECT id AS node, ROUND(rank, 9) AS pr FROM r3
+        """,
+        "range_join": """
+            -- plain BETWEEN join; the engine's bucketed equi-join plan
+            -- must produce the identical pair set (each pair meets in
+            -- exactly one price bucket)
+            SELECT p.o_orderkey AS p_key, i.i_key, p.o_totalprice AS val
+            FROM orders p
+            JOIN (SELECT o_orderkey AS i_key,
+                         o_totalprice * 0.95 AS lo,
+                         o_totalprice * 1.05 AS hi
+                  FROM orders WHERE o_orderkey % 97 = 0) i
+              ON p.o_totalprice >= i.lo AND p.o_totalprice <= i.hi
         """,
         "sessionize": """
             SELECT event_id, user_id,

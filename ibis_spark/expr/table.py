@@ -849,6 +849,143 @@ class Table(CoreExpr):
         ]
         return Table(joined.select(*sel))
 
+    def range_join(
+        self,
+        right: "Table",
+        point: str,
+        bounds,
+        *,
+        by=(),
+        how: str = "inner",
+        bucket=None,
+        lname: str = "",
+        rname: str = "{name}_right",
+    ) -> "Table":
+        """Interval-containment join: match each left row whose ``point``
+        column falls inside a right row's ``[lo, hi]`` interval (both ends
+        inclusive), ``bounds=(lo, hi)`` naming the right-side columns.
+        Optional ``by`` adds equi-keys ANDed with the range predicate.
+
+        SCALE — the naive plan is the classic Spark trap: a pure
+        inequality predicate compiles to BroadcastNestedLoopJoin (or a
+        cartesian product), O(|L|·|R|) comparisons. Passing ``bucket=``
+        (a number for numeric points, ``datetime.timedelta`` for
+        temporal ones) switches to a bucketed equi-join: the point maps
+        to ``floor(point/bucket)``, each interval is exploded to the
+        bucket range it overlaps, and the join runs as a plain hash join
+        on (by…, bucket) with the range predicate as a residual filter.
+        Each matching (point, interval) pair meets in EXACTLY one bucket
+        (the point's), so no dedup pass is needed, and ``how="left"``
+        keeps unmatched left rows exactly once. Replication cost is
+        ceil(interval_width / bucket) + 1 right rows per interval —
+        choose ``bucket`` near the typical interval width. Bucket ids
+        use exact integer arithmetic whenever the operands are integral
+        (timestamps → microseconds; integer point/bounds with an integer
+        bucket): double division can land a value one bucket off past
+        2^53, silently dropping a true match at the bucket edge.
+
+        The reference has no interval join either (its asof join is the
+        nearest analogue; ibis/expr/types/joins.py:284); this is a scale
+        extension in the same family as :meth:`salted_join`.
+        """
+        import datetime as _dt
+        import warnings
+
+        if how not in ("inner", "left", "left_outer"):
+            raise ValueError(
+                f"range_join(how={how!r}): only 'inner' and 'left' are "
+                "supported (an unmatched-interval outer join would need a "
+                "dedup pass over the replicated side)"
+            )
+        lo, hi = bounds
+        by_pairs = [(b, b) if isinstance(b, str) else b for b in _tuplize(by)]
+        ldf, rdf = self._df, right._df
+        lcols, rcols = list(ldf.columns), list(rdf.columns)
+
+        def _project(joined, l2, r2):
+            overlap = set(lcols) & set(rcols)
+            sel = [
+                l2[c].alias(lname.format(name=c)) if (c in overlap and lname) else l2[c]
+                for c in lcols
+            ]
+            sel += [
+                r2[c].alias(rname.format(name=c)) if c in overlap else r2[c]
+                for c in rcols
+            ]
+            return Table(joined.select(*sel))
+
+        if bucket is None:
+            if not by_pairs:
+                warnings.warn(
+                    "range_join without `by` keys or `bucket=` executes as "
+                    "a nested-loop join (O(n*m) comparisons) — pass "
+                    "`bucket=` sized near the typical interval width for "
+                    "the hash-join plan",
+                    stacklevel=2,
+                )
+            cond = (ldf[point] >= rdf[lo]) & (ldf[point] <= rdf[hi])
+            for lb, rb in by_pairs:
+                cond = cond & (ldf[lb] == rdf[rb])
+            return _project(ldf.join(rdf, cond, how), ldf, rdf)
+
+        temporal = _is_temporal(ldf, point)
+        _ints = ("tinyint", "smallint", "int", "bigint")
+        if temporal:
+            if not isinstance(bucket, _dt.timedelta) or bucket <= _dt.timedelta(0):
+                raise ValueError(
+                    "temporal range_join needs a positive datetime.timedelta bucket"
+                )
+            width = bucket // _dt.timedelta(microseconds=1)  # exact micros
+            l2 = ldf.withColumn(
+                "__rj_src__", F.unix_micros(ldf[point].cast("timestamp"))
+            )
+            r2 = rdf.withColumn(
+                "__rj_lo__", F.unix_micros(rdf[lo].cast("timestamp"))
+            ).withColumn("__rj_hi__", F.unix_micros(rdf[hi].cast("timestamp")))
+            exact = True
+        else:
+            if isinstance(bucket, bool) or not isinstance(bucket, (int, float)) or bucket <= 0:
+                raise ValueError("numeric range_join needs a positive numeric bucket")
+            exact = (
+                isinstance(bucket, int)
+                and ldf.schema[point].dataType.simpleString() in _ints
+                and rdf.schema[lo].dataType.simpleString() in _ints
+                and rdf.schema[hi].dataType.simpleString() in _ints
+            )
+            width = bucket if exact else float(bucket)
+            l2 = ldf.withColumn("__rj_src__", ldf[point])
+            r2 = rdf.withColumn("__rj_lo__", rdf[lo]).withColumn("__rj_hi__", rdf[hi])
+
+        if exact:
+            # pure-integer floor division (pmod >= 0 for a positive divisor,
+            # so the adjusted numerator divides exactly and `div` == floor)
+            def _bkt(name):
+                return F.expr(f"(({name}) - pmod(({name}), {width})) div {width}")
+        else:
+            def _bkt(name):
+                return F.floor(F.col(name) / F.lit(width))
+
+        l2 = l2.withColumn("__rj_bkt__", _bkt("__rj_src__"))
+        r2 = (
+            r2.withColumn("__rj_b0__", _bkt("__rj_lo__"))
+            .withColumn("__rj_b1__", _bkt("__rj_hi__"))
+            .filter(F.col("__rj_b0__") <= F.col("__rj_b1__"))
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(F.col("__rj_b0__"), F.col("__rj_b1__"))
+                ).alias("__rj_bkt__"),
+            )
+        )
+        cond = (
+            (l2["__rj_bkt__"] == r2["__rj_bkt__"])
+            & (l2[point] >= r2[lo])
+            & (l2[point] <= r2[hi])
+        )
+        for lb, rb in by_pairs:
+            cond = cond & (l2[lb] == r2[rb])
+        return _project(l2.join(r2, cond, how), l2, r2)
+
     def positional_join(self, right) -> "Table":
         """Positional join (relations.py:213): zip rows by position.
 

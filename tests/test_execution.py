@@ -470,3 +470,90 @@ class TestRound7Fixes:
         with concurrent.futures.ThreadPoolExecutor(8) as ex:
             got = list(ex.map(run, range(8)))
         assert got == [3 * i for i in range(8)]
+
+
+class TestRangeJoin:
+    def _mk(self, con, n=300, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        pts = {"pid": list(range(n)),
+               "v": [rng.randint(-500, 500) for _ in range(n)]}
+        ivs = {"iid": list(range(40))}
+        lo = [rng.randint(-520, 480) for _ in range(40)]
+        ivs["lo"] = lo
+        ivs["hi"] = [l + rng.randint(0, 90) for l in lo]
+        return con.memtable(pts), con.memtable(ivs)
+
+    def _pairs(self, t):
+        return sorted((r.pid, r.iid) for r in t.df.select("pid", "iid").collect())
+
+    def test_bucketed_matches_naive_integer(self, con):
+        import warnings
+
+        pts, ivs = self._mk(con)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            naive = self._pairs(pts.range_join(ivs, "v", ("lo", "hi")))
+        for bucket in (1, 7, 64, 1000):  # narrower and wider than intervals
+            got = self._pairs(pts.range_join(ivs, "v", ("lo", "hi"), bucket=bucket))
+            assert got == naive, f"bucket={bucket}"
+
+    def test_bucketed_matches_naive_float_and_bounds_inclusive(self, con):
+        import warnings
+
+        pts = con.memtable({"pid": [1, 2, 3, 4], "v": [0.5, 1.0, 2.0, 2.5]})
+        ivs = con.memtable({"iid": [10], "lo": [1.0], "hi": [2.0]})
+        got = self._pairs(pts.range_join(ivs, "v", ("lo", "hi"), bucket=0.25))
+        assert got == [(2, 10), (3, 10)]  # both ends inclusive
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            assert got == self._pairs(pts.range_join(ivs, "v", ("lo", "hi")))
+
+    def test_left_join_keeps_unmatched_once(self, con):
+        pts = con.memtable({"pid": [1, 2], "v": [5, 500]})
+        ivs = con.memtable({"iid": [10, 11], "lo": [0, 3], "hi": [9, 7]})
+        out = sorted((r.pid, r.iid)
+                     for r in pts.range_join(ivs, "v", ("lo", "hi"),
+                                             bucket=2, how="left")
+                     .df.select("pid", "iid").collect())
+        assert out == [(1, 10), (1, 11), (2, None)]
+
+    def test_by_keys_and_temporal_bucket(self, con):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        pts = con.memtable({
+            "pid": [1, 2, 3],
+            "g": ["a", "a", "b"],
+            "ts": [base + dt.timedelta(minutes=m) for m in (10, 200, 10)],
+        })
+        ivs = con.memtable({
+            "iid": [10, 11],
+            "g": ["a", "b"],
+            "lo": [base, base + dt.timedelta(minutes=5)],
+            "hi": [base + dt.timedelta(hours=1), base + dt.timedelta(minutes=20)],
+        })
+        out = sorted((r.pid, r.iid)
+                     for r in pts.range_join(ivs, "ts", ("lo", "hi"), by="g",
+                                             bucket=dt.timedelta(minutes=15))
+                     .df.select("pid", "iid").collect())
+        # pid1 in a's window; pid2 past it; pid3 matches b's (not a's)
+        assert out == [(1, 10), (3, 11)]
+
+    def test_collision_rename_and_validation(self, con):
+        import datetime as dt
+
+        pts = con.memtable({"k": [1], "v": [5]})
+        ivs = con.memtable({"k": [9], "lo": [0], "hi": [9]})
+        out = pts.range_join(ivs, "v", ("lo", "hi"), bucket=5)
+        assert list(out.df.columns) == ["k", "v", "k_right", "lo", "hi"]
+        with pytest.raises(ValueError, match="inner"):
+            pts.range_join(ivs, "v", ("lo", "hi"), how="outer")
+        with pytest.raises(ValueError, match="positive numeric"):
+            pts.range_join(ivs, "v", ("lo", "hi"), bucket=-3)
+        tpt = con.memtable({"ts": [dt.datetime(2024, 1, 1)]})
+        tiv = con.memtable({"lo": [dt.datetime(2024, 1, 1)],
+                            "hi": [dt.datetime(2024, 1, 2)]})
+        with pytest.raises(ValueError, match="timedelta"):
+            tpt.range_join(tiv, "ts", ("lo", "hi"), bucket=60)

@@ -299,3 +299,14 @@ def test_mixture_lm_cluster_plan_shapes(plans):
     p = plans("ngram_lm_score")
     assert "CartesianProduct" not in p
     assert "Python" not in p
+
+
+def test_range_join_bucketed_is_hash_join(plans):
+    """range_join(bucket=...) must run as a hash equi-join on the bucket
+    id, never the BroadcastNestedLoopJoin/Cartesian the raw inequality
+    predicate would compile to; pagerank's per-iteration joins are
+    likewise all equi (checkpointed RDD scans, no nested loops)."""
+    p = plans("range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
