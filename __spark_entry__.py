@@ -2312,6 +2312,21 @@ def _range_join(spark, sf_dir):
     return out.select("p_key", "i_key", "val").to_spark()
 
 
+def _gap_fill(spark, sf_dir):
+    """Time-series densification (Table.gap_fill): per-user 6-hour grid
+    over events with avg(value) per bucket, empty buckets forward-filled
+    — pandas resample().agg().ffill() as three keyed exchanges. Rounded
+    to 6dp AFTER the fill (both engines propagate then round, so float
+    sum-order drift cannot survive the fill boundary differently)."""
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.gap_fill(
+        "ts", dt.timedelta(hours=6), {"value": "avg"}, by="user_id"
+    )
+    return out.select("user_id", "ts", value=out.value.round(6)).to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2321,17 +2336,18 @@ def _range_join(spark, sf_dir):
 # round-7 operators, both halves of the round) first, then 29 of the 34
 # entries whose latest green sample is r4. The remaining 5 r4-era entries
 # (set_union_distinct/set_intersect/set_difference/window_lag/
-# window_moving_avg/in_subquery/substitute, plus not_exists_subquery once
-# funnel joined the window) are each covered by a dedicated
-# differential-fuzz family and rotate into the r8 window; everything else
-# was driver-green in r5/r6. The rows-only trio sits last (no signal).
+# window_moving_avg/in_subquery/substitute/window_nth, plus
+# not_exists_subquery once funnel joined the window) are each covered by
+# a dedicated differential-fuzz family and rotate into the r8 window;
+# everything else was driver-green in r5/r6. The rows-only trio sits
+# last (no oracle signal).
 _SAMPLE_WINDOW = [
     "q2_min_cost_supplier", "q11_important_stock", "q21_suppliers_kept_waiting",
     "dedup_clusters", "funnel", "retention", "embedding_clusters",
     "key_skew_stats", "mixture_sample", "ngram_lm_score", "line_dedup",
     "remove_duplicated_spans", "gopher_filter", "domain_quota_sample",
     "decontaminate",
-    "connected_components", "pagerank", "range_join",
+    "connected_components", "pagerank", "range_join", "gap_fill",
     "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
     "tfidf", "sessionize",
@@ -2340,7 +2356,7 @@ _SAMPLE_WINDOW = [
     "join_left", "join_semi", "join_anti", "join_theta", "join_asof",
     "join_asof_forward", "join_asof_nearest", "join_positional",
     "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
-    "window_ntile", "window_first_last", "window_nth",
+    "window_ntile", "window_first_last",
 ]
 
 
@@ -2365,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _connected_components,
         "pagerank": _pagerank,
         "range_join": _range_join,
+        "gap_fill": _gap_fill,
         "ann_recall": _ann_recall,
         "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
@@ -3889,6 +3906,28 @@ def oracle_sql() -> dict[str, str]:
                          o_totalprice * 1.05 AS hi
                   FROM orders WHERE o_orderkey % 97 = 0) i
               ON p.o_totalprice >= i.lo AND p.o_totalprice <= i.hi
+        """,
+        "gap_fill": """
+            -- resample + ffill: TIME_BUCKET matches the engine's
+            -- epoch-aligned F.window start; forward fill via
+            -- last_value IGNORE NULLS over the densified spine
+            WITH b AS (
+              SELECT user_id, TIME_BUCKET(INTERVAL '6 hours', ts) AS tb,
+                     AVG(value) AS v
+              FROM events GROUP BY 1, 2),
+            span AS (
+              SELECT user_id, MIN(tb) AS lo, MAX(tb) AS hi
+              FROM b GROUP BY 1),
+            spine AS (
+              SELECT user_id,
+                     UNNEST(generate_series(lo, hi, INTERVAL '6 hours')) AS tb
+              FROM span)
+            SELECT s.user_id, s.tb AS ts,
+                   ROUND(LAST_VALUE(b.v IGNORE NULLS) OVER (
+                     PARTITION BY s.user_id ORDER BY s.tb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                     AS value
+            FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.tb = b.tb
         """,
         "sessionize": """
             SELECT event_id, user_id,

@@ -986,6 +986,109 @@ class Table(CoreExpr):
             cond = cond & (l2[lb] == r2[rb])
         return _project(l2.join(r2, cond, how), l2, r2)
 
+    def gap_fill(
+        self,
+        time_col: str,
+        every,
+        aggs: dict,
+        *,
+        by=(),
+        fill: str = "ffill",
+        fill_value=None,
+    ) -> "Table":
+        """Resample an event stream onto a regular time grid and fill the
+        gaps — ``pandas .resample(every).agg(aggs).ffill()`` re-expressed
+        as three keyed exchanges (the time-series densification step the
+        reference leaves to pandas).
+
+        ``every`` is a ``datetime.timedelta``; ``aggs`` maps column ->
+        one of ``avg/sum/min/max/count`` (deterministic reductions — a
+        "last observed" variant would need a tiebreak contract);
+        ``fill="ffill"`` forward-fills empty buckets from the previous
+        bucket per ``by`` group (``fill=None`` leaves them null);
+        ``fill_value`` patches whatever remains null (leading gaps).
+
+        Plan shape: (1) one groupBy(by, bucket) shuffle with map-side
+        partial aggs; (2) one groupBy(by) min/max span agg; (3) the
+        spine = sequence(lo, hi, every) exploded per group joined back on
+        (by, bucket); (4) the forward fill is a running
+        ``last(ignorenulls)`` window per group ordered by bucket — state
+        is one value per column, buckets per group are span/every. The
+        spine is generated as one in-memory array per group before
+        exploding: size a group's span/``every`` accordingly (a year at
+        1-second grain is 31M entries — use a coarser grid or finer
+        ``by``). Buckets are epoch-aligned tumbling windows
+        (``F.window(...).start`` — identical to DuckDB TIME_BUCKET).
+        """
+        import datetime as _dt
+        import warnings
+
+        if not isinstance(every, _dt.timedelta) or every <= _dt.timedelta(0):
+            raise ValueError("every must be a positive datetime.timedelta")
+        if fill not in ("ffill", None):
+            raise ValueError("fill must be 'ffill' or None")
+        allowed = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+                   "count": F.count}
+        bad = [c for c, a in aggs.items() if a not in allowed]
+        if bad:
+            raise ValueError(
+                f"unsupported agg for {bad}: choose from {sorted(allowed)}"
+            )
+        if time_col in aggs:
+            raise ValueError("time_col cannot also be an agg column")
+        by = list(_tuplize(by))
+        if not by:
+            warnings.warn(
+                "gap_fill without `by` builds one global spine and fills "
+                "through a single-partition window — fine for small "
+                "inputs; pass `by=` group keys at scale",
+                stacklevel=2,
+            )
+        micros = every // _dt.timedelta(microseconds=1)
+        dur = f"{micros} microsecond"
+        df = self._df
+        bkt = F.window(F.col(time_col).cast("timestamp"), dur)["start"]
+        bucketed = (
+            df.withColumn("__gf_b__", bkt)
+            .groupBy(*by, "__gf_b__")
+            .agg(*[allowed[a](F.col(c)).alias(c) for c, a in aggs.items()])
+        )
+        span = bucketed.groupBy(*by).agg(
+            F.min("__gf_b__").alias("__gf_lo__"), F.max("__gf_b__").alias("__gf_hi__")
+        )
+        spine = span.select(
+            *by,
+            F.explode(
+                F.sequence(
+                    F.col("__gf_lo__"), F.col("__gf_hi__"), F.expr(f"interval {dur}")
+                )
+            ).alias("__gf_b__"),
+        )
+        out = spine.join(bucketed, on=by + ["__gf_b__"], how="left")
+        cols = list(aggs)
+        if fill == "ffill":
+            from pyspark.sql.window import Window as W
+
+            w = (
+                W.partitionBy(*by)
+                .orderBy("__gf_b__")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            out = out.select(
+                *by,
+                "__gf_b__",
+                *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in cols],
+            )
+        if fill_value is not None:
+            out = out.select(
+                *by,
+                "__gf_b__",
+                *[F.coalesce(F.col(c), F.lit(fill_value)).alias(c) for c in cols],
+            )
+        return Table(out.withColumnRenamed("__gf_b__", time_col).select(
+            *by, time_col, *cols
+        ))
+
     def positional_join(self, right) -> "Table":
         """Positional join (relations.py:213): zip rows by position.
 

@@ -557,3 +557,62 @@ class TestRangeJoin:
                             "hi": [dt.datetime(2024, 1, 2)]})
         with pytest.raises(ValueError, match="timedelta"):
             tpt.range_join(tiv, "ts", ("lo", "hi"), bucket=60)
+
+
+class TestGapFill:
+    def test_hand_computed_ffill(self, con):
+        import datetime as dt
+
+        h = lambda x: dt.datetime(2024, 1, 1) + dt.timedelta(hours=x)
+        t = con.memtable({
+            "g": ["a", "a", "a", "b"],
+            "ts": [h(0), h(0.5), h(3), h(1)],
+            "v": [10.0, 20.0, 40.0, 7.0],
+        })
+        out = t.gap_fill("ts", dt.timedelta(hours=1), {"v": "avg"}, by="g")
+        rows = sorted((r.g, r.ts, r.v) for r in out.df.collect())
+        # a: bucket 0 avg(10,20)=15, buckets 1-2 filled with 15, bucket 3 = 40
+        assert rows == [
+            ("a", h(0), 15.0), ("a", h(1), 15.0), ("a", h(2), 15.0),
+            ("a", h(3), 40.0), ("b", h(1), 7.0),
+        ]
+
+    def test_no_fill_leaves_nulls_and_fill_value(self, con):
+        import datetime as dt
+
+        h = lambda x: dt.datetime(2024, 1, 1) + dt.timedelta(hours=x)
+        t = con.memtable({"g": ["a", "a"], "ts": [h(0), h(2)], "v": [1.0, 3.0]})
+        out = t.gap_fill("ts", dt.timedelta(hours=1), {"v": "sum"}, by="g",
+                         fill=None)
+        got = {r.ts: r.v for r in out.df.collect()}
+        assert got == {h(0): 1.0, h(1): None, h(2): 3.0}
+        out2 = t.gap_fill("ts", dt.timedelta(hours=1), {"v": "sum"}, by="g",
+                          fill=None, fill_value=0.0)
+        assert {r.ts: r.v for r in out2.df.collect()} == {
+            h(0): 1.0, h(1): 0.0, h(2): 3.0}
+
+    def test_count_and_multiple_aggs(self, con):
+        import datetime as dt
+
+        h = lambda x: dt.datetime(2024, 1, 1) + dt.timedelta(hours=x)
+        t = con.memtable({"g": ["a"] * 3, "ts": [h(0), h(0), h(2)],
+                          "v": [1.0, 5.0, 9.0]})
+        out = t.gap_fill("ts", dt.timedelta(hours=1), {"v": "max"}, by="g")
+        got = {r.ts: r.v for r in out.df.collect()}
+        assert got == {h(0): 5.0, h(1): 5.0, h(2): 9.0}
+
+    def test_validation_and_global_warning(self, con):
+        import datetime as dt
+        import warnings
+
+        t = con.memtable({"ts": [dt.datetime(2024, 1, 1)], "v": [1.0]})
+        with pytest.raises(ValueError, match="timedelta"):
+            t.gap_fill("ts", 3600, {"v": "avg"})
+        with pytest.raises(ValueError, match="unsupported agg"):
+            t.gap_fill("ts", dt.timedelta(hours=1), {"v": "median"})
+        with pytest.raises(ValueError, match="time_col"):
+            t.gap_fill("ts", dt.timedelta(hours=1), {"ts": "count"})
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            t.gap_fill("ts", dt.timedelta(hours=1), {"v": "avg"}).df.collect()
+        assert any("global spine" in str(w.message) for w in rec)
