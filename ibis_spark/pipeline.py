@@ -65,6 +65,9 @@ __all__ = [
     "decontaminate",
     "connected_components",
     "pagerank",
+    "sketch_nunique",
+    "sketch_rollup",
+    "sketch_estimate",
     "ann_recall",
     "ivf_centroids",
     "ivf_assign",
@@ -2038,6 +2041,68 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+def sketch_nunique(
+    t: Table,
+    group_by,
+    col: str,
+    *,
+    lg_k: int = 12,
+    name: str = "nunique_sketch",
+) -> Table:
+    """Build mergeable HyperLogLog distinct-count sketches per group —
+    the incremental-rollup pattern for 100 TB pipelines: materialize one
+    small sketch row per (day, domain, …) partition as data lands, then
+    answer "distinct users over any date range / domain subset" by
+    merging sketches with :func:`sketch_rollup` WITHOUT re-reading the
+    raw data. Backed by Spark's Apache DataSketches HLL
+    (``hll_sketch_agg``): sketches are ~``2^lg_k`` bytes and merge with
+    NO loss beyond the sketch's own error bound — but not bit-for-bit
+    (DataSketches HLL keeps small sets in an exact coupon list and only
+    densifies later, so a union of dense daily sketches can differ from
+    the direct sketch by a register or two: measured 601 vs 596 on 600
+    true distinct at lg_k=12; both inside the ~1.6% bound, which is what
+    the test pins). The estimate is deterministic for a given input set
+    (hash-based, no RNG).
+    Map-side partial aggregation applies: one key-partitioned shuffle of
+    sketch bytes, never of raw values."""
+    group_by = list(_seq(group_by))
+    agg = F.hll_sketch_agg(F.col(col), lg_k).alias(name)
+    df = t.df.groupBy(*group_by).agg(agg) if group_by else t.df.agg(agg)
+    return Table(df)
+
+
+def sketch_rollup(
+    t: Table,
+    group_by,
+    sketch_col: str = "nunique_sketch",
+    *,
+    name: str = "nunique_sketch",
+) -> Table:
+    """Merge HLL sketches up a coarser grouping (day→month, domain→TLD,
+    …): ``hll_union_agg`` over the sketch column. Input rows are one
+    sketch each, so this shuffles kilobytes per group regardless of how
+    many raw rows the sketches summarize."""
+    group_by = list(_seq(group_by))
+    agg = F.hll_union_agg(F.col(sketch_col), True).alias(name)
+    df = t.df.groupBy(*group_by).agg(agg) if group_by else t.df.agg(agg)
+    return Table(df)
+
+
+def sketch_estimate(col):
+    """Distinct-count estimate from an HLL sketch column (or column
+    name): ``hll_sketch_estimate``, returns bigint."""
+    c = unwrap(col) if not isinstance(col, str) else F.col(col)
+    return wrap(F.hll_sketch_estimate(c))
+
+
+def _seq(x):
+    if x is None:
+        return ()
+    if isinstance(x, str):
+        return (x,)
+    return tuple(x)
 
 
 def pagerank(

@@ -1092,3 +1092,52 @@ class TestPagerank:
             pl.pagerank(e, "s", "d", iters=0)
         with pytest.raises(ValueError, match="damping"):
             pl.pagerank(e, "s", "d", damping=1.5)
+
+
+class TestHllSketches:
+    def test_rollup_equals_direct_and_is_accurate(self, con):
+        import datetime as dt
+
+        # 3 "days" x overlapping user sets; distinct users = 0..599
+        days, users = [], []
+        for d in range(3):
+            for u in range(d * 150, d * 150 + 300):
+                days.append(dt.date(2024, 1, 1) + dt.timedelta(days=d))
+                users.append(u)
+        t = con.memtable({"day": days, "user_id": users})
+        daily = pl.sketch_nunique(t, "day", "user_id", lg_k=12)
+        assert daily.df.count() == 3
+        merged = pl.sketch_rollup(daily, ())
+        est = merged.select(n=pl.sketch_estimate("nunique_sketch")).df.collect()[0].n
+        direct = (
+            pl.sketch_nunique(t, (), "user_id", lg_k=12)
+            .select(n=pl.sketch_estimate("nunique_sketch"))
+            .df.collect()[0]
+            .n
+        )
+        # rollup-of-daily and direct-over-raw both land inside the HLL
+        # error bound (~1.6% at lg_k=12; 5% is a generous ceiling). They
+        # are NOT bit-identical: DataSketches keeps small sets as exact
+        # coupon lists and densifies later, so merge order can shift a
+        # register (measured 601 vs 596 here) — the contract is the
+        # bound, not the bits.
+        assert abs(est - 600) <= 600 * 0.05
+        assert abs(direct - 600) <= 600 * 0.05
+        assert abs(est - direct) <= 600 * 0.05
+
+    def test_partial_rollup_groups(self, con):
+        t = con.memtable({
+            "domain": ["a.com", "a.com", "b.org", "b.org"],
+            "day": [1, 2, 1, 2],
+            "user_id": [1, 2, 3, 1],
+        })
+        daily = pl.sketch_nunique(t, ["domain", "day"], "user_id")
+        by_dom = pl.sketch_rollup(daily, "domain")
+        got = {
+            r.domain: r.n
+            for r in by_dom.select(
+                "domain", n=pl.sketch_estimate("nunique_sketch")
+            ).df.collect()
+        }
+        # tiny cardinalities: HLL is exact
+        assert got == {"a.com": 2, "b.org": 2}
