@@ -2327,6 +2327,21 @@ def _gap_fill(spark, sf_dir):
     return out.select("user_id", "ts", value=out.value.round(6)).to_spark()
 
 
+def _weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (pipeline.weighted_sample, Efraimidis–Spirakis): top-500 orders by
+    ln(u)/w with a reproducible md5-derived uniform u and w =
+    o_totalprice. Scan + TakeOrderedAndProject, no shuffle. The uniform
+    is byte-identical in DuckDB (same hex-prefix -> double), and the
+    score is rounded to 9dp before ranking so 1-ulp libm ln differences
+    collapse to the shared o_orderkey tiebreak."""
+    from ibis_spark import pipeline as pl
+
+    o = _t(spark, sf_dir, "orders")
+    out = pl.weighted_sample(o, "o_orderkey", "o_totalprice", 500, salt="ws7")
+    return out.select("o_orderkey", "score").to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2336,7 +2351,8 @@ def _gap_fill(spark, sf_dir):
 # round-7 operators, both halves of the round) first, then 29 of the 34
 # entries whose latest green sample is r4. The remaining 5 r4-era entries
 # (set_union_distinct/set_intersect/set_difference/window_lag/
-# window_moving_avg/in_subquery/substitute/window_nth, plus
+# window_moving_avg/in_subquery/substitute/window_nth/window_first_last,
+# plus
 # not_exists_subquery once funnel joined the window) are each covered by
 # a dedicated differential-fuzz family and rotate into the r8 window;
 # everything else was driver-green in r5/r6. The rows-only trio sits
@@ -2348,6 +2364,7 @@ _SAMPLE_WINDOW = [
     "remove_duplicated_spans", "gopher_filter", "domain_quota_sample",
     "decontaminate",
     "connected_components", "pagerank", "range_join", "gap_fill",
+    "weighted_sample",
     "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
     "tfidf", "sessionize",
@@ -2356,7 +2373,7 @@ _SAMPLE_WINDOW = [
     "join_left", "join_semi", "join_anti", "join_theta", "join_asof",
     "join_asof_forward", "join_asof_nearest", "join_positional",
     "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
-    "window_ntile", "window_first_last",
+    "window_ntile",
 ]
 
 
@@ -2382,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _pagerank,
         "range_join": _range_join,
         "gap_fill": _gap_fill,
+        "weighted_sample": _weighted_sample,
         "ann_recall": _ann_recall,
         "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
@@ -3928,6 +3946,20 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                      AS value
             FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.tb = b.tb
+        """,
+        "weighted_sample": """
+            -- Efraimidis–Spirakis keys from the SAME md5-derived uniform
+            -- the engine draws (hex prefix -> identical IEEE double);
+            -- 9dp rounding before ranking absorbs 1-ulp libm LN drift
+            WITH s AS (
+              SELECT o_orderkey,
+                     ROUND(LN(
+                       (('0x' || substr(md5('ws7' || CAST(o_orderkey AS VARCHAR)), 1, 15))::UBIGINT::DOUBLE + 0.5)
+                       / 1152921504606846976.0
+                     ) / o_totalprice, 9) AS score
+              FROM orders WHERE o_totalprice > 0)
+            SELECT o_orderkey, score FROM s
+            ORDER BY score DESC, o_orderkey LIMIT 500
         """,
         "sessionize": """
             SELECT event_id, user_id,

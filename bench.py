@@ -85,6 +85,9 @@ HEADLINE = [
     "decontaminate",
     "connected_components",
     "pagerank",
+    "range_join",
+    "gap_fill",
+    "weighted_sample",
     "dedup_clusters",
     "mixture_sample",
     "ngram_lm_score",

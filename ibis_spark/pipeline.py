@@ -46,6 +46,7 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "hash_sample",
+    "weighted_sample",
     "mixture_sample",
     "ngram_lm_score",
     "hash_split",
@@ -1243,6 +1244,58 @@ def hash_sample(t: Table, fraction: float, key_col: str, *, salt: str = "") -> T
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     h = _hash_bucket(F.col(key_col), salt)
     return Table(t.df.filter(h < F.lit(_hex_threshold(float(fraction)))))
+
+
+def weighted_sample(
+    t: Table,
+    key_col: str,
+    weight_col,
+    n: int,
+    *,
+    salt: str = "",
+    score_name: str = "score",
+) -> Table:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-Res): keep the ``n`` rows with the largest
+    ``ln(u)/w`` where ``u`` is a reproducible md5-derived uniform per
+    key and ``w`` the row's weight — each row's inclusion probability is
+    proportional to its weight, with NO randomness: the same (key, salt)
+    always draws the same ``u`` across runs, engines, and cluster sizes
+    (the :func:`hash_sample` determinism contract, extended to weighted
+    draws — importance-sampling a training mix by quality score, at
+    scale, resumably).
+
+    Distributed shape: a pure scan computing the score + one
+    TakeOrderedAndProject (per-partition top-n, merged on the driver) —
+    no full sort, no shuffle of the data itself. Rows with NULL or
+    non-positive weight are excluded (ln(u)/w would invert the order
+    for w<0 and divide-by-zero for w=0).
+
+    The score is rounded to 9dp before ranking so the DuckDB oracle
+    orders identically despite 1-ulp libm ``ln`` differences (sub-1e-9
+    near-ties collapse to the ``key_col`` tiebreak on both engines);
+    ``u`` itself is byte-identical across engines (hex md5 prefix → the
+    same IEEE double).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = unwrap(weight_col) if not isinstance(weight_col, str) else F.col(weight_col)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**15))
+    score = F.round(F.log(u) / w.cast("double"), 9)
+    df = (
+        t.df.filter(w.isNotNull() & (w.cast("double") > 0))
+        .withColumn(score_name, score)
+        .orderBy(F.col(score_name).desc(), F.col(key_col))
+        .limit(n)
+    )
+    return Table(df)
 
 
 def hash_split(

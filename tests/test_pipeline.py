@@ -1141,3 +1141,49 @@ class TestHllSketches:
         }
         # tiny cardinalities: HLL is exact
         assert got == {"a.com": 2, "b.org": 2}
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_biased(self, con):
+        # 2000 keys: half weight 10.0, half weight 0.1 — the heavy half
+        # should dominate a 200-row sample, and reruns are identical
+        ks = list(range(2000))
+        ws = [10.0 if k % 2 == 0 else 0.1 for k in ks]
+        t = con.memtable({"k": ks, "w": ws})
+        s1 = [r.k for r in pl.weighted_sample(t, "k", "w", 200).df.collect()]
+        s2 = [r.k for r in pl.weighted_sample(t, "k", "w", 200).df.collect()]
+        assert s1 == s2
+        heavy = sum(1 for k in s1 if k % 2 == 0)
+        assert heavy > 180  # P(heavy) per draw ~ 100:1 odds
+        assert len(s1) == len(set(s1)) == 200  # without replacement
+
+    def test_salt_varies_and_nonpositive_weights_excluded(self, con):
+        t = con.memtable({"k": [1, 2, 3, 4, 5],
+                          "w": [1.0, 1.0, 0.0, -2.0, None]})
+        out = pl.weighted_sample(t, "k", "w", 5)
+        assert sorted(r.k for r in out.df.collect()) == [1, 2]
+        a = [r.k for r in pl.weighted_sample(t, "k", "w", 1, salt="a").df.collect()]
+        ks = list(range(50))
+        big = con.memtable({"k": ks, "w": [1.0] * 50})
+        sa = {r.k for r in pl.weighted_sample(big, "k", "w", 10, salt="a").df.collect()}
+        sb = {r.k for r in pl.weighted_sample(big, "k", "w", 10, salt="b").df.collect()}
+        assert sa != sb  # different salts draw different uniforms
+
+    def test_inclusion_probability_tracks_weight(self, con):
+        # law-of-large-numbers check across disjoint salts: a weight-3
+        # item should appear ~3x as often as a weight-1 item
+        ks = list(range(300))
+        ws = [3.0 if k < 150 else 1.0 for k in ks]
+        t = con.memtable({"k": ks, "w": ws})
+        counts = {k: 0 for k in ks}
+        for salt in map(str, range(8)):
+            for r in pl.weighted_sample(t, "k", "w", 60, salt=salt).df.collect():
+                counts[r.k] += 1
+        heavy = sum(counts[k] for k in range(150))
+        light = sum(counts[k] for k in range(150, 300))
+        assert heavy / max(light, 1) > 2.0
+
+    def test_rejects_bad_n(self, con):
+        t = con.memtable({"k": [1], "w": [1.0]})
+        with pytest.raises(ValueError, match="n must"):
+            pl.weighted_sample(t, "k", "w", 0)
