@@ -2342,6 +2342,34 @@ def _weighted_sample(spark, sf_dir):
     return out.select("o_orderkey", "score").to_spark()
 
 
+def _quantile_filter(spark, sf_dir):
+    """Distribution-relative outlier trim (pipeline.quantile_filter):
+    keep documents whose length sits inside the corpus's own [p05, p95]
+    band. One exact-percentile 1-row aggregate broadcast back into the
+    scan filter; DuckDB's QUANTILE_CONT interpolates identically."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select("doc_id", ln=d.text.length())
+    out = pl.quantile_filter(dd, "ln", 0.05, 0.95)
+    return out.select("doc_id", "ln").to_spark()
+
+
+def _corpus_divergence(spark, sf_dir):
+    """Token-level Jensen–Shannon divergence between the even- and
+    odd-doc_id halves of the documents corpus
+    (pipeline.corpus_divergence): the data-mix diagnostic. Top-25
+    tokens by contribution; probabilities and contributions rounded to
+    9dp BEFORE ranking so cross-engine 1-ulp ln drift collapses to the
+    token tiebreak."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(d.doc_id % 2 == 0)
+    b = d.filter(d.doc_id % 2 == 1)
+    return pl.corpus_divergence(a, b, "text", top_k=25).to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2351,8 +2379,8 @@ def _weighted_sample(spark, sf_dir):
 # round-7 operators, both halves of the round) first, then 29 of the 34
 # entries whose latest green sample is r4. The remaining 5 r4-era entries
 # (set_union_distinct/set_intersect/set_difference/window_lag/
-# window_moving_avg/in_subquery/substitute/window_nth/window_first_last,
-# plus
+# window_moving_avg/in_subquery/substitute/window_nth/window_first_last/
+# window_cumsum/window_ntile, plus
 # not_exists_subquery once funnel joined the window) are each covered by
 # a dedicated differential-fuzz family and rotate into the r8 window;
 # everything else was driver-green in r5/r6. The rows-only trio sits
@@ -2364,7 +2392,7 @@ _SAMPLE_WINDOW = [
     "remove_duplicated_spans", "gopher_filter", "domain_quota_sample",
     "decontaminate",
     "connected_components", "pagerank", "range_join", "gap_fill",
-    "weighted_sample",
+    "weighted_sample", "quantile_filter", "corpus_divergence",
     "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
     "tfidf", "sessionize",
@@ -2372,8 +2400,7 @@ _SAMPLE_WINDOW = [
     "value_counts", "topk", "drop_fill_null", "join_inner_chain",
     "join_left", "join_semi", "join_anti", "join_theta", "join_asof",
     "join_asof_forward", "join_asof_nearest", "join_positional",
-    "set_union_all", "set_difference_all", "window_rank", "window_cumsum",
-    "window_ntile",
+    "set_union_all", "set_difference_all", "window_rank",
 ]
 
 
@@ -2400,6 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _range_join,
         "gap_fill": _gap_fill,
         "weighted_sample": _weighted_sample,
+        "quantile_filter": _quantile_filter,
+        "corpus_divergence": _corpus_divergence,
         "ann_recall": _ann_recall,
         "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
@@ -3960,6 +3989,48 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_totalprice > 0)
             SELECT o_orderkey, score FROM s
             ORDER BY score DESC, o_orderkey LIMIT 500
+        """,
+        "quantile_filter": """
+            -- QUANTILE_CONT interpolates like Spark's exact percentile;
+            -- a fractional interpolation position puts the bound strictly
+            -- between two integer lengths, so a 1-ulp difference cannot
+            -- flip any row's inclusion
+            WITH b AS (
+              SELECT QUANTILE_CONT(LENGTH(text), 0.05) AS lo,
+                     QUANTILE_CONT(LENGTH(text), 0.95) AS hi
+              FROM documents)
+            SELECT doc_id, LENGTH(text) AS ln
+            FROM documents, b
+            WHERE LENGTH(text) >= lo AND LENGTH(text) <= hi
+        """,
+        "corpus_divergence": """
+            -- token-level JS contributions, even vs odd doc_ids; rounded
+            -- to 9dp BEFORE ranking (libm LN ulp drift -> token tiebreak)
+            WITH ta AS (
+              SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents WHERE doc_id % 2 = 0),
+            tb AS (
+              SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents WHERE doc_id % 2 = 1),
+            ca AS (SELECT tok, COUNT(*) AS na FROM ta GROUP BY tok),
+            cb AS (SELECT tok, COUNT(*) AS nb FROM tb GROUP BY tok),
+            tots AS (SELECT (SELECT SUM(na) FROM ca) AS tota,
+                            (SELECT SUM(nb) FROM cb) AS totb),
+            j AS (
+              SELECT tok AS token,
+                     COALESCE(na, 0)::DOUBLE / tota AS pa,
+                     COALESCE(nb, 0)::DOUBLE / totb AS pb
+              FROM ca FULL JOIN cb USING (tok) CROSS JOIN tots)
+            SELECT token, ROUND(pa, 9) AS p_a, ROUND(pb, 9) AS p_b,
+                   ROUND((CASE WHEN pa > 0
+                               THEN pa * LN(pa / ((pa + pb) / 2))
+                               ELSE 0 END
+                        + CASE WHEN pb > 0
+                               THEN pb * LN(pb / ((pa + pb) / 2))
+                               ELSE 0 END) / 2, 9) AS js
+            FROM j ORDER BY js DESC, token LIMIT 25
         """,
         "sessionize": """
             SELECT event_id, user_id,

@@ -47,6 +47,8 @@ __all__ = [
     "doc_fingerprint",
     "hash_sample",
     "weighted_sample",
+    "quantile_filter",
+    "corpus_divergence",
     "mixture_sample",
     "ngram_lm_score",
     "hash_split",
@@ -1296,6 +1298,110 @@ def weighted_sample(
         .limit(n)
     )
     return Table(df)
+
+
+def quantile_filter(
+    t: Table,
+    col,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    *,
+    approx: bool = False,
+) -> Table:
+    """Keep rows whose ``col`` lies inside the corpus's own
+    [``lo``, ``hi``] quantile band (inclusive) — the outlier-trim step of
+    a corpus-quality pipeline ("drop the shortest 5% and longest 5% of
+    documents"), computed against the DATA's distribution rather than
+    fixed thresholds.
+
+    The bounds are ONE 1-row aggregate broadcast-cross-joined back into
+    the scan filter: two passes over the column, no driver collect, no
+    window. ``approx=True`` swaps exact ``percentile`` (which holds a
+    per-group value buffer — fine for a single global group but memory
+    ∝ distinct values) for ``percentile_approx``'s constant-memory
+    sketch — the 100 TB default; exact is the oracle-able default here
+    because DuckDB's QUANTILE_CONT interpolates identically."""
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    c = unwrap(col) if not isinstance(col, str) else F.col(col)
+    fn = (
+        (lambda q: F.percentile_approx(c, q, 10000))
+        if approx
+        else (lambda q: F.percentile(c, q))
+    )
+    bounds = t.df.agg(
+        fn(float(lo)).alias("__qf_lo__"), fn(float(hi)).alias("__qf_hi__")
+    )
+    out = (
+        t.df.crossJoin(F.broadcast(bounds))
+        .filter((c >= F.col("__qf_lo__")) & (c <= F.col("__qf_hi__")))
+        .drop("__qf_lo__", "__qf_hi__")
+    )
+    return Table(out)
+
+
+def corpus_divergence(
+    a: Table,
+    b: Table,
+    text_col: str,
+    *,
+    top_k: int = 20,
+    name_a: str = "p_a",
+    name_b: str = "p_b",
+) -> Table:
+    """Where do two corpora differ? Token-level Jensen–Shannon
+    contributions between corpus ``a`` and corpus ``b`` — the data-mix
+    diagnostic that answers "what vocabulary does my web slice
+    over-represent vs the curated slice" before committing to a mixture
+    weight. Returns the ``top_k`` tokens by JS contribution
+    (token, p_a, p_b, js), probabilities and contributions rounded and
+    ranked on the ROUNDED value with a token tiebreak (so cross-engine
+    1-ulp ``ln`` drift cannot reorder the cut).
+
+    Per-token contribution (natural log, 0·ln0 := 0):
+        js(t) = (p_a·ln(p_a/m) + p_b·ln(p_b/m)) / 2,  m = (p_a+p_b)/2
+
+    Distributed shape: one count aggregate per corpus over exploded
+    lowered tokens (the word-count shuffle), a full outer join on token,
+    and two broadcast 1-row totals — linear in corpus size, output
+    bounded by ``top_k``."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+
+    def counts(t):
+        return (
+            t.df.select(F.explode(_lower_toks(text_col)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    ca, cb = counts(a), counts(b)
+    ta = ca.agg(F.sum("n").alias("__tot_a__"))
+    tb = cb.agg(F.sum("n").alias("__tot_b__"))
+    j = (
+        ca.withColumnRenamed("n", "__na__")
+        .join(cb.withColumnRenamed("n", "__nb__"), "tok", "full")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    pa = F.coalesce(F.col("__na__"), F.lit(0)).cast("double") / F.col("__tot_a__")
+    pb = F.coalesce(F.col("__nb__"), F.lit(0)).cast("double") / F.col("__tot_b__")
+    m = (pa + pb) / F.lit(2.0)
+    term = (
+        F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+        + F.when(pb > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    out = (
+        j.select(
+            F.col("tok").alias("token"),
+            F.round(pa, 9).alias(name_a),
+            F.round(pb, 9).alias(name_b),
+            F.round(term, 9).alias("js"),
+        )
+        .orderBy(F.col("js").desc(), F.col("token"))
+        .limit(top_k)
+    )
+    return Table(out)
 
 
 def hash_split(

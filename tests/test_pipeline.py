@@ -1187,3 +1187,64 @@ class TestWeightedSample:
         t = con.memtable({"k": [1], "w": [1.0]})
         with pytest.raises(ValueError, match="n must"):
             pl.weighted_sample(t, "k", "w", 0)
+
+
+class TestQuantileFilter:
+    def test_exact_band(self, con):
+        t = con.memtable({"k": list(range(100)), "v": list(range(100))})
+        out = sorted(r.k for r in pl.quantile_filter(t, "v", 0.1, 0.9).df.collect())
+        # p10 of 0..99 = 9.9, p90 = 89.1 -> keep 10..89
+        assert out == list(range(10, 90))
+
+    def test_approx_mode_and_validation(self, con):
+        t = con.memtable({"k": list(range(100)), "v": list(range(100))})
+        out = sorted(r.k for r in
+                     pl.quantile_filter(t, "v", 0.1, 0.9, approx=True).df.collect())
+        assert 70 <= len(out) <= 90  # sketch bounds, not exact
+        with pytest.raises(ValueError, match="lo <= hi"):
+            pl.quantile_filter(t, "v", 0.9, 0.1)
+
+
+class TestCorpusDivergence:
+    def test_identical_corpora_zero(self, con):
+        t = con.memtable({"doc_id": [1, 2], "text": ["a b c", "a b"]})
+        out = pl.corpus_divergence(t, t, "text", top_k=10).df.collect()
+        assert all(r.js == 0.0 for r in out)
+        assert all(r.p_a == r.p_b for r in out)
+
+    def test_disjoint_corpora_hand_computed(self, con):
+        import math
+
+        a = con.memtable({"doc_id": [1], "text": ["x x"]})
+        b = con.memtable({"doc_id": [2], "text": ["y"]})
+        out = {r.token: r for r in pl.corpus_divergence(a, b, "text").df.collect()}
+        # token only in one corpus: contribution = p*ln(2)/2 with p=1
+        expect = round(math.log(2) / 2, 9)
+        assert out["x"].js == expect and out["y"].js == expect
+        assert (out["x"].p_a, out["x"].p_b) == (1.0, 0.0)
+
+    def test_numpy_differential(self, con):
+        import math
+        import random
+
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(30)]
+        mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+        a = con.memtable({"doc_id": [1, 2], "text": [mk(200), mk(150)]})
+        b = con.memtable({"doc_id": [3], "text": [mk(300)]})
+        got = {r.token: r.js
+               for r in pl.corpus_divergence(a, b, "text", top_k=30).df.collect()}
+        # reference with plain Python floats
+        rng = random.Random(5)
+        ta = (mk(200) + " " + mk(150)).split()
+        tb = mk(300).split()
+        from collections import Counter
+
+        ca, cb = Counter(ta), Counter(tb)
+        na, nb = len(ta), len(tb)
+        for tok, js in got.items():
+            pa, pb = ca[tok] / na, cb[tok] / nb
+            m = (pa + pb) / 2
+            ref = ((pa * math.log(pa / m) if pa else 0.0)
+                   + (pb * math.log(pb / m) if pb else 0.0)) / 2
+            assert abs(js - round(ref, 9)) <= 1e-9
