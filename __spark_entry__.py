@@ -2370,6 +2370,24 @@ def _corpus_divergence(spark, sf_dir):
     return pl.corpus_divergence(a, b, "text", top_k=25).to_spark()
 
 
+def _cross_dedup(spark, sf_dir):
+    """Fuzzy decontamination (pipeline.cross_dedup): flag train docs
+    (doc_id % 7 != 0) that are near-dups of any reference doc
+    (doc_id % 7 == 0) at exact shingle-Jaccard >= 0.7. Candidates via a
+    banded MinHash-LSH join BETWEEN corpora, verified exactly — the
+    DuckDB oracle is the all-pairs train x ref Jaccard with the same
+    length-ratio prefilter as the intra-corpus dedup oracles."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(d.doc_id % 7 != 0)
+    ref = d.filter(d.doc_id % 7 == 0)
+    out = pl.cross_dedup(train, ref, "text", "doc_id", threshold=0.7)
+    return out.select(
+        "doc_id", "matched_ref", sim=out.sim.round(6), contaminated=out.contaminated
+    ).to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2380,7 +2398,7 @@ def _corpus_divergence(spark, sf_dir):
 # entries whose latest green sample is r4. The remaining 5 r4-era entries
 # (set_union_distinct/set_intersect/set_difference/window_lag/
 # window_moving_avg/in_subquery/substitute/window_nth/window_first_last/
-# window_cumsum/window_ntile, plus
+# window_cumsum/window_ntile/window_rank, plus
 # not_exists_subquery once funnel joined the window) are each covered by
 # a dedicated differential-fuzz family and rotate into the r8 window;
 # everything else was driver-green in r5/r6. The rows-only trio sits
@@ -2392,7 +2410,7 @@ _SAMPLE_WINDOW = [
     "remove_duplicated_spans", "gopher_filter", "domain_quota_sample",
     "decontaminate",
     "connected_components", "pagerank", "range_join", "gap_fill",
-    "weighted_sample", "quantile_filter", "corpus_divergence",
+    "weighted_sample", "quantile_filter", "corpus_divergence", "cross_dedup",
     "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
     "tfidf", "sessionize",
@@ -2400,7 +2418,7 @@ _SAMPLE_WINDOW = [
     "value_counts", "topk", "drop_fill_null", "join_inner_chain",
     "join_left", "join_semi", "join_anti", "join_theta", "join_asof",
     "join_asof_forward", "join_asof_nearest", "join_positional",
-    "set_union_all", "set_difference_all", "window_rank",
+    "set_union_all", "set_difference_all",
 ]
 
 
@@ -2429,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "quantile_filter": _quantile_filter,
         "corpus_divergence": _corpus_divergence,
+        "cross_dedup": _cross_dedup,
         "ann_recall": _ann_recall,
         "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
@@ -4031,6 +4050,38 @@ def oracle_sql() -> dict[str, str]:
                                THEN pb * LN(pb / ((pa + pb) / 2))
                                ELSE 0 END) / 2, 9) AS js
             FROM j ORDER BY js DESC, token LIMIT 25
+        """,
+        "cross_dedup": """
+            -- all-pairs train x ref exact shingle-Jaccard (same shingle
+            -- construction and length-ratio prefilter as the intra-corpus
+            -- dedup oracles); the engine's banded-LSH candidate join +
+            -- exact verification must flag the identical set
+            WITH sh AS (
+              SELECT doc_id, grams, len(grams) AS n FROM (
+                SELECT doc_id, list_distinct(list_transform(
+                         range(1, greatest(length(text) - 3, 1) + 1),
+                         i -> text[i:i+3])) AS grams
+                FROM documents)
+            ),
+            tr AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+            rf AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+            hits AS (
+              SELECT x, y, sim FROM (
+                SELECT t.doc_id AS x, r.doc_id AS y,
+                       len(list_intersect(t.grams, r.grams))::DOUBLE /
+                       greatest(t.n + r.n
+                                - len(list_intersect(t.grams, r.grams)), 1)
+                         AS sim
+                FROM tr t JOIN rf r
+                  ON t.n >= 0.7 * r.n AND r.n >= 0.7 * t.n)
+              WHERE sim >= 0.7
+            )
+            SELECT t.doc_id, MIN(h.y) AS matched_ref,
+                   ROUND(MAX(h.sim), 6) AS sim,
+                   COUNT(h.y) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) t
+            LEFT JOIN hits h ON h.x = t.doc_id
+            GROUP BY t.doc_id
         """,
         "sessionize": """
             SELECT event_id, user_id,

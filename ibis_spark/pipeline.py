@@ -66,6 +66,7 @@ __all__ = [
     "gopher_filter",
     "domain_quota_sample",
     "decontaminate",
+    "cross_dedup",
     "connected_components",
     "pagerank",
     "sketch_nunique",
@@ -2037,6 +2038,112 @@ def domain_quota_sample(
         .drop("__qrn__")
     )
     return Table(df)
+
+
+def cross_dedup(
+    t: Table,
+    ref: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    ref_id_col: Optional[str] = None,
+    ref_text_col: Optional[str] = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 4,
+    threshold: float = 0.7,
+    mode: str = "flag",
+) -> Table:
+    """Fuzzy decontamination: scrub the TRAIN corpus of documents that
+    are NEAR-duplicates of any REFERENCE-corpus document (eval set,
+    held-out split, licensed content) — the similarity-based companion
+    to :func:`decontaminate`'s exact n-gram-membership rule, catching
+    paraphrased/reformatted leakage that exact n-grams miss.
+
+    Candidates come from a banded MinHash-LSH join BETWEEN the corpora
+    (train band keys hash-joined to reference band keys — never an
+    all-pairs product; a true near-dup at Jaccard j collides in ≥1 of
+    ``bands`` bands with prob 1-(1-j^(num_hashes/bands))^bands, ≈0.999
+    at j=0.75 with the defaults); every candidate pair is then verified
+    with the EXACT Jaccard of the distinct character-shingle sets, so
+    false bucket collisions cannot flag a clean document. Returns, in
+    ``mode="flag"``, (id, matched_ref = smallest verified reference id
+    or NULL, sim = highest verified Jaccard or NULL, contaminated);
+    ``mode="filter"`` drops flagged rows and keeps the train schema.
+
+    Scale shape: two signature scans (each hashed once, shingle arrays
+    carried only into the candidate join), one (band_id, band_key) hash
+    join, exact verification on candidate pairs only, one groupBy(id)
+    to fold multiple matches, one join back to the train table. The
+    band join's hot-bucket risk (boilerplate shingles shared by
+    thousands of refs) is bounded by the reference side's size — eval
+    corpora are small next to training data; for a large reference,
+    raise ``bands``' selectivity (more hashes per band) first."""
+    if mode not in ("flag", "filter"):
+        raise ValueError("mode must be 'flag' or 'filter'")
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rid = ref_id_col or id_col
+    rtx = ref_text_col or text_col
+    r = num_hashes // bands
+
+    def prep(df, icol, tcol, iname):
+        sig = minhash_signature(F.col(tcol), num_hashes, shingle_size).spark()
+        sh = shingles(F.col(tcol), shingle_size).spark()
+        base = df.select(
+            F.col(icol).alias(iname), sig.alias("__sig__"), sh.alias("__sh__")
+        )
+        bandsdf = base.select(
+            iname,
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+            F.col("__sig__"),
+        ).select(
+            iname,
+            "band_id",
+            F.xxhash64(
+                F.col("band_id"),
+                F.slice(F.col("__sig__"), F.col("band_id") * r + 1, r),
+            ).alias("band_key"),
+        )
+        return base.select(iname, "__sh__"), bandsdf
+
+    t_sh, t_bands = prep(t.df, id_col, text_col, "__tid__")
+    r_sh, r_bands = prep(ref.df, rid, rtx, "__rid__")
+    cand = (
+        t_bands.join(r_bands, on=["band_id", "band_key"])
+        .select("__tid__", "__rid__")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("__sh_t__", "__sh_r__"))
+    union = F.size("__sh_t__") + F.size("__sh_r__") - inter
+    verified = (
+        cand.join(t_sh.withColumnRenamed("__sh__", "__sh_t__"), on="__tid__")
+        .join(
+            r_sh.withColumnRenamed("__sh__", "__sh_r__"),
+            on="__rid__",
+        )
+        .withColumn(
+            "__sim__", inter.cast("double") / F.greatest(union, F.lit(1))
+        )
+        .filter(F.col("__sim__") >= threshold)
+        .groupBy("__tid__")
+        .agg(
+            F.min("__rid__").alias("matched_ref"),
+            F.max("__sim__").alias("sim"),
+        )
+    )
+    out = (
+        t.df.join(
+            verified, t.df[id_col] == verified["__tid__"], "left"
+        )
+        .drop("__tid__")
+        .withColumn("contaminated", F.col("matched_ref").isNotNull())
+    )
+    if mode == "filter":
+        out = out.filter(~F.col("contaminated")).drop(
+            "matched_ref", "sim", "contaminated"
+        )
+    return Table(out)
 
 
 def decontaminate(

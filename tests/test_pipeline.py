@@ -1248,3 +1248,41 @@ class TestCorpusDivergence:
             ref = ((pa * math.log(pa / m) if pa else 0.0)
                    + (pb * math.log(pb / m) if pb else 0.0)) / 2
             assert abs(js - round(ref, 9)) <= 1e-9
+
+
+class TestCrossDedup:
+    def test_flags_cross_corpus_near_dups_only(self, con):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy")
+        clean = "completely different content about spark engines " * 8
+        train = con.memtable({"doc_id": [1, 2], "text": [near, clean]})
+        ref = con.memtable({"doc_id": [100], "text": [base]})
+        out = {r.doc_id: (r.matched_ref, r.contaminated)
+               for r in pl.cross_dedup(train, ref, "text", "doc_id",
+                                       threshold=0.5).df.collect()}
+        assert out == {1: (100, True), 2: (None, False)}
+
+    def test_filter_mode_keeps_schema(self, con):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota " * 6
+        train = con.memtable({"doc_id": [1, 2],
+                              "text": [base, "unrelated words entirely " * 6]})
+        ref = con.memtable({"doc_id": [9], "text": [base]})
+        out = pl.cross_dedup(train, ref, "text", "doc_id",
+                             threshold=0.8, mode="filter")
+        assert out.df.columns == ["doc_id", "text"]
+        assert [r.doc_id for r in out.df.collect()] == [2]
+
+    def test_distinct_ref_columns_and_min_ref_tiebreak(self, con):
+        base = "one two three four five six seven eight nine ten " * 6
+        train = con.memtable({"doc_id": [5], "text": [base]})
+        ref = con.memtable({"rid": [30, 20], "rtext": [base, base]})
+        row = pl.cross_dedup(train, ref, "text", "doc_id", ref_id_col="rid",
+                             ref_text_col="rtext").df.collect()[0]
+        assert (row.matched_ref, row.sim, row.contaminated) == (20, 1.0, True)
+
+    def test_rejects_bad_params(self, con):
+        t = con.memtable({"doc_id": [1], "text": ["x"]})
+        with pytest.raises(ValueError, match="mode"):
+            pl.cross_dedup(t, t, "text", "doc_id", mode="drop")
+        with pytest.raises(ValueError, match="divisible"):
+            pl.cross_dedup(t, t, "text", "doc_id", num_hashes=64, bands=7)
