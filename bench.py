@@ -88,6 +88,9 @@ HEADLINE = [
     "range_join",
     "gap_fill",
     "weighted_sample",
+    "quantile_filter",
+    "corpus_divergence",
+    "cross_dedup",
     "dedup_clusters",
     "mixture_sample",
     "ngram_lm_score",

@@ -1365,7 +1365,9 @@ def corpus_divergence(
     Distributed shape: one count aggregate per corpus over exploded
     lowered tokens (the word-count shuffle), a full outer join on token,
     and two broadcast 1-row totals — linear in corpus size, output
-    bounded by ``top_k``."""
+    bounded by ``top_k``. The count subtree feeds both the join and its
+    corpus total; AQE's ReuseExchange collapses the duplicate at runtime
+    so each corpus is tokenized/counted once (plan-test-pinned)."""
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
 

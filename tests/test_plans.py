@@ -310,3 +310,35 @@ def test_range_join_bucketed_is_hash_join(plans):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Python" not in p
+
+
+def test_new_pipeline_ops_plan_shapes(plans, spark):
+    """corpus_divergence: one tokenize per corpus scan, no cartesian
+    beyond the broadcast 1-row totals; cross_dedup: banded equi-join +
+    exact verify, never an all-pairs product; weighted_sample: scan +
+    TakeOrdered, no exchange of the data itself; quantile_filter:
+    broadcast 1-row bounds, no Python."""
+    import __spark_entry__ as E
+
+    q = E.queries()
+    df = q["corpus_divergence"](spark, SF)
+    # the per-corpus token-count subtree feeds BOTH the join and the
+    # 1-row total, so the logical plan mentions it twice — AQE's
+    # ReuseExchange must collapse the duplicates at runtime (each corpus
+    # tokenized/counted once); assert on the executed plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+    p = plans("corpus_divergence")
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+    p = plans("cross_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p
+    p = plans("weighted_sample")
+    assert "TakeOrdered" in p
+    assert "Python" not in p
+    p = plans("quantile_filter")
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
