@@ -880,3 +880,54 @@ def test_differential_line_dedup(seed, con):
         r.doc_id: r.text for r in pl.line_dedup(t, "text", "doc_id").df.collect()
     }
     assert got == want, f"seed {seed}: line_dedup mismatch"
+
+
+# ---------------------------------------------------------------------------
+# gap_fill vs pandas resample().agg().ffill()
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_gap_fill_vs_pandas(seed, con):
+    """Random sparse event sets through Table.gap_fill vs the pandas
+    groupby+resample+ffill it re-expresses — bucket alignment, span
+    edges, empty-bucket fill, and multi-agg all checked cell-by-cell."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(1000 + seed)
+    hours = rng.choice([1, 3, 6])
+    n = rng.randint(20, 120)
+    groups = [f"g{i}" for i in range(rng.randint(1, 4))]
+    base = dt.datetime(2024, 1, 1)
+    rows = {
+        "g": [rng.choice(groups) for _ in range(n)],
+        "ts": [base + dt.timedelta(minutes=rng.randint(0, 14 * 24 * 60))
+               for _ in range(n)],
+        "v": [round(rng.uniform(-50, 50), 3) for _ in range(n)],
+    }
+    t = con.memtable(rows)
+    agg = rng.choice(["avg", "sum", "min", "max"])
+    got = {
+        (r.g, r.ts): r.v
+        for r in t.gap_fill("ts", dt.timedelta(hours=hours), {"v": agg},
+                            by="g").df.collect()
+    }
+    pdf = pd.DataFrame(rows)
+    pd_agg = {"avg": "mean", "sum": "sum", "min": "min", "max": "max"}[agg]
+    want = {}
+    for g, sub in pdf.groupby("g"):
+        r = sub.set_index("ts")["v"].resample(f"{hours}h")
+        # pandas epoch-aligns bins like F.window; sum needs min_count=1
+        # so an EMPTY bin is NaN (engine contract: null, then ffill) —
+        # plain .sum() would invent a 0.0 instead of carrying forward
+        res = (r.sum(min_count=1) if agg == "sum" else r.agg(pd_agg)).ffill()
+        for ts, v in res.items():
+            want[(g, ts.to_pydatetime())] = None if pd.isna(v) else v
+    assert set(got) == set(want), f"seed {seed}: spine mismatch"
+    for k in want:
+        gv, wv = got[k], want[k]
+        assert gv is not None and wv is not None, (k, gv, wv)
+        assert abs(gv - wv) < 1e-9, (k, gv, wv)
