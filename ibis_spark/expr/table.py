@@ -1619,6 +1619,16 @@ class Table(CoreExpr):
     def cache(self) -> "Table":
         return Table(self._df.cache())
 
+    def hint(self, name: str, *params) -> "Table":
+        """Planner hint passthrough (``df.hint``): join-strategy
+        (``broadcast``, ``merge``, ``shuffle_hash``,
+        ``shuffle_replicate_nl``), ``repartition``/``rebalance``/
+        ``coalesce``, or skew hints. A scale-tuning escape hatch:
+        ``big.join(t.hint("shuffle_hash"), ...)`` forces a shuffled hash
+        join where the sort-merge default loses; hints attach to the
+        plan subtree, so Catalyst still owns everything else."""
+        return Table(self._df.hint(name, *params))
+
     def release(self):
         """CachedTable.release (expr/types/relations.py): drop this
         table's cached blocks (unpersist; lazy plan stays valid)."""

@@ -616,3 +616,21 @@ class TestGapFill:
             warnings.simplefilter("always")
             t.gap_fill("ts", dt.timedelta(hours=1), {"v": "avg"}).df.collect()
         assert any("global spine" in str(w.message) for w in rec)
+
+
+class TestHint:
+    def test_shuffle_hash_hint_changes_join_strategy(self, con, spark):
+        left = con.memtable({"k": list(range(1000)), "a": list(range(1000))})
+        right = con.memtable({"k": list(range(1000)), "b": list(range(1000))})
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plain = left.join(right, "k").df._jdf.queryExecution() \
+                .executedPlan().toString()
+            hinted = left.join(right.hint("shuffle_hash"), "k").df._jdf \
+                .queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plain
+        assert "ShuffledHashJoin" in hinted
+        got = left.join(right.hint("shuffle_hash"), "k").df.count()
+        assert got == 1000
