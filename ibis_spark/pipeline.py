@@ -42,6 +42,7 @@ __all__ = [
     "pretokenize",
     "pretoken_count",
     "bpe_encode",
+    "bpe_train",
     "quality_score",
     "lang_id",
     "doc_fingerprint",
@@ -1563,6 +1564,102 @@ def pretokenize(col):
     operate on — a far better token-cost unit than whitespace words or
     chars/4. One JVM regexp_extract_all, scan-only."""
     return wrap(F.regexp_extract_all(unwrap(col), F.lit(_BPE_PRETOKEN_RE), 0))
+
+
+def bpe_train(
+    t: Table,
+    text_col: str,
+    num_merges: int,
+    *,
+    min_count: int = 2,
+) -> list:
+    """Learn a BPE merge list FROM the corpus, distributed — the
+    tokenizer-training step that pairs with :func:`pretokenize` (the
+    GPT-2 split) and :func:`bpe_encode` (application of the learned
+    rules). Returns the merges as a plain Python list of (left, right)
+    tuples, ready to pass to ``bpe_encode`` — the model artifact is
+    ``num_merges`` rows, so it lives on the driver by design.
+
+    Algorithm (classic BPE, Sennrich et al. 2016, on GPT-2 pretokens):
+    the corpus collapses ONCE to (distinct pretoken, count) — the
+    classic weighted-vocabulary optimization: pair statistics shrink
+    from corpus scale to vocabulary scale before any iteration starts.
+    Each merge round then (1) counts adjacent symbol pairs weighted by
+    pretoken count — one explode + key-partitioned sum shuffle over the
+    VOCABULARY, not the corpus, (2) takes the most frequent pair
+    (O(1)-row TakeOrdered to the driver; ties break lexicographically,
+    so training is deterministic), and (3) rewrites the symbol arrays
+    with a greedy left-to-right JVM ``aggregate`` fold (overlapping
+    occurrences collapse left-first: ``aaa`` + rule (a,a) -> [aa, a]),
+    checkpointing to cut the k-iteration lineage. Stops early when the
+    best remaining pair's weighted count drops below ``min_count``
+    (merging singletons is noise).
+
+    100 TB shape: the corpus-scale work is the single pretoken count;
+    every iteration after that touches only the distinct-pretoken table
+    (vocabulary-sized — millions of rows, not billions) with one small
+    shuffle + one O(1) driver action per merge."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    vocab = (
+        t.df.select(F.explode(pretokenize(F.col(text_col)).spark()).alias("__pt__"))
+        .groupBy("__pt__")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .select(F.split(F.col("__pt__"), "").alias("__sym__"), "__cnt__")
+        .localCheckpoint()
+    )
+    merges = []
+    for _ in range(int(num_merges)):
+        pairs = (
+            vocab.filter(F.size("__sym__") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("__sym__", 1, F.size("__sym__") - 1),
+                        F.slice("__sym__", 2, F.size("__sym__") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("__p__"),
+                F.col("__cnt__"),
+            )
+            .groupBy("__p__")
+            .agg(F.sum("__cnt__").alias("__n__"))
+            .orderBy(F.col("__n__").desc(), F.col("__p__.a"), F.col("__p__.b"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["__n__"] < min_count:
+            break
+        a, b = pairs[0]["__p__"]["a"], pairs[0]["__p__"]["b"]
+        merges.append((a, b))
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+        acc0 = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+
+        def step(acc, s):
+            hit = acc["prev"].eqNullSafe(la) & (s == lb)
+            keep = F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["prev"]))
+            )
+            return F.struct(
+                F.when(hit, F.concat(acc["out"], F.array(lab)))
+                .otherwise(keep)
+                .alias("out"),
+                F.when(hit, F.lit(None).cast("string")).otherwise(s).alias("prev"),
+            )
+
+        def fin(acc):
+            return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["prev"]))
+            )
+
+        vocab = vocab.select(
+            F.aggregate(F.col("__sym__"), acc0, step, fin).alias("__sym__"),
+            "__cnt__",
+        ).localCheckpoint()
+    return merges
 
 
 def _validate_merges(merges, sep):

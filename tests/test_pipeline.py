@@ -1286,3 +1286,87 @@ class TestCrossDedup:
             pl.cross_dedup(t, t, "text", "doc_id", mode="drop")
         with pytest.raises(ValueError, match="divisible"):
             pl.cross_dedup(t, t, "text", "doc_id", num_hashes=64, bands=7)
+
+
+def _ref_bpe_train(pretokens, k, min_count=2):
+    """Pure-Python reference: classic BPE over a pretoken multiset with
+    the engine's tie-break (count desc, then lexicographic pair)."""
+    from collections import Counter
+
+    vocab = Counter(pretokens)
+    sym = {pt: list(pt) for pt in vocab}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for pt, c in vocab.items():
+            s = sym[pt]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if n < min_count:
+            break
+        merges.append((a, b))
+        for pt, s in sym.items():
+            out, prev = [], None
+            for tok in s:
+                if prev == a and tok == b:
+                    out.append(a + b)
+                    prev = None
+                elif prev is None:
+                    prev = tok
+                else:
+                    out.append(prev)
+                    prev = tok
+            if prev is not None:
+                out.append(prev)
+            sym[pt] = out
+    return merges
+
+
+class TestBpeTrain:
+    def _pretokens(self, con, texts):
+        t = con.memtable({"text": texts})
+        rows = t.select(p=pl.pretokenize(t.text)).df.collect()
+        out = []
+        for r in rows:
+            out.extend(r.p)
+        return out
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_differential_vs_python_reference(self, con, seed):
+        import random
+
+        rng = random.Random(300 + seed)
+        words = ["".join(rng.choice("abcde") for _ in range(rng.randint(2, 7)))
+                 for _ in range(30)]
+        texts = [" ".join(rng.choice(words) for _ in range(40))
+                 for _ in range(8)]
+        t = con.memtable({"doc_id": list(range(len(texts))), "text": texts})
+        got = pl.bpe_train(t, "text", 8)
+        want = _ref_bpe_train(self._pretokens(con, texts), 8)
+        assert got == want, f"seed {seed}"
+
+    def test_learned_merges_feed_bpe_encode(self, con):
+        texts = ["the cat sat on the mat " * 5, "the bat and the cat " * 5]
+        t = con.memtable({"doc_id": [1, 2], "text": texts})
+        merges = pl.bpe_train(t, "text", 10)
+        assert merges  # something was learnable
+        # learned lists are well-formed by construction: every side is a
+        # char or an earlier rule's output -> bpe_encode accepts them
+        out = t.select("doc_id", toks=pl.bpe_encode(t.text, merges))
+        rows = {r.doc_id: r.toks for r in out.df.collect()}
+        pts = {r.doc_id: r.p for r in
+               t.select("doc_id", p=pl.pretokenize(t.text)).df.collect()}
+        for d in (1, 2):
+            # tokens concatenate back to the pretoken stream (lossless)
+            assert "".join(rows[d]) == "".join(pts[d])
+            # and compression actually happened
+            assert len(rows[d]) < sum(len(p) for p in pts[d])
+
+    def test_stops_below_min_count(self, con):
+        t = con.memtable({"text": ["abc def"]})  # every pair count == 1
+        assert pl.bpe_train(t, "text", 5) == []
+        with pytest.raises(ValueError, match="num_merges"):
+            pl.bpe_train(t, "text", 0)
