@@ -875,8 +875,10 @@ class Table(CoreExpr):
         bucket range it overlaps, and the join runs as a plain hash join
         on (by…, bucket) with the range predicate as a residual filter.
         Each matching (point, interval) pair meets in EXACTLY one bucket
-        (the point's), so no dedup pass is needed, and ``how="left"``
-        keeps unmatched left rows exactly once. Replication cost is
+        (the point's), so no dedup pass is needed, ``how="left"`` keeps
+        unmatched left rows exactly once, and ``how="anti"`` returns
+        exactly the points inside NO interval (events outside every
+        maintenance window, prices outside every band). Replication cost is
         ceil(interval_width / bucket) + 1 right rows per interval —
         choose ``bucket`` near the typical interval width. Bucket ids
         use exact integer arithmetic whenever the operands are integral
@@ -891,18 +893,22 @@ class Table(CoreExpr):
         import datetime as _dt
         import warnings
 
-        if how not in ("inner", "left", "left_outer"):
+        if how not in ("inner", "left", "left_outer", "anti", "left_anti"):
             raise ValueError(
-                f"range_join(how={how!r}): only 'inner' and 'left' are "
-                "supported (an unmatched-interval outer join would need a "
-                "dedup pass over the replicated side)"
+                f"range_join(how={how!r}): only 'inner', 'left' and 'anti' "
+                "are supported (an unmatched-interval outer join would need "
+                "a dedup pass over the replicated side)"
             )
+        if how in ("anti", "left_anti"):
+            how = "left_anti"
         lo, hi = bounds
         by_pairs = [(b, b) if isinstance(b, str) else b for b in _tuplize(by)]
         ldf, rdf = self._df, right._df
         lcols, rcols = list(ldf.columns), list(rdf.columns)
 
         def _project(joined, l2, r2):
+            if how == "left_anti":  # anti emits left columns only
+                return Table(joined.select(*[l2[c] for c in lcols]))
             overlap = set(lcols) & set(rcols)
             sel = [
                 l2[c].alias(lname.format(name=c)) if (c in overlap and lname) else l2[c]

@@ -84,20 +84,39 @@ __all__ = [
 # deduplication
 # ---------------------------------------------------------------------------
 
-def dedup_exact(t: Table, text_col: str, id_col: str, *, normalize: bool = True) -> Table:
-    """Exact-content dedup: md5 the (optionally normalized) text, keep the
-    min id per hash. One hash-partitioned shuffle; at 100 TB the hash
-    groupBy is the canonical scalable plan (no sort, partial agg map-side).
-    """
+def dedup_exact(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    normalize: bool = True,
+    keep: str = "first",
+) -> Table:
+    """Exact-content dedup: md5 the (optionally normalized) text, keep
+    one row per hash. One hash-partitioned shuffle; at 100 TB the hash
+    groupBy is the canonical scalable plan (no sort, partial agg
+    map-side). ``keep="first"`` keeps the smallest id; ``keep="longest"``
+    keeps the id of the RAW-longest variant (ties → smallest id) — with
+    ``normalize=True`` duplicates differ only in case/whitespace, and
+    curation usually wants the best-preserved original, not the lowest
+    id. Either policy is one algebraic min aggregate (struct-min), so
+    the plan is identical."""
+    if keep not in ("first", "longest"):
+        raise ValueError("keep must be 'first' or 'longest'")
     c = F.col(text_col)
     if normalize:
         c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     h = F.md5(c.cast("binary"))
-    return Table(
-        t.df.select(F.col(id_col), h.alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(F.min(id_col).alias(id_col))
+    base = t.df.select(
+        F.col(id_col), h.alias("content_hash"), F.length(text_col).alias("__len__")
     )
+    if keep == "first":
+        agg = F.min(id_col).alias(id_col)
+    else:
+        agg = F.min(
+            F.struct((-F.col("__len__")).alias("nl"), F.col(id_col).alias("i"))
+        )["i"].alias(id_col)
+    return Table(base.groupBy("content_hash").agg(agg))
 
 
 def shingles(col, k: int = 4, *, distinct: bool = True):
@@ -359,11 +378,21 @@ def dedup_clusters(
     threshold: float = 0.7,
     verify: str = "exact",
     max_iter: int = 50,
+    keep: str = "min_id",
 ) -> Table:
     """End-to-end near-duplicate CLUSTERING: MinHash-LSH candidates →
     verified edges (exact Jaccard by default) → connected components →
     (id, cluster_id, is_dup), with ``cluster_id`` the smallest id in the
     TRANSITIVE cluster and ``is_dup`` true for every non-representative.
+
+    ``keep="min_id"`` (default) keeps the smallest id per cluster (the
+    cluster label doubles as the representative). ``keep="longest"``
+    keeps the LONGEST member instead (ties → smallest id) — the curation
+    policy that preserves the most content per cluster — and appends a
+    ``rep_id`` column (``cluster_id`` stays the stable min-label key;
+    ``is_dup`` flags everything but the longest member). Cost: one extra
+    per-cluster struct-min aggregate + join — both algebraic, both on
+    the already-clustered table.
 
     This closes the gap :func:`minhash_dedup_verified` leaves open: its
     one-hop min-candidate rep can split a chain A~B~C (where A~C are not
@@ -392,12 +421,32 @@ def dedup_clusters(
         Table(edges), id_col, "cand", id_name=id_col, comp_name="cluster_id",
         max_iter=max_iter,
     )
+    if keep not in ("min_id", "longest"):
+        raise ValueError("keep must be 'min_id' or 'longest'")
     ids = t.df.select(F.col(id_col))
     out = (
         ids.join(comp.df, on=id_col, how="left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
         .withColumn("is_dup", F.col("cluster_id") != F.col(id_col))
     )
+    if keep == "longest":
+        lens = t.df.select(F.col(id_col), F.length(text_col).alias("__len__"))
+        withlen = out.drop("is_dup").join(lens, on=id_col)
+        reps = (
+            withlen.groupBy("cluster_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__len__")).alias("nl"), F.col(id_col).alias("i")
+                    )
+                )["i"].alias("rep_id")
+            )
+        )
+        out = (
+            withlen.join(reps, on="cluster_id")
+            .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
+            .select(id_col, "cluster_id", "rep_id", "is_dup")
+        )
     return Table(out)
 
 

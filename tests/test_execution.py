@@ -634,3 +634,30 @@ class TestHint:
         assert "ShuffledHashJoin" in hinted
         got = left.join(right.hint("shuffle_hash"), "k").df.count()
         assert got == 1000
+
+
+class TestRangeJoinAnti:
+    def test_anti_matches_complement_of_inner(self, con):
+        import random
+        import warnings
+
+        rng = random.Random(11)
+        pts = con.memtable({"pid": list(range(200)),
+                            "v": [rng.randint(0, 400) for _ in range(200)]})
+        lo = [rng.randint(0, 380) for _ in range(20)]
+        ivs = con.memtable({"iid": list(range(20)), "lo": lo,
+                            "hi": [l + rng.randint(0, 30) for l in lo]})
+        inner = {r.pid for r in pts.range_join(ivs, "v", ("lo", "hi"),
+                                               bucket=16).df.collect()}
+        anti = sorted(r.pid for r in pts.range_join(
+            ivs, "v", ("lo", "hi"), bucket=16, how="anti").df.collect())
+        assert anti == sorted(set(range(200)) - inner)
+        # anti emits left columns only, each unmatched row exactly once
+        out = pts.range_join(ivs, "v", ("lo", "hi"), bucket=16, how="anti")
+        assert out.df.columns == ["pid", "v"]
+        assert len(anti) == len(set(anti))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            naive = sorted(r.pid for r in pts.range_join(
+                ivs, "v", ("lo", "hi"), how="anti").df.collect())
+        assert naive == anti

@@ -1370,3 +1370,41 @@ class TestBpeTrain:
         assert pl.bpe_train(t, "text", 5) == []
         with pytest.raises(ValueError, match="num_merges"):
             pl.bpe_train(t, "text", 0)
+
+
+class TestKeepPolicies:
+    def test_dedup_exact_keep_longest(self, con):
+        # same normalized content, different raw whitespace/case
+        t = con.memtable({
+            "doc_id": [1, 2, 3],
+            "text": ["Hello  world", "hello world and more", "hello   world"],
+        })
+        first = sorted(r.doc_id for r in
+                       pl.dedup_exact(t, "text", "doc_id").df.collect())
+        assert first == [1, 2]
+        t2 = con.memtable({
+            "doc_id": [1, 2],
+            "text": ["Hello  world", "hello world"],  # 12 vs 11 chars raw
+        })
+        longest = sorted(r.doc_id for r in
+                         pl.dedup_exact(t2, "text", "doc_id",
+                                        keep="longest").df.collect())
+        assert longest == [1]  # raw-longest wins over min id
+        with pytest.raises(ValueError, match="keep"):
+            pl.dedup_exact(t, "text", "doc_id", keep="best")
+
+    def test_dedup_clusters_keep_longest(self, con):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near_longer = base + "plus a tail"  # jaccard ~0.84, longer raw
+        other = "completely different content about spark engines " * 8
+        t = con.memtable({"doc_id": [1, 2, 3],
+                          "text": [base, near_longer, other]})
+        out = {r.doc_id: (r.cluster_id, r.rep_id, r.is_dup)
+               for r in pl.dedup_clusters(t, "text", "doc_id", threshold=0.5,
+                                          keep="longest").df.collect()}
+        # cluster key stays the min label (1); the LONGER member (2) is kept
+        assert out[1] == (1, 2, True)
+        assert out[2] == (1, 2, False)
+        assert out[3] == (3, 3, False)
+        with pytest.raises(ValueError, match="keep"):
+            pl.dedup_clusters(t, "text", "doc_id", keep="shortest")
