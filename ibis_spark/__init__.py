@@ -700,13 +700,25 @@ def _nanos_timestamp_cols(path) -> set[str]:
             return set()
         p = os.path.join(p, files[0])
     try:
-        sch = pq.read_schema(p)
+        pf = pq.ParquetFile(p)
+        sch = pf.schema_arrow
+        # pyarrow reports Spark's legacy INT96 timestamps as unit="ns"
+        # too, but Spark reads INT96 natively — the nanosAsLong shim is
+        # only for real INT64 TIMESTAMP(NANOS) columns (applying it to
+        # an INT96 column would feed `div` a TIMESTAMP and break the
+        # read). Distinguish via the parquet physical type.
+        phys = {
+            pf.schema.column(i).name: pf.schema.column(i).physical_type
+            for i in range(len(pf.schema))
+        }
     except Exception:
         return set()
     return {
         f.name
         for f in sch
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        if pa.types.is_timestamp(f.type)
+        and f.type.unit == "ns"
+        and phys.get(f.name) != "INT96"
     }
 
 

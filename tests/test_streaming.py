@@ -316,3 +316,41 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         if r.depth >= 1
     }
     assert want and got == want
+
+
+def test_streaming_incremental_hll_sketch_maintenance(spark, stream_dir, tmp_path):
+    """The incremental-rollup pattern end-to-end: each micro-batch
+    appends per-day HLL sketch rows to a parquet 'sketch table'
+    (foreach_batch sink); querying distinct users over the whole stream
+    is then a sketch_rollup over the tiny sketch table — no raw-event
+    rescan. The final estimate must equal the batch estimate over the
+    same raw data within HLL error."""
+    import pyspark.sql.functions as F
+
+    from ibis_spark import pipeline as pl
+
+    con = ib.connect(spark)
+    schema = con.read_parquet(stream_dir).df.schema
+    stream = con.read_parquet_dir(stream_dir, schema=schema)
+    sink = str(tmp_path / "sketches")
+
+    def handle(batch_table, batch_id):
+        daily = pl.sketch_nunique(
+            batch_table.mutate(day=batch_table.ts.truncate("D")),
+            "day",
+            "user_id",
+            lg_k=12,
+        )
+        daily.df.write.mode("append").parquet(sink)
+
+    q = con.to_foreach_batch(stream, handle, trigger_available_now=True)
+    q.awaitTermination(120)
+
+    sk = con.read_parquet(sink)
+    merged = pl.sketch_rollup(sk, ())
+    est = merged.select(n=pl.sketch_estimate("nunique_sketch")).df.collect()[0].n
+    raw = con.read_parquet(stream_dir)
+    exact = raw.df.select("user_id").distinct().count()
+    assert abs(est - exact) <= max(3, exact * 0.05)
+    # the sketch table is day-grained and tiny relative to the raw events
+    assert sk.count() <= raw.count()
