@@ -2388,6 +2388,16 @@ def _cross_dedup(spark, sf_dir):
     ).to_spark()
 
 
+def _grouped_topk(spark, sf_dir):
+    """Skew-safe per-group top-k (Table.grouped_topk): the 5 richest
+    customers per nation, two-phase local/global rank so a hot group
+    never funnels its full row list into one window partition; custkey
+    tiebreak makes metric ties deterministic on both engines."""
+    c = _t(spark, sf_dir, "customer")
+    out = c.grouped_topk("c_nationkey", "c_acctbal", 5, tiebreak="c_custkey")
+    return out.select("c_nationkey", "c_custkey", "c_acctbal").to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2398,7 +2408,7 @@ def _cross_dedup(spark, sf_dir):
 # entries whose latest green sample is r4. The remaining 5 r4-era entries
 # (set_union_distinct/set_intersect/set_difference/window_lag/
 # window_moving_avg/in_subquery/substitute/window_nth/window_first_last/
-# window_cumsum/window_ntile/window_rank, plus
+# window_cumsum/window_ntile/window_rank/set_difference_all, plus
 # not_exists_subquery once funnel joined the window) are each covered by
 # a dedicated differential-fuzz family and rotate into the r8 window;
 # everything else was driver-green in r5/r6. The rows-only trio sits
@@ -2411,6 +2421,7 @@ _SAMPLE_WINDOW = [
     "decontaminate",
     "connected_components", "pagerank", "range_join", "gap_fill",
     "weighted_sample", "quantile_filter", "corpus_divergence", "cross_dedup",
+    "grouped_topk",
     "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
     "tfidf", "sessionize",
@@ -2418,7 +2429,7 @@ _SAMPLE_WINDOW = [
     "value_counts", "topk", "drop_fill_null", "join_inner_chain",
     "join_left", "join_semi", "join_anti", "join_theta", "join_asof",
     "join_asof_forward", "join_asof_nearest", "join_positional",
-    "set_union_all", "set_difference_all",
+    "set_union_all",
 ]
 
 
@@ -2448,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": _quantile_filter,
         "corpus_divergence": _corpus_divergence,
         "cross_dedup": _cross_dedup,
+        "grouped_topk": _grouped_topk,
         "ann_recall": _ann_recall,
         "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
@@ -4082,6 +4094,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) t
             LEFT JOIN hits h ON h.x = t.doc_id
             GROUP BY t.doc_id
+        """,
+        "grouped_topk": """
+            SELECT c_nationkey, c_custkey, c_acctbal FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer)
+            WHERE rn <= 5
         """,
         "sessionize": """
             SELECT event_id, user_id,

@@ -221,7 +221,7 @@ def _oracle_baseline(entry_mod, names, reps):
     # deliberate brute-force cross-check, not a time baseline; timing them
     # at sf0.1 (5k docs -> 25M pairs) would measure the oracle's own
     # quadratic blowup, so they are excluded from the baseline column
-    quadratic = {"dedup_minhash_verified", "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters", "embedding_clusters"}
+    quadratic = {"dedup_minhash_verified", "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters", "embedding_clusters", "cross_dedup"}
     oracles = entry_mod.oracle_sql()
     out = {}
     for n in names:

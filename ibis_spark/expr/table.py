@@ -1095,6 +1095,42 @@ class Table(CoreExpr):
             *by, time_col, *cols
         ))
 
+    def grouped_topk(self, by, order_by: str, k: int, *, tiebreak=None) -> "Table":
+        """Top-``k`` rows per group by ``order_by`` DESCENDING — the
+        per-group companion of global ``topk``, in the skew-safe
+        TWO-PHASE shape: a local window keyed on (by…,
+        spark_partition_id) keeps each input partition's top-k first, so
+        at most k × num_partitions rows per group ever reach the global
+        group-keyed window. A billion-row hot group never lands its full
+        occurrence list in one window partition, and the answer is
+        provably identical (any global top-k row is in its partition's
+        local top-k). Pass ``tiebreak`` (a column ordered ascending
+        after the metric) to make results deterministic under metric
+        ties — without it, tied rows at the k boundary are
+        partition-order dependent, like any SQL top-k without a full
+        ordering."""
+        from pyspark.sql.window import Window as W
+
+        if k <= 0:
+            raise ValueError("k must be positive")
+        by = list(_tuplize(by))
+        if not by:
+            raise ValueError("grouped_topk needs at least one group key")
+        order = [F.col(order_by).desc()]
+        if tiebreak is not None:
+            order.append(F.col(tiebreak) if isinstance(tiebreak, str) else unwrap(tiebreak))
+        wl = W.partitionBy(*by, F.spark_partition_id()).orderBy(*order)
+        wg = W.partitionBy(*by).orderBy(*order)
+        df = (
+            self._df.withColumn("__ltk__", F.row_number().over(wl))
+            .filter(F.col("__ltk__") <= k)
+            .drop("__ltk__")
+            .withColumn("__gtk__", F.row_number().over(wg))
+            .filter(F.col("__gtk__") <= k)
+            .drop("__gtk__")
+        )
+        return Table(df)
+
     def positional_join(self, right) -> "Table":
         """Positional join (relations.py:213): zip rows by position.
 

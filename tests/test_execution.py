@@ -661,3 +661,37 @@ class TestRangeJoinAnti:
             naive = sorted(r.pid for r in pts.range_join(
                 ivs, "v", ("lo", "hi"), how="anti").df.collect())
         assert naive == anti
+
+
+class TestGroupedTopk:
+    def test_matches_single_phase_and_determinism(self, con):
+        import random
+
+        rng = random.Random(21)
+        n = 500
+        t = con.memtable({
+            "g": [rng.randint(0, 9) for _ in range(n)],
+            "k": list(range(n)),
+            "v": [rng.randint(0, 49) for _ in range(n)],  # plenty of ties
+        })
+        got = sorted((r.g, r.k) for r in
+                     t.grouped_topk("g", "v", 7, tiebreak="k").df.collect())
+        # single-phase reference computed in Python
+        rows = [(r.g, r.k, r.v) for r in t.df.collect()]
+        want = []
+        for g in set(g for g, _, _ in rows):
+            members = sorted([(v, k) for gg, k, v in rows if gg == g],
+                             key=lambda x: (-x[0], x[1]))[:7]
+            want.extend((g, k) for _, k in members)
+        assert got == sorted(want)
+        # rerun identical (deterministic under ties with the tiebreak)
+        again = sorted((r.g, r.k) for r in
+                       t.grouped_topk("g", "v", 7, tiebreak="k").df.collect())
+        assert got == again
+
+    def test_validation(self, con):
+        t = con.memtable({"g": [1], "v": [1]})
+        with pytest.raises(ValueError, match="k must"):
+            t.grouped_topk("g", "v", 0)
+        with pytest.raises(ValueError, match="group key"):
+            t.grouped_topk((), "v", 3)
