@@ -1056,12 +1056,13 @@ class TestPagerank:
         r2 = {r.id: r.rank for r in pl.pagerank(e2, "s", "d", iters=2).df.collect()}
         assert r1 == r2
 
-    def test_numpy_differential(self, con):
+    @pytest.mark.parametrize("seed", [1234, 77, 901])
+    def test_numpy_differential(self, con, seed):
         import random
 
         import numpy as np
 
-        rng = random.Random(1234)
+        rng = random.Random(seed)
         n = 40
         edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(160)})
         srcs = [a for a, _ in edges]
