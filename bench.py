@@ -91,6 +91,7 @@ HEADLINE = [
     "quantile_filter",
     "corpus_divergence",
     "cross_dedup",
+    "grouped_topk",
     "dedup_clusters",
     "mixture_sample",
     "ngram_lm_score",
