@@ -2388,6 +2388,28 @@ def _cross_dedup(spark, sf_dir):
     ).to_spark()
 
 
+def _table_diff(spark, sf_dir):
+    """Data reconciliation (Table.diff): orders vs a perturbed version
+    (every 17th key removed, every 13th price bumped 10%, every 19th
+    re-keyed as an addition). One full outer key join, null-safe
+    codegen comparisons; changed_cols joined to a string for the
+    driver's canonicalizer (array cells don't hash)."""
+    o = _t(spark, sf_dir, "orders")
+    mod = o.filter(o.o_orderkey % 17 != 0)
+    mod = mod.mutate(
+        o_totalprice=(mod.o_orderkey % 13 == 0).ifelse(
+            mod.o_totalprice * 1.1, mod.o_totalprice
+        )
+    )
+    extra = o.filter(o.o_orderkey % 19 == 0)
+    extra = extra.mutate(o_orderkey=extra.o_orderkey + 10000000)
+    b = mod.union(extra, distinct=False)
+    d = o.diff(b, "o_orderkey")
+    return d.select(
+        "o_orderkey", "diff_status", changed=ib.literal(",").join(d.changed_cols)
+    ).to_spark()
+
+
 def _grouped_topk(spark, sf_dir):
     """Skew-safe per-group top-k (Table.grouped_topk): the 5 richest
     customers per nation, two-phase local/global rank so a hot group
@@ -2408,7 +2430,8 @@ def _grouped_topk(spark, sf_dir):
 # entries whose latest green sample is r4. The remaining 5 r4-era entries
 # (set_union_distinct/set_intersect/set_difference/window_lag/
 # window_moving_avg/in_subquery/substitute/window_nth/window_first_last/
-# window_cumsum/window_ntile/window_rank/set_difference_all, plus
+# window_cumsum/window_ntile/window_rank/set_difference_all/
+# set_union_all, plus
 # not_exists_subquery once funnel joined the window) are each covered by
 # a dedicated differential-fuzz family and rotate into the r8 window;
 # everything else was driver-green in r5/r6. The rows-only trio sits
@@ -2421,7 +2444,7 @@ _SAMPLE_WINDOW = [
     "decontaminate",
     "connected_components", "pagerank", "range_join", "gap_fill",
     "weighted_sample", "quantile_filter", "corpus_divergence", "cross_dedup",
-    "grouped_topk",
+    "grouped_topk", "table_diff",
     "ann_recall", "ann_recall_lsh", "bpe_encode",
     "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
     "tfidf", "sessionize",
@@ -2429,7 +2452,6 @@ _SAMPLE_WINDOW = [
     "value_counts", "topk", "drop_fill_null", "join_inner_chain",
     "join_left", "join_semi", "join_anti", "join_theta", "join_asof",
     "join_asof_forward", "join_asof_nearest", "join_positional",
-    "set_union_all",
 ]
 
 
@@ -2460,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_divergence": _corpus_divergence,
         "cross_dedup": _cross_dedup,
         "grouped_topk": _grouped_topk,
+        "table_diff": _table_diff,
         "ann_recall": _ann_recall,
         "ann_recall_lsh": _ann_recall_lsh,
         "bpe_encode": _bpe_encode,
@@ -4094,6 +4117,50 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) t
             LEFT JOIN hits h ON h.x = t.doc_id
             GROUP BY t.doc_id
+        """,
+        "table_diff": """
+            -- reconcile orders against its perturbed version: full outer
+            -- key join + null-safe column comparisons (IS DISTINCT FROM),
+            -- changed_cols only meaningful on 'changed' rows
+            WITH b AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN o_totalprice * 1.1
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 17 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 19 = 0
+            ),
+            j AS (
+              SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                     CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                          WHEN b.o_orderkey IS NULL THEN 'removed'
+                          ELSE 'changed' END AS pre_status,
+                     a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                       AS in_both,
+                     array_to_string(list_sort(list_filter([
+                       CASE WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                            THEN 'o_custkey' END,
+                       CASE WHEN a.o_orderdate IS DISTINCT FROM b.o_orderdate
+                            THEN 'o_orderdate' END,
+                       CASE WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                            THEN 'o_orderpriority' END,
+                       CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                            THEN 'o_orderstatus' END,
+                       CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                            THEN 'o_totalprice' END
+                     ], x -> x IS NOT NULL)), ',') AS changed
+              FROM orders a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+            )
+            SELECT o_orderkey,
+                   CASE WHEN in_both AND changed = '' THEN 'equal'
+                        ELSE pre_status END AS diff_status,
+                   CASE WHEN in_both THEN changed ELSE '' END AS changed
+            FROM j
+            WHERE NOT (in_both AND changed = '')
         """,
         "grouped_topk": """
             SELECT c_nationkey, c_custkey, c_acctbal FROM (

@@ -1131,6 +1131,69 @@ class Table(CoreExpr):
         )
         return Table(df)
 
+    def diff(self, other: "Table", on, *, include_equal: bool = False) -> "Table":
+        """Reconcile two versions of a table — the data-validation step
+        after a migration/backfill/pipeline change: full outer join on
+        the ``on`` keys, emitting one row per key with ``diff_status``
+        (``added`` = only in ``other``, ``removed`` = only in ``self``,
+        ``changed`` = present in both with some non-key column
+        differing, ``equal`` only when ``include_equal=True``) and
+        ``changed_cols`` (sorted array of differing column names;
+        comparisons are null-safe, so NULL == NULL). Both tables must
+        share a schema.
+
+        Plan: ONE key-partitioned full outer join; every comparison is
+        a codegen'd null-safe equality — no collect, no per-column
+        passes, linear at any scale."""
+        on = list(_tuplize(on))
+        if not on:
+            raise ValueError("diff needs at least one key column")
+        if set(self._df.columns) != set(other._df.columns):
+            raise ValueError(
+                "diff requires identical schemas; differing columns: "
+                f"{sorted(set(self._df.columns) ^ set(other._df.columns))}"
+            )
+        vals = sorted(c for c in self._df.columns if c not in on)
+        l = self._df.select(
+            *[F.col(k).alias(f"__dk{i}__") for i, k in enumerate(on)],
+            F.lit(True).alias("__in_l__"),
+            *[F.col(c).alias(f"__l_{c}__") for c in vals],
+        )
+        r = other._df.select(
+            *[F.col(k).alias(f"__dk{i}__") for i, k in enumerate(on)],
+            F.lit(True).alias("__in_r__"),
+            *[F.col(c).alias(f"__r_{c}__") for c in vals],
+        )
+        keys = [f"__dk{i}__" for i in range(len(on))]
+        j = l.join(r, on=keys, how="full")
+        neq = [
+            F.when(
+                ~F.col(f"__l_{c}__").eqNullSafe(F.col(f"__r_{c}__")), F.lit(c)
+            )
+            for c in vals
+        ]
+        changed = F.array_sort(
+            F.filter(F.array(*neq), lambda x: x.isNotNull())
+        ) if vals else F.array().cast("array<string>")
+        status = (
+            F.when(F.col("__in_l__").isNull(), F.lit("added"))
+            .when(F.col("__in_r__").isNull(), F.lit("removed"))
+            .when(F.size(changed) > 0, F.lit("changed"))
+            .otherwise(F.lit("equal"))
+        )
+        out = j.select(
+            *[F.col(f"__dk{i}__").alias(k) for i, k in enumerate(on)],
+            status.alias("diff_status"),
+            # only meaningful for 'changed' rows (an added/removed row
+            # trivially "differs" in every non-null column)
+            F.when(status == "changed", changed)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+        if not include_equal:
+            out = out.filter(F.col("diff_status") != "equal")
+        return Table(out)
+
     def positional_join(self, right) -> "Table":
         """Positional join (relations.py:213): zip rows by position.
 

@@ -695,3 +695,43 @@ class TestGroupedTopk:
             t.grouped_topk("g", "v", 0)
         with pytest.raises(ValueError, match="group key"):
             t.grouped_topk((), "v", 3)
+
+
+class TestTableDiff:
+    def test_statuses_and_null_safety(self, con):
+        a = con.memtable({
+            "k": [1, 2, 3, 4],
+            "v": [10, 20, None, 40],
+            "s": ["a", "b", "c", "d"],
+        })
+        b = con.memtable({
+            "k": [1, 2, 3, 5],
+            "v": [10, 99, None, 50],
+            "s": ["a", "b", None, "e"],
+        })
+        got = {r.k: (r.diff_status, list(r.changed_cols))
+               for r in a.diff(b, "k").df.collect()}
+        # k=1 equal (omitted); k=2 changed v; k=3 NULL==NULL for v but
+        # s changed c->NULL; k=4 removed; k=5 added
+        assert got == {
+            2: ("changed", ["v"]),
+            3: ("changed", ["s"]),
+            4: ("removed", []),
+            5: ("added", []),
+        }
+        with_eq = {r.k: r.diff_status
+                   for r in a.diff(b, "k", include_equal=True).df.collect()}
+        assert with_eq[1] == "equal"
+
+    def test_multi_key_and_schema_mismatch(self, con):
+        a = con.memtable({"k1": [1, 1], "k2": ["x", "y"], "v": [5, 6]})
+        b = con.memtable({"k1": [1, 1], "k2": ["x", "z"], "v": [7, 6]})
+        got = {(r.k1, r.k2): r.diff_status
+               for r in a.diff(b, ["k1", "k2"]).df.collect()}
+        assert got == {(1, "x"): "changed", (1, "y"): "removed",
+                       (1, "z"): "added"}
+        c = con.memtable({"k1": [1], "other": [2]})
+        with pytest.raises(ValueError, match="identical schemas"):
+            a.diff(c, "k1")
+        with pytest.raises(ValueError, match="key column"):
+            a.diff(b, ())
