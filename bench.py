@@ -92,6 +92,7 @@ HEADLINE = [
     "corpus_divergence",
     "cross_dedup",
     "grouped_topk",
+    "table_diff",
     "dedup_clusters",
     "mixture_sample",
     "ngram_lm_score",
