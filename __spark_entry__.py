@@ -2331,10 +2331,10 @@ def _weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (pipeline.weighted_sample, Efraimidis–Spirakis): top-500 orders by
     ln(u)/w with a reproducible md5-derived uniform u and w =
-    o_totalprice. Scan + TakeOrderedAndProject, no shuffle. The uniform
-    is byte-identical in DuckDB (same hex-prefix -> double), and the
-    score is rounded to 9dp before ranking so 1-ulp libm ln differences
-    collapse to the shared o_orderkey tiebreak."""
+    o_totalprice. Scan + TakeOrderedAndProject, no shuffle. r8: ln is
+    the engine's libm-free polynomial (correctly-rounded IEEE ops only),
+    so score, ordering, and the selected SET are bit-identical across
+    engines — no rounding, no libm anywhere in the hashed output."""
     from ibis_spark import pipeline as pl
 
     o = _t(spark, sf_dir, "orders")
@@ -2634,6 +2634,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assert not missing, f"sample window names unknown queries: {missing}"
     ordered = _SAMPLE_WINDOW + [k for k in d if k not in _SAMPLE_WINDOW]
     return {k: d[k] for k in ordered}
+
+
+def _det_ln_sql(mm_expr: str, bits: int) -> str:
+    """DuckDB SQL for the engine's libm-free ``ln(mm / 2**bits)``
+    (ibis_spark.pipeline._det_ln_frac_cols): mm a BIGINT expression in
+    [1, 2**bits]. Only correctly-rounded IEEE ops (+,-,*,/) and exact
+    integer ops (bin-length floor-log2, shiftleft), with the identical
+    parenthesization/Horner order as the Spark side, so both engines
+    produce BIT-IDENTICAL doubles — the cross-libm determinism fix for
+    every hashed value that used to flow through libm LN."""
+    return f"""
+      (SELECT 2.0 * z * ((((((0.07692307692307693 * z2 + 0.09090909090909091)
+                 * z2 + 0.1111111111111111) * z2 + 0.14285714285714285)
+                 * z2 + 0.2) * z2 + 0.3333333333333333) * z2 + 1.0)
+              + CAST(e - {bits} AS DOUBLE) * 0.6931471805599453
+       FROM (SELECT z, z*z AS z2, e FROM
+             (SELECT (f - 1.0) / (f + 1.0) AS z, e FROM
+              (SELECT CAST(mm AS DOUBLE) / CAST((1::BIGINT << e) AS DOUBLE) AS f, e FROM
+               (SELECT mm, CAST(length(bin(mm)) - 1 AS INTEGER) AS e FROM
+                (SELECT ({mm_expr}) AS mm))))))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4030,16 +4050,14 @@ def oracle_sql() -> dict[str, str]:
                      AS value
             FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.tb = b.tb
         """,
-        "weighted_sample": """
+        "weighted_sample": f"""
             -- Efraimidis–Spirakis keys from the SAME md5-derived uniform
-            -- the engine draws (hex prefix -> identical IEEE double);
-            -- 9dp rounding before ranking absorbs 1-ulp libm LN drift
+            -- the engine draws; ln via the shared libm-free polynomial
+            -- (_det_ln_sql) so score/ordering/SET are bit-identical
             WITH s AS (
               SELECT o_orderkey,
-                     ROUND(LN(
-                       (('0x' || substr(md5('ws7' || CAST(o_orderkey AS VARCHAR)), 1, 15))::UBIGINT::DOUBLE + 0.5)
-                       / 1152921504606846976.0
-                     ) / o_totalprice, 9) AS score
+                     {_det_ln_sql("('0x' || substr(md5('ws7' || CAST(o_orderkey AS VARCHAR)), 1, 15))::UBIGINT::BIGINT + 1", 60)}
+                     / CAST(o_totalprice AS DOUBLE) AS score
               FROM orders WHERE o_totalprice > 0)
             SELECT o_orderkey, score FROM s
             ORDER BY score DESC, o_orderkey LIMIT 500

@@ -6,7 +6,14 @@ compares row count, column names, and values (order-insensitive; exact for
 non-floats, and both exact and 1e-9-relative for floats so we can spot
 entries that need explicit rounding to survive a strict value-hash).
 
-Usage: PYTHONPATH=/root/repo python /root/repo/tools/check.py [name ...]
+Usage: PYTHONPATH=/root/repo python /root/repo/tools/check.py [--strict] [name ...]
+
+``--strict`` mirrors the driver's byte-hash exactly (VERDICT r7 item 2):
+every float is canonicalized to ``repr`` (so a single-ulp difference, or
+-0.0 vs 0.0, is a FAIL) and the 1e-9 approx fallback is disabled.  A
+float-emitting query must prove hash-stability under --strict, not mere
+value-closeness — anything that only passes the default mode would be
+APPROX-ONLY under the driver and may flip red on a different libm.
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+STRICT = False
 
 
 def _norm_cell(v):
@@ -26,6 +34,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT:
+            # repr distinguishes every ulp AND the sign of zero — the
+            # same discrimination the driver's value-hash has.
+            return f"f:{v!r}"
         return v
     return v
 
@@ -52,7 +64,10 @@ def _approx_eq(a, b):
 
 
 def main():
-    only = set(sys.argv[1:])
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = len(argv) != len(sys.argv) - 1
+    only = set(argv)
     import duckdb
 
     from pyspark.sql import SparkSession
@@ -131,7 +146,16 @@ def main():
                             break
                     if problems:
                         break
-            if not exact:
+            if not exact and STRICT:
+                bad = next(
+                    (i, sr, orow)
+                    for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted))
+                    if sr != orow
+                )
+                problems.append(
+                    f"STRICT hash mismatch, e.g. row {bad[0]}: spark={bad[1]} oracle={bad[2]}"
+                )
+            elif not exact:
                 ok = all(
                     all(_approx_eq(a, b) for a, b in zip(sr, orow))
                     for sr, orow in zip(s_sorted, o_sorted)
