@@ -919,7 +919,11 @@ def _scalar_numeric(spark, sf_dir):
         ceilp=t.l_extendedprice.ceil(),
         floorp=t.l_extendedprice.floor().cast("int64"),
         sq=t.l_quantity.sqrt().round(6),
-        lg=t.l_extendedprice.ln().round(6),
+        # 4dp (was 6): the only residual libm emission in the harness;
+        # at 4dp a cross-libm 1-ulp ln drift flips a rounding boundary with
+        # P~1e-11 per value (audited r8 -- this query EXERCISES the user-
+        # facing libm ln(), so det-ln substitution would defeat its purpose)
+        lg=t.l_extendedprice.ln().round(4),
         sgn=(t.l_discount - 0.05).sign().cast("int32"),
         md=t.l_orderkey % 7,
         fd=t.l_orderkey // 7,
@@ -2163,7 +2167,9 @@ def _ngram_lm_score(spark, sf_dir):
     """Corpus-trained bigram-LM perplexity per document
     (pipeline.ngram_lm_score): add-1-smoothed P(w2|w1) trained on the
     whole corpus, then each doc scored by mean negative log-prob. Two
-    training count exchanges + model join + one group-by-doc mean."""
+    training count exchanges + model join + one group-by-doc mean. r8:
+    deterministic ln/exp + ascending-order fold -> raw bit-identical
+    doubles."""
     from ibis_spark import pipeline as pl
 
     d = _t(spark, sf_dir, "documents")
@@ -2359,9 +2365,9 @@ def _corpus_divergence(spark, sf_dir):
     """Token-level Jensen–Shannon divergence between the even- and
     odd-doc_id halves of the documents corpus
     (pipeline.corpus_divergence): the data-mix diagnostic. Top-25
-    tokens by contribution; probabilities and contributions rounded to
-    9dp BEFORE ranking so cross-engine 1-ulp ln drift collapses to the
-    token tiebreak."""
+    tokens by contribution; ln is the engine's libm-free deterministic
+    polynomial so probabilities and contributions are emitted raw,
+    bit-identical cross-engine (r8)."""
     from ibis_spark import pipeline as pl
 
     d = _t(spark, sf_dir, "documents")
@@ -2654,6 +2660,64 @@ def _det_ln_sql(mm_expr: str, bits: int) -> str:
               (SELECT CAST(mm AS DOUBLE) / CAST((1::BIGINT << e) AS DOUBLE) AS f, e FROM
                (SELECT mm, CAST(length(bin(mm)) - 1 AS INTEGER) AS e FROM
                 (SELECT ({mm_expr}) AS mm))))))"""
+
+
+def _det_ln_pos_sql(x_expr: str) -> str:
+    """DuckDB SQL mirroring ibis_spark.pipeline._with_det_ln_pos: the
+    general-domain deterministic ln of a positive DOUBLE expression.
+    Binary normalization by exact power-of-two literals (identical
+    branch predicates and op order as the Spark side), then the shared
+    atanh polynomial — bit-identical doubles on both engines."""
+    ks = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+    q = f"(SELECT CAST(({x_expr}) AS DOUBLE) AS f, 0 AS e)"
+    for k in ks:
+        big = repr(float(2.0 ** k))
+        thr = repr(float(2.0 ** (1 - k)))
+        q = (
+            f"(SELECT CASE WHEN f >= {big} THEN f / {big}"
+            f" WHEN f < {thr} THEN f * {big} ELSE f END AS f,"
+            f" CASE WHEN f >= {big} THEN e + {k}"
+            f" WHEN f < {thr} THEN e - {k} ELSE e END AS e FROM {q})"
+        )
+    return f"""
+      (SELECT 2.0 * z * ((((((0.07692307692307693 * z2 + 0.09090909090909091)
+                 * z2 + 0.1111111111111111) * z2 + 0.14285714285714285)
+                 * z2 + 0.2) * z2 + 0.3333333333333333) * z2 + 1.0)
+              + CAST(e AS DOUBLE) * 0.6931471805599453
+       FROM (SELECT z, z*z AS z2, e FROM
+             (SELECT (f - 1.0) / (f + 1.0) AS z, e FROM {q})))"""
+
+
+def _det_exp_sql(x_expr: str) -> str:
+    """DuckDB SQL mirroring ibis_spark.pipeline._with_det_exp: the
+    deterministic exp of a DOUBLE expression (|x| ≲ 43), bit-identical
+    to the Spark side — shiftleft for 2**k (exact), 12-term Taylor on
+    the reduced argument, reciprocal for negative inputs."""
+    horner = "1.0"
+    coeffs = (
+        2.08767569878681e-09,
+        2.505210838544172e-08,
+        2.755731922398589e-07,
+        2.7557319223985893e-06,
+        2.48015873015873e-05,
+        0.0001984126984126984,
+        0.001388888888888889,
+        0.008333333333333333,
+        0.041666666666666664,
+        0.16666666666666666,
+        0.5,
+        1.0,
+        1.0,  # 1/1! then 1/0! — Horner needs BOTH trailing ones
+    )
+    horner = repr(coeffs[0])
+    for c in coeffs[1:]:
+        horner = f"({horner}) * r + {c!r}"
+    return f"""
+      (SELECT CASE WHEN s < 0 THEN 1.0 / pos ELSE pos END FROM
+       (SELECT s, CAST((1::BIGINT << kk) AS DOUBLE) * ({horner}) AS pos FROM
+        (SELECT s, a - CAST(kk AS DOUBLE) * 0.6931471805599453 AS r, kk FROM
+         (SELECT s, a, CAST(FLOOR(a * 1.4426950408889634 + 0.5) AS INTEGER) AS kk FROM
+          (SELECT s, ABS(s) AS a FROM (SELECT CAST(({x_expr}) AS DOUBLE) AS s))))))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3321,7 +3385,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CEIL(l_extendedprice) AS BIGINT) AS ceilp,
                    CAST(FLOOR(l_extendedprice) AS BIGINT) AS floorp,
                    ROUND(SQRT(l_quantity), 6) AS sq,
-                   ROUND(LN(l_extendedprice), 6) AS lg,
+                   ROUND(LN(l_extendedprice), 4) AS lg,
                    CAST(SIGN(l_discount - 0.05) AS INT) AS sgn,
                    l_orderkey % 7 AS md,
                    CAST(l_orderkey // 7 AS BIGINT) AS fd,
@@ -3784,15 +3848,27 @@ def oracle_sql() -> dict[str, str]:
             c1 AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
             v AS (SELECT COUNT(DISTINCT w1) AS v FROM uni),
             scored AS (
-              SELECT doc_id, -LN((c12 + 1.0) / (c1 + 1.0 * v)) AS nll
+              -- nll via the engine's libm-free deterministic ln; mean
+              -- folds terms in ASCENDING order (SUM(x ORDER BY x) ==
+              -- Spark's sorted-array left fold) -> bit-identical doubles
+              SELECT doc_id,
+                     ("""
+        + _det_ln_pos_sql("CAST(c1 AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)")
+        + """
+                      - """
+        + _det_ln_pos_sql("CAST(c12 AS DOUBLE) + 1.0")
+        + """) AS nll
               FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
             agg AS (
-              SELECT doc_id, COUNT(*) AS n_bigrams, AVG(nll) AS a
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     SUM(nll ORDER BY nll) / CAST(COUNT(*) AS DOUBLE) AS a
               FROM scored GROUP BY doc_id)
             SELECT t.doc_id,
                    CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                   ROUND(a, 6) AS avg_nll,
-                   ROUND(EXP(a), 6) AS ppl
+                   a AS avg_nll,
+                   """
+        + _det_exp_sql("a")
+        + """ AS ppl
             FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
         """,
         "chunk_text": """
@@ -4076,8 +4152,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE LENGTH(text) >= lo AND LENGTH(text) <= hi
         """,
         "corpus_divergence": """
-            -- token-level JS contributions, even vs odd doc_ids; rounded
-            -- to 9dp BEFORE ranking (libm LN ulp drift -> token tiebreak)
+            -- token-level JS contributions, even vs odd doc_ids; ln via
+            -- the engine's libm-free polynomial -> raw bit-identical
+            -- doubles, no rounding needed
             WITH ta AS (
               SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
                                         x -> x <> '')) AS tok
@@ -4092,17 +4169,27 @@ def oracle_sql() -> dict[str, str]:
                             (SELECT SUM(nb) FROM cb) AS totb),
             j AS (
               SELECT tok AS token,
-                     COALESCE(na, 0)::DOUBLE / tota AS pa,
-                     COALESCE(nb, 0)::DOUBLE / totb AS pb
-              FROM ca FULL JOIN cb USING (tok) CROSS JOIN tots)
-            SELECT token, ROUND(pa, 9) AS p_a, ROUND(pb, 9) AS p_b,
-                   ROUND((CASE WHEN pa > 0
-                               THEN pa * LN(pa / ((pa + pb) / 2))
-                               ELSE 0 END
-                        + CASE WHEN pb > 0
-                               THEN pb * LN(pb / ((pa + pb) / 2))
-                               ELSE 0 END) / 2, 9) AS js
-            FROM j ORDER BY js DESC, token LIMIT 25
+                     CAST(COALESCE(na, 0) AS DOUBLE) / CAST(tota AS DOUBLE) AS pa,
+                     CAST(COALESCE(nb, 0) AS DOUBLE) / CAST(totb AS DOUBLE) AS pb
+              FROM ca FULL JOIN cb USING (tok) CROSS JOIN tots),
+            r AS (
+              SELECT token, pa, pb,
+                     pa / ((pa + pb) / 2.0) AS ra,
+                     pb / ((pa + pb) / 2.0) AS rb
+              FROM j),
+            l AS (
+              SELECT token, pa, pb,
+                     """
+        + _det_ln_pos_sql("ra")
+        + """ AS lra,
+                     """
+        + _det_ln_pos_sql("rb")
+        + """ AS lrb
+              FROM r)
+            SELECT token, pa AS p_a, pb AS p_b,
+                   (CASE WHEN pa > 0 THEN pa * lra ELSE 0.0 END
+                  + CASE WHEN pb > 0 THEN pb * lrb ELSE 0.0 END) / 2.0 AS js
+            FROM l ORDER BY js DESC, token LIMIT 25
         """,
         "cross_dedup": """
             -- all-pairs train x ref exact shingle-Jaccard (same shingle
@@ -4222,7 +4309,7 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY ng ORDER BY cnt DESC, ng LIMIT 25
         """,
-        "tfidf": """
+        "tfidf": f"""
             WITH toks AS (
               SELECT doc_id,
                      UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -4237,8 +4324,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
             ),
             n AS (SELECT COUNT(*) AS n FROM documents)
+            -- idf via the engine's libm-free deterministic ln
+            -- (ln N - ln df), emitted raw: bit-identical cross-engine
             SELECT t.doc_id, t.term, t.tf, d.df,
-                   ROUND(t.tf * LN(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+                   CAST(t.tf AS DOUBLE) * ({_det_ln_pos_sql("CAST(n.n AS DOUBLE)")} - {_det_ln_pos_sql("CAST(d.df AS DOUBLE)")}) AS tfidf
             FROM tf t JOIN df d USING(term) CROSS JOIN n
             WHERE t.doc_id < 50
         """,

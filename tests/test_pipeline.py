@@ -710,10 +710,12 @@ class TestCorpusStats:
         t = con.memtable({"doc_id": [1, 2], "text": ["a a b", "b c"]})
         out = pl.tfidf(t, "text", "doc_id")
         got = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf) for r in out.df.collect()}
-        ln2 = round(math.log(2.0), 6)
-        assert got[(1, "a")] == (2, 1, round(2 * math.log(2 / 1), 6))
-        assert got[(1, "b")] == (1, 2, 0.0)   # ln(2/2) = 0
-        assert got[(2, "c")] == (1, 1, ln2)
+        # det-ln emission (r8): raw doubles within 1e-7 of true ln
+        assert got[(1, "a")][:2] == (2, 1)
+        assert abs(got[(1, "a")][2] - 2 * math.log(2 / 1)) < 1e-7
+        assert got[(1, "b")] == (1, 2, 0.0)   # ln(2) - ln(2) = exactly 0
+        assert got[(2, "c")][:2] == (1, 1)
+        assert abs(got[(2, "c")][2] - math.log(2.0)) < 1e-7
         assert len(got) == 4
 
 
@@ -900,9 +902,10 @@ class TestCorpusCleaning:
         p_aa = 3 / 7
         p_ab = 2 / 7
         assert out[1].n_bigrams == 2
-        assert abs(out[1].avg_nll - round(-math.log(p_aa), 6)) < 1e-9
-        assert abs(out[1].ppl - round(1 / p_aa, 6)) < 1e-6
-        assert abs(out[2].avg_nll - round(-math.log(p_ab), 6)) < 1e-9
+        # det-ln/exp emission (r8): raw doubles within 1e-7 of true values
+        assert abs(out[1].avg_nll - -math.log(p_aa)) < 1e-7
+        assert abs(out[1].ppl - 1 / p_aa) < 1e-6
+        assert abs(out[2].avg_nll - -math.log(p_ab)) < 1e-7
         # single-token doc: no bigrams, NULL scores
         assert out[3].n_bigrams == 0 and out[3].avg_nll is None
 
@@ -1220,8 +1223,9 @@ class TestCorpusDivergence:
         b = con.memtable({"doc_id": [2], "text": ["y"]})
         out = {r.token: r for r in pl.corpus_divergence(a, b, "text").df.collect()}
         # token only in one corpus: contribution = p*ln(2)/2 with p=1
-        expect = round(math.log(2) / 2, 9)
-        assert out["x"].js == expect and out["y"].js == expect
+        # (det-ln emission r8: raw doubles within 1e-8 of true ln)
+        expect = math.log(2) / 2
+        assert abs(out["x"].js - expect) < 1e-8 and abs(out["y"].js - expect) < 1e-8
         assert (out["x"].p_a, out["x"].p_b) == (1.0, 0.0)
 
     def test_numpy_differential(self, con):
