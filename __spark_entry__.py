@@ -2298,6 +2298,40 @@ def _pagerank(spark, sf_dir):
     return pr.select("node", pr=pr.pr.round(9)).to_spark()
 
 
+def _connected_components_isolated(spark, sf_dir):
+    """connected_components with the r8 ``nodes=`` vertex-set contract
+    (VERDICT r7 item 7): the FULL supplier list is supplied as the
+    vertex table, so degree-0 suppliers (no qualifying lineitem edge)
+    appear as singleton components (component = self) instead of
+    silently vanishing — real link graphs have isolated vertices."""
+    from ibis_spark import pipeline as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    f = li.filter(li.l_quantity > 49.0, li.l_discount > 0.08)
+    edges = f.select(a=f.l_suppkey, b=f.l_partkey + 100000).distinct()
+    return pl.connected_components(
+        edges, "a", "b", nodes=s.select(id=s.s_suppkey)
+    ).to_spark()
+
+
+def _pagerank_isolated(spark, sf_dir):
+    """pagerank with the r8 ``nodes=`` vertex-set contract (VERDICT r7
+    item 7): all suppliers join the vertex set, so degree-0 suppliers
+    enter N (lowering every base share) and settle at (1-d)/N — the
+    dangling-leak rule — instead of being absent."""
+    from ibis_spark import pipeline as pl
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    f = li.filter(li.l_quantity > 45.0)
+    edges = f.select(src=f.l_partkey + 100000, dst=f.l_suppkey).distinct()
+    pr = pl.pagerank(edges, "src", "dst", iters=3, damping=0.85,
+                     id_name="node", rank_name="pr",
+                     nodes=s.select(node=s.s_suppkey))
+    return pr.select("node", pr=pr.pr.round(9)).to_spark()
+
+
 def _range_join(spark, sf_dir):
     """Bucketed interval-containment join (Table.range_join): every order
     whose total price falls inside a sampled order's ±5% price band.
@@ -2480,7 +2514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota_sample": _domain_quota_sample,
         "decontaminate": _decontaminate,
         "connected_components": _connected_components,
+        "connected_components_isolated": _connected_components_isolated,
         "pagerank": _pagerank,
+        "pagerank_isolated": _pagerank_isolated,
         "range_join": _range_join,
         "gap_fill": _gap_fill,
         "weighted_sample": _weighted_sample,
@@ -4060,6 +4096,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS id, MIN(dst) AS component
             FROM reach GROUP BY src
         """,
+        "connected_components_isolated": """
+            -- nodes= contract: degree-0 suppliers appear as singleton
+            -- components (component = self)
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey AS b
+              FROM lineitem
+              WHERE l_quantity > 49.0 AND l_discount > 0.08),
+            sym AS (SELECT a, b FROM e0
+                    UNION SELECT b AS a, a AS b FROM e0),
+            reach(src, dst) AS (
+              SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+            SELECT src AS id, MIN(dst) AS component
+            FROM reach GROUP BY src
+            UNION ALL
+            SELECT s_suppkey AS id, s_suppkey AS component
+            FROM supplier
+            WHERE s_suppkey NOT IN (SELECT a FROM sym)
+        """,
         "pagerank": """
             -- simplified PageRank, 3 iterations unrolled (the engine's
             -- fixed-iteration semantics are exactly SQL-reproducible);
@@ -4068,6 +4124,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT 100000 + l_partkey AS src, l_suppkey AS dst
               FROM lineitem WHERE l_quantity > 45.0),
             nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                    FROM e GROUP BY src),
+            r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+            c1 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+                   FROM e JOIN deg d ON e.src = d.src
+                          JOIN r0 r ON e.src = r.id GROUP BY e.dst),
+            r1 AS (SELECT nodes.id,
+                          (1 - 0.85) / nn.n + 0.85 * COALESCE(c1.c, 0) AS rank
+                   FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+            c2 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+                   FROM e JOIN deg d ON e.src = d.src
+                          JOIN r1 r ON e.src = r.id GROUP BY e.dst),
+            r2 AS (SELECT nodes.id,
+                          (1 - 0.85) / nn.n + 0.85 * COALESCE(c2.c, 0) AS rank
+                   FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
+            c3 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS c
+                   FROM e JOIN deg d ON e.src = d.src
+                          JOIN r2 r ON e.src = r.id GROUP BY e.dst),
+            r3 AS (SELECT nodes.id,
+                          (1 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0) AS rank
+                   FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id)
+            SELECT id AS node, ROUND(rank, 9) AS pr FROM r3
+        """,
+        "pagerank_isolated": """
+            -- nodes= contract: ALL suppliers enter the vertex set; the
+            -- degree-0 ones enter N and settle at (1-d)/N
+            WITH e AS (
+              SELECT DISTINCT 100000 + l_partkey AS src, l_suppkey AS dst
+              FROM lineitem WHERE l_quantity > 45.0),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e
+                      UNION SELECT s_suppkey FROM supplier),
             nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
             deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
                     FROM e GROUP BY src),

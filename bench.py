@@ -177,27 +177,50 @@ def main():
         sf = float(sf)
     except ValueError:
         sf = None
-    out = {
+    # Key order matters: the driver records only a 2000-char TAIL of
+    # stdout, so the wide per-query maps go FIRST and the scalar summary
+    # LAST — a front-truncated line still shows every total (the r7
+    # artifact lost its sf0.1 column exactly this way).
+    out = {"queries": times}
+    summary = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(ok_times), 3),
         "unit": "sec",
-        "queries": times,
         "sf": sf,
         "reps": reps,
     }
     if oracle_times is not None:
         out["oracle_duckdb"] = oracle_times
         ok_oracle = [t for t in oracle_times.values() if t is not None]
-        out["oracle_total"] = round(sum(ok_oracle), 3)
+        summary["oracle_total"] = round(sum(ok_oracle), 3)
     if small_times is not None:
         out["queries_small_sf"] = small_times
         sf_small = small_dir.rstrip("/").rsplit("sf", 1)[-1]
         try:
-            out["sf_small"] = float(sf_small)
+            summary["sf_small"] = float(sf_small)
         except ValueError:
-            out["sf_small"] = None
+            summary["sf_small"] = None
         ok_small = [t for t in small_times.values() if t is not None]
-        out["small_sf_total"] = round(sum(ok_small), 3)
+        summary["small_sf_total"] = round(sum(ok_small), 3)
+    out.update(summary)
+    # Durable full artifact: the committed file survives even when the
+    # driver's stdout tail truncates the one-line JSON.
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    local_path = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1}.json")
+    try:
+        with open(local_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write {local_path}: {e}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

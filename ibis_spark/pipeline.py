@@ -2516,6 +2516,8 @@ def connected_components(
     comp_name: str = "component",
     max_iter: int = 50,
     algorithm: str = "label",
+    nodes: "Table | None" = None,
+    node_col: str | None = None,
 ) -> Table:
     """Connected components by min-label propagation — the glue step that
     turns pairwise dedup candidate edges into duplicate CLUSTERS (pick
@@ -2523,6 +2525,14 @@ def connected_components(
 
     Returns (id, component) where ``component`` is the smallest node id
     reachable from ``id``. Deterministic for a given edge set.
+
+    Vertex-set contract: by default only nodes incident to an edge
+    appear. Real graphs have degree-0 vertices; pass ``nodes=`` (a table
+    whose ``node_col`` — default ``id_name`` — holds the FULL vertex
+    set) and every isolated vertex appears with ``component`` = itself
+    (a singleton cluster). Costs one extra union+distinct into the label
+    seed; the iterations are unchanged (isolated labels have no incident
+    edges, so they never join and never change).
 
     Distributed shape: the edge list is symmetrized once; each iteration
     is (join labels to edges on the destination) → (min-aggregate per
@@ -2557,12 +2567,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("__a__").alias(id_name))
-        .distinct()
-        .withColumn(comp_name, F.col(id_name))
-        .localCheckpoint()
-    )
+    seed = sym.select(F.col("__a__").alias(id_name)).distinct()
+    if nodes is not None:
+        nc = node_col or id_name
+        seed = (
+            seed.union(
+                nodes.df.select(F.col(nc).alias(id_name))
+                .filter(F.col(id_name).isNotNull())
+            )
+            .distinct()
+        )
+    labels = seed.withColumn(comp_name, F.col(id_name)).localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["__b__"] == labels[id_name])
@@ -2678,6 +2693,8 @@ def pagerank(
     damping: float = 0.85,
     id_name: str = "id",
     rank_name: str = "rank",
+    nodes: "Table | None" = None,
+    node_col: str | None = None,
 ) -> Table:
     """Fixed-iteration PageRank over a directed edge list — the
     link-graph centrality signal web-corpus curation uses to weight
@@ -2694,6 +2711,13 @@ def pagerank(
     redistributing it — deterministic, and the variant the original
     PageRank paper's iteration also admits. Duplicate edges are
     collapsed first; self-loops are kept (they are real links).
+
+    Vertex-set contract: by default only nodes incident to an edge
+    exist. Pass ``nodes=`` (a table whose ``node_col`` — default
+    ``id_name`` — holds the FULL vertex set) and degree-0 vertices
+    participate: they enter ``N`` (lowering every base share), start at
+    ``1/N``, and settle at ``(1-damping)/N`` (they receive no mass and,
+    having no out-edges, leak their own — the dangling rule above).
 
     Distributed shape: the (src, dst, outdeg) edge relation is built
     ONCE, hash-partitioned on ``src`` and checkpointed; each iteration
@@ -2716,12 +2740,17 @@ def pagerank(
         .filter(F.col("__src__").isNotNull() & F.col("__dst__").isNotNull())
         .distinct()
     )
-    nodes = (
-        e.select(F.col("__src__").alias(id_name))
-        .union(e.select(F.col("__dst__").alias(id_name)))
-        .distinct()
-        .localCheckpoint()
+    node_df = e.select(F.col("__src__").alias(id_name)).union(
+        e.select(F.col("__dst__").alias(id_name))
     )
+    if nodes is not None:
+        nc = node_col or id_name
+        node_df = node_df.union(
+            nodes.df.select(F.col(nc).alias(id_name)).filter(
+                F.col(id_name).isNotNull()
+            )
+        )
+    nodes = node_df.distinct().localCheckpoint()
     n = nodes.count()
     outdeg = e.groupBy("__src__").agg(F.count(F.lit(1)).alias("__deg__"))
     em = (

@@ -862,6 +862,28 @@ class TestCorpusCleaning:
         with pytest.raises(RuntimeError, match="converge"):
             pl.connected_components(e, "a", "b", max_iter=1)
 
+    def test_connected_components_isolated_nodes(self, con):
+        # nodes= contract (r8): degree-0 vertices appear as singletons
+        e = con.memtable({"a": [2], "b": [1]})
+        nodes = con.memtable({"id": [1, 2, 7, 9]})
+        out = {r.id: r.component
+               for r in pl.connected_components(e, "a", "b", nodes=nodes).df.collect()}
+        assert out == {1: 1, 2: 1, 7: 7, 9: 9}
+
+    def test_pagerank_isolated_nodes(self, con):
+        # nodes= contract (r8): degree-0 vertices enter N and settle at
+        # (1-d)/N; without nodes= they are absent and N is smaller
+        e = con.memtable({"s": [1], "d": [2]})
+        nodes = con.memtable({"id": [1, 2, 3, 4]})
+        out = {r.id: r.rank
+               for r in pl.pagerank(e, "s", "d", iters=3, nodes=nodes).df.collect()}
+        assert set(out) == {1, 2, 3, 4}
+        base = (1 - 0.85) / 4
+        assert abs(out[3] - base) < 1e-12 and abs(out[4] - base) < 1e-12
+        # node 1 is dangling-source: also settles at base; node 2 receives
+        assert abs(out[1] - base) < 1e-12
+        assert out[2] > base
+
     def test_dedup_clusters_transitive_merge(self, con):
         base = "the quick brown fox jumps over the lazy dog " * 8
         near1 = base.replace("lazy", "sleepy")
