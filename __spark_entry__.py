@@ -2416,13 +2416,17 @@ def _cross_dedup(spark, sf_dir):
     (doc_id % 7 == 0) at exact shingle-Jaccard >= 0.7. Candidates via a
     banded MinHash-LSH join BETWEEN corpora, verified exactly — the
     DuckDB oracle is the all-pairs train x ref Jaccard with the same
-    length-ratio prefilter as the intra-corpus dedup oracles."""
+    length-ratio prefilter as the intra-corpus dedup oracles. The
+    all-pairs oracle demands the flagged SET be identical, so this
+    entry runs bands=32 (r=2): detection prob >= 1-4e-10 at exactly
+    j=threshold, closing the ~1.2% near-threshold LSH miss band the
+    production default (bands=16, r=4) accepts (ADVICE r7)."""
     from ibis_spark import pipeline as pl
 
     d = _t(spark, sf_dir, "documents")
     train = d.filter(d.doc_id % 7 != 0)
     ref = d.filter(d.doc_id % 7 == 0)
-    out = pl.cross_dedup(train, ref, "text", "doc_id", threshold=0.7)
+    out = pl.cross_dedup(train, ref, "text", "doc_id", threshold=0.7, bands=32)
     return out.select(
         "doc_id", "matched_ref", sim=out.sim.round(6), contaminated=out.contaminated
     ).to_spark()

@@ -1014,6 +1014,14 @@ class Table(CoreExpr):
         bucket per ``by`` group (``fill=None`` leaves them null);
         ``fill_value`` patches whatever remains null (leading gaps).
 
+        ``count`` is special-cased to match pandas
+        ``resample().count()``: an empty bucket has a count of 0 — a
+        fact, not a missing observation — so count columns are pinned
+        to 0 on the spine BEFORE any filling and are never forward-
+        filled or ``fill_value``-patched (ADVICE r7: the previous
+        behavior NULL-then-ffilled the prior bucket's count, which
+        matches no resampling convention).
+
         Plan shape: (1) one groupBy(by, bucket) shuffle with map-side
         partial aggs; (2) one groupBy(by) min/max span agg; (3) the
         spine = sequence(lo, hi, every) exploded per group joined back on
@@ -1072,6 +1080,11 @@ class Table(CoreExpr):
         )
         out = spine.join(bucketed, on=by + ["__gf_b__"], how="left")
         cols = list(aggs)
+        # pandas resample().count() semantics: empty bucket -> 0, pinned
+        # before filling so ffill/fill_value never touch count columns
+        count_cols = [c for c, a in aggs.items() if a == "count"]
+        for c in count_cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0).cast("long")))
         if fill == "ffill":
             from pyspark.sql.window import Window as W
 

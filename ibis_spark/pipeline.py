@@ -1788,7 +1788,13 @@ def bpe_train(
     100 TB shape: the corpus-scale work is the single pretoken count;
     every iteration after that touches only the distinct-pretoken table
     (vocabulary-sized — millions of rows, not billions) with one small
-    shuffle + one O(1) driver action per merge."""
+    shuffle + one O(1) driver action per merge.
+
+    Unicode: the symbol seed ``split(pt, '')`` advances by CODE POINT on
+    Spark 4 (Java's zero-width split does not shear surrogate pairs), so
+    emoji / astral-plane CJK are single symbols — matching the
+    pure-Python ``list(pt)`` reference; pinned by the non-BMP
+    differential test (ADVICE r7 audit)."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     vocab = (
@@ -2351,11 +2357,16 @@ def cross_dedup(
 
     Candidates come from a banded MinHash-LSH join BETWEEN the corpora
     (train band keys hash-joined to reference band keys — never an
-    all-pairs product; a true near-dup at Jaccard j collides in ≥1 of
-    ``bands`` bands with prob 1-(1-j^(num_hashes/bands))^bands, ≈0.999
-    at j=0.75 with the defaults); every candidate pair is then verified
-    with the EXACT Jaccard of the distinct character-shingle sets, so
-    false bucket collisions cannot flag a clean document. Returns, in
+    all-pairs product). A true near-dup at Jaccard j collides in ≥1 of
+    ``bands`` bands with prob 1-(1-j^(num_hashes/bands))^bands — with
+    the defaults (r=4, 16 bands) that is ≈0.988 AT ``j=threshold``\\=0.7
+    (a ~1.2% miss band right at the cut; ≈0.999 by j=0.75). For
+    near-threshold recall raise ``bands`` at fixed ``num_hashes``
+    (bands=32 → r=2 → ≥1-4e-10 at j=0.7, at the cost of more candidate
+    pairs to verify — verification is exact, so precision is unaffected
+    either way); every candidate pair is verified with the EXACT
+    Jaccard of the distinct character-shingle sets, so false bucket
+    collisions cannot flag a clean document. Returns, in
     ``mode="flag"``, (id, matched_ref = smallest verified reference id
     or NULL, sim = highest verified Jaccard or NULL, contaminated);
     ``mode="filter"`` drops flagged rows and keeps the train schema.

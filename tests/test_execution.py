@@ -592,14 +592,30 @@ class TestGapFill:
             h(0): 1.0, h(1): 0.0, h(2): 3.0}
 
     def test_count_and_multiple_aggs(self, con):
+        # a REAL count + multi-agg case (ADVICE r7: the old version of
+        # this test ran a single 'max'): the empty h(1) bucket ffills
+        # max but pins count to 0 — pandas resample().count() semantics
         import datetime as dt
 
         h = lambda x: dt.datetime(2024, 1, 1) + dt.timedelta(hours=x)
         t = con.memtable({"g": ["a"] * 3, "ts": [h(0), h(0), h(2)],
-                          "v": [1.0, 5.0, 9.0]})
-        out = t.gap_fill("ts", dt.timedelta(hours=1), {"v": "max"}, by="g")
+                          "v": [1.0, 5.0, 9.0], "w": [2.0, 4.0, 8.0]})
+        out = t.gap_fill("ts", dt.timedelta(hours=1),
+                         {"v": "max", "w": "count"}, by="g")
+        got = {r.ts: (r.v, r.w) for r in out.df.collect()}
+        assert got == {h(0): (5.0, 2), h(1): (5.0, 0), h(2): (9.0, 1)}
+
+    def test_count_zero_never_fill_value_patched(self, con):
+        # an empty bucket's count is a FACT (0), not a missing value:
+        # neither ffill (above) nor fill_value may touch it
+        import datetime as dt
+
+        h = lambda x: dt.datetime(2024, 1, 1) + dt.timedelta(hours=x)
+        t = con.memtable({"g": ["a"] * 2, "ts": [h(0), h(2)], "v": [1.0, 2.0]})
+        out = t.gap_fill("ts", dt.timedelta(hours=1), {"v": "count"}, by="g",
+                         fill=None, fill_value=-1)
         got = {r.ts: r.v for r in out.df.collect()}
-        assert got == {h(0): 5.0, h(1): 5.0, h(2): 9.0}
+        assert got == {h(0): 1, h(1): 0, h(2): 1}
 
     def test_validation_and_global_warning(self, con):
         import datetime as dt

@@ -1398,6 +1398,30 @@ class TestBpeTrain:
         with pytest.raises(ValueError, match="num_merges"):
             pl.bpe_train(t, "text", 0)
 
+    def test_non_bmp_code_points_stay_whole(self, con):
+        # ADVICE r7 flagged split('') as a UTF-16 code-unit splitter
+        # that would shear astral-plane chars into lone surrogates.
+        # Spark 4's split('')/Java regex '.' both advance by CODE POINT
+        # (verified here, not assumed): emoji and astral CJK train and
+        # encode as single symbols, matching the pure-Python reference
+        # (list(pt) is code points by construction).
+        texts = ["👍x 👍x 👍x 𠀋y 𠀋y 👍x", "👍x 𠀋y 👍x"]
+        t = con.memtable({"doc_id": [1, 2], "text": texts})
+        got = pl.bpe_train(t, "text", 4, min_count=2)
+        want = _ref_bpe_train(self._pretokens(con, texts), 4)
+        assert got == want
+        # astral chars participate in merges as whole code points
+        assert any("👍" in a + b for a, b in got)
+        out = t.select("doc_id", toks=pl.bpe_encode(t.text, got))
+        rows = {r.doc_id: r.toks for r in out.df.collect()}
+        pts = {r.doc_id: r.p for r in
+               t.select("doc_id", p=pl.pretokenize(t.text)).df.collect()}
+        for d in (1, 2):
+            assert "".join(rows[d]) == "".join(pts[d])
+            # no token anywhere contains a lone surrogate half
+            for tok in rows[d]:
+                assert not any(0xD800 <= ord(ch) <= 0xDFFF for ch in tok)
+
 
 class TestKeepPolicies:
     def test_dedup_exact_keep_longest(self, con):

@@ -260,6 +260,56 @@ def test_stream_stream_interval_join(spark, stream_dir):
     assert got == expected and got > 0
 
 
+def test_streaming_sessionize_matches_batch(spark, stream_dir):
+    """pipeline.sessionize is documented as the batch mirror of the
+    streaming session_window aggregation — prove it the way
+    streaming_funnel proved funnel (VERDICT r7 item 8): the same events
+    through a REAL stream's session_window(gap) must yield exactly the
+    per-session (start, n) rows that batch sessionize produces, for
+    every session the watermark closed. Boundary semantics agree:
+    events exactly ``gap`` apart MERGE in both (session_window end is
+    last+gap inclusive-merge; sessionize splits only on diff > gap)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    con = ib.connect(spark)
+    from ibis_spark import pipeline as pl
+
+    batch = con.read_parquet(stream_dir)
+    schema = batch.df.schema
+    stream = con.read_parquet_dir(stream_dir, schema=schema, watermark=("ts", "1 hour"))
+    agg = (
+        stream.window_by("ts")
+        .session("2 hours")
+        .aggregate(n=stream.event_id.count(), by="user_id")
+    )
+    q = (
+        agg.df.writeStream.format("memory")
+        .queryName("sessionize_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_rows = spark.sql(
+        "select user_id, window_start, n from sessionize_stream"
+    ).collect()
+    assert len(stream_rows) > 0
+
+    sess = pl.sessionize(batch, "ts", "user_id", datetime.timedelta(hours=2))
+    want = {
+        (r.user_id, r.start): r.n
+        for r in sess.df.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n"))
+        .collect()
+    }
+    # append mode withholds sessions the watermark hasn't closed; every
+    # emitted session must match the batch mirror exactly
+    for r in stream_rows:
+        assert want[(r.user_id, r.window_start)] == r.n
+
+
 def test_streaming_funnel_matches_batch(spark, tmp_path):
     """streaming_funnel over an event-time-ordered multi-file stream
     (maxFilesPerTrigger=1 → one micro-batch per file, GroupState carried
