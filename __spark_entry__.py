@@ -2464,6 +2464,49 @@ def _grouped_topk(spark, sf_dir):
     return out.select("c_nationkey", "c_custkey", "c_acctbal").to_spark()
 
 
+def _quantile_bucket(spark, sf_dir):
+    """CCNet-style quality binning (pipeline.quantile_bucket): documents
+    split into length QUINTILES of the corpus's own distribution. One
+    exact-percentile 1-row aggregate broadcast back into the scan +
+    size(filter(thresholds)) per row — no ntile, no global sort (ntile
+    at corpus grain is a single-partition total sort). Value-split
+    semantics: ties share a bucket, deterministically."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    t2 = d.select("doc_id", ln=d.text.length())
+    return pl.quantile_bucket(t2, "ln", 5).to_spark()
+
+
+def _pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (pipeline.pack_sequences): documents of
+    each doc_id%8 shard walked in doc_id order, packed first-fit into
+    512-token bins. The resetting fill level is a prefix-dependent
+    recursion — applyInPandas per shard (ONE hash exchange), mirrored by
+    a DuckDB recursive CTE; output is all ints, strict-hash-safe."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    t2 = d.select("doc_id", shard=d.doc_id % 8, cnt=pl.token_count(d.text))
+    out = pl.pack_sequences(t2, "cnt", "doc_id", 512, by="shard")
+    return out.to_spark()
+
+
+def _contamination_score(spark, sf_dir):
+    """Soft decontamination (pipeline.contamination_score): per-document
+    fraction of its word 6-gram stream found in the doc_id%10==0
+    benchmark slice — decontaminate's boolean rule upgraded to a
+    triage/threshold score. Broadcast gram set + one id-keyed fold;
+    score is an int/int double division, deterministic without
+    rounding."""
+    from ibis_spark import pipeline as pl
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(d.doc_id % 10 == 0)
+    corp = d.filter(d.doc_id % 10 != 0)
+    return pl.contamination_score(corp, bench, "text", "doc_id", n=6).to_spark()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2525,6 +2568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": _gap_fill,
         "weighted_sample": _weighted_sample,
         "quantile_filter": _quantile_filter,
+        "quantile_bucket": _quantile_bucket,
+        "pack_sequences": _pack_sequences,
+        "contamination_score": _contamination_score,
         "corpus_divergence": _corpus_divergence,
         "cross_dedup": _cross_dedup,
         "grouped_topk": _grouped_topk,
@@ -4229,6 +4275,71 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_totalprice > 0)
             SELECT o_orderkey, score FROM s
             ORDER BY score DESC, o_orderkey LIMIT 500
+        """,
+        "quantile_bucket": """
+            -- value-split quintiles from the corpus's own distribution;
+            -- identical QUANTILE_CONT interpolation as the engine's
+            -- exact percentile (the quantile_filter precedent)
+            WITH v AS (SELECT doc_id, LENGTH(text) AS ln FROM documents),
+            thr AS (SELECT [QUANTILE_CONT(ln, 0.2), QUANTILE_CONT(ln, 0.4),
+                            QUANTILE_CONT(ln, 0.6), QUANTILE_CONT(ln, 0.8)] AS t
+                    FROM v)
+            SELECT doc_id, ln,
+                   CAST(len(list_filter(t, x -> ln > x)) AS INT) AS bucket
+            FROM v, thr
+        """,
+        "pack_sequences": """
+            -- greedy first-fit packing as a recursive CTE: the per-shard
+            -- resetting fill level is the recursion the engine runs in
+            -- applyInPandas
+            WITH RECURSIVE s AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     CAST(len(string_split_regex(text, '\s+')) AS INT) AS cnt,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            rec AS (
+              SELECT shard, rn, doc_id, cnt,
+                     CAST(0 AS BIGINT) AS bin_id, cnt AS acc
+              FROM s WHERE rn = 1
+              UNION ALL
+              SELECT s.shard, s.rn, s.doc_id, s.cnt,
+                     CASE WHEN r.acc + s.cnt <= 512
+                          THEN r.bin_id ELSE r.bin_id + 1 END,
+                     CASE WHEN r.acc + s.cnt <= 512
+                          THEN r.acc + s.cnt ELSE s.cnt END
+              FROM rec r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+            SELECT doc_id, shard, cnt, bin_id FROM rec
+        """,
+        "contamination_score": """
+            -- positional 6-gram overlap fraction vs the %10==0 benchmark
+            -- slice; score = hit/total int division, deterministic
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            bench AS (
+              SELECT DISTINCT array_to_string(toks[i : i+5], ' ') AS gram
+              FROM (SELECT toks, UNNEST(range(1, len(toks) - 4)) AS i
+                    FROM toks WHERE doc_id % 10 = 0)),
+            docg AS (
+              SELECT doc_id, array_to_string(toks[i : i+5], ' ') AS gram
+              FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) - 4)) AS i
+                    FROM toks WHERE doc_id % 10 <> 0)),
+            scored AS (
+              SELECT doc_id, COUNT(*) AS n_ngrams,
+                     SUM(CASE WHEN gram IN (SELECT gram FROM bench)
+                              THEN 1 ELSE 0 END) AS n_hit
+              FROM docg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+                   CASE WHEN n_ngrams > 0
+                        THEN CAST(n_hit AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+                   END AS score
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+            LEFT JOIN scored USING (doc_id)
         """,
         "quantile_filter": """
             -- QUANTILE_CONT interpolates like Spark's exact percentile;

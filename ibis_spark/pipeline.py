@@ -1523,6 +1523,59 @@ def quantile_filter(
     return Table(out)
 
 
+def quantile_bucket(
+    t: Table,
+    col,
+    n_buckets: int,
+    *,
+    bucket_name: str = "bucket",
+    approx: bool = False,
+) -> Table:
+    """Assign every row its quantile bucket ``0..n_buckets-1`` of
+    ``col``'s own corpus distribution — CCNet-style quality binning
+    ("split the corpus into perplexity quintiles, train the mix on the
+    best ones"), computed against the DATA's distribution rather than
+    fixed thresholds (the binning companion of :func:`quantile_filter`).
+
+    ``bucket = #{thresholds strictly below the value}`` with thresholds
+    ``percentile(col, [1/n .. (n-1)/n])`` — ONE 1-row aggregate
+    broadcast-cross-joined back into the scan, then a size(filter())
+    over the tiny threshold array per row. NO global sort and NO
+    ``ntile`` window: ntile at corpus grain is a single-partition total
+    sort, exactly the shape that dies at 100 TB; this is two scans.
+
+    vs ntile semantics: ntile splits by ROW COUNT with ties broken by
+    partition order (nondeterministic), this splits by VALUE — tied
+    values land in the same bucket, deterministically, at the cost of
+    uneven bucket populations under heavy ties. That determinism is the
+    point. NULL values get a NULL bucket. ``approx=True`` swaps exact
+    ``percentile`` for the constant-memory sketch — the 100 TB default;
+    exact is the oracle-able default here (DuckDB's QUANTILE_CONT
+    interpolates identically)."""
+    n_buckets = int(n_buckets)
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    c = unwrap(col) if not isinstance(col, str) else F.col(col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    if approx:
+        thr = F.percentile_approx(c, F.array(*[F.lit(q) for q in qs]), 10000)
+    else:
+        thr = F.percentile(c, F.array(*[F.lit(q) for q in qs]))
+    bounds = t.df.agg(thr.alias("__qb_t__"))
+    out = (
+        t.df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            bucket_name,
+            F.when(
+                c.isNotNull(),
+                F.size(F.filter(F.col("__qb_t__"), lambda th: c > th)),
+            ).cast("int"),
+        )
+        .drop("__qb_t__")
+    )
+    return Table(out)
+
+
 def corpus_divergence(
     a: Table,
     b: Table,
@@ -1675,6 +1728,98 @@ def chunk_text(
         .drop("__toks__", "__start__", text_col)
     )
     return Table(df)
+
+
+def pack_sequences(
+    t: Table,
+    count_col: str,
+    id_col: str,
+    budget: int,
+    *,
+    by=None,
+    bin_name: str = "bin_id",
+) -> Table:
+    """Greedy sequential sequence packing: walk the documents of each
+    ``by`` shard in ``id_col`` order and fill bins up to ``budget``
+    tokens — the packing step that turns variable-length documents into
+    fixed-budget training sequences (concatenate bin members, pad the
+    remainder). Appends an integer ``bin_name`` (0-based per shard).
+
+    Contract: first-fit-in-order — a document goes into the current bin
+    iff it fits in the remaining budget, else it OPENS the next bin; a
+    document larger than ``budget`` therefore gets a bin of its own
+    (split oversized docs with :func:`chunk_text` first). Deterministic
+    given (by, id) — no RNG, no partition-order dependence. NULL counts
+    pack as 0.
+
+    Why a pandas UDF: the running "fill level" RESETS when a bin
+    closes, which makes it a prefix-dependent recursion — not
+    expressible as any fixed composition of window functions (a plain
+    cumsum/budget floor would let documents straddle bins). This is
+    exactly the documented custom-operator fallback: ONE hash exchange
+    on the shard key, then each shard packs in a single Arrow batch
+    inside ``applyInPandas``. At 100 TB the shard is the parallelism
+    unit — size shards so one shard's (id, count) rows fit an executor
+    batch (millions of docs per shard is fine; the batch carries only
+    the grouping columns + two ints per doc beyond the passthrough)."""
+    import warnings
+
+    budget = int(budget)
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    by = list(_tuplize_names(by))
+    if not by:
+        warnings.warn(
+            "pack_sequences without `by` packs the WHOLE table in one "
+            "pandas batch — fine for small inputs; pass `by=` shard keys "
+            "at scale",
+            stacklevel=2,
+        )
+    import pandas as pd  # noqa: F401  (bound for the UDF closure)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # StructType.add MUTATES in place — never call it on a live df.schema
+    schema = StructType(
+        list(t.df.schema.fields) + [StructField(bin_name, LongType())]
+    )
+    cc, ic = count_col, id_col
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(ic, kind="mergesort").reset_index(drop=True)
+        bins = []
+        acc = None
+        b = 0
+        for v in pdf[cc]:
+            v = 0 if pd.isna(v) else int(v)
+            if acc is None:
+                acc = v
+            elif acc + v <= budget:
+                acc += v
+            else:
+                b += 1
+                acc = v
+            bins.append(b)
+        pdf[bin_name] = bins
+        return pdf
+
+    if by:
+        df = t.df.groupBy(*by).applyInPandas(_pack, schema)
+    else:
+        # a STRING literal: an integer literal in groupBy is read as an
+        # ordinal (spark.sql.groupByOrdinal) and breaks analysis
+        df = t.df.groupBy(F.lit("__all__")).applyInPandas(
+            lambda pdf: _pack(pdf), schema
+        )
+    return Table(df)
+
+
+def _tuplize_names(x):
+    if x is None:
+        return ()
+    if isinstance(x, str):
+        return (x,)
+    return tuple(x)
 
 
 _REDACT_PATTERNS = {
@@ -2514,6 +2659,75 @@ def decontaminate(
         t.df.join(bad_ids, id_col, "left")
         .withColumn("contaminated", F.coalesce(F.col("__contaminated__"), F.lit(False)))
         .drop("__contaminated__")
+    )
+    return Table(out)
+
+
+def contamination_score(
+    t: Table,
+    benchmark: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    bench_text_col: Optional[str] = None,
+    score_name: str = "score",
+) -> Table:
+    """Soft decontamination signal: the FRACTION of each document's word
+    ``n``-gram stream that also occurs in the benchmark corpus →
+    (id, n_ngrams, n_hit, score). :func:`decontaminate` flags on ANY
+    overlap — right for scrubbing, too blunt for triage; this score
+    separates a quoted sentence (a few percent) from a wholesale copy
+    (approaching 1.0), so a pipeline can threshold, bucket
+    (:func:`quantile_bucket`), or audit instead of only dropping.
+
+    Counting is positional (every occurrence in the stream counts, not
+    distinct grams): the score is "what fraction of this document's
+    content is benchmark content". Documents with fewer than ``n``
+    tokens have ``n_ngrams = 0`` and a NULL score.
+
+    Plan: the benchmark's distinct n-gram set is built once and
+    BROADCAST (eval sets are small by definition — same shape note as
+    decontaminate); the corpus side explodes its n-grams, marks hits
+    with a broadcast left join, and ONE groupBy(id) folds (total, hits).
+    ``score = n_hit / n_ngrams`` is an int/int double division —
+    deterministic, no libm. At 100 TB: a broadcast-join scan plus one
+    id-keyed exchange of two ints per document."""
+    n = int(n)
+    if n <= 0:
+        raise ValueError("n must be positive")
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.df.select(_lower_toks(bcol).alias("__toks__"))
+        .select(F.explode(_toks_ngrams(F.col("__toks__"), n)).alias("__gram__"))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    doc_grams = t.df.select(
+        F.col(id_col), _lower_toks(text_col).alias("__toks__")
+    ).select(
+        F.col(id_col), F.explode(_toks_ngrams(F.col("__toks__"), n)).alias("__gram__")
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(bench_grams), "__gram__", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("__hit__"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    out = (
+        t.df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.col("n_hit").cast("double") / F.col("n_ngrams").cast("double"),
+            ).alias(score_name),
+        )
     )
     return Table(out)
 

@@ -1459,3 +1459,111 @@ class TestKeepPolicies:
         assert out[3] == (3, 3, False)
         with pytest.raises(ValueError, match="keep"):
             pl.dedup_clusters(t, "text", "doc_id", keep="shortest")
+
+
+class TestQuantileBucket:
+    def test_hand_computed_and_null(self, con):
+        t = con.memtable({"id": [1, 2, 3, 4, 5, 6],
+                          "v": [10, 20, 30, 40, 50, None]})
+        out = {r.id: r.bucket
+               for r in pl.quantile_bucket(t, "v", 2).df.collect()}
+        # median of the 5 non-nulls is 30; bucket = #thresholds below
+        assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: None}
+
+    def test_value_split_ties_share_bucket(self, con):
+        # 8 identical values + 2 bigger: every tied value lands in ONE
+        # bucket (value-split determinism), unlike ntile's row split
+        t = con.memtable({"id": list(range(10)), "v": [7] * 8 + [100, 200]})
+        out = {r.id: r.bucket
+               for r in pl.quantile_bucket(t, "v", 4).df.collect()}
+        assert all(out[i] == out[0] for i in range(8))
+        # all three thresholds equal 7, so both outliers share the top
+        # bucket: 3 thresholds strictly below
+        assert out[0] == 0 and out[8] == 3 and out[9] == 3
+
+    def test_validation(self, con):
+        t = con.memtable({"v": [1.0]})
+        with pytest.raises(ValueError, match="n_buckets"):
+            pl.quantile_bucket(t, "v", 1)
+
+
+class TestPackSequences:
+    def test_greedy_first_fit_and_oversize(self, con):
+        t = con.memtable({"g": ["a"] * 4 + ["b"] * 2,
+                          "id": [1, 2, 3, 4, 1, 2],
+                          "cnt": [3, 4, 5, 9, 12, 1]})
+        out = {(r.g, r.id): r.bin_id
+               for r in pl.pack_sequences(t, "cnt", "id", 8, by="g").df.collect()}
+        # a: 3+4=7 fits bin0; 5 opens bin1; 9 (> budget) gets its OWN bin2
+        # b: 12 oversized alone in bin0; 1 opens bin1 (12+1 > 8)
+        assert out == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 2,
+                       ("b", 1): 0, ("b", 2): 1}
+
+    def test_python_reference_differential(self, con):
+        import random
+
+        rng = random.Random(11)
+        n = 200
+        ids = list(range(n))
+        cnts = [rng.randint(1, 300) for _ in ids]
+        gs = [i % 3 for i in ids]
+        t = con.memtable({"g": gs, "id": ids, "cnt": cnts})
+        got = {(r.g, r.id): r.bin_id
+               for r in pl.pack_sequences(t, "cnt", "id", 512, by="g").df.collect()}
+        want = {}
+        for g in range(3):
+            acc, b = None, 0
+            for i in ids:
+                if i % 3 != g:
+                    continue
+                c = cnts[i]
+                if acc is None:
+                    acc = c
+                elif acc + c <= 512:
+                    acc += c
+                else:
+                    b += 1
+                    acc = c
+                want[(g, i)] = b
+        assert got == want
+
+    def test_null_counts_pack_as_zero_and_validation(self, con):
+        t = con.memtable({"id": [1, 2, 3], "cnt": [5, None, 5]})
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = {r.id: r.bin_id
+                   for r in pl.pack_sequences(t, "cnt", "id", 10).df.collect()}
+            assert any("by=" in str(x.message) for x in w)
+        assert out == {1: 0, 2: 0, 3: 0}  # 5 + 0 + 5 == budget, one bin
+        with pytest.raises(ValueError, match="budget"):
+            pl.pack_sequences(t, "cnt", "id", 0)
+
+
+class TestContaminationScore:
+    def test_hand_computed(self, con):
+        d = con.memtable({"doc_id": [1, 2, 3],
+                          "text": ["a b c d e", "x y z w q", "a b"]})
+        b = con.memtable({"doc_id": [9], "text": ["a b c d"]})
+        out = {r.doc_id: (r.n_ngrams, r.n_hit, r.score)
+               for r in pl.contamination_score(d, b, "text", "doc_id",
+                                               n=2).df.collect()}
+        # doc 1 bigram stream: ab bc cd de -> 3 of 4 in bench
+        assert out[1] == (4, 3, 0.75)
+        assert out[2] == (4, 0, 0.0)
+        assert out[3] == (1, 1, 1.0)
+
+    def test_short_docs_null_score(self, con):
+        d = con.memtable({"doc_id": [1], "text": ["solo"]})
+        b = con.memtable({"doc_id": [9], "text": ["a b c"]})
+        r = pl.contamination_score(d, b, "text", "doc_id", n=2).df.collect()[0]
+        assert (r.n_ngrams, r.n_hit, r.score) == (0, 0, None)
+
+    def test_positional_counting_repeats(self, con):
+        # repeated contaminated gram counts every occurrence (stream
+        # coverage), not once
+        d = con.memtable({"doc_id": [1], "text": ["a b a b a b"]})
+        b = con.memtable({"doc_id": [9], "text": ["a b"]})
+        r = pl.contamination_score(d, b, "text", "doc_id", n=2).df.collect()[0]
+        assert (r.n_ngrams, r.n_hit) == (5, 3)  # ab ba ab ba ab
