@@ -2512,33 +2512,63 @@ def _contamination_score(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The driver's correctness harness samples the FIRST 50 queries() entries.
-# Round-7 window: all 21 never-driver-sampled oracle-backed entries (the
-# round-7 operators, both halves of the round) first, then 29 of the 34
-# entries whose latest green sample is r4. The remaining 5 r4-era entries
-# (set_union_distinct/set_intersect/set_difference/window_lag/
-# window_moving_avg/in_subquery/substitute/window_nth/window_first_last/
-# window_cumsum/window_ntile/window_rank/set_difference_all/
-# set_union_all, plus
-# not_exists_subquery once funnel joined the window) are each covered by
-# a dedicated differential-fuzz family and rotate into the r8 window;
-# everything else was driver-green in r5/r6. The rows-only trio sits
-# last (no oracle signal).
+# Round-8 window: the 5 never-sampled r8 ops first, then the 7 entries
+# whose EMISSION changed this round (det-ln/exp rewrites, 4dp ln, digest
+# grams, bands=32 — their r5-r7 green samples are stale evidence), then
+# all 19 entries whose latest sample was still r4 (the VERDICT r7 item-3
+# rotation), then the oldest r5-era entries to fill 50. Every other
+# query's latest green sample is r5-r7.
 _SAMPLE_WINDOW = [
-    "q2_min_cost_supplier", "q11_important_stock", "q21_suppliers_kept_waiting",
-    "dedup_clusters", "funnel", "retention", "embedding_clusters",
-    "key_skew_stats", "mixture_sample", "ngram_lm_score", "line_dedup",
-    "remove_duplicated_spans", "gopher_filter", "domain_quota_sample",
-    "decontaminate",
-    "connected_components", "pagerank", "range_join", "gap_fill",
-    "weighted_sample", "quantile_filter", "corpus_divergence", "cross_dedup",
-    "grouped_topk", "table_diff",
-    "ann_recall", "ann_recall_lsh", "bpe_encode",
-    "hash_sample", "hash_split", "chunk_text", "redact", "top_ngrams",
-    "tfidf", "sessionize",
-    "distinct_rows", "distinct_keep_none", "distinct_keep_last",
-    "value_counts", "topk", "drop_fill_null", "join_inner_chain",
-    "join_left", "join_semi", "join_anti", "join_theta", "join_asof",
-    "join_asof_forward", "join_asof_nearest", "join_positional",
+    "quantile_bucket",
+    "pack_sequences",
+    "contamination_score",
+    "connected_components_isolated",
+    "pagerank_isolated",
+    "weighted_sample",
+    "tfidf",
+    "corpus_divergence",
+    "ngram_lm_score",
+    "remove_duplicated_spans",
+    "cross_dedup",
+    "scalar_numeric",
+    "exists_subquery",
+    "in_subquery",
+    "not_exists_subquery",
+    "notin_subquery",
+    "q17_small_quantity",
+    "scalar_subquery",
+    "set_difference",
+    "set_difference_all",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "substitute",
+    "window_cumsum",
+    "window_first_last",
+    "window_lag",
+    "window_moving_avg",
+    "window_nth",
+    "window_ntile",
+    "window_rank",
+    "arg_reductions",
+    "array_named_reductions",
+    "array_ops",
+    "between_time",
+    "bool_agg_not",
+    "bool_cum_windows",
+    "bucket_histogram",
+    "case_when",
+    "count_distinct_star",
+    "dedup_exact",
+    "describe_table",
+    "fingerprint",
+    "group_concat",
+    "grouped_fraction",
+    "histogram_bins",
+    "in_values",
+    "interval_unit_views",
+    "json_extract",
+    "json_typed_accessors",
 ]
 
 

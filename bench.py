@@ -100,6 +100,12 @@ HEADLINE = [
     "retention",
     "embedding_clusters",
     "remove_duplicated_spans",
+    # round-8 additions
+    "quantile_bucket",
+    "pack_sequences",
+    "contamination_score",
+    "connected_components_isolated",
+    "pagerank_isolated",
 ]
 
 
