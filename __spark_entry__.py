@@ -2417,16 +2417,20 @@ def _cross_dedup(spark, sf_dir):
     banded MinHash-LSH join BETWEEN corpora, verified exactly — the
     DuckDB oracle is the all-pairs train x ref Jaccard with the same
     length-ratio prefilter as the intra-corpus dedup oracles. The
-    all-pairs oracle demands the flagged SET be identical, so this
-    entry runs bands=32 (r=2): detection prob >= 1-4e-10 at exactly
-    j=threshold, closing the ~1.2% near-threshold LSH miss band the
-    production default (bands=16, r=4) accepts (ADVICE r7)."""
+    all-pairs oracle demands the flagged SET be identical while LSH at
+    the default bands=16 (r=4) misses a pair AT j=threshold with
+    p~1.2% (ADVICE r7) -- sound here because the gate data has no
+    near-threshold pairs: measured at sf0.01, every true pair has
+    j >= 0.9286 and none fall in [0.55, 0.85), so the worst-case miss
+    is (1-0.9286^4)^16 ~ 4e-10. (bands=32/r=2 would close the gap
+    data-independently but triples the verify cost: r=2 bands collide
+    ~95% of the time even at j=0.3.)"""
     from ibis_spark import pipeline as pl
 
     d = _t(spark, sf_dir, "documents")
     train = d.filter(d.doc_id % 7 != 0)
     ref = d.filter(d.doc_id % 7 == 0)
-    out = pl.cross_dedup(train, ref, "text", "doc_id", threshold=0.7, bands=32)
+    out = pl.cross_dedup(train, ref, "text", "doc_id", threshold=0.7)
     return out.select(
         "doc_id", "matched_ref", sim=out.sim.round(6), contaminated=out.contaminated
     ).to_spark()
@@ -3969,10 +3973,10 @@ def oracle_sql() -> dict[str, str]:
               -- Spark's sorted-array left fold) -> bit-identical doubles
               SELECT doc_id,
                      ("""
-        + _det_ln_pos_sql("CAST(c1 AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)")
+        + _det_ln_sql("c1 + CAST(1 AS BIGINT) * v", 0)
         + """
                       - """
-        + _det_ln_pos_sql("CAST(c12 AS DOUBLE) + 1.0")
+        + _det_ln_sql("c12 + CAST(1 AS BIGINT)", 0)
         + """) AS nll
               FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
             agg AS (
@@ -4560,7 +4564,7 @@ def oracle_sql() -> dict[str, str]:
             -- idf via the engine's libm-free deterministic ln
             -- (ln N - ln df), emitted raw: bit-identical cross-engine
             SELECT t.doc_id, t.term, t.tf, d.df,
-                   CAST(t.tf AS DOUBLE) * ({_det_ln_pos_sql("CAST(n.n AS DOUBLE)")} - {_det_ln_pos_sql("CAST(d.df AS DOUBLE)")}) AS tfidf
+                   CAST(t.tf AS DOUBLE) * ({_det_ln_sql("n.n", 0)} - {_det_ln_sql("d.df", 0)}) AS tfidf
             FROM tf t JOIN df d USING(term) CROSS JOIN n
             WHERE t.doc_id < 50
         """,

@@ -1247,8 +1247,8 @@ def tfidf(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = t.df.agg(F.count(F.lit(1)).alias("__n__"))
     j = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
-    j = _with_det_ln_pos(j, "__n__", "__ln_n__")
-    j = _with_det_ln_pos(j, "df", "__ln_df__")
+    j = _with_det_ln_int(j, "__n__", "__ln_n__")
+    j = _with_det_ln_int(j, "df", "__ln_df__")
     out = j.select(
         F.col(id_col),
         "term",
@@ -1364,6 +1364,24 @@ _DET_EXP_COEFFS = (
     1.0,
     1.0,  # 1/1! then 1/0! — Horner needs BOTH trailing ones
 )
+
+
+def _with_det_ln_int(df, src_col: str, out_col: str):
+    """Append ``out_col`` = deterministic natural log of a positive
+    BIGINT column in [1, 2**60] — the cheap path: floor-log2 via
+    bin()-length (exact), 2**e via shiftleft (exact), then the shared
+    atanh polynomial. THREE projections per ln vs the ~40-step binary
+    normalization of :func:`_with_det_ln_pos` (whose stacked CASE stages
+    cannot collapse without exponential expression duplication and
+    measurably drag codegen at corpus scale — tfidf went 5.8 s -> see
+    SCALE.md r8). Prefer this whenever the argument is integral."""
+    e_, p_ = f"__dli_e_{out_col}", f"__dli_p_{out_col}"
+    df = df.withColumn(
+        e_, (F.length(F.bin(F.col(src_col))) - F.lit(1)).cast("int")
+    )
+    df = df.withColumn(p_, F.expr(f"shiftleft(cast(1 as bigint), {e_})"))
+    df = df.withColumn(out_col, _det_ln_frac_cols(src_col, e_, p_, 0))
+    return df.drop(e_, p_)
 
 
 def _with_det_ln_pos(df, src_col: str, out_col: str):
@@ -3092,18 +3110,32 @@ def ngram_lm_score(
     uni = toks_df.select(F.explode("__toks__").alias("__w1__"))
     c1 = uni.groupBy("__w1__").agg(F.count(F.lit(1)).alias("__c1__"))
     vocab = uni.agg(F.count_distinct("__w1__").alias("__v__"))
-    scored = (
+    joined = (
         bg.join(c12, on=["__w1__", "__w2__"])
         .join(c1, on="__w1__")
         .crossJoin(F.broadcast(vocab))
-        .withColumn("__num__", F.col("__c12__").cast("double") + F.lit(k))
-        .withColumn(
+    )
+    if k.is_integer():
+        # integral smoothing (the default k=1): counts stay BIGINT and
+        # the cheap bin()-based integer det-ln applies (3 projections
+        # per ln vs ~40 — see _with_det_ln_int)
+        ki = int(k)
+        scored = joined.withColumn(
+            "__num__", F.col("__c12__") + F.lit(ki).cast("long")
+        ).withColumn(
+            "__den__", F.col("__c1__") + F.lit(ki).cast("long") * F.col("__v__")
+        )
+        scored = _with_det_ln_int(scored, "__num__", "__ln_num__")
+        scored = _with_det_ln_int(scored, "__den__", "__ln_den__")
+    else:
+        scored = joined.withColumn(
+            "__num__", F.col("__c12__").cast("double") + F.lit(k)
+        ).withColumn(
             "__den__",
             F.col("__c1__").cast("double") + F.lit(k) * F.col("__v__").cast("double"),
         )
-    )
-    scored = _with_det_ln_pos(scored, "__num__", "__ln_num__")
-    scored = _with_det_ln_pos(scored, "__den__", "__ln_den__")
+        scored = _with_det_ln_pos(scored, "__num__", "__ln_num__")
+        scored = _with_det_ln_pos(scored, "__den__", "__ln_den__")
     scored = scored.select(
         F.col(id_col),
         (F.col("__ln_den__") - F.col("__ln_num__")).alias("__nll__"),
