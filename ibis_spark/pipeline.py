@@ -2276,6 +2276,58 @@ def winnow_fingerprint(
     return Table(mins.select(id_col, "fp").distinct())
 
 
+def token_entropy(
+    t: Table,
+    text_col: str,
+    id_col: str,
+    *,
+    entropy_name: str = "entropy",
+) -> Table:
+    """Per-document unigram Shannon entropy (nats) of the lowered
+    whitespace token distribution → (id, n_tokens, entropy) — the
+    classic low-entropy boilerplate/loop detector that complements
+    :func:`repetition_score` (which sees only adjacent n-gram repeats;
+    entropy also catches scattered repetition and tiny vocabularies).
+
+    ``H = ln(n) - (Σ c_i·ln c_i)/n`` over the doc's token counts — so
+    both logs take INTEGER arguments and use the cheap deterministic
+    integer ln (:func:`_with_det_ln_int`), and the per-document sum
+    folds its terms in ascending value order (sorted-array fold ==
+    DuckDB ``SUM(x ORDER BY x)``): every emitted double is bit-identical
+    cross-engine, no libm, no rounding. Empty docs get n_tokens = 0 and
+    a NULL entropy; single-token docs get exactly 0.0.
+
+    Plan: one (doc, token) count exchange with map-side partial agg +
+    one doc-keyed fold — the tf shuffle of :func:`tfidf` without the
+    vocabulary join."""
+    pairs = t.df.select(
+        F.col(id_col), F.explode(_lower_toks(text_col)).alias("__tok__")
+    )
+    cnt = pairs.groupBy(id_col, "__tok__").agg(F.count(F.lit(1)).alias("__c__"))
+    cnt = _with_det_ln_int(cnt, "__c__", "__lnc__")
+    per_doc = cnt.groupBy(id_col).agg(
+        F.sum("__c__").alias("__n__"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("__c__").cast("double") * F.col("__lnc__"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__s__"),
+    )
+    per_doc = _with_det_ln_int(per_doc, "__n__", "__lnn__")
+    out = (
+        t.df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__n__", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.col("__lnn__") - F.col("__s__") / F.col("__n__").cast("double")
+            ).alias(entropy_name),
+        )
+    )
+    return Table(out)
+
+
 def repetition_score(col, n: int = 2):
     """Within-document repetition: the fraction of word ``n``-grams that
     are duplicates of an earlier one — ``1 - distinct/total`` in [0, 1)
