@@ -2808,6 +2808,31 @@ def _det_ln_pos_sql(x_expr: str) -> str:
              (SELECT (f - 1.0) / (f + 1.0) AS z, e FROM {q})))"""
 
 
+def _det_ln_unit_sql(x_expr: str) -> str:
+    """DuckDB SQL mirroring ibis_spark.pipeline._with_det_ln_unit: the
+    cheap deterministic ln for DOUBLE arguments in [2**-61, 2]
+    (probability ratios p/m <= 2). Exponent via FLOOR(x * 2**61) then
+    bit-length — FLOOR on both engines because a raw double->bigint
+    cast truncates on Spark but rounds on DuckDB — then an exact
+    power-of-two rescale and the shared atanh polynomial. Bit-identical
+    doubles on both engines."""
+    two61 = repr(float(2.0**61))
+    return f"""
+      (SELECT 2.0 * z * ((((((0.07692307692307693 * z2 + 0.09090909090909091)
+                 * z2 + 0.1111111111111111) * z2 + 0.14285714285714285)
+                 * z2 + 0.2) * z2 + 0.3333333333333333) * z2 + 1.0)
+              + CAST(e AS DOUBLE) * 0.6931471805599453
+       FROM (SELECT z, z*z AS z2, e FROM
+             (SELECT (f - 1.0) / (f + 1.0) AS z, e FROM
+              (SELECT CASE WHEN e >= 0
+                           THEN x / CAST((1::BIGINT << e) AS DOUBLE)
+                           ELSE x * CAST((1::BIGINT << (-e)) AS DOUBLE)
+                      END AS f, e FROM
+               (SELECT x, CAST(length(bin(m)) - 62 AS INTEGER) AS e FROM
+                (SELECT x, CAST(FLOOR(x * {two61}) AS BIGINT) AS m FROM
+                 (SELECT CAST(({x_expr}) AS DOUBLE) AS x)))))))"""
+
+
 def _det_exp_sql(x_expr: str) -> str:
     """DuckDB SQL mirroring ibis_spark.pipeline._with_det_exp: the
     deterministic exp of a DOUBLE expression (|x| ≲ 43), bit-identical
@@ -2834,8 +2859,10 @@ def _det_exp_sql(x_expr: str) -> str:
         horner = f"({horner}) * r + {c!r}"
     return f"""
       (SELECT CASE WHEN s < 0 THEN 1.0 / pos ELSE pos END FROM
-       (SELECT s, CAST((1::BIGINT << kk) AS DOUBLE) * ({horner}) AS pos FROM
-        (SELECT s, a - CAST(kk AS DOUBLE) * 0.6931471805599453 AS r, kk FROM
+       (SELECT s, CASE WHEN a > 43.0 THEN CAST('Infinity' AS DOUBLE)
+                       ELSE CAST((1::BIGINT << kk) AS DOUBLE) * ({horner})
+                  END AS pos FROM
+        (SELECT s, a, a - CAST(kk AS DOUBLE) * 0.6931471805599453 AS r, kk FROM
          (SELECT s, a, CAST(FLOOR(a * 1.4426950408889634 + 0.5) AS INTEGER) AS kk FROM
           (SELECT s, ABS(s) AS a FROM (SELECT CAST(({x_expr}) AS DOUBLE) AS s))))))"""
 
@@ -4417,10 +4444,10 @@ def oracle_sql() -> dict[str, str]:
             l AS (
               SELECT token, pa, pb,
                      """
-        + _det_ln_pos_sql("ra")
+        + _det_ln_unit_sql("ra")
         + """ AS lra,
                      """
-        + _det_ln_pos_sql("rb")
+        + _det_ln_unit_sql("rb")
         + """ AS lrb
               FROM r)
             SELECT token, pa AS p_a, pb AS p_b,

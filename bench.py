@@ -215,12 +215,22 @@ def main():
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
-    ]
-    local_path = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1}.json")
+    # Round provenance (ADVICE r8): take the round explicitly from
+    # --round N / SPARK_GRAFT_BENCH_ROUND; the CORRECTNESS_r*.json count
+    # is only a fallback (it mislabels when an artifact is missing or the
+    # bench runs after the driver writes the round's correctness file).
+    rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    for i, a in enumerate(sys.argv):
+        if a == "--round" and i + 1 < len(sys.argv):
+            rnd = sys.argv[i + 1]
+    if rnd is None:
+        rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        rnd = str(max(rounds, default=0) + 1)
+    local_path = os.path.join(here, f"BENCH_LOCAL_r{int(rnd)}.json")
     try:
         with open(local_path, "w") as f:
             json.dump(out, f, indent=1)

@@ -1567,3 +1567,44 @@ class TestContaminationScore:
         b = con.memtable({"doc_id": [9], "text": ["a b"]})
         r = pl.contamination_score(d, b, "text", "doc_id", n=2).df.collect()[0]
         assert (r.n_ngrams, r.n_hit) == (5, 3)  # ab ba ab ba ab
+
+
+class TestDetPolynomials:
+    """The libm-free deterministic ln/exp emission helpers (r8/r9): the
+    strict oracle checks prove cross-engine bit-identity; these pin the
+    numeric CONTRACT (accuracy vs true libm, domain edges, saturation)."""
+
+    def test_det_ln_unit_accuracy_over_ratio_domain(self, con):
+        import math
+
+        # probability-ratio domain (0, 2]: powers of two, boundary
+        # straddles, tiny and mid-range values
+        vals = [2.0, 1.0, 1.5, 0.9999999999, 1.0000000001, 0.5,
+                1.0 / 3, 2.0 ** -20, 3.7e-12, 2.0 ** -61]
+        t = con.memtable({"x": vals})
+        df = pl._with_det_ln_unit(t.df, "x", "lnx")
+        got = {r.x: r.lnx for r in df.collect()}
+        for v in vals:
+            assert abs(got[v] - math.log(v)) < 2e-8, (v, got[v])
+
+    def test_det_exp_saturates_beyond_43(self, con):
+        import math
+
+        t = con.memtable({"x": [0.0, 1.0, -1.0, 42.0, -42.0, 44.0,
+                                -44.0, 700.0, -700.0]})
+        df = pl._with_det_exp(t.df, "x", "ex")
+        got = {r.x: r.ex for r in df.collect()}
+        for v in (0.0, 1.0, -1.0, 42.0, -42.0):
+            assert abs(got[v] - math.exp(v)) <= 1e-12 * math.exp(v)
+        # ADVICE r8: |x| > 43 saturates (inf / 0), never finite garbage
+        for v in (44.0, 700.0):
+            assert math.isinf(got[v]) and got[v] > 0
+        for v in (-44.0, -700.0):
+            assert got[v] == 0.0
+
+
+class TestPackSequencesGuards:
+    def test_bin_name_collision_raises(self, con):
+        t = con.memtable({"id": [1], "cnt": [1], "bin_id": [0]})
+        with pytest.raises(ValueError, match="bin_id"):
+            pl.pack_sequences(t, "cnt", "id", 10)
