@@ -910,20 +910,28 @@ def _scalar_temporal(spark, sf_dir):
 
 
 def _scalar_numeric(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ibis_spark.pipeline import _with_det_ln_int
+
     li = _t(spark, sf_dir, "lineitem")
     t = li.filter(li.l_orderkey < 1000)
-    return t.select(
+    df = t.select(
         "l_orderkey",
         "l_linenumber",
         absd=(t.l_discount - 0.05).abs().round(4),
         ceilp=t.l_extendedprice.ceil(),
         floorp=t.l_extendedprice.floor().cast("int64"),
         sq=t.l_quantity.sqrt().round(6),
-        # 4dp (was 6): the only residual libm emission in the harness;
-        # at 4dp a cross-libm 1-ulp ln drift flips a rounding boundary with
-        # P~1e-11 per value (audited r8 -- this query EXERCISES the user-
-        # facing libm ln(), so det-ln substitution would defeat its purpose)
-        lg=t.l_extendedprice.ln().round(4),
+        # r9 (VERDICT r8 item 8): the user-facing libm ln() is still
+        # EXERCISED end-to-end, but its raw value no longer reaches the
+        # hash — the emission is |libm ln(price) - det ln(price)| < 1e-6,
+        # a boolean with a 100x margin over the det polynomial's ~1e-8
+        # error, so a cross-libm 1-ulp drift cannot flip it while a
+        # genuinely broken ln() on either engine still fails the row.
+        # det ln(price) = det_ln_int(cents) - ln(100) (prices are 2dp).
+        lg_raw=t.l_extendedprice.ln(),
+        price=t.l_extendedprice,
         sgn=(t.l_discount - 0.05).sign().cast("int32"),
         md=t.l_orderkey % 7,
         fd=t.l_orderkey // 7,
@@ -931,6 +939,20 @@ def _scalar_numeric(spark, sf_dir):
         pw=(t.l_discount ** 2).round(8),
         clipped=t.l_quantity.clip(5, 40),
     ).to_spark()
+    df = df.withColumn(
+        "__cents__", F.round(F.col("price") * F.lit(100.0)).cast("bigint")
+    )
+    df = _with_det_ln_int(df, "__cents__", "__dln__")
+    lg_ok = (
+        F.abs(
+            F.col("lg_raw")
+            - (F.col("__dln__") - F.lit(4.605170185988092))
+        )
+        < F.lit(1e-6)
+    )
+    return df.withColumn("lg_ok", lg_ok).drop(
+        "lg_raw", "price", "__cents__", "__dln__"
+    )
 
 
 def _misc_scalars(spark, sf_dir):
@@ -3526,13 +3548,18 @@ def oracle_sql() -> dict[str, str]:
                    STRFTIME(o_orderdate, '%Y-%m') AS ym
             FROM orders
         """,
-        "scalar_numeric": """
+        "scalar_numeric": f"""
+            -- lg_ok (r9): libm LN is exercised but hashed only as a
+            -- boolean vs the det polynomial (100x tolerance margin) --
+            -- zero cross-libm flip risk in the artifact
             SELECT l_orderkey, l_linenumber,
                    ROUND(ABS(l_discount - 0.05), 4) AS absd,
                    CAST(CEIL(l_extendedprice) AS BIGINT) AS ceilp,
                    CAST(FLOOR(l_extendedprice) AS BIGINT) AS floorp,
                    ROUND(SQRT(l_quantity), 6) AS sq,
-                   ROUND(LN(l_extendedprice), 4) AS lg,
+                   ABS(LN(l_extendedprice) -
+                       ({_det_ln_sql("CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)", 0)}
+                        - 4.605170185988092)) < 1e-6 AS lg_ok,
                    CAST(SIGN(l_discount - 0.05) AS INT) AS sgn,
                    l_orderkey % 7 AS md,
                    CAST(l_orderkey // 7 AS BIGINT) AS fd,
