@@ -1972,6 +1972,22 @@ class GroupedTable:
             out.append((sc, n))
         return out
 
+    def _grouping_cols(self):
+        """Key columns as passed to groupBy/cube/rollup. A plain string
+        key keeps its bare attribute (NO self-alias): aliasing would mint
+        a fresh attribute id, and Spark's GROUPING()/GROUPING_ID() match
+        their argument against the grouping expressions by attribute —
+        a no-op rename breaks them (GROUPING_COLUMN_MISMATCH). Computed
+        or renamed keys still alias."""
+        cols = []
+        for k in self._keys:
+            sc, name = self._table._resolve(k)
+            cols.append(sc if isinstance(k, str) and name == k else sc.alias(name))
+        for n, k in self._named_keys.items():
+            sc, _ = self._table._resolve(k)
+            cols.append(sc.alias(n))
+        return cols
+
     def aggregate(self, *metrics, having=(), **named) -> Table:
         from ibis_spark.selectors import Across
 
@@ -2002,7 +2018,7 @@ class GroupedTable:
             "cube": self._table._df.cube,
             "rollup": self._table._df.rollup,
         }[self._mode]
-        gdf = grouper(*[sc.alias(n) for sc, n in keys])
+        gdf = grouper(*self._grouping_cols())
         agg_cols = [sc.alias(n) for sc, n in mets] + [sc.alias(n) for sc, n in hid]
         if not agg_cols:
             agg_cols = [F.count(F.lit(1)).alias("__n__")]
@@ -2020,13 +2036,12 @@ class GroupedTable:
         return GroupedHaving(self, preds)
 
     def count(self, name: str = "count") -> Table:
-        keys = self._key_cols()
         grouper = {
             "groupby": self._table._df.groupBy,
             "cube": self._table._df.cube,
             "rollup": self._table._df.rollup,
         }[self._mode]
-        gdf = grouper(*[sc.alias(n) for sc, n in keys])
+        gdf = grouper(*self._grouping_cols())
         return Table(gdf.agg(F.count(F.lit(1)).alias(name)))
 
     size = count

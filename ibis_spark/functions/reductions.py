@@ -44,6 +44,15 @@ class ReductionOps:
     def approx_nunique(self, where=None):
         return wrap(F.approx_count_distinct(_filtered(self.spark(), where)))
 
+    def grouping(self):
+        """SQL GROUPING(col): 1 when this rollup/cube output row is a
+        subtotal that aggregates the column away, 0 for a detail row —
+        the standard way DS-style reports label subtotal levels (no
+        reference counterpart: ibis has no rollup/cube at all, SURVEY
+        §2.5; Spark-native value-add via F.grouping). Only valid inside
+        a ``Table.rollup(...)``/``Table.cube(...)`` aggregate."""
+        return wrap(F.grouping(self.spark()).cast("int"))
+
     # -- basic stats (reductions.py:194-246, :363-380) -------------------------
     def sum(self, where=None):
         return wrap(F.sum(_filtered(self.spark(), where)))

@@ -751,3 +751,36 @@ class TestTableDiff:
             a.diff(c, "k1")
         with pytest.raises(ValueError, match="key column"):
             a.diff(b, ())
+
+
+class TestRollupCubeGrouping:
+    def test_grouping_labels_subtotal_rows(self, con):
+        t = con.memtable({"a": ["x", "x", "y"], "b": [1, 2, 1],
+                          "v": [10, 20, 30]})
+        out = (
+            t.cube("a", "b")
+            .aggregate(s=t.v.sum(), ga=t.a.grouping(), gb=t.b.grouping())
+            .to_spark()
+            .collect()
+        )
+        rows = {(r.a, r.b): (r.s, r.ga, r.gb) for r in out}
+        # detail row: both grouping flags 0
+        assert rows[("x", 1)] == (10, 0, 0)
+        # a-subtotal (b aggregated away): gb = 1
+        assert rows[("x", None)] == (30, 0, 1)
+        # grand total: both 1
+        assert rows[(None, None)] == (60, 1, 1)
+        # cube emits the b-only slice too
+        assert rows[(None, 1)] == (40, 1, 0)
+
+    def test_rollup_skips_non_hierarchical_slices(self, con):
+        t = con.memtable({"a": ["x", "y"], "b": [1, 1], "v": [1, 2]})
+        out = t.rollup("a", "b").aggregate(s=t.v.sum()).to_spark().collect()
+        keys = {(r.a, r.b) for r in out}
+        assert (None, 1) not in keys  # rollup is hierarchical, cube isn't
+        assert (None, None) in keys
+
+    def test_renamed_key_still_aliases(self, con):
+        t = con.memtable({"a": ["x", "y"], "v": [1, 2]})
+        out = t.rollup(k=t.a).aggregate(s=t.v.sum()).to_spark()
+        assert set(out.columns) == {"k", "s"}
