@@ -1,13 +1,31 @@
-"""Geospatial operations — the subset Spark 4.1 core supports.
+"""Geospatial operations — the subset Spark 4.1 core supports, plus a
+pure-Spark analytic slice over WKB points (round 9).
 
 The reference exposes ~60 PostGIS-style ops (ibis/expr/operations/
 geospatial.py:28-497). Core Spark ships exactly five ST functions (WKB
 ingestion/serialization and SRID handling — `SHOW FUNCTIONS` probe:
 st_geomfromwkb, st_geogfromwkb, st_asbinary, st_srid, st_setsrid); the
 analytical surface (distance/contains/buffer/…) requires Apache Sedona,
-which is not in this environment. Per SURVEY.md §2.17 the rest is
-deferred; these wrappers cover ingestion/round-trip so geometry columns
-can at least be carried, repartitioned, and re-serialized at scale.
+which is not in this environment. Per SURVEY.md §2.17 most of it stays
+deferred, but the 80% ask — point construction/extraction, planar
+distance, bbox predicates (reference GeoPoint/GeoX/GeoY
+geospatial.py:~400, GeoDistance :~120, GeoContains/GeoIntersects
+:28-80, GeoDWithin) — needs only IEEE-754 bit (de)serialization, which
+is expressible EXACTLY with JVM-side hex/conv/shift arithmetic:
+
+* encode: exponent via exact integer floor-log2 (bin()-length of the
+  integer part, or of floor(|x|*2^61) for |x|<1, with a one-step exact
+  correction), mantissa via (f-1)*2^52 (Sterbenz-exact), assembled as a
+  16-hex-char IEEE-754 image, byte-reversed to little-endian WKB.
+* decode: the reverse — hex split into the 12 exponent/sign bits and
+  the 52 mantissa bits via conv(), rebuilt with exact power-of-two
+  scaling.
+
+decode(encode(x)) == x BIT-EXACTLY for |x| in [2**-61, 2**61] (and 0),
+which covers every real coordinate system; outside that domain the ops
+yield NULL rather than garbage. Distances/predicates computed through
+WKB therefore hash-match an oracle computing directly on the raw
+doubles — no libm, no UDF, scan-only plans.
 """
 
 from __future__ import annotations
@@ -16,7 +34,19 @@ import pyspark.sql.functions as F
 
 from ibis_spark.expr.core import unwrap, wrap
 
-__all__ = ["geom_from_wkb", "geog_from_wkb", "as_binary", "srid", "set_srid"]
+__all__ = [
+    "geom_from_wkb",
+    "geog_from_wkb",
+    "as_binary",
+    "srid",
+    "set_srid",
+    "geo_point",
+    "geo_x",
+    "geo_y",
+    "geo_distance",
+    "geo_dwithin",
+    "geo_within_bbox",
+]
 
 
 def _enable():
@@ -55,3 +85,225 @@ def srid(col):
 def set_srid(col, srid_value: int):
     _enable()
     return wrap(F.call_function("st_setsrid", unwrap(col), F.lit(srid_value)))
+
+
+# -- pure-Spark WKB point analytics (round 9) --------------------------------
+#
+# Reference semantics: GeoPoint / GeoX / GeoY / GeoDistance (planar, as
+# PostGIS ST_Distance on geometry) / GeoDWithin / bbox containment
+# (ibis/expr/operations/geospatial.py). No Sedona, no UDF: IEEE-754
+# (de)serialization is done with exact JVM integer/hex arithmetic, so
+# decode(encode(x)) == x bit-for-bit over |x| in [2**-61, 2**61] and 0.
+
+_P52 = float(2.0**52)
+_P61 = float(2.0**61)
+_ZERO16 = "0000000000000000"
+
+
+def _pow2(e):
+    """Exact 2**e for an INT column e in [-62, 62] (shiftleft magnitude,
+    reciprocal for negative — both exact)."""
+    mag = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.abs(e)
+    ).cast("double")
+    return F.when(e >= 0, mag).otherwise(F.lit(1.0) / mag)
+
+
+def _hex16_expr(xcol):
+    """16-hex-char big-endian IEEE-754 image of a DOUBLE column.
+
+    Exponent: exact integer floor-log2 — bit length of floor(|x|) for
+    |x| >= 1, else of floor(|x| * 2**61); the multiply can land one off
+    at a power-of-two boundary, fixed by an exact one-step correction.
+    Mantissa: (f - 1) is Sterbenz-exact for f in [1, 2), and * 2**52 is
+    an exact scale, so the 52 stored bits are recovered exactly.
+    NULL outside [2**-61, 2**61] (0.0 canonicalizes to +0)."""
+    x = xcol.cast("double")
+    ax = F.abs(x)
+    hi = F.floor(ax).cast("bigint")
+    e0 = (
+        F.when(hi >= 1, (F.length(F.bin(hi)) - F.lit(1)).cast("int"))
+        .otherwise(
+            (
+                F.length(F.bin(F.floor(ax * F.lit(_P61)).cast("bigint")))
+                - F.lit(62)
+            ).cast("int")
+        )
+    )
+    f0 = ax / _pow2(e0)
+    e1 = F.when(f0 >= 2.0, e0 + F.lit(1)).when(f0 < 1.0, e0 - F.lit(1)).otherwise(e0)
+    f1 = (
+        F.when(f0 >= 2.0, f0 / F.lit(2.0))
+        .when(f0 < 1.0, f0 * F.lit(2.0))
+        .otherwise(f0)
+    )
+    m52 = ((f1 - F.lit(1.0)) * F.lit(_P52)).cast("bigint")
+    top12 = (
+        F.when(x < 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2048)
+        + e1
+        + F.lit(1023)
+    ).cast("bigint")
+    hex16 = F.concat(
+        F.lpad(F.lower(F.hex(top12)), 3, "0"),
+        F.lpad(F.lower(F.hex(m52)), 13, "0"),
+    )
+    return (
+        F.when(x.isNull(), F.lit(None).cast("string"))
+        .when(x == 0.0, F.lit(_ZERO16))
+        .when((ax < F.lit(2.0**-61)) | (ax > F.lit(_P61)), F.lit(None).cast("string"))
+        .otherwise(hex16)
+    )
+
+
+def _double_from_hex16(h):
+    """Inverse of _hex16_expr: split the image into the 12 sign/exponent
+    bits and 52 mantissa bits via conv(), rebuild with exact
+    power-of-two scaling. NULL for exponents outside the encode domain
+    (never garbage on foreign WKB)."""
+    top12 = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    m52 = F.conv(F.substring(h, 4, 13), 16, 10).cast("bigint")
+    sign = F.when(top12 >= 2048, F.lit(-1.0)).otherwise(F.lit(1.0))
+    e = ((top12 % 2048) - F.lit(1023)).cast("int")
+    f = F.lit(1.0) + m52.cast("double") / F.lit(_P52)
+    return (
+        F.when(h.isNull(), F.lit(None).cast("double"))
+        .when(h == _ZERO16, F.lit(0.0))
+        .when((e < -61) | (e > 61), F.lit(None).cast("double"))
+        .otherwise(sign * (f * _pow2(e)))
+    )
+
+
+def _wkb_double(wkb, pos: int):
+    """Decode the little-endian 8-byte double starting at 1-based byte
+    ``pos`` of a WKB binary column — exact, and DELIBERATELY frugal with
+    references to ``wkb``.
+
+    Catalyst's predicate pushdown inlines projection aliases into the
+    predicate with no cost check, so when the WKB value is itself a
+    computed expression (e.g. geo_point(...)), every reference to
+    ``wkb`` here becomes a full copy of the encode tree in the optimized
+    plan.  A per-byte hex + reversal referenced wkb 8x per of 5 uses
+    (~40 copies) and OOM'd the optimizer on filter queries; this shape
+    takes ONE hex() over the whole 8-byte slice (wkb referenced 9x
+    total, each a 2-node substring) and derives sign/exponent/mantissa
+    straight from the little-endian hex layout:
+
+      LE hex chars (1-based): bytes b0..b7 at positions 1..16, so the
+      big-endian image's top-12-bit field is le[15..16] || le[13] and
+      the 13-char mantissa field is le[14] || le[11..12] || le[9..10]
+      || ... || le[1..2].
+
+    Zero (+0 image) decodes to 0.0; denormals/NaN/Inf/-0 and any
+    exponent outside the exact domain [-61, 61] decode to NULL, exactly
+    as _double_from_hex16 does.  NULL wkb propagates to NULL through
+    the arithmetic (all conditions become NULL -> otherwise -> NULL).
+    """
+    le = F.hex(F.substring(wkb, pos, 8))
+    top12 = F.conv(
+        F.concat(F.substring(le, 15, 2), F.substring(le, 13, 1)), 16, 10
+    ).cast("int")
+    m52 = F.conv(
+        F.concat(
+            F.substring(le, 14, 1),
+            F.substring(le, 11, 2),
+            F.substring(le, 9, 2),
+            F.substring(le, 7, 2),
+            F.substring(le, 5, 2),
+            F.substring(le, 3, 2),
+            F.substring(le, 1, 2),
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sign = F.when(top12 >= 2048, F.lit(-1.0)).otherwise(F.lit(1.0))
+    e = ((top12 % 2048) - F.lit(1023)).cast("int")
+    f = F.lit(1.0) + m52.cast("double") / F.lit(_P52)
+    return (
+        F.when((top12 == 0) & (m52 == F.lit(0).cast("bigint")), F.lit(0.0))
+        .when((e < -61) | (e > 61), F.lit(None).cast("double"))
+        .otherwise(sign * (f * _pow2(e)))
+    )
+
+
+def _le_hex(h):
+    """Reverse a 16-hex-char big-endian image into little-endian byte
+    order for WKB serialization."""
+    return F.concat(*[F.substring(h, 1 + 2 * i, 2) for i in range(7, -1, -1)])
+
+
+def _ieee_hex16(xcol):
+    """Exact 16-hex-char big-endian IEEE-754 image of a DOUBLE via the
+    JVM's own ``Double.doubleToLongBits`` (SQL ``reflect`` — JVM-side,
+    no Python).  Bit-exact for EVERY double, and a ~6-node expression
+    tree.  ``reflect`` is conservatively marked nondeterministic by
+    Spark, which as a bonus stops predicate pushdown from inlining the
+    encode tree into downstream predicates — the arithmetic encode
+    (_hex16_expr, kept for deterministic-plan contexts) expands
+    exponentially under that inlining and OOM'd the optimizer/codegen
+    on filter-over-geo_point queries."""
+    x = xcol.cast("double")
+    bits = F.call_function(
+        "reflect", F.lit("java.lang.Double"), F.lit("doubleToLongBits"), x
+    ).cast("long")
+    # reflect() raises IllegalArgumentException on a NULL primitive arg
+    # rather than null-propagating — guard explicitly.
+    return F.when(x.isNull(), F.lit(None).cast("string")).otherwise(
+        F.lpad(F.lower(F.hex(bits)), 16, "0")
+    )
+
+
+def geo_point(x, y):
+    """WKB point (little-endian, geometry type 1) from two DOUBLE
+    coordinates — reference GeoPoint. NULL if either coordinate is
+    NULL. Encoding is exact for every double (JVM doubleToLongBits)."""
+    hx, hy = _ieee_hex16(unwrap(x)), _ieee_hex16(unwrap(y))
+    return wrap(
+        F.unhex(F.concat(F.lit("0101000000"), _le_hex(hx), _le_hex(hy)))
+    )
+
+
+def geo_x(pt):
+    """X coordinate of a WKB point — reference GeoX."""
+    return wrap(_wkb_double(unwrap(pt), 6))
+
+
+def geo_y(pt):
+    """Y coordinate of a WKB point — reference GeoY."""
+    return wrap(_wkb_double(unwrap(pt), 14))
+
+
+def geo_distance(a, b):
+    """Planar (Euclidean) distance between two WKB points — reference
+    GeoDistance; PostGIS ST_Distance on geometry is Cartesian, NOT
+    haversine, so sqrt((dx)^2 + (dy)^2) is the faithful semantic and is
+    fully deterministic (sqrt is a correctly-rounded IEEE op)."""
+    ua, ub = unwrap(a), unwrap(b)
+    dx = _wkb_double(ua, 6) - _wkb_double(ub, 6)
+    dy = _wkb_double(ua, 14) - _wkb_double(ub, 14)
+    return wrap(F.sqrt(dx * dx + dy * dy))
+
+
+def geo_dwithin(a, b, distance):
+    """True when two WKB points lie within ``distance`` — reference
+    GeoDWithin; compares squared distances (no sqrt at all)."""
+    ua, ub = unwrap(a), unwrap(b)
+    dx = _wkb_double(ua, 6) - _wkb_double(ub, 6)
+    dy = _wkb_double(ua, 14) - _wkb_double(ub, 14)
+    d = unwrap(distance) if hasattr(distance, "spark") else F.lit(float(distance))
+    return wrap(dx * dx + dy * dy <= d * d)
+
+
+def geo_within_bbox(pt, xmin, ymin, xmax, ymax):
+    """True when a WKB point falls inside the closed rectangle — the
+    points-in-rectangle slice of reference GeoContains/GeoIntersects
+    (a bbox is the only geometry a pure-Spark predicate can hold without
+    a full GEOS port; arbitrary polygons stay deferred to Sedona)."""
+    u = unwrap(pt)
+    px = _wkb_double(u, 6)
+    py = _wkb_double(u, 14)
+    return wrap(
+        (px >= F.lit(float(xmin)))
+        & (px <= F.lit(float(xmax)))
+        & (py >= F.lit(float(ymin)))
+        & (py <= F.lit(float(ymax)))
+    )

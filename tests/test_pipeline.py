@@ -3,6 +3,8 @@ multimodal plumbing."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 import ibis_spark as ib
@@ -303,6 +305,91 @@ class TestGeo:
         row = out.df.collect()[0]
         assert bytes(row.rt) == wkb
         assert row.sr == 0
+
+    # round-9 pure-Spark point analytics (geo.py) ---------------------------
+
+    TRICKY = [
+        0.0, 1.0, -1.0, 2.0, -0.5, 1.5, math.pi, -math.pi, 1e-10, -1e-10,
+        123456.789, -0.0001220703125, 2.0**52 + 1.0, 1.0 + 2.0**-52,
+        0.1, 0.2, 0.3, -179.99999999, 89.999999999, 2.0**-61, 2.0**61,
+    ]
+
+    def test_geo_point_wkb_bytes_and_roundtrip(self, con):
+        """geo_point emits REAL little-endian WKB (interop with any WKB
+        reader), and geo_x/geo_y recover each coordinate bit-exactly."""
+        import struct
+
+        from ibis_spark import geo
+
+        rows = [(i, v, -v if v != 0 else 0.25) for i, v in enumerate(self.TRICKY)]
+        t = con.memtable(rows, schema={"i": "int64", "x": "float64", "y": "float64"})
+        out = t.mutate(pt=geo.geo_point(t.x, t.y))
+        out = out.select("i", "x", "y", "pt", rx=geo.geo_x(out.pt), ry=geo.geo_y(out.pt))
+        for r in out.df.collect():
+            assert bytes(r.pt) == struct.pack("<BIdd", 1, 1, r.x, r.y), r.i
+            assert struct.pack("<d", r.rx) == struct.pack("<d", r.x), r.i
+            assert struct.pack("<d", r.ry) == struct.pack("<d", r.y), r.i
+
+    def test_geo_decode_foreign_wkb(self, con):
+        """geo_x/geo_y decode WKB produced OUTSIDE the engine."""
+        import struct
+
+        from ibis_spark import geo
+
+        wkb = struct.pack("<BIdd", 1, 1, -73.985664, 40.748514)
+        t = con.memtable([(wkb,)], schema={"g": "binary"})
+        r = t.select(x=geo.geo_x(t.g), y=geo.geo_y(t.g)).df.collect()[0]
+        assert r.x == -73.985664 and r.y == 40.748514
+
+    def test_geo_distance_dwithin_bbox(self, con):
+        from ibis_spark import geo
+
+        t = con.memtable(
+            {"id": [1, 2], "x": [0.0, 3.0], "y": [0.0, 4.0]}
+        )
+        t = t.mutate(pt=geo.geo_point(t.x, t.y), o=geo.geo_point(t.x * 0, t.y * 0))
+        r = t.select(
+            "id",
+            d=geo.geo_distance(t.pt, t.o),
+            w=geo.geo_dwithin(t.pt, t.o, 4.9),
+            b=geo.geo_within_bbox(t.pt, -1.0, -1.0, 2.9, 5.0),
+        ).df.collect()
+        got = {row.id: (row.d, row.w, row.b) for row in r}
+        assert got[1] == (0.0, True, True)
+        assert got[2] == (5.0, False, False)
+
+    def test_geo_filter_over_computed_point_no_blowup(self, con):
+        """Regression: filter + aggregate over a freshly computed
+        geo_point OOM'd the optimizer when encode used a deep
+        deterministic when-chain (pushdown inlined ~40 copies of the
+        encode tree into the predicate). The reflect-based encode keeps
+        the plan small; this must complete, not hang/OOM."""
+        from ibis_spark import geo
+
+        t = con.memtable(
+            {"k": list(range(50)), "x": [float(i % 7) - 3.0 for i in range(50)],
+             "y": [float(i % 5) - 2.0 for i in range(50)]}
+        )
+        t = t.mutate(pt=geo.geo_point(t.x, t.y))
+        out = (
+            t.filter(geo.geo_within_bbox(t.pt, -2.0, -1.0, 2.0, 2.0))
+            .group_by("k")
+            .aggregate(n=t.k.count())
+        )
+        assert out.df.count() > 0
+
+    def test_geo_null_propagation(self, con):
+        from ibis_spark import geo
+
+        t = con.memtable(
+            [(None, 1.0), (2.0, None), (3.0, 4.0)],
+            schema={"x": "float64", "y": "float64"},
+        )
+        t = t.mutate(pt=geo.geo_point(t.x, t.y))
+        rows = t.select(gx=geo.geo_x(t.pt), gy=geo.geo_y(t.pt)).df.collect()
+        vals = [(r.gx, r.gy) for r in rows]
+        assert (3.0, 4.0) in vals
+        assert sum(1 for v in vals if v == (None, None)) == 2
 
 
 class TestRepetition:
