@@ -2538,12 +2538,14 @@ def _contamination_score(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The driver's correctness harness samples the FIRST 50 queries() entries.
-# Round-8 window: the 5 never-sampled r8 ops first, then the 7 entries
-# whose EMISSION changed this round (det-ln/exp rewrites, 4dp ln, digest
-# grams, bands=32 — their r5-r7 green samples are stale evidence), then
-# all 19 entries whose latest sample was still r4 (the VERDICT r7 item-3
-# rotation), then the oldest r5-era entries to fill 50. Every other
-# query's latest green sample is r5-r7.
+# Round-9 window (VERDICT r8 item 3 freshness rotation): the 16
+# never-sampled r9 entries first (geo slice x3, TPC-DS-derived x13),
+# then ALL 28 entries whose latest driver sample was still r5, then 6
+# r6-era fillers. After CORRECTNESS_r09 no query's latest evidence is
+# older than r6, and the four queries whose EMISSION was rewritten this
+# round (tfidf / corpus_divergence / ngram_lm_score det-ln unit-domain
+# fast path; scalar_numeric boolean ln emission) are re-sampled rather
+# than resting on now-stale r8 green rows.
 # --------------------------------------------------------------------------
 # Pure-Spark geospatial slice (VERDICT r8 item 5): GeoPoint/GeoX/GeoY/
 # GeoDistance/GeoDWithin/bbox-contains over WKB points with EXACT IEEE
@@ -2901,56 +2903,56 @@ def _ds_grouping_sets_union(spark, sf_dir):
 
 
 _SAMPLE_WINDOW = [
-    "quantile_bucket",
-    "pack_sequences",
-    "contamination_score",
-    "connected_components_isolated",
-    "pagerank_isolated",
-    "weighted_sample",
-    "tfidf",
+    "geo_point_roundtrip",
+    "geo_distance_filter",
+    "geo_bbox_count",
+    "ds_rollup_report",
+    "ds_rank_over_rollup",
+    "ds_cube_report",
+    "ds_multi_channel",
+    "ds_year_over_year",
+    "ds_vs_group_avg",
+    "ds_monthly_vs_avg",
+    "ds_channel_intersect",
+    "ds_channel_except",
+    "ds_conditional_report",
+    "ds_quarterly_share",
+    "ds_yoy_lag",
+    "ds_grouping_sets_union",
+    "scalar_strings",
+    "scalar_temporal",
+    "q8_market_share",
+    "q9_product_profit",
+    "selectors_across",
+    "pivot_longer",
+    "pivot_wider",
+    "udf_pyarrow",
+    "parse_roundtrip",
+    "selector_if_any",
+    "salted_join_agg",
+    "rowid_contract",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q19_discounted_revenue",
+    "misc_scalars",
+    "week_doy",
+    "quantiles",
+    "stats",
+    "ordered_reductions_desc",
+    "window_percent",
+    "unnest_tokens",
+    "text_stats",
+    "temporal_arith",
+    "timestamp_bucket",
+    "table_cast",
     "corpus_divergence",
     "ngram_lm_score",
-    "remove_duplicated_spans",
-    "cross_dedup",
+    "tfidf",
     "scalar_numeric",
-    "exists_subquery",
-    "in_subquery",
-    "not_exists_subquery",
-    "notin_subquery",
-    "q17_small_quantity",
-    "scalar_subquery",
-    "set_difference",
-    "set_difference_all",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "substitute",
-    "window_cumsum",
-    "window_first_last",
-    "window_lag",
-    "window_moving_avg",
-    "window_nth",
-    "window_ntile",
-    "window_rank",
-    "arg_reductions",
-    "array_named_reductions",
-    "array_ops",
-    "between_time",
-    "bool_agg_not",
-    "bool_cum_windows",
-    "bucket_histogram",
-    "case_when",
-    "count_distinct_star",
-    "dedup_exact",
-    "describe_table",
-    "fingerprint",
-    "group_concat",
-    "grouped_fraction",
-    "histogram_bins",
-    "in_values",
-    "interval_unit_views",
-    "json_extract",
-    "json_typed_accessors",
+    "quality_score",
+    "ann_ivf_topk",
 ]
 
 

@@ -1978,15 +1978,31 @@ class GroupedTable:
         a fresh attribute id, and Spark's GROUPING()/GROUPING_ID() match
         their argument against the grouping expressions by attribute —
         a no-op rename breaks them (GROUPING_COLUMN_MISMATCH). Computed
-        or renamed keys still alias."""
+        or renamed keys still alias.
+
+        The bare attribute is passed as an UNRESOLVED ``F.col`` (not the
+        dataset-tagged ``df[name]``): Dataset.rollup/cube — unlike
+        groupBy — run the ambiguous-self-join check against tagged
+        references, and after any join they fail with "Column ... are
+        ambiguous" even though the name is unique. Both spellings
+        resolve to the same attribute, so GROUPING() still matches."""
         cols = []
         for k in self._keys:
             sc, name = self._table._resolve(k)
-            cols.append(sc if isinstance(k, str) and name == k else sc.alias(name))
+            if isinstance(k, str) and name == k:
+                cols.append(self._df_key_ref(k))
+            else:
+                cols.append(sc.alias(name))
         for n, k in self._named_keys.items():
             sc, _ = self._table._resolve(k)
             cols.append(sc.alias(n))
         return cols
+
+    @staticmethod
+    def _df_key_ref(name: str):
+        """Unresolved reference to an existing column name; backtick-quote
+        so names containing dots stay a single identifier."""
+        return F.col("`" + name.replace("`", "``") + "`")
 
     def aggregate(self, *metrics, having=(), **named) -> Table:
         from ibis_spark.selectors import Across
