@@ -7,11 +7,18 @@ Design: a multimodal column is a struct
 per-item work (decode / resize / feature-extract / frame-sample) runs as
 Arrow-batched ``mapInPandas`` so each task streams record batches — the
 Spark-side plumbing (schemas, batch shapes, partition preservation) is
-real and tested. The actual codec calls are stubbed: the container ships
-no image/audio libraries, so ``decode_images(..., fake=False)`` raises
-``NotImplementedError`` at the call site where PIL/libav would be
-invoked, and ``fake=True`` substitutes a deterministic hash-derived
-payload with the same schema/shape the real decoder would produce.
+real and tested.
+
+Codecs (round 9): PNG decodes END-TO-END with a stdlib-only decoder
+(``zlib`` inflate + ``struct`` chunk parsing + numpy scanline
+unfiltering — ``_png_decode``), so ``decode_images(..., fake=False)``
+on real PNG bytes emits true width/height and pixel-derived features
+with no third-party imaging library. JPEG/audio/video codecs remain
+honestly stubbed: the container ships no libjpeg/libav, so those
+payloads raise ``NotImplementedError`` at the call site where
+PIL/libav would be invoked, and ``fake=True`` substitutes a
+deterministic hash-derived payload with the same schema/shape the real
+decoder would produce.
 """
 
 from __future__ import annotations
@@ -45,6 +52,119 @@ def attach_media(t: Table, data_col: str, media_type: str = "application/octet-s
 
 
 _FEATURE_DIM = 8
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (8-bit depth); type 3 is palette-indexed
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_decode(data: bytes):
+    """Stdlib-only PNG decoder: ``struct`` chunk walk + ``zlib`` inflate
+    + numpy scanline unfiltering (filters 0-4 per the PNG spec §9).
+
+    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), no interlace. Returns
+    ``(width, height, channels, pixels)`` where ``pixels`` is an
+    (h, w, c) uint8 numpy array (palette images are expanded to RGB).
+    Raises ``ValueError`` on non-PNG bytes or unsupported variants —
+    callers route those to the stubbed-codec path.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not data or not bytes(data).startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    data = bytes(data)
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}): 8-bit non-interlaced types 0/2/3/4/6 only"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, lines = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(filters[y]), lines[y]
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.uint8)
+            li = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(pv[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (li[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if color == 3:  # palette -> RGB
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[px[:, :, 0]]
+        ch = 3
+    return w, h, ch, px
+
+
+def _png_features(px, dim: int = _FEATURE_DIM) -> list[float]:
+    """Deterministic pixel-derived features: a ``dim``-bin normalized
+    luminance histogram (channel-mean as luminance)."""
+    import numpy as np
+
+    lum = px.astype(np.float64).mean(axis=2).ravel()
+    hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
+    total = max(1, lum.size)
+    return [float(v) / total for v in hist]
+
+
+def _png_resize_nearest(px, tw: int, th: int):
+    """Nearest-neighbor resize of an (h, w, c) array — exact integer
+    index math, no interpolation libs."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return px[ys][:, xs]
 
 
 def _fake_decode(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
@@ -81,15 +201,26 @@ def decode_images(
 
     target = resize
 
+    def _real_one(payload: bytes):
+        """Decode ONE payload: PNG via the stdlib decoder; anything else
+        needs PIL (JPEG etc. stay honestly stubbed in this container)."""
+        b = bytes(payload or b"")
+        if b.startswith(_PNG_MAGIC):
+            w, h, _ch, px = _png_decode(b)
+            if target is not None:
+                px = _png_resize_nearest(px, target[0], target[1])
+                w, h = target
+            return w, h, _png_features(px, feature_dim)
+        try:  # pragma: no cover - no PIL in container
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "non-PNG image decoding requires PIL (PNG decodes via the "
+                "stdlib decoder); pass fake=True for the deterministic stub"
+            ) from e
+        raise NotImplementedError("real non-PNG decode path requires PIL")
+
     def run(batches: Iterator) -> Iterator:
-        if not fake:
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:  # pragma: no cover - no PIL in container
-                raise NotImplementedError(
-                    "real image decoding requires PIL; pass fake=True for the "
-                    "deterministic stub decoder"
-                ) from e
         import pandas as pd
 
         for pdf in batches:
@@ -101,11 +232,18 @@ def decode_images(
                 # deterministic fake dimensions from payload length
                 w = payloads.map(lambda b: 16 + len(bytes(b)) % 64).astype("int32")
                 h = (w // 2).astype("int32")
-            else:  # pragma: no cover - exercised only with PIL installed
-                raise NotImplementedError("real decode path requires PIL")
-            if target is not None:
-                w = pd.Series([target[0]] * len(pdf), index=pdf.index, dtype="int32")
-                h = pd.Series([target[1]] * len(pdf), index=pdf.index, dtype="int32")
+                if target is not None:
+                    w = pd.Series(
+                        [target[0]] * len(pdf), index=pdf.index, dtype="int32"
+                    )
+                    h = pd.Series(
+                        [target[1]] * len(pdf), index=pdf.index, dtype="int32"
+                    )
+            else:
+                decoded = payloads.map(_real_one)
+                w = decoded.map(lambda t: t[0]).astype("int32")
+                h = decoded.map(lambda t: t[1]).astype("int32")
+                feats = decoded.map(lambda t: t[2])
             out = pdf.copy()
             out["width"] = w
             out["height"] = h
