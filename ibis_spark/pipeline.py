@@ -2537,14 +2537,14 @@ def gopher_filter(
     n = F.size(toks)
     nd = n.cast("double")
     safe_n = F.greatest(nd, F.lit(1.0))
-    mean_len = (
-        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
-        .cast("double")
-        / safe_n
-    )
-    n_symbols = (
-        F.size(F.split(c, r"#", -1)) - 1 + F.size(F.split(c, r"\.\.\.", -1)) - 1
-    )
+    # total token chars via ONE array_join+length builtin (identical to a
+    # sum-of-lengths fold — the join string is empty — but no lambda:
+    # r9 perf pass, planning/codegen cost of HOF lambdas dominated this
+    # scan-only op's wall at small SF)
+    mean_len = F.length(F.array_join(toks, "")).cast("double") / safe_n
+    # "#" and "..." share no characters, so one alternation scan counts
+    # exactly what the two split-size probes did
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\."))
     alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
     stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
