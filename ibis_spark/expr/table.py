@@ -1649,6 +1649,85 @@ class Table(CoreExpr):
             )
         )
 
+    def transform_with_state(
+        self,
+        keys,
+        processor,
+        *,
+        output_schema,
+        output_mode: str = "Update",
+        time_mode: str = "None",
+        initial_state=None,
+        event_time_col: str = "",
+    ) -> "Table":
+        """Spark 4 arbitrary stateful processing
+        (``transformWithStateInPandas`` — the successor to
+        ``applyInPandasWithState``): ``processor`` is a
+        ``pyspark.sql.streaming.stateful_processor.StatefulProcessor``
+        with typed per-key state (value/list/map), timers, TTL, and
+        initial-state bootstrap — none of which the old GroupState API
+        offers.
+
+        Works on BOTH streaming and batch inputs (batch = one giant
+        micro-batch with empty initial state — the basis of the
+        batch-equivalence tests). Two runtime prerequisites this wrapper
+        handles:
+
+        * the operator requires the RocksDB state store provider — set
+          before the SparkSession is created
+          (``spark.sql.streaming.stateStore.providerClass`` =
+          ``...state.RocksDBStateStoreProvider``); we raise a clear
+          error if an incompatible provider is active;
+        * on a BATCH query the StateStoreCoordinator RPC endpoint is
+          only registered by the StreamingQueryManager, so we touch
+          ``spark.streams`` first (otherwise:
+          ``RpcEndpointNotFoundException: StateStoreCoordinator``).
+
+        The Python worker's state client speaks protobuf to the JVM
+        state server (``pyspark/sql/streaming/proto/StateMessage_pb2``),
+        so the ``protobuf`` package must be importable on workers; this
+        container does not ship it, so the call raises
+        ``NotImplementedError`` here — the recipe itself is the
+        documented, forward-looking path (SURVEY §2.16).
+        """
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "transformWithState needs the protobuf package (the "
+                "Python state client speaks protobuf to the JVM state "
+                "server); it is not installed in this environment. Use "
+                "Table.map_groups_with_state (applyInPandasWithState) "
+                "instead."
+            ) from e
+        spark = self._df.sparkSession
+        provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        if "RocksDB" not in (provider or ""):
+            raise ValueError(
+                "transformWithState requires the RocksDB state store: "
+                "set spark.sql.streaming.stateStore.providerClass to "
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider when building the session"
+            )
+        if not self._df.isStreaming:
+            # register the StateStoreCoordinator endpoint (created by the
+            # streaming query manager; batch TWS fails without it)
+            spark.streams  # noqa: B018
+        gdf = self._df.groupBy(*_tuplize(keys))
+        init = initial_state._df.groupBy(*_tuplize(keys)) if initial_state else None
+        return Table(
+            gdf.transformWithStateInPandas(
+                processor,
+                output_schema,
+                output_mode,
+                time_mode,
+                initialState=init,
+                eventTimeColumnName=event_time_col,
+            )
+        )
+
     # -- pivots (relations.py:4209/4540) ---------------------------------------------------
     def pivot_longer(self, cols, *, names_to: str = "name", values_to: str = "value") -> "Table":
         names = [c if isinstance(c, str) else self._resolve(c)[1] for c in _tuplize(cols)]
@@ -1980,16 +2059,26 @@ class GroupedTable:
         a no-op rename breaks them (GROUPING_COLUMN_MISMATCH). Computed
         or renamed keys still alias.
 
-        The bare attribute is passed as an UNRESOLVED ``F.col`` (not the
-        dataset-tagged ``df[name]``): Dataset.rollup/cube — unlike
-        groupBy — run the ambiguous-self-join check against tagged
-        references, and after any join they fail with "Column ... are
-        ambiguous" even though the name is unique. Both spellings
-        resolve to the same attribute, so GROUPING() still matches."""
+        Mode matters, with two failure shapes pulling opposite ways:
+
+        * rollup/cube: the bare key is passed as an UNRESOLVED ``F.col``
+          — never a no-op self-alias (a fresh attribute id breaks
+          GROUPING()/GROUPING_ID() matching: GROUPING_COLUMN_MISMATCH)
+          and never the dataset-tagged ``df[name]`` (Dataset.rollup/cube
+          — unlike groupBy — run the ambiguous-self-join check against
+          tagged refs and fail after ANY join even though the name is
+          unique). The unresolved spelling resolves to the same
+          attribute, so GROUPING() matches.
+        * plain groupBy: every key IS self-aliased — the minted fresh
+          attribute id is what lets an aggregate be joined back onto
+          its own base table (the scalar-subquery lift in TPC-H q2/q17)
+          without tripping the self-join ambiguity check. GROUPING() is
+          only legal under rollup/cube, so nothing is lost."""
+        grouping_sets = self._mode in ("rollup", "cube")
         cols = []
         for k in self._keys:
             sc, name = self._table._resolve(k)
-            if isinstance(k, str) and name == k:
+            if grouping_sets and isinstance(k, str) and name == k:
                 cols.append(self._df_key_ref(k))
             else:
                 cols.append(sc.alias(name))

@@ -3502,6 +3502,122 @@ def streaming_funnel(
     )
 
 
+def _session_walk(cur, sorted_ts, gap):
+    """Advance one key's open-session state ``cur`` =
+    ``[start, last, n] | None`` over time-sorted timestamps; returns
+    ``(new_cur, closed_sessions)``. Pure function so the
+    transformWithState processor's logic is unit-testable without the
+    protobuf-backed state runtime (tests/test_streaming.py)."""
+    out = []
+    for v in sorted_ts:
+        v = float(v)
+        if cur is None:
+            cur = [v, v, 0]
+        elif v - cur[1] > gap:
+            out.append(tuple(cur))
+            cur = [v, v, 0]
+        cur[1] = max(cur[1], v)
+        cur[2] += 1
+    return cur, out
+
+
+def sessionize_tws(
+    t: Table,
+    ts_col: str,
+    by: str,
+    gap,
+    *,
+    output_mode: str = "Update",
+    time_mode: str = "None",
+) -> Table:
+    """Gap-based session AGGREGATION on the Spark-4
+    ``transformWithState`` runtime (:meth:`Table.transform_with_state`)
+    — the forward-looking port of :func:`sessionize` /
+    ``session_window`` (VERDICT r8 item 9).
+
+    Emits one row per session: ``(by, session_start, session_end,
+    n_events)``. Per-key state is a single open-session triple
+    ``(start, last, n)`` — bounded regardless of stream length. Each
+    input chunk is processed in event-time order; a gap > ``gap``
+    closes the open session (row emitted) and starts a new one; the
+    still-open session is also emitted each time it grows, so under
+    ``Update`` output mode a sink keyed on ``(by, session_start)``
+    converges to exactly the batch answer — the batch-equivalence
+    contract tested in tests/test_streaming.py (executable wherever the
+    protobuf package is present; this container gates it with
+    ``NotImplementedError``, see Table.transform_with_state).
+
+    Batch-mode equivalence: on a non-streaming input Spark runs the
+    whole table as one micro-batch with empty initial state, so the
+    emitted closed sessions + final open session per key are EXACTLY
+    ``sessionize(t).group_by(by, session_id).aggregate(min/max/count)``.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    temporal = isinstance(gap, _dt.timedelta)
+    gap_v = float(gap.total_seconds()) if temporal else float(gap)
+    df = t.df
+    if temporal:
+        df = df.withColumn("__ts__", F.col(ts_col).cast("timestamp").cast("double"))
+    else:
+        df = df.withColumn("__ts__", F.col(ts_col).cast("double"))
+    by_type = t.df.schema[by].dataType.simpleString()
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._open = handle.getValueState(
+                "open_session", "start double, last double, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = list(self._open.get()) if self._open.exists() else None
+            ts_all = [pdf["__ts__"] for pdf in rows]
+            ts = (
+                pd.concat(ts_all).sort_values(kind="mergesort")
+                if ts_all
+                else pd.Series([], dtype="float64")
+            )
+            cur, out = _session_walk(cur, ts, gap_v)
+            if cur is not None:
+                self._open.update(tuple(cur))
+                out.append(tuple(cur))  # open session, Update semantics
+            if out:
+                yield pd.DataFrame(
+                    {
+                        by: [key[0]] * len(out),
+                        "session_start": [o[0] for o in out],
+                        "session_end": [o[1] for o in out],
+                        "n_events": [o[2] for o in out],
+                    }
+                )
+
+        def close(self):
+            pass
+
+    out_schema = (
+        f"{by} {by_type}, session_start double, session_end double, "
+        "n_events bigint"
+    )
+    res = Table(df).transform_with_state(
+        by,
+        _SessionProcessor(),
+        output_schema=out_schema,
+        output_mode=output_mode,
+        time_mode=time_mode,
+    )
+    if temporal:
+        res = Table(
+            res.df.withColumn(
+                "session_start", F.col("session_start").cast("timestamp")
+            ).withColumn("session_end", F.col("session_end").cast("timestamp"))
+        )
+    return res
+
+
 def remove_duplicated_spans(
     t: Table,
     text_col: str,

@@ -404,3 +404,111 @@ def test_streaming_incremental_hll_sketch_maintenance(spark, stream_dir, tmp_pat
     assert abs(est - exact) <= max(3, exact * 0.05)
     # the sketch table is day-grained and tiny relative to the raw events
     assert sk.count() <= raw.count()
+
+
+def _have_protobuf():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_session_walk_matches_batch_sessionize(spark):
+    """The transformWithState sessionizer's core (_session_walk) agrees
+    with the batch sessionize aggregate EXACTLY — both on a single pass
+    and when the same events arrive split across in-order chunks (the
+    micro-batch contract)."""
+    import random
+
+    import ibis_spark as ib
+    from ibis_spark import pipeline as pl
+    from ibis_spark.pipeline import _session_walk
+
+    rng = random.Random(11)
+    rows = []
+    for uid in range(6):
+        t = 0.0
+        for _ in range(rng.randint(3, 40)):
+            t += rng.choice([1.0, 2.0, 5.0, 30.0, 120.0])
+            rows.append((uid, t))
+    con = ib.connect(spark)
+    t = con.memtable(rows, schema={"uid": "int64", "ts": "float64"})
+    gap = 10.0
+
+    sess = pl.sessionize(t, "ts", "uid", gap)
+    batch = {
+        (r.uid, r.session_start): (r.session_end, r.n_events)
+        for r in sess.group_by("uid", "session_id")
+        .aggregate(
+            session_start=sess.ts.min(),
+            session_end=sess.ts.max(),
+            n_events=sess.ts.count(),
+        )
+        .df.collect()
+    }
+
+    by_uid = {}
+    for uid, ts in rows:
+        by_uid.setdefault(uid, []).append(ts)
+    for chunks in (1, 3):
+        walked = {}
+        for uid, ts_list in by_uid.items():
+            ts_list = sorted(ts_list)
+            cur, closed = None, []
+            step = max(1, len(ts_list) // chunks)
+            for i in range(0, len(ts_list), step):
+                cur, out = _session_walk(cur, ts_list[i : i + step], gap)
+                closed.extend(out)
+            if cur is not None:
+                closed.append(tuple(cur))
+            for s, e, n in closed:
+                walked[(uid, s)] = (e, n)
+        assert walked == batch, f"chunks={chunks}"
+
+
+def test_transform_with_state_gate_or_runs(spark, tmp_path):
+    """transformWithState (Spark 4 successor to applyInPandasWithState):
+    without the protobuf package the engine gates with a clean
+    NotImplementedError; where protobuf exists, batch-mode sessionize_tws
+    must equal the batch sessionize aggregate (one giant micro-batch,
+    empty initial state)."""
+    import ibis_spark as ib
+    from ibis_spark import pipeline as pl
+
+    con = ib.connect(spark)
+    rows = [(1, 0.0), (1, 3.0), (1, 50.0), (2, 7.0)]
+    t = con.memtable(rows, schema={"uid": "int64", "ts": "float64"})
+
+    if not _have_protobuf():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            pl.sessionize_tws(t, "ts", "uid", 10.0).df.collect()
+        return
+
+    # pragma: no cover in this container - requires protobuf
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = {
+            (r.uid, r.session_start): (r.session_end, r.n_events)
+            for r in pl.sessionize_tws(t, "ts", "uid", 10.0).df.collect()
+        }
+        sess = pl.sessionize(t, "ts", "uid", 10.0)
+        want = {
+            (r.uid, r.session_start): (r.session_end, r.n_events)
+            for r in sess.group_by("uid", "session_id")
+            .aggregate(
+                session_start=sess.ts.min(),
+                session_end=sess.ts.max(),
+                n_events=sess.ts.count(),
+            )
+            .df.collect()
+        }
+        assert got == want
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
