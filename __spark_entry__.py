@@ -2612,6 +2612,28 @@ def _geo_bbox_count(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_envelope_agg(spark, sf_dir):
+    """Per-group point-set envelope (the aggregate slice of reference
+    GeoEnvelope): min/max x/y over each nation's customer points, plus a
+    geo_equals self-check count (re-encoded point == original, exact).
+    min/max are order-insensitive, so the emission is bit-exact with no
+    rounding."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer")
+    lon, lat = _geo_lonlat(c)
+    c = c.mutate(pt=geo.geo_point(lon, lat))
+    c = c.mutate(
+        x=geo.geo_x(c.pt),
+        y=geo.geo_y(c.pt),
+        selfeq=geo.geo_equals(c.pt, geo.geo_point(geo.geo_x(c.pt), geo.geo_y(c.pt))),
+    )
+    return c.group_by("c_nationkey").aggregate(
+        xmin=c.x.min(), xmax=c.x.max(), ymin=c.y.min(), ymax=c.y.max(),
+        n_eq=c.selfeq.cast("int").sum(),
+    ).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -2962,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_point_roundtrip": _geo_point_roundtrip,
         "geo_distance_filter": _geo_distance_filter,
         "geo_bbox_count": _geo_bbox_count,
+        "geo_envelope_agg": _geo_envelope_agg,
         # -- new in round 9: TPC-DS-derived shapes ---------------------------
         "ds_rollup_report": _ds_rollup_report,
         "ds_rank_over_rollup": _ds_rank_over_rollup,
@@ -3305,6 +3328,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, COUNT(c_custkey) AS n_in
             FROM p
             WHERE x >= -90.0 AND x <= 90.0 AND y >= -45.0 AND y <= 45.0
+            GROUP BY c_nationkey
+        """,
+        "geo_envelope_agg": """
+            WITH p AS (
+              SELECT c_nationkey,
+                     (CAST(c_custkey % 360 AS DOUBLE) - 180.0)
+                       + (c_acctbal / 1000000.0) AS x,
+                     (CAST(c_custkey % 180 AS DOUBLE) - 90.0)
+                       + (c_acctbal / 2000000.0) AS y
+              FROM customer)
+            SELECT c_nationkey,
+                   MIN(x) AS xmin, MAX(x) AS xmax,
+                   MIN(y) AS ymin, MAX(y) AS ymax,
+                   COUNT(*) AS n_eq
+            FROM p
             GROUP BY c_nationkey
         """,
         # -- TPC-DS-derived shapes (round 9) ---------------------------------

@@ -106,6 +106,13 @@ HEADLINE = [
     "contamination_score",
     "connected_components_isolated",
     "pagerank_isolated",
+    # round-9 additions: pure-Spark geo slice + TPC-DS-derived shapes
+    "geo_distance_filter",
+    "geo_bbox_count",
+    "ds_rollup_report",
+    "ds_rank_over_rollup",
+    "ds_multi_channel",
+    "ds_year_over_year",
 ]
 
 

