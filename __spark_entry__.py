@@ -2623,11 +2623,17 @@ def _geo_envelope_agg(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     lon, lat = _geo_lonlat(c)
     c = c.mutate(pt=geo.geo_point(lon, lat))
-    c = c.mutate(
-        x=geo.geo_x(c.pt),
-        y=geo.geo_y(c.pt),
-        selfeq=geo.geo_equals(c.pt, geo.geo_point(geo.geo_x(c.pt), geo.geo_y(c.pt))),
-    )
+    # stage decode into columns FIRST: x/y are non-cheap and referenced
+    # multiple times below, so CollapseProject keeps them as a separate
+    # projection — inlining the full encode(decode(pt)) composition into
+    # selfeq in one expression OOM'd plan canonicalization. The
+    # self-check is BYTE equality (stronger than geo_equals: canonical
+    # re-encode must reproduce the exact WKB), which costs one encode
+    # per row instead of decoding a freshly-encoded point — reflect is
+    # CodegenFallback + non-CSE-able, so decode-of-encode evaluates ~18
+    # reflections/row (measured 11 s for 15k rows)
+    c = c.mutate(x=geo.geo_x(c.pt), y=geo.geo_y(c.pt))
+    c = c.mutate(selfeq=c.pt == geo.geo_point(c.x, c.y))
     return c.group_by("c_nationkey").aggregate(
         xmin=c.x.min(), xmax=c.x.max(), ymin=c.y.min(), ymax=c.y.max(),
         n_eq=c.selfeq.cast("int").sum(),

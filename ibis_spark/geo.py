@@ -253,11 +253,22 @@ def _ieee_hex16(xcol):
     )
 
 
-def geo_point(x, y):
+def geo_point(x, y, *, deterministic: bool = False):
     """WKB point (little-endian, geometry type 1) from two DOUBLE
-    coordinates — reference GeoPoint. NULL if either coordinate is
-    NULL. Encoding is exact for every double (JVM doubleToLongBits)."""
-    hx, hy = _ieee_hex16(unwrap(x)), _ieee_hex16(unwrap(y))
+    coordinates — reference GeoPoint. NULL if either coordinate is NULL.
+
+    Default encode is exact for every double (JVM ``doubleToLongBits``
+    via SQL ``reflect``) but carries Spark's conservative
+    nondeterministic marking — fine in Project/Filter (and it blocks
+    the pushdown inlining that blows up plans), but rejected where
+    Catalyst demands determinism (grouping keys, join conditions).
+    ``deterministic=True`` switches to the arithmetic bit-encoder
+    (_hex16_expr): fully deterministic and bit-identical on coordinates
+    with |x| in [2**-61, 2**61] (NULL outside), at a larger expression
+    tree — avoid composing it under a filter over the same computed
+    point (see _wkb_double notes)."""
+    enc = _hex16_expr if deterministic else _ieee_hex16
+    hx, hy = enc(unwrap(x)), enc(unwrap(y))
     return wrap(
         F.unhex(F.concat(F.lit("0101000000"), _le_hex(hx), _le_hex(hy)))
     )

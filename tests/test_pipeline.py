@@ -441,6 +441,29 @@ class TestGeo:
             assert struct.pack("<d", r.rx) == struct.pack("<d", r.x), r.i
             assert struct.pack("<d", r.ry) == struct.pack("<d", r.y), r.i
 
+    def test_geo_point_deterministic_encoder_matches(self, con):
+        """deterministic=True (arithmetic bit-encoder, usable in
+        grouping keys) emits byte-identical WKB to the reflect encoder
+        over the whole coordinate domain."""
+        from ibis_spark import geo
+
+        vals = [v for v in self.TRICKY if v == 0.0 or 2.0**-61 <= abs(v) <= 2.0**61]
+        t = con.memtable(
+            [(i, v, -v or 0.5) for i, v in enumerate(vals)],
+            schema={"i": "int64", "x": "float64", "y": "float64"},
+        )
+        out = t.select(
+            "i",
+            a=geo.geo_point(t.x, t.y),
+            b=geo.geo_point(t.x, t.y, deterministic=True),
+        )
+        for r in out.df.collect():
+            assert bytes(r.a) == bytes(r.b), r.i
+        # deterministic encode is legal as a grouping key
+        g = t.mutate(p=geo.geo_point(t.x, t.y, deterministic=True))
+        n = g.group_by("p").aggregate(n=g.i.count()).df.count()
+        assert n == len(vals)
+
     def test_geo_decode_foreign_wkb(self, con):
         """geo_x/geo_y decode WKB produced OUTSIDE the engine."""
         import struct
