@@ -538,6 +538,40 @@ class TestGeo:
             None,
         )
 
+    def test_geo_codec_fuzz_roundtrip(self, con):
+        """Property fuzz: 300 seeded random doubles across the full
+        exponent domain round-trip bit-exactly through BOTH encoders +
+        the decoder, in ONE Spark job."""
+        import random
+        import struct
+
+        from ibis_spark import geo
+
+        rng = random.Random(20260814)
+        vals = [0.0]
+        for _ in range(299):
+            e = rng.randint(-61, 60)
+            m = rng.random() + 1.0  # [1, 2)
+            v = m * (2.0**e) * rng.choice([1.0, -1.0])
+            vals.append(v)
+        t = con.memtable(
+            [(i, v, -v or 1.0) for i, v in enumerate(vals)],
+            schema={"i": "int64", "x": "float64", "y": "float64"},
+        )
+        t = t.mutate(
+            p=geo.geo_point(t.x, t.y),
+            pd_=geo.geo_point(t.x, t.y, deterministic=True),
+        )
+        rows = t.select(
+            "i", "x", "y",
+            rx=geo.geo_x(t.p), ry=geo.geo_y(t.p), same=t.p == t.pd_,
+        ).df.collect()
+        assert len(rows) == 300
+        for r in rows:
+            assert struct.pack("<d", r.rx) == struct.pack("<d", r.x), r.i
+            assert struct.pack("<d", r.ry) == struct.pack("<d", r.y), r.i
+            assert r.same is True, r.i
+
     def test_geo_null_propagation(self, con):
         from ibis_spark import geo
 
