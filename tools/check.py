@@ -81,6 +81,9 @@ def main():
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "8g")
+        # planning-only tax; can only ADD inferred predicates, never
+        # change results (see bench.py note) — keeps full sweeps fast
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .appName("oracle-check")
         .getOrCreate()
     )
