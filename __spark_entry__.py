@@ -2640,6 +2640,28 @@ def _geo_envelope_agg(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_within_join(spark, sf_dir):
+    """Grid-bucketed distance join (geo.geo_within_join): every
+    (customer point, nation anchor) pair within planar distance 25 —
+    engine runs the 3x3 cell-neighborhood equi-join (never all-pairs);
+    the oracle IS the all-pairs formulation, so a green row proves the
+    bucketing loses no pairs (the minhash-vs-all-pairs oracle pattern)."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer")
+    lon, lat = _geo_lonlat(c)
+    c = c.mutate(cpt=geo.geo_point(lon, lat))
+    n = _t(spark, sf_dir, "nation")
+    n = n.mutate(
+        npt=geo.geo_point(
+            (n.n_nationkey * 14).cast("float64") - 175.0,
+            (n.n_nationkey * 7).cast("float64") - 87.0,
+        )
+    )
+    j = geo.geo_within_join(c, n, 25.0, left_point="cpt", right_point="npt")
+    return j.select("c_custkey", "n_nationkey", "dist").to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -2991,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_filter": _geo_distance_filter,
         "geo_bbox_count": _geo_bbox_count,
         "geo_envelope_agg": _geo_envelope_agg,
+        "geo_within_join": _geo_within_join,
         # -- new in round 9: TPC-DS-derived shapes ---------------------------
         "ds_rollup_report": _ds_rollup_report,
         "ds_rank_over_rollup": _ds_rank_over_rollup,
@@ -3350,6 +3373,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_eq
             FROM p
             GROUP BY c_nationkey
+        """,
+        "geo_within_join": """
+            WITH c AS (
+              SELECT c_custkey,
+                     (CAST(c_custkey % 360 AS DOUBLE) - 180.0)
+                       + (c_acctbal / 1000000.0) AS x,
+                     (CAST(c_custkey % 180 AS DOUBLE) - 90.0)
+                       + (c_acctbal / 2000000.0) AS y
+              FROM customer),
+            n AS (
+              SELECT n_nationkey,
+                     CAST(n_nationkey * 14 AS DOUBLE) - 175.0 AS x,
+                     CAST(n_nationkey * 7 AS DOUBLE) - 87.0 AS y
+              FROM nation)
+            SELECT c.c_custkey, n.n_nationkey,
+                   SQRT((c.x - n.x) * (c.x - n.x) + (c.y - n.y) * (c.y - n.y)) AS dist
+            FROM c, n
+            WHERE (c.x - n.x) * (c.x - n.x) + (c.y - n.y) * (c.y - n.y)
+                  <= 25.0 * 25.0
         """,
         # -- TPC-DS-derived shapes (round 9) ---------------------------------
         "ds_rollup_report": """

@@ -47,6 +47,7 @@ __all__ = [
     "geo_dwithin",
     "geo_equals",
     "geo_within_bbox",
+    "geo_within_join",
 ]
 
 
@@ -329,4 +330,89 @@ def geo_within_bbox(pt, xmin, ymin, xmax, ymax):
         & (px <= F.lit(float(xmax)))
         & (py >= F.lit(float(ymin)))
         & (py <= F.lit(float(ymax)))
+    )
+
+
+def geo_within_join(
+    left,
+    right,
+    distance: float,
+    *,
+    left_point: str = "pt",
+    right_point: str = "pt",
+    rsuffix: str = "_right",
+):
+    """Distance join over WKB point columns: every (left, right) pair
+    within planar ``distance``, with a ``dist`` column — the 2D analog
+    of ``Table.range_join`` (reference GeoDWithin used as a join
+    predicate).
+
+    SCALE — the naive spelling (crossJoin + ST_DWithin filter) is
+    O(|L|x|R|): the classic spatial-join trap. This runs as a GRID
+    BUCKET join: cell size = ``distance``, each left point keyed by its
+    (floor(x/d), floor(y/d)) cell, each right point replicated to its
+    cell's 3x3 neighborhood, equi-join on the cell key, exact
+    ``dx^2 + dy^2 <= d^2`` residual filter. Any pair within ``d``
+    differs by at most one cell per axis, so the 3x3 neighborhood is
+    exhaustive; each left point has exactly ONE cell, so no dedup pass
+    is needed. Replication cost is a flat 9x on the right side —
+    independent of data size; a dense region becomes a hot cell, which
+    AQE's skew-join splitting handles (same posture as range_join's
+    bucket skew note).
+
+    The coordinates are decoded in a STAGED projection (multi-referenced
+    non-cheap aliases stop CollapseProject) so a computed point column
+    never gets its encode tree inlined into the join key — see
+    _wkb_double's notes on why that matters.
+    """
+    from ibis_spark.expr.table import Table
+
+    d = float(distance)
+    if not (d > 0.0):
+        raise ValueError("distance must be positive")
+
+    def staged(t, point, xn, yn):
+        df = t.df if hasattr(t, "df") else t
+        u = F.col(point)
+        return df.withColumn(xn, _wkb_double(u, 6)).withColumn(
+            yn, _wkb_double(u, 14)
+        )
+
+    ldf = staged(left, left_point, "__lx__", "__ly__").withColumn(
+        "__cx__", F.floor(F.col("__lx__") / F.lit(d)).cast("long")
+    ).withColumn("__cy__", F.floor(F.col("__ly__") / F.lit(d)).cast("long"))
+    rdf = staged(right, right_point, "__rx__", "__ry__")
+    # replicate each right point to its 3x3 cell neighborhood
+    off = F.explode(
+        F.expr("array(-1L, 0L, 1L)")
+    )
+    rdf = (
+        rdf.withColumn(
+            "__rcx0__", F.floor(F.col("__rx__") / F.lit(d)).cast("long")
+        )
+        .withColumn("__rcy0__", F.floor(F.col("__ry__") / F.lit(d)).cast("long"))
+        .withColumn("__ox__", off)
+        .withColumn("__oy__", F.explode(F.expr("array(-1L, 0L, 1L)")))
+        .withColumn("__cx__", F.col("__rcx0__") + F.col("__ox__"))
+        .withColumn("__cy__", F.col("__rcy0__") + F.col("__oy__"))
+        .drop("__rcx0__", "__rcy0__", "__ox__", "__oy__")
+    )
+    # avoid column collisions: suffix overlapping names (the point cols too)
+    lcols = set(c for c in ldf.columns if not c.startswith("__"))
+    rename = {
+        c: c + rsuffix
+        for c in rdf.columns
+        if not c.startswith("__") and c in lcols
+    }
+    for old, new in rename.items():
+        rdf = rdf.withColumnRenamed(old, new)
+    j = ldf.join(rdf, on=["__cx__", "__cy__"], how="inner")
+    dx = F.col("__lx__") - F.col("__rx__")
+    dy = F.col("__ly__") - F.col("__ry__")
+    j = j.withColumn("__d2__", dx * dx + dy * dy).filter(
+        F.col("__d2__") <= F.lit(d * d)
+    )
+    j = j.withColumn("dist", F.sqrt(F.col("__d2__")))
+    return Table(
+        j.drop("__cx__", "__cy__", "__lx__", "__ly__", "__rx__", "__ry__", "__d2__")
     )

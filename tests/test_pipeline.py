@@ -572,6 +572,40 @@ class TestGeo:
             assert struct.pack("<d", r.ry) == struct.pack("<d", r.y), r.i
             assert r.same is True, r.i
 
+    def test_geo_within_join_grid_matches_brute_force(self, con):
+        """Grid-bucketed distance join returns exactly the brute-force
+        pair set (each pair once), including boundary pairs at exactly
+        d and cross-cell pairs."""
+        import itertools
+        import math
+        import random
+
+        from ibis_spark import geo
+
+        rng = random.Random(5)
+        lpts = [(i, rng.uniform(-50, 50), rng.uniform(-50, 50)) for i in range(40)]
+        rpts = [(j, rng.uniform(-50, 50), rng.uniform(-50, 50)) for j in range(30)]
+        # force an exact-boundary pair (d = 7.0, dist exactly 7.0)
+        lpts.append((98, 0.0, 0.0))
+        rpts.append((99, 7.0, 0.0))
+        d = 7.0
+        lt = con.memtable(lpts, schema={"lid": "int64", "x": "float64", "y": "float64"})
+        rt = con.memtable(rpts, schema={"rid": "int64", "x": "float64", "y": "float64"})
+        lt = lt.mutate(pt=geo.geo_point(lt.x, lt.y))
+        rt = rt.mutate(pt=geo.geo_point(rt.x, rt.y))
+        j = geo.geo_within_join(lt, rt, d)
+        got = {(r.lid, r.rid) for r in j.select("lid", "rid", "dist").df.collect()}
+        want = {
+            (li, rj)
+            for (li, lx, ly), (rj, rx, ry) in itertools.product(lpts, rpts)
+            if (lx - rx) ** 2 + (ly - ry) ** 2 <= d * d
+        }
+        assert got == want
+        assert (98, 99) in got  # inclusive boundary
+        # each pair exactly once (no dedup pass needed by construction)
+        rows = j.select("lid", "rid").df.collect()
+        assert len(rows) == len(got)
+
     def test_geo_null_propagation(self, con):
         from ibis_spark import geo
 
