@@ -2952,6 +2952,67 @@ def _ds_grouping_sets_union(spark, sf_dir):
     return fine.union(coarse.select(*fine.columns)).to_spark()
 
 
+def _ds_time_band_counts(spark, sf_dir):
+    """DS q88 shape: one row of per-time-band conditional counts, all in
+    ONE scan (ds/88.sql: 8 subqueries counting store sales by half-hour
+    band x demographic; here 8 counts by 3-hour band x event_type
+    condition over events)."""
+    e = _t(spark, sf_dir, "events")
+    t = e.mutate(hr=e.ts.hour())
+    kw = {}
+    for i in range(8):
+        lo = i * 3
+        band = (t.hr >= lo) & (t.hr < lo + 3)
+        kw[f"h{lo}_{lo + 3}"] = t.event_id.count(
+            where=band & (t.event_type != "error")
+        )
+    return t.aggregate(**kw).to_spark()
+
+
+def _ds_returns_net(spark, sf_dir):
+    """DS q93 shape: net revenue after backing out returned lines
+    (ds/93.sql: ss_quantity minus sr_return_quantity per item/customer);
+    here per supplier: returned lineitems contribute refund-adjusted
+    revenue, others full revenue; top-20 suppliers by net."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    j = li.inner_join(s, [("l_suppkey", "s_suppkey")])
+    rev = j.l_extendedprice * (1 - j.l_discount)
+    net = (j.l_returnflag == "R").ifelse(rev * 0.1, rev)
+    agg = j.group_by("s_name").aggregate(net_rev=net.sum().round(2))
+    return (
+        agg.order_by([agg.net_rev.desc(), agg.s_name.asc()]).head(20).to_spark()
+    )
+
+
+def _ds_cume_channels(spark, sf_dir):
+    """DS q51 shape: two per-month channel series FULL-OUTER joined,
+    cumulative sums over month order, keep months where one channel's
+    running total leads the other (ds/51.sql: web vs store cumulative
+    sales crossover)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    om = o.mutate(mon=o.o_orderdate.truncate("M"))
+    a = om.group_by("mon").aggregate(orev=om.o_totalprice.sum().round(2))
+    lm = li.mutate(mon=li.l_shipdate.truncate("M"))
+    b = lm.group_by("mon").aggregate(
+        srev=(lm.l_extendedprice * (1 - lm.l_discount)).sum().round(2)
+    )
+    j0 = a.outer_join(b, [("mon", "mon")])
+    j = j0.select(
+        mon=ib.coalesce(j0.mon, j0.mon_right),
+        orev=ib.coalesce(j0.orev, ib.literal(0.0)),
+        srev=ib.coalesce(j0.srev, ib.literal(0.0)),
+    )
+    w = ib.window(order_by=j.mon.asc(), preceding=None, following=0)
+    j = j.mutate(
+        cum_o=j.orev.sum().over(w).round(2), cum_s=j.srev.sum().over(w).round(2)
+    )
+    out = j.filter(j.cum_o > j.cum_s)
+    # Spark truncate('M') yields timestamp; DuckDB DATE_TRUNC yields date
+    return out.select(mon=out.mon.cast("date"), cum_o=out.cum_o, cum_s=out.cum_s).to_spark()
+
+
 _SAMPLE_WINDOW = [
     "geo_point_roundtrip",
     "geo_distance_filter",
@@ -3028,6 +3089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_quarterly_share": _ds_quarterly_share,
         "ds_yoy_lag": _ds_yoy_lag,
         "ds_grouping_sets_union": _ds_grouping_sets_union,
+        "ds_time_band_counts": _ds_time_band_counts,
+        "ds_returns_net": _ds_returns_net,
+        "ds_cume_channels": _ds_cume_channels,
         # -- new / changed in round 7 --------------------------------------
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q11_important_stock": _q11_important_stock,
@@ -3392,6 +3456,51 @@ def oracle_sql() -> dict[str, str]:
             FROM c, n
             WHERE (c.x - n.x) * (c.x - n.x) + (c.y - n.y) * (c.y - n.y)
                   <= 25.0 * 25.0
+        """,
+        "ds_time_band_counts": """
+            SELECT
+              COUNT(CASE WHEN hr >= 0  AND hr < 3  AND event_type <> 'error' THEN 1 END) AS h0_3,
+              COUNT(CASE WHEN hr >= 3  AND hr < 6  AND event_type <> 'error' THEN 1 END) AS h3_6,
+              COUNT(CASE WHEN hr >= 6  AND hr < 9  AND event_type <> 'error' THEN 1 END) AS h6_9,
+              COUNT(CASE WHEN hr >= 9  AND hr < 12 AND event_type <> 'error' THEN 1 END) AS h9_12,
+              COUNT(CASE WHEN hr >= 12 AND hr < 15 AND event_type <> 'error' THEN 1 END) AS h12_15,
+              COUNT(CASE WHEN hr >= 15 AND hr < 18 AND event_type <> 'error' THEN 1 END) AS h15_18,
+              COUNT(CASE WHEN hr >= 18 AND hr < 21 AND event_type <> 'error' THEN 1 END) AS h18_21,
+              COUNT(CASE WHEN hr >= 21 AND hr < 24 AND event_type <> 'error' THEN 1 END) AS h21_24
+            FROM (SELECT EXTRACT(hour FROM ts) AS hr, event_type FROM events)
+        """,
+        "ds_returns_net": """
+            SELECT s_name,
+                   ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                                  THEN l_extendedprice * (1 - l_discount) * 0.1
+                                  ELSE l_extendedprice * (1 - l_discount) END), 2) AS net_rev
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            ORDER BY net_rev DESC, s_name ASC
+            LIMIT 20
+        """,
+        "ds_cume_channels": """
+            WITH a AS (
+              SELECT DATE_TRUNC('month', o_orderdate) AS mon,
+                     ROUND(SUM(o_totalprice), 2) AS orev
+              FROM orders GROUP BY 1),
+            b AS (
+              SELECT DATE_TRUNC('month', l_shipdate) AS mon,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS srev
+              FROM lineitem GROUP BY 1),
+            j AS (
+              SELECT COALESCE(a.mon, b.mon) AS mon,
+                     COALESCE(a.orev, 0.0) AS orev,
+                     COALESCE(b.srev, 0.0) AS srev
+              FROM a FULL OUTER JOIN b ON a.mon = b.mon),
+            c AS (
+              SELECT mon,
+                     ROUND(SUM(orev) OVER (ORDER BY mon
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_o,
+                     ROUND(SUM(srev) OVER (ORDER BY mon
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_s
+              FROM j)
+            SELECT mon, cum_o, cum_s FROM c WHERE cum_o > cum_s
         """,
         # -- TPC-DS-derived shapes (round 9) ---------------------------------
         "ds_rollup_report": """
