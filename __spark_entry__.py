@@ -2542,7 +2542,9 @@ def _contamination_score(spark, sf_dir):
 # never-sampled r9 entries first (geo slice x3, TPC-DS-derived x13),
 # then ALL 28 entries whose latest driver sample was still r5, then 6
 # r6-era fillers. After CORRECTNESS_r09 no query's latest evidence is
-# older than r6, and the four queries whose EMISSION was rewritten this
+# older than r6 (r6-era queries remain at r6, which meets the bar), the
+# two late-round additions geo_within_join / ds_returns_net take the
+# final slots, and the four queries whose EMISSION was rewritten this
 # round (tfidf / corpus_divergence / ngram_lm_score det-ln unit-domain
 # fast path; scalar_numeric boolean ln emission) are re-sampled rather
 # than resting on now-stale r8 green rows.
@@ -3062,8 +3064,8 @@ _SAMPLE_WINDOW = [
     "ngram_lm_score",
     "tfidf",
     "scalar_numeric",
-    "quality_score",
-    "ann_ivf_topk",
+    "geo_within_join",
+    "ds_returns_net",
 ]
 
 
