@@ -113,6 +113,10 @@ HEADLINE = [
     "ds_rank_over_rollup",
     "ds_multi_channel",
     "ds_year_over_year",
+    "geo_within_join",
+    "ds_time_band_counts",
+    "ds_returns_net",
+    "ds_cume_channels",
 ]
 
 
