@@ -2664,6 +2664,25 @@ def _geo_within_join(spark, sf_dir):
     return j.select("c_custkey", "n_nationkey", "dist").to_spark()
 
 
+def _geo_cluster(spark, sf_dir):
+    """Single-linkage spatial clustering (geo.geo_cluster): grid-join
+    edges -> min-label components, vs an all-pairs recursive-closure
+    oracle (the connected_components oracle pattern). Isolated points
+    must appear as singleton clusters (nodes= contract)."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer")
+    # blob layout (NOT the diagonal-lattice _geo_lonlat): points sharing
+    # c_custkey mod 1000 land within ~0.003 of each other, grid spacing
+    # 7/8 degrees keeps blobs > d apart -> many compact clusters, the
+    # realistic spatial shape (a chain layout is the documented
+    # worst case for propagation depth; unit-tested separately)
+    lon = (c.c_custkey % 50).cast("float64") * 7.0 - 175.0 + c.c_acctbal / 1000000.0
+    lat = ((c.c_custkey // 50) % 20).cast("float64") * 8.0 - 80.0 + c.c_acctbal / 2000000.0
+    c = c.mutate(pt=geo.geo_point(lon, lat))
+    return geo.geo_cluster(c, "c_custkey", 2.0).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -3077,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_count": _geo_bbox_count,
         "geo_envelope_agg": _geo_envelope_agg,
         "geo_within_join": _geo_within_join,
+        "geo_cluster": _geo_cluster,
         # -- new in round 9: TPC-DS-derived shapes ---------------------------
         "ds_rollup_report": _ds_rollup_report,
         "ds_rank_over_rollup": _ds_rank_over_rollup,
@@ -3503,6 +3523,27 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_s
               FROM j)
             SELECT mon, cum_o, cum_s FROM c WHERE cum_o > cum_s
+        """,
+        "geo_cluster": """
+            WITH RECURSIVE p AS (
+              SELECT c_custkey,
+                     CAST(c_custkey % 50 AS DOUBLE) * 7.0 - 175.0
+                       + (c_acctbal / 1000000.0) AS x,
+                     CAST((c_custkey // 50) % 20 AS DOUBLE) * 8.0 - 80.0
+                       + (c_acctbal / 2000000.0) AS y
+              FROM customer),
+            e0 AS (
+              SELECT a.c_custkey AS a, b.c_custkey AS b
+              FROM p a, p b
+              WHERE a.c_custkey <> b.c_custkey
+                AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                    <= 2.0 * 2.0),
+            reach(src, dst) AS (
+              SELECT c_custkey, c_custkey FROM p
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN e0 e ON r.dst = e.a)
+            SELECT src AS c_custkey, MIN(dst) AS cluster
+            FROM reach GROUP BY src
         """,
         # -- TPC-DS-derived shapes (round 9) ---------------------------------
         "ds_rollup_report": """

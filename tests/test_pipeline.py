@@ -606,6 +606,31 @@ class TestGeo:
         rows = j.select("lid", "rid").df.collect()
         assert len(rows) == len(got)
 
+    def test_geo_cluster_chain_and_blobs(self, con):
+        """Single-linkage clustering: a chain of points spaced under d
+        collapses to ONE cluster (pointer jumping — plain label
+        propagation would need n rounds), blobs cluster separately, and
+        isolated points are singletons labeled by themselves."""
+        from ibis_spark import geo
+
+        pts = []
+        # chain: 0..19 spaced 1.0 apart (d=1.5 -> one cluster, diameter 20)
+        pts += [(i, float(i), 0.0) for i in range(20)]
+        # blob far away: 100..102 within 0.1
+        pts += [(100 + k, 500.0 + k * 0.1, 9.0) for k in range(3)]
+        # isolated point
+        pts.append((999, -400.0, -40.0))
+        t = con.memtable(pts, schema={"pid": "int64", "x": "float64", "y": "float64"})
+        t = t.mutate(pt=geo.geo_point(t.x, t.y))
+        got = {
+            r.pid: r.cluster
+            for r in geo.geo_cluster(t, "pid", 1.5).df.collect()
+        }
+        assert len(got) == 24
+        assert all(got[i] == 0 for i in range(20))          # whole chain -> 0
+        assert all(got[100 + k] == 100 for k in range(3))   # blob -> 100
+        assert got[999] == 999                              # singleton
+
     def test_geo_null_propagation(self, con):
         from ibis_spark import geo
 
