@@ -151,7 +151,7 @@ def _hex16_expr(xcol):
         F.lpad(F.lower(F.hex(m52)), 13, "0"),
     )
     return (
-        F.when(x.isNull(), F.lit(None).cast("string"))
+        F.when(x.isNull() | F.isnan(x), F.lit(None).cast("string"))
         .when(x == 0.0, F.lit(_ZERO16))
         .when((ax < F.lit(2.0**-61)) | (ax > F.lit(_P61)), F.lit(None).cast("string"))
         .otherwise(hex16)
@@ -244,7 +244,10 @@ def _ieee_hex16(xcol):
     (_hex16_expr, kept for deterministic-plan contexts) expands
     exponentially under that inlining and OOM'd the optimizer/codegen
     on filter-over-geo_point queries."""
-    x = xcol.cast("double")
+    # x + 0.0 canonicalizes -0.0 to +0.0 (IEEE round-to-nearest), so both
+    # encoders agree on the zero image and geo_x(geo_point(-0.0, ..))
+    # decodes to 0.0 instead of the out-of-domain NULL of the -0 image
+    x = xcol.cast("double") + F.lit(0.0)
     bits = F.call_function(
         "reflect", F.lit("java.lang.Double"), F.lit("doubleToLongBits"), x
     ).cast("long")
@@ -303,14 +306,17 @@ def geo_dwithin(a, b, distance):
     ua, ub = unwrap(a), unwrap(b)
     dx = _wkb_double(ua, 6) - _wkb_double(ub, 6)
     dy = _wkb_double(ua, 14) - _wkb_double(ub, 14)
-    d = unwrap(distance) if hasattr(distance, "spark") else F.lit(float(distance))
-    return wrap(dx * dx + dy * dy <= d * d)
+    d = unwrap(distance)
+    # PostGIS ST_DWithin semantics: a negative tolerance matches nothing
+    # (squaring would silently accept it)
+    return wrap((d >= 0) & (dx * dx + dy * dy <= d * d))
 
 
 def geo_equals(a, b):
     """True when two WKB points have equal coordinates — reference
-    GeoEquals (spatial equality, not byte equality: tolerates different
-    WKB byte orders/encodings of the same point, and +0 == -0)."""
+    GeoEquals (spatial equality, not byte equality: any little-endian
+    WKB encoding of the same coordinates compares equal, and +0 == -0;
+    big-endian WKB is not decoded — the point codec is LE-only)."""
     ua, ub = unwrap(a), unwrap(b)
     return wrap(
         (_wkb_double(ua, 6) == _wkb_double(ub, 6))
@@ -371,6 +377,25 @@ def geo_within_join(
     d = float(distance)
     if not (d > 0.0):
         raise ValueError("distance must be positive")
+    # Cell size is d*(1 + 2^-16), NOT d: with cells of exactly d, FP
+    # division can round x/d UP across an integer boundary and put two
+    # points within d TWO cells apart (e.g. d=0.3, x=0.3 whose double is
+    # 0.2999..9: fl(x/d)=1.0 but a point at -1e-18 sits in cell -1), so
+    # the 3x3 neighborhood would miss a true pair. With the 2^-16
+    # relative margin, quotients of points within d differ by
+    # < 1 - 1.5e-5 + 2*ulp-error, which stays under 1 for any
+    # |coordinate|/distance up to ~2^34 — floors then differ by at most
+    # 1 and 3x3 is provably exhaustive (documented domain bound; the
+    # residual filter stays the exact arbiter either way).
+    cell = d * (1.0 + 2.0**-16)
+
+    for side, tbl in (("left", left), ("right", right)):
+        cols = (tbl.df if hasattr(tbl, "df") else tbl).columns
+        if "dist" in cols:
+            raise ValueError(
+                f"{side} table already has a 'dist' column; rename it "
+                "before geo_within_join (the join appends its own dist)"
+            )
 
     def staged(t, point, xn, yn):
         df = t.df if hasattr(t, "df") else t
@@ -380,8 +405,8 @@ def geo_within_join(
         )
 
     ldf = staged(left, left_point, "__lx__", "__ly__").withColumn(
-        "__cx__", F.floor(F.col("__lx__") / F.lit(d)).cast("long")
-    ).withColumn("__cy__", F.floor(F.col("__ly__") / F.lit(d)).cast("long"))
+        "__cx__", F.floor(F.col("__lx__") / F.lit(cell)).cast("long")
+    ).withColumn("__cy__", F.floor(F.col("__ly__") / F.lit(cell)).cast("long"))
     rdf = staged(right, right_point, "__rx__", "__ry__")
     # replicate each right point to its 3x3 cell neighborhood
     off = F.explode(
@@ -389,9 +414,9 @@ def geo_within_join(
     )
     rdf = (
         rdf.withColumn(
-            "__rcx0__", F.floor(F.col("__rx__") / F.lit(d)).cast("long")
+            "__rcx0__", F.floor(F.col("__rx__") / F.lit(cell)).cast("long")
         )
-        .withColumn("__rcy0__", F.floor(F.col("__ry__") / F.lit(d)).cast("long"))
+        .withColumn("__rcy0__", F.floor(F.col("__ry__") / F.lit(cell)).cast("long"))
         .withColumn("__ox__", off)
         .withColumn("__oy__", F.explode(F.expr("array(-1L, 0L, 1L)")))
         .withColumn("__cx__", F.col("__rcx0__") + F.col("__ox__"))
@@ -446,9 +471,15 @@ def geo_cluster(
     from ibis_spark.pipeline import connected_components
 
     rid = id_col + "_right"
-    edges = geo_within_join(
-        t, t, distance, left_point=point, right_point=point
-    ).df.select(F.col(id_col), F.col(rid))
+    # keep one direction and drop self-pairs: connected_components
+    # symmetrizes internally and nodes= covers isolated points, so the
+    # (a,a) and (b,a) rows are pure shuffle overhead (halves the edge
+    # volume of the largest intermediate)
+    edges = (
+        geo_within_join(t, t, distance, left_point=point, right_point=point)
+        .df.select(F.col(id_col), F.col(rid))
+        .filter(F.col(id_col) < F.col(rid))
+    )
     return connected_components(
         Table(edges),
         id_col,

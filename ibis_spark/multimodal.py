@@ -203,10 +203,20 @@ def decode_images(
 
     def _real_one(payload: bytes):
         """Decode ONE payload: PNG via the stdlib decoder; anything else
-        needs PIL (JPEG etc. stay honestly stubbed in this container)."""
+        needs PIL (JPEG etc. stay honestly stubbed in this container).
+        A MALFORMED/unsupported PNG degrades to (None, None, None) for
+        that row instead of failing the task — at pipeline scale one
+        corrupt payload must not kill the job (the NULLs are filterable
+        downstream)."""
+        import struct
+        import zlib
+
         b = bytes(payload or b"")
         if b.startswith(_PNG_MAGIC):
-            w, h, _ch, px = _png_decode(b)
+            try:
+                w, h, _ch, px = _png_decode(b)
+            except (ValueError, zlib.error, struct.error):
+                return None, None, None
             if target is not None:
                 px = _png_resize_nearest(px, target[0], target[1])
                 w, h = target
@@ -241,8 +251,9 @@ def decode_images(
                     )
             else:
                 decoded = payloads.map(_real_one)
-                w = decoded.map(lambda t: t[0]).astype("int32")
-                h = decoded.map(lambda t: t[1]).astype("int32")
+                # nullable Int32: malformed payloads degrade to NULLs
+                w = decoded.map(lambda t: t[0]).astype("Int32")
+                h = decoded.map(lambda t: t[1]).astype("Int32")
                 feats = decoded.map(lambda t: t[2])
             out = pdf.copy()
             out["width"] = w

@@ -3570,6 +3570,9 @@ def sessionize_tws(
         df = df.withColumn("__ts__", F.col(ts_col).cast("timestamp").cast("double"))
     else:
         df = df.withColumn("__ts__", F.col(ts_col).cast("double"))
+    # NULL timestamps would reach pandas as NaN, sort last, and silently
+    # fold into (or seed) the open session — drop them up front
+    df = df.filter(F.col("__ts__").isNotNull())
     by_type = t.df.schema[by].dataType.simpleString()
 
     class _SessionProcessor(StatefulProcessor):

@@ -382,6 +382,23 @@ class TestMultimodal:
         assert arr[0, 0].tolist() == [10, 20, 30]
         assert arr[0, 1].tolist() == [200, 210, 220]
 
+    def test_png_malformed_degrades_to_nulls(self, con):
+        """A corrupt/unsupported PNG must NOT kill the job: that row
+        degrades to NULL width/height/features, good rows still decode."""
+        import numpy as np
+
+        good = self._make_png(np.zeros((2, 2, 3), dtype=np.uint8))
+        truncated = good[:40]  # magic + partial IHDR
+        t = con.memtable(
+            [(1, good), (2, truncated)],
+            schema={"id": "int64", "payload": "binary"},
+        )
+        m = multimodal.attach_media(t, "payload", "image/png")
+        got = {r.id: r for r in multimodal.decode_images(m, fake=False).df.collect()}
+        assert (got[1].width, got[1].height) == (2, 2)
+        assert got[2].width is None and got[2].height is None
+        assert got[2].features is None
+
     def test_real_decode_raises_without_pil(self, con):
         t = con.memtable({"id": [1], "payload": ["x"]})
         m = multimodal.attach_media(t, "payload")
@@ -491,6 +508,9 @@ class TestGeo:
         got = {row.id: (row.d, row.w, row.b) for row in r}
         assert got[1] == (0.0, True, True)
         assert got[2] == (5.0, False, False)
+        # negative tolerance matches nothing (PostGIS ST_DWithin)
+        neg = t.select(w=geo.geo_dwithin(t.pt, t.o, -4.9)).df.collect()
+        assert all(row.w is False for row in neg)
 
     def test_geo_filter_over_computed_point_no_blowup(self, con):
         """Regression: filter + aggregate over a freshly computed
