@@ -452,42 +452,98 @@ def geo_cluster(
     point: str = "pt",
     cluster_name: str = "cluster",
     max_iter: int = 50,
+    min_pts: int = 1,
 ):
-    """Single-linkage spatial clustering: points chain into one cluster
-    wherever consecutive links are within planar ``distance`` (the
-    density-reachability core of DBSCAN with min_pts=1). Returns
+    """Spatial clustering over WKB points. With the default
+    ``min_pts=1`` this is single-linkage: points chain into one cluster
+    wherever consecutive links are within planar ``distance``; isolated
+    points are singleton clusters labeled by themselves. Returns
     ``(id_col, cluster_name)`` with the cluster labeled by its smallest
-    member id; isolated points are singleton clusters labeled by
-    themselves.
+    member id.
 
-    SCALE: edges come from :func:`geo_within_join` of the table with
-    itself (grid-bucketed 3x3 neighborhood — never the all-pairs
-    distance matrix), then min-label connected components
-    (pipeline.connected_components: O(diameter) keyed joins with
-    lineage cuts). The same two building blocks measured flat at 10x in
-    SCALE.md compose here unchanged.
+    ``min_pts > 1`` gives full DBSCAN semantics: a point is CORE when
+    its closed eps-neighborhood (itself included) holds at least
+    ``min_pts`` points; clusters are connected components of the
+    core-core proximity graph; a non-core point within ``distance`` of
+    at least one core joins the smallest such core's cluster (BORDER,
+    deterministic under ties); every other point is NOISE and is
+    emitted with a NULL ``cluster_name``.
+
+    SCALE: edges and neighbor counts both come from
+    :func:`geo_within_join` of the table with itself (grid-bucketed 3x3
+    neighborhood — never the all-pairs distance matrix); components use
+    POINTER JUMPING (pipeline.connected_components
+    algorithm="pointer", O(log diameter) iterations) because spatial
+    graphs are the canonical long-chain case — a line of points spaced
+    just under ``distance`` has diameter = n, so plain label
+    propagation would need n rounds (observed: the harness lattice at
+    d=2 formed a ~1500-node chain and blew the 50-iteration bound;
+    pointer jumping converges in ~12). The border attach is one more
+    keyed min-aggregate + join. All building blocks measured flat at
+    10x in SCALE.md.
     """
     from ibis_spark.expr.table import Table
     from ibis_spark.pipeline import connected_components
 
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
     rid = id_col + "_right"
-    # keep one direction and drop self-pairs: connected_components
-    # symmetrizes internally and nodes= covers isolated points, so the
-    # (a,a) and (b,a) rows are pure shuffle overhead (halves the edge
-    # volume of the largest intermediate)
-    edges = (
-        geo_within_join(t, t, distance, left_point=point, right_point=point)
-        .df.select(F.col(id_col), F.col(rid))
-        .filter(F.col(id_col) < F.col(rid))
+    pairs = geo_within_join(
+        t, t, distance, left_point=point, right_point=point
+    ).df.select(F.col(id_col), F.col(rid))
+    # keep one direction and drop self-pairs for the component edges:
+    # connected_components symmetrizes internally and nodes= covers
+    # isolated points, so the (a,a) and (b,a) rows are pure shuffle
+    # overhead (halves the edge volume of the largest intermediate)
+    edges = pairs.filter(F.col(id_col) < F.col(rid))
+    nodes_t = t if hasattr(t, "df") else Table(t)
+    if min_pts == 1:
+        return connected_components(
+            Table(edges),
+            id_col,
+            rid,
+            id_name=id_col,
+            comp_name=cluster_name,
+            max_iter=max_iter,
+            algorithm="pointer",
+            nodes=nodes_t,
+            node_col=id_col,
+        )
+    # DBSCAN: neighbor counts from the SAME pair set (it includes the
+    # (a,a) self-pair, so the count is the closed neighborhood)
+    ncount = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
+    cores = ncount.filter(F.col("__n__") >= F.lit(int(min_pts))).select(
+        F.col(id_col).alias("__core__")
     )
-    return connected_components(
-        Table(edges),
+    core_edges = (
+        edges.join(cores, edges[id_col] == cores["__core__"])
+        .drop("__core__")
+        .join(cores, edges[rid] == cores["__core__"])
+        .drop("__core__")
+    )
+    comp = connected_components(
+        Table(core_edges),
         id_col,
         rid,
         id_name=id_col,
         comp_name=cluster_name,
         max_iter=max_iter,
         algorithm="pointer",
-        nodes=t if hasattr(t, "df") else Table(t),
+        nodes=Table(cores.select(F.col("__core__").alias(id_col))),
         node_col=id_col,
     )
+    # border attach: any point within distance of a core inherits the
+    # smallest such core's cluster; cores keep their own label. NOISE
+    # (no core neighbor, not core) stays NULL.
+    core_of = comp.df.select(
+        F.col(id_col).alias("__cid__"), F.col(cluster_name).alias("__ccl__")
+    )
+    attach = (
+        pairs.join(core_of, pairs[rid] == core_of["__cid__"])
+        .groupBy(id_col)
+        .agg(F.min("__ccl__").alias(cluster_name))
+    )
+    all_ids = (nodes_t.df if hasattr(nodes_t, "df") else nodes_t).select(
+        F.col(id_col)
+    ).distinct()
+    return Table(all_ids.join(attach, on=id_col, how="left"))

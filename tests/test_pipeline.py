@@ -651,6 +651,50 @@ class TestGeo:
         assert all(got[100 + k] == 100 for k in range(3))   # blob -> 100
         assert got[999] == 999                              # singleton
 
+    def test_geo_cluster_dbscan_matches_brute_force(self, con):
+        """min_pts>1 DBSCAN semantics vs a brute-force reference:
+        core/border/noise assignment and component labels must agree
+        exactly (border ties -> smallest core cluster label)."""
+        import itertools
+        import random
+
+        from ibis_spark import geo
+
+        rng = random.Random(13)
+        pts = [(i, rng.uniform(0, 30), rng.uniform(0, 30)) for i in range(60)]
+        d, mp = 3.0, 3
+
+        def within(a, b):
+            return (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= d * d
+
+        nbrs = {p[0]: [q[0] for q in pts if within(p, q)] for p in pts}
+        cores = {i for i, ns in nbrs.items() if len(ns) >= mp}
+        # components over core-core edges (min-label fixpoint)
+        label = {c: c for c in cores}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in itertools.combinations(sorted(cores), 2):
+                pa, pb = pts[a], pts[b]
+                if within(pa, pb):
+                    m = min(label[a], label[b])
+                    if label[a] != m or label[b] != m:
+                        label[a] = label[b] = m
+                        changed = True
+        want = {}
+        for i, _, _ in pts:
+            core_ns = [label[n] for n in nbrs[i] if n in cores]
+            want[i] = min(core_ns) if core_ns else None
+
+        t = con.memtable(pts, schema={"pid": "int64", "x": "float64", "y": "float64"})
+        t = t.mutate(pt=geo.geo_point(t.x, t.y))
+        got = {
+            r.pid: r.cluster
+            for r in geo.geo_cluster(t, "pid", d, min_pts=mp).df.collect()
+        }
+        assert got == want
+        assert any(v is None for v in got.values())  # real noise present
+
     def test_geo_null_propagation(self, con):
         from ibis_spark import geo
 
