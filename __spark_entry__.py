@@ -2683,6 +2683,21 @@ def _geo_cluster(spark, sf_dir):
     return geo.geo_cluster(c, "c_custkey", 2.0).to_spark()
 
 
+def _geo_dbscan(spark, sf_dir):
+    """DBSCAN mode of geo.geo_cluster (min_pts=2) on the blob layout:
+    2-point blobs become 2-clusters (both members core), singleton blobs
+    become NOISE (NULL cluster). Oracle: all-pairs neighbor counts ->
+    core set -> recursive closure over core-core edges -> border/noise
+    attach — the engine's grid/banded path must match it row-for-row."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer")
+    lon = (c.c_custkey % 50).cast("float64") * 7.0 - 175.0 + c.c_acctbal / 1000000.0
+    lat = ((c.c_custkey // 50) % 20).cast("float64") * 8.0 - 80.0 + c.c_acctbal / 2000000.0
+    c = c.mutate(pt=geo.geo_point(lon, lat))
+    return geo.geo_cluster(c, "c_custkey", 2.0, min_pts=2).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -3097,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_envelope_agg": _geo_envelope_agg,
         "geo_within_join": _geo_within_join,
         "geo_cluster": _geo_cluster,
+        "geo_dbscan": _geo_dbscan,
         # -- new in round 9: TPC-DS-derived shapes ---------------------------
         "ds_rollup_report": _ds_rollup_report,
         "ds_rank_over_rollup": _ds_rank_over_rollup,
@@ -3544,6 +3560,44 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.src, e.b FROM reach r JOIN e0 e ON r.dst = e.a)
             SELECT src AS c_custkey, MIN(dst) AS cluster
             FROM reach GROUP BY src
+        """,
+        "geo_dbscan": """
+            WITH RECURSIVE p AS (
+              SELECT c_custkey,
+                     CAST(c_custkey % 50 AS DOUBLE) * 7.0 - 175.0
+                       + (c_acctbal / 1000000.0) AS x,
+                     CAST((c_custkey // 50) % 20 AS DOUBLE) * 8.0 - 80.0
+                       + (c_acctbal / 2000000.0) AS y
+              FROM customer),
+            cnt AS (
+              SELECT a.c_custkey AS id, COUNT(*) AS n
+              FROM p a JOIN p b
+                ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                   <= 2.0 * 2.0
+              GROUP BY a.c_custkey),
+            cores AS (SELECT id FROM cnt WHERE n >= 2),
+            ce AS (
+              SELECT a.c_custkey AS a, b.c_custkey AS b
+              FROM p a
+              JOIN p b ON a.c_custkey <> b.c_custkey
+                AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                    <= 2.0 * 2.0
+              JOIN cores ca ON a.c_custkey = ca.id
+              JOIN cores cb ON b.c_custkey = cb.id),
+            reach(src, dst) AS (
+              SELECT id, id FROM cores
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN ce e ON r.dst = e.a),
+            comp AS (SELECT src AS id, MIN(dst) AS cl FROM reach GROUP BY src),
+            attach AS (
+              SELECT a.c_custkey AS id, MIN(comp.cl) AS cluster
+              FROM p a
+              JOIN p b ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                          <= 2.0 * 2.0
+              JOIN comp ON b.c_custkey = comp.id
+              GROUP BY a.c_custkey)
+            SELECT p.c_custkey, attach.cluster
+            FROM p LEFT JOIN attach ON p.c_custkey = attach.id
         """,
         # -- TPC-DS-derived shapes (round 9) ---------------------------------
         "ds_rollup_report": """
