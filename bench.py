@@ -244,12 +244,15 @@ def main():
         if a == "--round" and i + 1 < len(sys.argv):
             rnd = sys.argv[i + 1]
     if rnd is None:
+        # The driver benches AFTER writing the round's correctness file,
+        # so the newest CORRECTNESS round IS the current round (r9 judge:
+        # the old `+ 1` fallback mislabeled the driver's round-end run).
         rounds = [
             int(m.group(1))
             for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
             if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
         ]
-        rnd = str(max(rounds, default=0) + 1)
+        rnd = str(max(rounds, default=1))
     local_path = os.path.join(here, f"BENCH_LOCAL_r{int(rnd)}.json")
     try:
         with open(local_path, "w") as f:

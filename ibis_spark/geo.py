@@ -228,6 +228,22 @@ def _wkb_double(wkb, pos: int):
     )
 
 
+_PT_HDR = bytes.fromhex("0101000000")
+
+
+def _pt_double(wkb, pos: int):
+    """_wkb_double gated on the 5-byte little-endian POINT header
+    (byte-order flag 0x01 + geometry type 1): big-endian or non-point
+    WKB degrades to NULL instead of being blindly byte-reinterpreted
+    into a possibly-finite wrong coordinate (ADVICE r9).  The gate is
+    one cheap conjunct — a 5-byte substring equality — and adds a
+    single extra ``wkb`` reference on top of _wkb_double's 9 (see its
+    notes on why reference count matters under pushdown inlining)."""
+    return F.when(
+        F.substring(wkb, 1, 5) == F.lit(_PT_HDR), _wkb_double(wkb, pos)
+    ).otherwise(F.lit(None).cast("double"))
+
+
 def _le_hex(h):
     """Reverse a 16-hex-char big-endian image into little-endian byte
     order for WKB serialization."""
@@ -237,7 +253,12 @@ def _le_hex(h):
 def _ieee_hex16(xcol):
     """Exact 16-hex-char big-endian IEEE-754 image of a DOUBLE via the
     JVM's own ``Double.doubleToLongBits`` (SQL ``reflect`` — JVM-side,
-    no Python).  Bit-exact for EVERY double, and a ~6-node expression
+    no Python).  Bit-exact over the SHARED encoder domain (zero and
+    |x| in [2**-61, 2**61]); NaN/Inf/denormals return NULL exactly as
+    _hex16_expr does, so the two encoders agree on every input (ADVICE
+    r9: they previously diverged on non-finite coordinates — reflect
+    happily serialized NaN/Inf bit patterns into non-NULL WKB whose
+    coordinates then decoded to NULL downstream).  ~10-node expression
     tree.  ``reflect`` is conservatively marked nondeterministic by
     Spark, which as a bonus stops predicate pushdown from inlining the
     encode tree into downstream predicates — the arithmetic encode
@@ -248,13 +269,21 @@ def _ieee_hex16(xcol):
     # encoders agree on the zero image and geo_x(geo_point(-0.0, ..))
     # decodes to 0.0 instead of the out-of-domain NULL of the -0 image
     x = xcol.cast("double") + F.lit(0.0)
+    ax = F.abs(x)
     bits = F.call_function(
         "reflect", F.lit("java.lang.Double"), F.lit("doubleToLongBits"), x
     ).cast("long")
     # reflect() raises IllegalArgumentException on a NULL primitive arg
-    # rather than null-propagating — guard explicitly.
-    return F.when(x.isNull(), F.lit(None).cast("string")).otherwise(
-        F.lpad(F.lower(F.hex(bits)), 16, "0")
+    # rather than null-propagating — guard explicitly (CaseWhen branches
+    # evaluate lazily, so the guards below shield the reflect call).
+    return (
+        F.when(x.isNull() | F.isnan(x), F.lit(None).cast("string"))
+        .when(x == 0.0, F.lit(_ZERO16))
+        .when(
+            (ax < F.lit(2.0**-61)) | (ax > F.lit(_P61)),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.lpad(F.lower(F.hex(bits)), 16, "0"))
     )
 
 
@@ -262,16 +291,18 @@ def geo_point(x, y, *, deterministic: bool = False):
     """WKB point (little-endian, geometry type 1) from two DOUBLE
     coordinates — reference GeoPoint. NULL if either coordinate is NULL.
 
-    Default encode is exact for every double (JVM ``doubleToLongBits``
-    via SQL ``reflect``) but carries Spark's conservative
-    nondeterministic marking — fine in Project/Filter (and it blocks
-    the pushdown inlining that blows up plans), but rejected where
-    Catalyst demands determinism (grouping keys, join conditions).
-    ``deterministic=True`` switches to the arithmetic bit-encoder
-    (_hex16_expr): fully deterministic and bit-identical on coordinates
-    with |x| in [2**-61, 2**61] (NULL outside), at a larger expression
-    tree — avoid composing it under a filter over the same computed
-    point (see _wkb_double notes)."""
+    Both encoders share ONE domain: bit-exact for 0 and |x| in
+    [2**-61, 2**61], NULL for NaN/Inf/denormals and anything outside —
+    so encoder choice never changes results (ADVICE r9). The default
+    uses JVM ``doubleToLongBits`` via SQL ``reflect``, which carries
+    Spark's conservative nondeterministic marking — fine in
+    Project/Filter (and it blocks the pushdown inlining that blows up
+    plans), but rejected where Catalyst demands determinism (grouping
+    keys, join conditions). ``deterministic=True`` switches to the
+    arithmetic bit-encoder (_hex16_expr): fully deterministic and
+    bit-identical, at a larger expression tree — avoid composing it
+    under a filter over the same computed point (see _wkb_double
+    notes)."""
     enc = _hex16_expr if deterministic else _ieee_hex16
     hx, hy = enc(unwrap(x)), enc(unwrap(y))
     return wrap(
@@ -281,12 +312,12 @@ def geo_point(x, y, *, deterministic: bool = False):
 
 def geo_x(pt):
     """X coordinate of a WKB point — reference GeoX."""
-    return wrap(_wkb_double(unwrap(pt), 6))
+    return wrap(_pt_double(unwrap(pt), 6))
 
 
 def geo_y(pt):
     """Y coordinate of a WKB point — reference GeoY."""
-    return wrap(_wkb_double(unwrap(pt), 14))
+    return wrap(_pt_double(unwrap(pt), 14))
 
 
 def geo_distance(a, b):
@@ -295,8 +326,8 @@ def geo_distance(a, b):
     haversine, so sqrt((dx)^2 + (dy)^2) is the faithful semantic and is
     fully deterministic (sqrt is a correctly-rounded IEEE op)."""
     ua, ub = unwrap(a), unwrap(b)
-    dx = _wkb_double(ua, 6) - _wkb_double(ub, 6)
-    dy = _wkb_double(ua, 14) - _wkb_double(ub, 14)
+    dx = _pt_double(ua, 6) - _pt_double(ub, 6)
+    dy = _pt_double(ua, 14) - _pt_double(ub, 14)
     return wrap(F.sqrt(dx * dx + dy * dy))
 
 
@@ -304,8 +335,8 @@ def geo_dwithin(a, b, distance):
     """True when two WKB points lie within ``distance`` — reference
     GeoDWithin; compares squared distances (no sqrt at all)."""
     ua, ub = unwrap(a), unwrap(b)
-    dx = _wkb_double(ua, 6) - _wkb_double(ub, 6)
-    dy = _wkb_double(ua, 14) - _wkb_double(ub, 14)
+    dx = _pt_double(ua, 6) - _pt_double(ub, 6)
+    dy = _pt_double(ua, 14) - _pt_double(ub, 14)
     d = unwrap(distance)
     # PostGIS ST_DWithin semantics: a negative tolerance matches nothing
     # (squaring would silently accept it)
@@ -319,8 +350,8 @@ def geo_equals(a, b):
     big-endian WKB is not decoded — the point codec is LE-only)."""
     ua, ub = unwrap(a), unwrap(b)
     return wrap(
-        (_wkb_double(ua, 6) == _wkb_double(ub, 6))
-        & (_wkb_double(ua, 14) == _wkb_double(ub, 14))
+        (_pt_double(ua, 6) == _pt_double(ub, 6))
+        & (_pt_double(ua, 14) == _pt_double(ub, 14))
     )
 
 
@@ -330,8 +361,8 @@ def geo_within_bbox(pt, xmin, ymin, xmax, ymax):
     (a bbox is the only geometry a pure-Spark predicate can hold without
     a full GEOS port; arbitrary polygons stay deferred to Sedona)."""
     u = unwrap(pt)
-    px = _wkb_double(u, 6)
-    py = _wkb_double(u, 14)
+    px = _pt_double(u, 6)
+    py = _pt_double(u, 14)
     return wrap(
         (px >= F.lit(float(xmin)))
         & (px <= F.lit(float(xmax)))
@@ -371,6 +402,15 @@ def geo_within_join(
     non-cheap aliases stop CollapseProject) so a computed point column
     never gets its encode tree inlined into the join key — see
     _wkb_double's notes on why that matters.
+
+    DOMAIN BOUND: the 3x3-neighborhood exhaustiveness proof holds for
+    |coordinate| / distance up to ~2**34 (the FP-safe cell-size margin
+    — see the inline derivation below). Beyond that ratio the join can
+    silently MISS true pairs; every real coordinate system (degrees,
+    meters-UTM, web-mercator at meter-scale distances) sits orders of
+    magnitude inside the bound, but don't feed raw nanometer grids with
+    kilometer extents. The residual filter means false POSITIVES are
+    impossible regardless.
     """
     from ibis_spark.expr.table import Table
 
@@ -400,8 +440,8 @@ def geo_within_join(
     def staged(t, point, xn, yn):
         df = t.df if hasattr(t, "df") else t
         u = F.col(point)
-        return df.withColumn(xn, _wkb_double(u, 6)).withColumn(
-            yn, _wkb_double(u, 14)
+        return df.withColumn(xn, _pt_double(u, 6)).withColumn(
+            yn, _pt_double(u, 14)
         )
 
     ldf = staged(left, left_point, "__lx__", "__ly__").withColumn(
@@ -481,6 +521,11 @@ def geo_cluster(
     pointer jumping converges in ~12). The border attach is one more
     keyed min-aggregate + join. All building blocks measured flat at
     10x in SCALE.md.
+
+    DOMAIN BOUND (inherited from geo_within_join): the neighbor search
+    is exhaustive for |coordinate| / distance up to ~2**34; beyond that
+    ratio edges can be silently missed and clusters over-split. See
+    geo_within_join's docstring.
     """
     from ibis_spark.expr.table import Table
     from ibis_spark.pipeline import connected_components

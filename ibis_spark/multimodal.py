@@ -140,7 +140,13 @@ def _png_decode(data: bytes):
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        px = pal[px[:, :, 0]]
+        idx = px[:, :, 0]
+        # A palette index past the PLTE entry count would raise a bare
+        # IndexError that _real_one doesn't catch (ADVICE r9) — surface
+        # it as the ValueError the degrade-to-NULL contract handles.
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError("PNG palette index exceeds PLTE entry count")
+        px = pal[idx]
         ch = 3
     return w, h, ch, px
 

@@ -399,6 +399,36 @@ class TestMultimodal:
         assert got[2].width is None and got[2].height is None
         assert got[2].features is None
 
+    def test_png_palette_index_out_of_range_degrades(self, con):
+        """ADVICE r9: a palette index past the PLTE entry count raised a
+        bare IndexError that killed the whole Spark task; it must
+        degrade that ROW to NULL like every other malformed PNG."""
+        import numpy as np
+        import struct
+        import zlib
+
+        # 1x1 palette image whose sole pixel indexes entry 5 of a
+        # 2-entry PLTE
+        idx = np.array([[[5]]], dtype=np.uint8)
+        bad = self._make_png(idx, color_type=3, filters=[0])
+        plte_body = bytes([10, 20, 30, 200, 210, 220])
+        plte = (
+            struct.pack(">I", len(plte_body))
+            + b"PLTE"
+            + plte_body
+            + struct.pack(">I", zlib.crc32(b"PLTE" + plte_body) & 0xFFFFFFFF)
+        )
+        at = bad.index(b"IDAT") - 4
+        bad = bad[:at] + plte + bad[at:]
+        good = self._make_png(np.zeros((2, 2, 3), dtype=np.uint8))
+        t = con.memtable(
+            [(1, good), (2, bad)], schema={"id": "int64", "payload": "binary"}
+        )
+        m = multimodal.attach_media(t, "payload", "image/png")
+        got = {r.id: r for r in multimodal.decode_images(m, fake=False).df.collect()}
+        assert (got[1].width, got[1].height) == (2, 2)
+        assert got[2].width is None and got[2].features is None
+
     def test_real_decode_raises_without_pil(self, con):
         t = con.memtable({"id": [1], "payload": ["x"]})
         m = multimodal.attach_media(t, "payload")
@@ -591,6 +621,49 @@ class TestGeo:
             assert struct.pack("<d", r.rx) == struct.pack("<d", r.x), r.i
             assert struct.pack("<d", r.ry) == struct.pack("<d", r.y), r.i
             assert r.same is True, r.i
+
+    def test_geo_encoders_agree_on_nonfinite(self, con):
+        """ADVICE r9: both encoders share ONE domain — NaN/Inf/denormal
+        coordinates yield a NULL point from the reflect encoder too
+        (previously it serialized the non-finite bit pattern into a
+        non-NULL WKB that decoded to NULL downstream)."""
+        from ibis_spark import geo
+
+        vals = [float("nan"), float("inf"), float("-inf"), 2.0**-100, 2.0**70]
+        t = con.memtable(
+            [(i, v) for i, v in enumerate(vals)],
+            schema={"i": "int64", "x": "float64"},
+        )
+        rows = t.select(
+            "i",
+            a=geo.geo_point(t.x, t.x),
+            b=geo.geo_point(t.x, t.x, deterministic=True),
+        ).df.collect()
+        for r in rows:
+            assert r.a is None and r.b is None, r.i
+
+    def test_geo_foreign_wkb_degrades_to_null(self, con):
+        """ADVICE r9: the decode path gates on the 5-byte LE point
+        header — big-endian points and non-point geometries decode to
+        NULL, never to a silently-wrong finite coordinate."""
+        import struct
+
+        from ibis_spark import geo
+
+        be_point = struct.pack(">BIdd", 0, 1, 1.5, 2.5)   # big-endian point
+        linestring = struct.pack("<BI", 1, 2) + b"\x00" * 16  # LE, type 2
+        good = struct.pack("<BIdd", 1, 1, 1.5, 2.5)
+        t = con.memtable(
+            [(1, be_point), (2, linestring), (3, good)],
+            schema={"i": "int64", "g": "binary"},
+        )
+        got = {
+            r.i: (r.x, r.y)
+            for r in t.select("i", x=geo.geo_x(t.g), y=geo.geo_y(t.g)).df.collect()
+        }
+        assert got[1] == (None, None)
+        assert got[2] == (None, None)
+        assert got[3] == (1.5, 2.5)
 
     def test_geo_within_join_grid_matches_brute_force(self, con):
         """Grid-bucketed distance join returns exactly the brute-force
