@@ -2698,6 +2698,65 @@ def _geo_dbscan(spark, sf_dir):
     return geo.geo_cluster(c, "c_custkey", 2.0, min_pts=2).to_spark()
 
 
+def _geo_polygon_contains(spark, sf_dir):
+    """Point-in-POLYGON (reference GeoContains/GeoWithin,
+    geospatial.py:28-80) via the engine's even-odd ray cast over real
+    multi-ring WKB: each nation gets a HOLED diamond (outer radius 30.5,
+    hole radius 8.25 in L1 metric) built by geo.geo_polygon, each
+    customer point is tested with geo.geo_contains. The oracle is the
+    INDEPENDENT closed form |dx|+|dy| — diamond interior in the L1
+    metric — so a green row proves the ray cast itself, not a shared
+    implementation. Radii are chosen so no point can land exactly on a
+    ring (acctbal-cent fractions can never sum to .5/.25)."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    # Build each nation's polygon ON THE 25-ROW DIM SIDE, before the
+    # join: the 20-vertex encode tree then runs 25 times total instead
+    # of once per customer row, and the broadcast join ships finished
+    # WKB bytes — the shape that holds at 100 TB (geometry on the dim,
+    # ray cast on the fact scan).
+    cx = (n.n_nationkey * 14).cast("float64") - 175.0
+    cy = (n.n_nationkey * 7).cast("float64") - 87.0
+    R, r = 30.5, 8.25
+    poly = geo.geo_polygon(
+        ib.array(cx + R, cx, cx - R, cx),
+        ib.array(cy, cy + R, cy, cy - R),
+        holes=[(ib.array(cx + r, cx, cx - r, cx),
+                ib.array(cy, cy + r, cy, cy - r))],
+    )
+    n = n.mutate(poly=poly)
+    j = c.inner_join(n, [("c_nationkey", "n_nationkey")])
+    lon, lat = _geo_lonlat(j)
+    j = j.mutate(pt=geo.geo_point(lon, lat))
+    j = j.mutate(inside=geo.geo_contains(j.poly, j.pt))
+    return j.select("c_custkey", "n_nationkey", "inside").to_spark()
+
+
+def _geo_polygon_area(spark, sf_dir):
+    """Shoelace polygon area with holes (reference GeoArea): per-nation
+    holed diamond, outer radius 10.5 + nationkey, hole radius 2.25.
+    All vertices are quarter-integers, so every cross product and
+    partial sum is exact in FP and the emission matches the oracle's
+    closed form 2R^2 - 2r^2 bit-for-bit."""
+    import ibis_spark.geo as geo
+
+    n = _t(spark, sf_dir, "nation")
+    cx = (n.n_nationkey * 14).cast("float64") - 175.0
+    cy = (n.n_nationkey * 7).cast("float64") - 87.0
+    R = n.n_nationkey.cast("float64") + 10.5
+    r = 2.25
+    poly = geo.geo_polygon(
+        ib.array(cx + R, cx, cx - R, cx),
+        ib.array(cy, cy + R, cy, cy - R),
+        holes=[(ib.array(cx + r, cx, cx - r, cx),
+                ib.array(cy, cy + r, cy, cy - r))],
+    )
+    n = n.mutate(poly=poly)
+    return n.select("n_nationkey", area=geo.geo_area(n.poly)).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -3113,6 +3172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_within_join": _geo_within_join,
         "geo_cluster": _geo_cluster,
         "geo_dbscan": _geo_dbscan,
+        # -- new in round 10: polygon slice ----------------------------------
+        "geo_polygon_contains": _geo_polygon_contains,
+        "geo_polygon_area": _geo_polygon_area,
         # -- new in round 9: TPC-DS-derived shapes ---------------------------
         "ds_rollup_report": _ds_rollup_report,
         "ds_rank_over_rollup": _ds_rank_over_rollup,
@@ -3494,6 +3556,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c, n
             WHERE (c.x - n.x) * (c.x - n.x) + (c.y - n.y) * (c.y - n.y)
                   <= 25.0 * 25.0
+        """,
+        "geo_polygon_contains": """
+            WITH p AS (
+              SELECT c_custkey, n_nationkey,
+                     (CAST(c_custkey % 360 AS DOUBLE) - 180.0)
+                       + (c_acctbal / 1000000.0) AS x,
+                     (CAST(c_custkey % 180 AS DOUBLE) - 90.0)
+                       + (c_acctbal / 2000000.0) AS y,
+                     CAST(n_nationkey * 14 AS DOUBLE) - 175.0 AS cx,
+                     CAST(n_nationkey * 7 AS DOUBLE) - 87.0 AS cy
+              FROM customer JOIN nation ON c_nationkey = n_nationkey)
+            SELECT c_custkey, n_nationkey,
+                   (ABS(x - cx) + ABS(y - cy) < 30.5)
+                   AND NOT (ABS(x - cx) + ABS(y - cy) < 8.25) AS inside
+            FROM p
+        """,
+        "geo_polygon_area": """
+            SELECT n_nationkey,
+                   2.0 * (CAST(n_nationkey AS DOUBLE) + 10.5)
+                       * (CAST(n_nationkey AS DOUBLE) + 10.5)
+                   - 2.0 * 2.25 * 2.25 AS area
+            FROM nation
         """,
         "ds_time_band_counts": """
             SELECT

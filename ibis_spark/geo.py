@@ -47,6 +47,9 @@ __all__ = [
     "geo_dwithin",
     "geo_equals",
     "geo_within_bbox",
+    "geo_polygon",
+    "geo_contains",
+    "geo_area",
     "geo_within_join",
     "geo_cluster",
 ]
@@ -120,7 +123,14 @@ def _hex16_expr(xcol):
     at a power-of-two boundary, fixed by an exact one-step correction.
     Mantissa: (f - 1) is Sterbenz-exact for f in [1, 2), and * 2**52 is
     an exact scale, so the 52 stored bits are recovered exactly.
-    NULL outside [2**-61, 2**61] (0.0 canonicalizes to +0)."""
+    NULL outside [2**-61, 2**61] (0.0 canonicalizes to +0).
+
+    The exponent/fraction chain is LET-BOUND (_let): the naive
+    spelling re-expanded e0 inside f0 inside e1/f1 inside m52/top12 —
+    ~400 plan nodes per coordinate and the same subtrees re-evaluated
+    per row — where this shape is ~100 nodes with each stage computed
+    once (r10; the polygon constructor embeds two of these per
+    vertex)."""
     x = xcol.cast("double")
     ax = F.abs(x)
     hi = F.floor(ax).cast("bigint")
@@ -133,22 +143,40 @@ def _hex16_expr(xcol):
             ).cast("int")
         )
     )
-    f0 = ax / _pow2(e0)
-    e1 = F.when(f0 >= 2.0, e0 + F.lit(1)).when(f0 < 1.0, e0 - F.lit(1)).otherwise(e0)
-    f1 = (
-        F.when(f0 >= 2.0, f0 / F.lit(2.0))
-        .when(f0 < 1.0, f0 * F.lit(2.0))
-        .otherwise(f0)
-    )
-    m52 = ((f1 - F.lit(1.0)) * F.lit(_P52)).cast("bigint")
-    top12 = (
-        F.when(x < 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2048)
-        + e1
-        + F.lit(1023)
-    ).cast("bigint")
-    hex16 = F.concat(
-        F.lpad(F.lower(F.hex(top12)), 3, "0"),
-        F.lpad(F.lower(F.hex(m52)), 13, "0"),
+
+    def fin(ef):
+        m52 = ((ef["f"] - F.lit(1.0)) * F.lit(_P52)).cast("bigint")
+        top12 = (
+            F.when(x < 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2048)
+            + ef["e"]
+            + F.lit(1023)
+        ).cast("bigint")
+        return F.concat(
+            F.lpad(F.lower(F.hex(top12)), 3, "0"),
+            F.lpad(F.lower(F.hex(m52)), 13, "0"),
+        )
+
+    def norm(s):
+        e0v, f0v = s["e"], s["f"]
+        return _let(
+            F.struct(
+                F.when(f0v >= 2.0, e0v + F.lit(1))
+                .when(f0v < 1.0, e0v - F.lit(1))
+                .otherwise(e0v)
+                .alias("e"),
+                F.when(f0v >= 2.0, f0v / F.lit(2.0))
+                .when(f0v < 1.0, f0v * F.lit(2.0))
+                .otherwise(f0v)
+                .alias("f"),
+            ),
+            fin,
+        )
+
+    hex16 = _let(
+        e0,
+        lambda e0b: _let(
+            F.struct(e0b.alias("e"), (ax / _pow2(e0b)).alias("f")), norm
+        ),
     )
     return (
         F.when(x.isNull() | F.isnan(x), F.lit(None).cast("string"))
@@ -200,31 +228,14 @@ def _wkb_double(wkb, pos: int):
     exponent outside the exact domain [-61, 61] decode to NULL, exactly
     as _double_from_hex16 does.  NULL wkb propagates to NULL through
     the arithmetic (all conditions become NULL -> otherwise -> NULL).
+
+    r10: the hexed slice is LET-BOUND (_let) so ``wkb`` is referenced
+    ONCE (down from 9 substring copies — the pushdown-inlining hazard
+    above shrinks with it) and the hex() runs once per decode instead
+    of 10x; the field split itself is _hexle_double at char offset 0.
     """
-    le = F.hex(F.substring(wkb, pos, 8))
-    top12 = F.conv(
-        F.concat(F.substring(le, 15, 2), F.substring(le, 13, 1)), 16, 10
-    ).cast("int")
-    m52 = F.conv(
-        F.concat(
-            F.substring(le, 14, 1),
-            F.substring(le, 11, 2),
-            F.substring(le, 9, 2),
-            F.substring(le, 7, 2),
-            F.substring(le, 5, 2),
-            F.substring(le, 3, 2),
-            F.substring(le, 1, 2),
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    sign = F.when(top12 >= 2048, F.lit(-1.0)).otherwise(F.lit(1.0))
-    e = ((top12 % 2048) - F.lit(1023)).cast("int")
-    f = F.lit(1.0) + m52.cast("double") / F.lit(_P52)
-    return (
-        F.when((top12 == 0) & (m52 == F.lit(0).cast("bigint")), F.lit(0.0))
-        .when((e < -61) | (e > 61), F.lit(None).cast("double"))
-        .otherwise(sign * (f * _pow2(e)))
+    return _let(
+        F.hex(F.substring(wkb, pos, 8)), lambda le: _hexle_double(le, 0)
     )
 
 
@@ -368,6 +379,364 @@ def geo_within_bbox(pt, xmin, ymin, xmax, ymax):
         & (px <= F.lit(float(xmax)))
         & (py >= F.lit(float(ymin)))
         & (py <= F.lit(float(ymax)))
+    )
+
+
+# -- pure-Spark WKB POLYGON slice (round 10) ---------------------------------
+#
+# Reference semantics: GeoContains / GeoWithin / GeoArea over polygons
+# (ibis/expr/operations/geospatial.py:28-80, :100). The reference's own
+# Spark backend implements none of these (no visit_Geo* in its pyspark
+# compiler); this is a pure-Spark expressible subset: single- and
+# multi-ring (holes) polygons as standard WKB (LE, geometry type 3),
+# point-in-polygon by even-odd ray casting, area by the shoelace
+# formula — all JVM-side higher-order functions over the raw bytes, no
+# UDF, no GEOS.
+
+
+def _le_uint32(wkb, pos):
+    """Little-endian uint32 at 1-based byte ``pos`` of a binary column
+    (``pos`` may be a Column for data-dependent offsets — WKB ring
+    directories are variable-length)."""
+    le = F.hex(F.substring(wkb, pos, 4))
+    return F.conv(
+        F.concat(
+            F.substring(le, 7, 2),
+            F.substring(le, 5, 2),
+            F.substring(le, 3, 2),
+            F.substring(le, 1, 2),
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _le_hex32(n):
+    """8-hex-char little-endian image of a non-negative int column."""
+    h = F.lpad(F.lower(F.hex(n.cast("bigint"))), 8, "0")
+    return F.concat(
+        F.substring(h, 7, 2),
+        F.substring(h, 5, 2),
+        F.substring(h, 3, 2),
+        F.substring(h, 1, 2),
+    )
+
+
+def _seq0(n):
+    """[0, n) as ARRAY<BIGINT>; EMPTY when n <= 0.  Never call
+    F.sequence with stop < start — Spark helpfully produces a
+    DESCENDING sequence (sequence(1, 0) == [1, 0]), which would turn an
+    empty ring set into two phantom iterations."""
+    return F.when(
+        n >= 1, F.sequence(F.lit(0).cast("bigint"), n.cast("bigint") - 1)
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+
+
+_POLY_HDR = bytes.fromhex("0103000000")
+
+
+def _let(val, body):
+    """Expression-level LET: bind ``val`` to a lambda variable and
+    build ``body`` over that LEAF — the bound subtree appears once in
+    the plan and evaluates once at runtime instead of being re-expanded
+    at every use site (``element_at(transform(array(v), f), 1)``; no
+    Catalyst rule re-inlines it). Nesting is safe: PySpark names every
+    lambda variable "x"/"y" but Spark assigns each a unique suffix at
+    construction (``lambda x_9#37`` in plans), so shadowing cannot
+    happen."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def _hexle_double(h, o: int):
+    """Decode the little-endian 16-hex-char double image at 0-based
+    CHAR offset ``o`` of an already-hexed slice ``h`` (intended for a
+    lambda variable, so the repeated references are leaf-cheap). Same
+    domain contract as _wkb_double: 0 decodes to 0.0,
+    denormal/NaN/Inf/out-of-range exponents decode to NULL."""
+    top12 = F.conv(
+        F.concat(F.substring(h, o + 15, 2), F.substring(h, o + 13, 1)),
+        16,
+        10,
+    ).cast("int")
+    m52 = F.conv(
+        F.concat(
+            F.substring(h, o + 14, 1),
+            F.substring(h, o + 11, 2),
+            F.substring(h, o + 9, 2),
+            F.substring(h, o + 7, 2),
+            F.substring(h, o + 5, 2),
+            F.substring(h, o + 3, 2),
+            F.substring(h, o + 1, 2),
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sign = F.when(top12 >= 2048, F.lit(-1.0)).otherwise(F.lit(1.0))
+    e = ((top12 % 2048) - F.lit(1023)).cast("int")
+    f = F.lit(1.0) + m52.cast("double") / F.lit(_P52)
+    return (
+        F.when((top12 == 0) & (m52 == F.lit(0).cast("bigint")), F.lit(0.0))
+        .when((e < -61) | (e > 61), F.lit(None).cast("double"))
+        .otherwise(sign * (f * _pow2(e)))
+    )
+
+
+def _ring_hex(ux, uy):
+    """STRUCT(ok, hx) of one WKB ring from two ARRAY<DOUBLE> columns:
+    npts uint32 + closed vertex run, auto-closing an open ring.
+    Fully let-bound: the coordinate arrays, the per-vertex hex array,
+    and the point count each appear once in the plan."""
+
+    def per_ring(rr):
+        rx, ry = rr["rx"], rr["ry"]
+        nx = F.size(rx)
+        closed = (F.element_at(rx, 1) == F.element_at(rx, -1)) & (
+            F.element_at(ry, 1) == F.element_at(ry, -1)
+        )
+        vhex = F.zip_with(
+            rx,
+            ry,
+            lambda a, b: F.concat(
+                _le_hex(_hex16_expr(a)), _le_hex(_hex16_expr(b))
+            ),
+        )
+
+        def with_np(nn):
+            npts, vh = nn["npts"], nn["vh"]
+            # aggregate-concat, NOT array_join: array_join silently
+            # SKIPS NULL elements (an out-of-domain coordinate would
+            # quietly drop a vertex) while concat NULL-propagates,
+            # which is the contract here.
+            body = F.aggregate(
+                vh, F.lit(""), lambda acc, v: F.concat(acc, v)
+            )
+            full = F.when(npts == F.size(vh), body).otherwise(
+                F.concat(body, F.element_at(vh, 1))
+            )
+            ok = (
+                rx.isNotNull()
+                & ry.isNotNull()
+                & (nx == F.size(ry))
+                & (npts >= 4)
+            )
+            return F.struct(
+                ok.alias("ok"), F.concat(_le_hex32(npts), full).alias("hx")
+            )
+
+        return _let(
+            F.struct(
+                F.when(closed, nx).otherwise(nx + 1).cast("bigint").alias("npts"),
+                vhex.alias("vh"),
+            ),
+            with_np,
+        )
+
+    return _let(F.struct(ux.alias("rx"), uy.alias("ry")), per_ring)
+
+
+def geo_polygon(xs, ys, holes=()):
+    """WKB polygon (little-endian, geometry type 3) from ARRAY<DOUBLE>
+    coordinate columns — the constructor side of the polygon slice
+    (reference GeoPoint's polygon sibling). ``xs``/``ys`` give the
+    outer ring; ``holes`` is an optional sequence of ``(hxs, hys)``
+    array-column pairs, one per interior ring. Rings follow the WKB
+    spec (CLOSED; an open input ring is auto-closed by appending its
+    first vertex).
+
+    NULL when any ring is NULL, has mismatched array sizes, fewer than
+    3 open / 4 closed vertices, or any coordinate is outside the exact
+    codec domain (NaN/Inf/denormal/|x| > 2**61 — same domain as
+    geo_point). Encoding uses the deterministic arithmetic bit-encoder
+    inside an aggregate lambda (reflect is not legal in every lambda
+    context), so the emitted bytes are exactly what geo_point would
+    produce vertex-by-vertex."""
+    rings = [(unwrap(xs), unwrap(ys))]
+    rings += [(unwrap(a), unwrap(b)) for a, b in holes]
+    parts = [_ring_hex(a, b) for a, b in rings]
+
+    def assemble(ps):
+        cols = [ps[f"r{i}"] for i in range(len(rings))]
+        ok = cols[0]["ok"]
+        for c in cols[1:]:
+            ok = ok & c["ok"]
+        hx = F.concat(
+            F.lit("0103000000"),  # LE byte order + geometry type 3
+            _le_hex32(F.lit(len(rings))),
+            *[c["hx"] for c in cols],
+        )
+        return F.when(ok, F.unhex(hx)).otherwise(F.lit(None).cast("binary"))
+
+    return wrap(
+        _let(
+            F.struct(*[p.alias(f"r{i}") for i, p in enumerate(parts)]),
+            assemble,
+        )
+    )
+
+
+def geo_contains(poly, pt):
+    """True when a WKB point lies in the INTERIOR of a WKB polygon —
+    reference GeoContains/GeoWithin (point-in-polygon case), PostGIS
+    even-odd semantics: interior rings (holes) subtract, so a point
+    inside a hole is NOT contained.
+
+    Even-odd RAY CAST, entirely in JVM expressions: iterate the ring
+    directory with an aggregate over the ring indices (ring offsets are
+    data-dependent prefix sums, carried in the accumulator), and for
+    each ring count ray crossings with an inner aggregate over its edge
+    indices. The crossing test is the multiply form of PNPOLY —
+    ``(px-x1)*dy <vs> (x2-x1)*(py-y1)`` with the comparison direction
+    following sign(dy) — which avoids division entirely (no ANSI
+    div-by-zero hazard on horizontal edges, and products of
+    integer-valued coordinates are exact in FP, so oracle parity is
+    bit-robust away from edges). Points exactly ON a boundary edge
+    follow the half-open ray-cast convention and are not guaranteed
+    either way — same caveat every FP point-in-polygon carries.
+
+    NULL when the polygon is not LE geometry-type-3 WKB (foreign/BE
+    bytes degrade to NULL, never garbage — same gate as the point
+    codec), or the point is NULL/invalid. Scan-only: no join, no
+    shuffle, no UDF; cost is O(total vertices) per row.
+
+    PLAN SIZE: the walk is LET-BOUND throughout (_let) — the point
+    decode binds once per row, each edge's 32-byte slice is hexed once
+    and its four doubles bind once, and each ring's vertex count binds
+    once. The naive spelling re-expanded each subtree at every use site
+    and cost ~4 s of analyzer/optimizer time PER QUERY (25-row input!);
+    this shape is a few hundred nodes."""
+    u, p = unwrap(poly), unwrap(pt)
+
+    def walk(px, py):
+        def edge_step(ecnt, ei, off):
+            def with_v(v):
+                x1, y1 = v["x1"], v["y1"]
+                x2, y2 = v["x2"], v["y2"]
+                dy = y2 - y1
+                straddles = (y1 > py) != (y2 > py)
+                lhs = (px - x1) * dy
+                rhs = (x2 - x1) * (py - y1)
+                crosses = straddles & F.when(dy > 0, lhs < rhs).otherwise(
+                    lhs > rhs
+                )
+                return ecnt + F.when(
+                    crosses, F.lit(1).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint"))
+
+            def with_hex(h):
+                return _let(
+                    F.struct(
+                        _hexle_double(h, 0).alias("x1"),
+                        _hexle_double(h, 16).alias("y1"),
+                        _hexle_double(h, 32).alias("x2"),
+                        _hexle_double(h, 48).alias("y2"),
+                    ),
+                    with_v,
+                )
+
+            return _let(
+                F.hex(F.substring(u, (off + 4 + 16 * ei).cast("int"), 32)),
+                with_hex,
+            )
+
+        def ring_step(racc, ri):
+            off = racc["off"]
+            return _let(
+                _le_uint32(u, off),
+                lambda npts: F.struct(
+                    (off + 4 + 16 * npts).alias("off"),
+                    (
+                        racc["cr"]
+                        + F.aggregate(
+                            _seq0(npts - 1),
+                            F.lit(0).cast("bigint"),
+                            lambda ecnt, ei: edge_step(ecnt, ei, off),
+                        )
+                    ).alias("cr"),
+                ),
+            )
+
+        init = F.struct(
+            F.lit(10).cast("bigint").alias("off"),
+            F.lit(0).cast("bigint").alias("cr"),
+        )
+        res = F.aggregate(_seq0(_le_uint32(u, 6)), init, ring_step)
+        inside = (res["cr"] % 2) == 1
+        hdr_ok = F.substring(u, 1, 5) == F.lit(_POLY_HDR)
+        return F.when(
+            hdr_ok & px.isNotNull() & py.isNotNull(), inside
+        ).otherwise(F.lit(None).cast("boolean"))
+
+    return wrap(
+        _let(
+            F.struct(
+                _pt_double(p, 6).alias("x"), _pt_double(p, 14).alias("y")
+            ),
+            lambda q: walk(q["x"], q["y"]),
+        )
+    )
+
+
+def geo_area(poly):
+    """Planar area of a WKB polygon — reference GeoArea, PostGIS
+    ST_Area semantics: outer-ring area minus the area of every interior
+    ring (hole), winding-direction INSENSITIVE (each ring's shoelace
+    sum is taken in absolute value, as PostGIS does, so clockwise and
+    counter-clockwise rings measure the same).
+
+    Shoelace over each ring's closed vertex run, same let-bound
+    aggregate-over-ring-directory walk as geo_contains. With
+    integer-valued coordinates every cross product and partial sum is
+    exact in FP, so the left-to-right aggregate order matches any
+    oracle's summation order bit-for-bit. NULL on non-polygon/foreign
+    WKB."""
+    u = unwrap(poly)
+
+    def edge_step(s, ei, off):
+        # x1*y2 - x2*y1 from one hexed 32-byte slice
+        return _let(
+            F.hex(F.substring(u, (off + 4 + 16 * ei).cast("int"), 32)),
+            lambda h: s
+            + (
+                _hexle_double(h, 0) * _hexle_double(h, 48)
+                - _hexle_double(h, 32) * _hexle_double(h, 16)
+            ),
+        )
+
+    def ring_step(racc, ri):
+        off = racc["off"]
+
+        def with_sh(npts, sh):
+            ring_area = F.abs(sh) / F.lit(2.0)
+            signed = F.when(racc["idx"] == 0, ring_area).otherwise(
+                -ring_area
+            )
+            return F.struct(
+                (off + 4 + 16 * npts).alias("off"),
+                (racc["idx"] + F.lit(1).cast("bigint")).alias("idx"),
+                (racc["tot"] + signed).alias("tot"),
+            )
+
+        return _let(
+            _le_uint32(u, off),
+            lambda npts: _let(
+                F.aggregate(
+                    _seq0(npts - 1),
+                    F.lit(0.0),
+                    lambda s, ei: edge_step(s, ei, off),
+                ),
+                lambda sh: with_sh(npts, sh),
+            ),
+        )
+
+    init = F.struct(
+        F.lit(10).cast("bigint").alias("off"),
+        F.lit(0).cast("bigint").alias("idx"),
+        F.lit(0.0).alias("tot"),
+    )
+    res = F.aggregate(_seq0(_le_uint32(u, 6)), init, ring_step)
+    hdr_ok = F.substring(u, 1, 5) == F.lit(_POLY_HDR)
+    return wrap(
+        F.when(hdr_ok, res["tot"]).otherwise(F.lit(None).cast("double"))
     )
 
 

@@ -642,6 +642,128 @@ class TestGeo:
         for r in rows:
             assert r.a is None and r.b is None, r.i
 
+    @staticmethod
+    def _ring_wkb(pts):
+        import struct
+
+        b = struct.pack("<I", len(pts))
+        for x, y in pts:
+            b += struct.pack("<dd", x, y)
+        return b
+
+    @classmethod
+    def _poly_wkb(cls, *rings):
+        import struct
+
+        return (
+            bytes.fromhex("0103000000")
+            + struct.pack("<I", len(rings))
+            + b"".join(cls._ring_wkb(r) for r in rings)
+        )
+
+    def test_geo_polygon_constructor(self, con):
+        """geo_polygon emits real WKB: open rings auto-close, mismatched
+        or too-short rings and out-of-domain coordinates yield NULL."""
+        import struct
+
+        from ibis_spark import geo
+
+        rows = [
+            (1, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),   # open square
+            (2, [0.0, 4.0, 4.0, 0.0, 0.0], [0.0, 0.0, 4.0, 4.0, 0.0]),  # closed
+            (3, [0.0, 1.0], [0.0, 1.0]),                        # too short
+            (4, [0.0, 1.0, 2.0], [0.0, 1.0]),                   # size mismatch
+            (5, [0.0, float("inf"), 2.0], [0.0, 1.0, 0.0]),     # out of domain
+        ]
+        t = con.memtable(
+            rows,
+            schema={"i": "int64", "xs": "array<float64>", "ys": "array<float64>"},
+        )
+        got = {
+            r.i: r.p
+            for r in t.select("i", p=geo.geo_polygon(t.xs, t.ys)).df.collect()
+        }
+        expect = self._poly_wkb([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)])
+        assert bytes(got[1]) == expect
+        assert bytes(got[2]) == expect
+        assert got[3] is None and got[4] is None and got[5] is None
+        npts = struct.unpack("<I", bytes(got[1])[9:13])[0]
+        assert npts == 5
+
+    def test_geo_contains_ray_cast(self, con):
+        """Even-odd point-in-polygon: interior True, exterior False,
+        point in a HOLE False, annulus True; non-polygon WKB NULL."""
+        import struct
+
+        from ibis_spark import geo
+
+        outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+        hole = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+        holed = self._poly_wkb(outer, hole)
+        concave = self._poly_wkb(
+            [(0, 0), (10, 0), (10, 10), (5, 3), (0, 10), (0, 0)]  # notched
+        )
+        pt_wkb = struct.pack("<BIdd", 1, 1, 5.0, 5.0)
+        cases = [
+            (1, holed, 2.0, 2.0, True),     # annulus
+            (2, holed, 5.0, 5.0, False),    # inside hole
+            (3, holed, 12.0, 5.0, False),   # outside
+            (4, holed, 5.0, 1.0, True),     # annulus below hole
+            (5, concave, 5.0, 6.0, False),  # inside the notch
+            (6, concave, 2.0, 5.5, True),   # left lobe
+            (7, concave, 8.0, 5.5, True),   # right lobe
+            (8, pt_wkb, 1.0, 1.0, None),    # not a polygon -> NULL
+        ]
+        t = con.memtable(
+            [(i, g, x, y) for i, g, x, y, _ in cases],
+            schema={"i": "int64", "g": "binary", "x": "float64", "y": "float64"},
+        )
+        t = t.mutate(pt=geo.geo_point(t.x, t.y))
+        got = {r.i: r.c for r in t.select("i", c=geo.geo_contains(t.g, t.pt)).df.collect()}
+        for i, _, _, _, want in cases:
+            assert got[i] is want, (i, got[i], want)
+
+    def test_geo_contains_degenerate_ring(self, con):
+        """Degenerate rings (zero area: collinear or repeated vertices)
+        contain nothing, and never error."""
+        from ibis_spark import geo
+
+        flat = self._poly_wkb([(0, 0), (5, 0), (10, 0), (0, 0)])  # collinear
+        point_ring = self._poly_wkb([(3, 3), (3, 3), (3, 3), (3, 3)])
+        empty = self._poly_wkb()  # zero rings
+        t = con.memtable(
+            [(1, flat), (2, point_ring), (3, empty)],
+            schema={"i": "int64", "g": "binary"},
+        )
+        t = t.mutate(pt=geo.geo_point(t.i.cast("float64"), t.i.cast("float64") * 0))
+        rows = t.select(
+            "i", c=geo.geo_contains(t.g, t.pt), a=geo.geo_area(t.g)
+        ).df.collect()
+        for r in rows:
+            assert r.c is False, (r.i, r.c)
+            assert r.a == 0.0, (r.i, r.a)
+
+    def test_geo_area_shoelace(self, con):
+        """Shoelace area: square exact, holes subtract, winding
+        direction is irrelevant (PostGIS ST_Area semantics)."""
+        from ibis_spark import geo
+
+        sq = self._poly_wkb([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)])
+        sq_cw = self._poly_wkb([(0, 0), (0, 10), (10, 10), (10, 0), (0, 0)])
+        holed = self._poly_wkb(
+            [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+            [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)],
+        )
+        tri = self._poly_wkb([(0, 0), (4, 0), (0, 3), (0, 0)])
+        t = con.memtable(
+            [(1, sq), (2, sq_cw), (3, holed), (4, tri)],
+            schema={"i": "int64", "g": "binary"},
+        )
+        got = {r.i: r.a for r in t.select("i", a=geo.geo_area(t.g)).df.collect()}
+        assert got[1] == 100.0 and got[2] == 100.0
+        assert got[3] == 96.0
+        assert got[4] == 6.0
+
     def test_geo_foreign_wkb_degrades_to_null(self, con):
         """ADVICE r9: the decode path gates on the 5-byte LE point
         header — big-endian points and non-point geometries decode to
