@@ -3108,6 +3108,201 @@ def _ds_cume_channels(spark, sf_dir):
     return out.select(mon=out.mon.cast("date"), cum_o=out.cum_o, cum_s=out.cum_s).to_spark()
 
 
+# ---------------------------------------------------------------------------
+# round 10: TPC-DS correlated-subquery tranche (ds/01, ds/23, ds/30, ds/64)
+# ---------------------------------------------------------------------------
+
+def _ds_returns_above_avg(spark, sf_dir):
+    """DS q1/q30 exact shape (reference ds/01.sql, ds/30.sql): a
+    customer_total_return CTE, then keep customers whose return total
+    exceeds 1.2x the average of the SAME CTE correlated on their group
+    (store in q1, state in q30; nation here), then join back to the
+    dimension and filter one region.
+
+    The oracle states it as the genuine correlated scalar subquery;
+    the engine decorrelates it into a grouped aggregate + broadcast
+    join — the plan that survives 100 TB (no per-row subquery)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.inner_join(li, [("o_orderkey", "l_orderkey")])
+    j = j.filter(
+        j.l_returnflag == "R",
+        j.o_orderdate >= "1996-01-01",
+        j.o_orderdate < "1997-01-01",
+    )
+    jc = j.inner_join(c, [("o_custkey", "c_custkey")])
+    ctr = jc.group_by("c_custkey", "c_nationkey").aggregate(
+        total=(jc.l_extendedprice * (1 - jc.l_discount)).sum().round(4)
+    )
+    # correlated avg, decorrelated: one 25-row aggregate broadcast back
+    avg = ctr.group_by("c_nationkey").aggregate(
+        avg_ret=ctr.total.mean().round(4)
+    )
+    f = ctr.inner_join(avg, [("c_nationkey", "c_nationkey")], broadcast=True)
+    f = f.filter(f.total > 1.2 * f.avg_ret)
+    out = f.inner_join(n, [("c_nationkey", "n_nationkey")], broadcast=True)
+    out = out.filter(out.n_regionkey <= 1)
+    return out.select("c_custkey", "n_name", "total", "avg_ret").to_spark()
+
+
+def _ds_frequent_items(spark, sf_dir):
+    """DS q23 frequent_ss_items CTE shape (reference ds/23.sql): group
+    by a SUBSTRING-derived item description + brand + sold period,
+    HAVING count(*) above a threshold. One keyed shuffle; the HAVING
+    is a post-aggregate filter, never a second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.inner_join(p, [("l_partkey", "p_partkey")])
+    j = j.mutate(
+        tdesc=j.p_type.substr(0, 10),
+        yr=j.l_shipdate.year(),
+        mo=j.l_shipdate.month(),
+    )
+    g = j.group_by("tdesc", "p_brand", "yr", "mo").aggregate(
+        cnt=j.l_orderkey.count()
+    )
+    return g.filter(g.cnt > 8).select(
+        "tdesc", "p_brand", "yr", "mo", "cnt"
+    ).to_spark()
+
+
+def _ds_best_customers(spark, sf_dir):
+    """DS q23 best_ss_customer CTE shape (reference ds/23.sql): per-
+    customer sales HAVING sum > 50% of (SELECT max(per-customer
+    sales)) — a scalar subquery inside HAVING. The engine's
+    ScalarValue lift turns the max into a 1-row broadcast; the filter
+    runs map-side against it."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.inner_join(o, [("l_orderkey", "o_orderkey")])
+    per = j.group_by("o_custkey").aggregate(
+        ssales=(j.l_quantity * j.l_extendedprice).sum().round(4)
+    )
+    mx = per.to_scalar(per.ssales.max())
+    best = per.filter(per.ssales > 0.5 * mx)
+    return best.select("o_custkey", "ssales").to_spark()
+
+
+def _ds_cross_channel_best(spark, sf_dir):
+    """DS q23 final shape (reference ds/23.sql): UNION ALL of two
+    channel aggregates, each restricted to the frequent-items set AND
+    the best-customers set (both CTEs reused via semi joins), grouped
+    per customer. Channels = odd/even line numbers standing in for
+    store/catalog."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+
+    j = li.inner_join(o, [("l_orderkey", "o_orderkey")])
+    per = j.group_by("o_custkey").aggregate(
+        ssales=(j.l_quantity * j.l_extendedprice).sum().round(4)
+    )
+    mx = per.to_scalar(per.ssales.max())
+    best = per.filter(per.ssales > 0.5 * mx).select("o_custkey")
+
+    jp = li.inner_join(p, [("l_partkey", "p_partkey")])
+    jp = jp.mutate(mo=jp.l_shipdate.month())
+    freq = (
+        jp.group_by("p_brand", "mo")
+        .aggregate(cnt=jp.l_orderkey.count())
+        .filter(_.cnt > 80)
+        .select("p_brand", "mo")
+    )
+
+    def channel(parity, tag):
+        ch = li.filter((li.l_linenumber % 2) == parity)
+        ch = ch.inner_join(p, [("l_partkey", "p_partkey")])
+        ch = ch.mutate(mo=ch.l_shipdate.month())
+        ch = ch.semi_join(
+            freq, [("p_brand", "p_brand"), ("mo", "mo")], broadcast=True
+        )
+        ch = ch.inner_join(o, [("l_orderkey", "o_orderkey")])
+        ch = ch.filter(
+            ch.o_orderdate >= "1997-03-01", ch.o_orderdate < "1997-04-01"
+        )
+        ch = ch.semi_join(best, [("o_custkey", "o_custkey")], broadcast=True)
+        ch = ch.inner_join(c, [("o_custkey", "c_custkey")])
+        g = ch.group_by("c_name").aggregate(
+            sales=(ch.l_quantity * ch.l_extendedprice).sum().round(4)
+        )
+        return g.mutate(chan=ib.literal(tag)).select("c_name", "chan", "sales")
+
+    return channel(1, "store").union(channel(0, "catalog")).to_spark()
+
+
+def _ds_wide_multijoin(spark, sf_dir):
+    """DS q64 cross_sales shape (reference ds/64.sql): a wide
+    8-relation join — fact x returns-derived CTE x two dimension
+    chains (customer->nation, supplier->nation) x filtered item dim —
+    grouped into a per-(product, nations, year) report. The cs_ui CTE
+    (items whose sales exceed 2x their refunds) gates the fact scan
+    via a semi join, exactly like the reference's HAVING'd CTE."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+
+    rf = li.mutate(
+        rev=li.l_extendedprice * (1 - li.l_discount),
+        is_r=(li.l_returnflag == "R"),
+    )
+    cs_ui = rf.group_by("l_partkey").aggregate(
+        sale=rf.rev.sum(where=~rf.is_r).round(4),
+        refund=rf.rev.sum(where=rf.is_r).round(4),
+    )
+    cs_ui = cs_ui.filter(
+        cs_ui.refund.notnull(), cs_ui.sale > 2 * cs_ui.refund
+    ).select("l_partkey")
+
+    pd_ = p.filter(p.p_size >= 10, p.p_size <= 20)
+    cn = n.select(c_nationkey="n_nationkey", c_nation="n_name")
+    sn = n.select(s_nationkey="n_nationkey", s_nation="n_name")
+
+    j = li.semi_join(cs_ui, [("l_partkey", "l_partkey")])
+    j = j.inner_join(pd_, [("l_partkey", "p_partkey")], broadcast=True)
+    j = j.inner_join(s, [("l_suppkey", "s_suppkey")], broadcast=True)
+    j = j.inner_join(sn, [("s_nationkey", "s_nationkey")], broadcast=True)
+    j = j.inner_join(o, [("l_orderkey", "o_orderkey")])
+    j = j.inner_join(c, [("o_custkey", "c_custkey")])
+    j = j.inner_join(cn, [("c_nationkey", "c_nationkey")], broadcast=True)
+    j = j.mutate(syear=j.o_orderdate.year())
+    g = j.group_by("p_name", "s_nation", "c_nation", "syear").aggregate(
+        cnt=j.l_orderkey.count(),
+        s1=j.l_quantity.sum().round(2),
+        s2=(j.l_extendedprice * (1 - j.l_discount)).sum().round(4),
+    )
+    return g.select(
+        "p_name", "s_nation", "c_nation", "syear", "cnt", "s1", "s2"
+    ).to_spark()
+
+
+def _ds_sales_growth_pairs(spark, sf_dir):
+    """DS q64 final shape (reference ds/64.sql): the cross_sales CTE
+    self-joined on item across two consecutive years, keeping items
+    whose later-year sale count did not grow (cnt_y2 <= cnt_y1). One
+    aggregate feeds both sides — Spark reuses the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.inner_join(o, [("l_orderkey", "o_orderkey")])
+    j = j.mutate(yr=j.o_orderdate.year())
+    cs = j.group_by("l_partkey", "yr").aggregate(
+        cnt=j.l_orderkey.count(),
+        rev=(j.l_extendedprice * (1 - j.l_discount)).sum().round(4),
+    )
+    y1 = cs.filter(cs.yr == 1996).select("l_partkey", cnt96="cnt", rev96="rev")
+    y2 = cs.filter(cs.yr == 1997).select("l_partkey", cnt97="cnt", rev97="rev")
+    out = y1.inner_join(y2, [("l_partkey", "l_partkey")])
+    out = out.filter(out.cnt97 <= out.cnt96)
+    return out.select(
+        "l_partkey", "cnt96", "rev96", "cnt97", "rev97"
+    ).to_spark()
+
+
 _SAMPLE_WINDOW = [
     "geo_point_roundtrip",
     "geo_distance_filter",
@@ -3175,6 +3370,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 10: polygon slice ----------------------------------
         "geo_polygon_contains": _geo_polygon_contains,
         "geo_polygon_area": _geo_polygon_area,
+        # -- new in round 10: TPC-DS correlated tranche ----------------------
+        "ds_returns_above_avg": _ds_returns_above_avg,
+        "ds_frequent_items": _ds_frequent_items,
+        "ds_best_customers": _ds_best_customers,
+        "ds_cross_channel_best": _ds_cross_channel_best,
+        "ds_wide_multijoin": _ds_wide_multijoin,
+        "ds_sales_growth_pairs": _ds_sales_growth_pairs,
         # -- new in round 9: TPC-DS-derived shapes ---------------------------
         "ds_rollup_report": _ds_rollup_report,
         "ds_rank_over_rollup": _ds_rank_over_rollup,
@@ -3761,6 +3963,119 @@ def oracle_sql() -> dict[str, str]:
                                   4) AS nation_avg FROM per)
             SELECT c_custkey, c_nationkey, total, nation_avg
             FROM w WHERE total > 1.3 * nation_avg
+        """,
+        "ds_returns_above_avg": """
+            WITH ctr AS (
+              SELECT c_custkey, c_nationkey,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+              GROUP BY c_custkey, c_nationkey)
+            SELECT ctr1.c_custkey, n_name, ctr1.total,
+                   (SELECT ROUND(AVG(total), 4) FROM ctr ctr2
+                    WHERE ctr2.c_nationkey = ctr1.c_nationkey) AS avg_ret
+            FROM ctr ctr1 JOIN nation ON ctr1.c_nationkey = n_nationkey
+            WHERE ctr1.total > 1.2 * (SELECT ROUND(AVG(total), 4) FROM ctr ctr2
+                                      WHERE ctr2.c_nationkey = ctr1.c_nationkey)
+              AND n_regionkey <= 1
+        """,
+        "ds_frequent_items": """
+            SELECT SUBSTRING(p_type, 1, 10) AS tdesc, p_brand,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+                   CAST(EXTRACT(month FROM l_shipdate) AS INT) AS mo,
+                   COUNT(*) AS cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2, 3, 4
+            HAVING COUNT(*) > 8
+        """,
+        "ds_best_customers": """
+            WITH per AS (
+              SELECT o_custkey,
+                     ROUND(SUM(l_quantity * l_extendedprice), 4) AS ssales
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_custkey)
+            SELECT o_custkey, ssales FROM per
+            WHERE ssales > 0.5 * (SELECT MAX(ssales) FROM per)
+        """,
+        "ds_cross_channel_best": """
+            WITH per AS (
+              SELECT o_custkey,
+                     ROUND(SUM(l_quantity * l_extendedprice), 4) AS ssales
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_custkey),
+            best AS (
+              SELECT o_custkey FROM per
+              WHERE ssales > 0.5 * (SELECT MAX(ssales) FROM per)),
+            freq AS (
+              SELECT p_brand,
+                     CAST(EXTRACT(month FROM l_shipdate) AS INT) AS mo
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2
+              HAVING COUNT(*) > 80),
+            chan AS (
+              SELECT l_quantity, l_extendedprice, l_linenumber, o_custkey,
+                     p_brand, CAST(EXTRACT(month FROM l_shipdate) AS INT) AS mo
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+                   JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderdate >= '1997-03-01' AND o_orderdate < '1997-04-01'
+                AND o_custkey IN (SELECT o_custkey FROM best)),
+            gated AS (
+              SELECT * FROM chan c
+              WHERE EXISTS (SELECT 1 FROM freq f
+                            WHERE f.p_brand = c.p_brand AND f.mo = c.mo))
+            SELECT c_name, 'store' AS chan,
+                   ROUND(SUM(l_quantity * l_extendedprice), 4) AS sales
+            FROM gated JOIN customer ON o_custkey = c_custkey
+            WHERE l_linenumber % 2 = 1
+            GROUP BY c_name
+            UNION ALL
+            SELECT c_name, 'catalog' AS chan,
+                   ROUND(SUM(l_quantity * l_extendedprice), 4) AS sales
+            FROM gated JOIN customer ON o_custkey = c_custkey
+            WHERE l_linenumber % 2 = 0
+            GROUP BY c_name
+        """,
+        "ds_wide_multijoin": """
+            WITH cs_ui AS (
+              SELECT l_partkey,
+                     ROUND(SUM(CASE WHEN l_returnflag <> 'R'
+                               THEN l_extendedprice * (1 - l_discount) END), 4)
+                       AS sale,
+                     ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                               THEN l_extendedprice * (1 - l_discount) END), 4)
+                       AS refund
+              FROM lineitem GROUP BY l_partkey
+              HAVING refund IS NOT NULL AND sale > 2 * refund)
+            SELECT p_name, sn.n_name AS s_nation, cn.n_name AS c_nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS syear,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(l_quantity), 2) AS s1,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS s2
+            FROM lineitem
+                 JOIN part ON l_partkey = p_partkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation sn ON s_nationkey = sn.n_nationkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE p_size BETWEEN 10 AND 20
+              AND l_partkey IN (SELECT l_partkey FROM cs_ui)
+            GROUP BY 1, 2, 3, 4
+        """,
+        "ds_sales_growth_pairs": """
+            WITH cs AS (
+              SELECT l_partkey,
+                     CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                     COUNT(*) AS cnt,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS rev
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2)
+            SELECT a.l_partkey, a.cnt AS cnt96, a.rev AS rev96,
+                   b.cnt AS cnt97, b.rev AS rev97
+            FROM cs a JOIN cs b ON a.l_partkey = b.l_partkey
+            WHERE a.yr = 1996 AND b.yr = 1997 AND b.cnt <= a.cnt
         """,
         "ds_monthly_vs_avg": """
             WITH m AS (
