@@ -313,7 +313,17 @@ def geo_point(x, y, *, deterministic: bool = False):
     arithmetic bit-encoder (_hex16_expr): fully deterministic and
     bit-identical, at a larger expression tree — avoid composing it
     under a filter over the same computed point (see _wkb_double
-    notes)."""
+    notes).
+
+    Scale guidance (measured, SCALE.md round 10): the arithmetic
+    encoder is ~1.6x faster per point at the margin (~128 vs ~208 ns
+    on local[32]; reflect is CodegenFallback), so prefer
+    ``deterministic=True`` when encoding FROM STORED COLUMNS — there
+    the pushdown-inlining hazard duplicates a cheap scan reference,
+    not an encode tree. The reflect default exists for composition
+    safety (filters over freshly computed points), not speed. Best at
+    scale: encode once into a stored WKB column; decoding is ~280
+    ns/pt with whole-stage codegen and no hazard either way."""
     enc = _hex16_expr if deterministic else _ieee_hex16
     hx, hy = enc(unwrap(x)), enc(unwrap(y))
     return wrap(
