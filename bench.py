@@ -117,6 +117,15 @@ HEADLINE = [
     "ds_time_band_counts",
     "ds_returns_net",
     "ds_cume_channels",
+    # round-10 additions: clustering, polygon slice, DS correlated tranche
+    "geo_cluster",
+    "geo_dbscan",
+    "geo_polygon_contains",
+    "ds_returns_above_avg",
+    "ds_best_customers",
+    "ds_cross_channel_best",
+    "ds_wide_multijoin",
+    "ds_sales_growth_pairs",
 ]
 
 
