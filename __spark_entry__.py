@@ -2092,6 +2092,31 @@ def _sessionize(spark, sf_dir):
     return out.select("event_id", "user_id", "session_id").to_spark()
 
 
+def _sessionize_tws(spark, sf_dir):
+    """Gap-based session AGGREGATION on Spark 4's transformWithState
+    runtime (pipeline.sessionize_tws) — executable here because the
+    vendored protobuf wire codec (ibis_spark/_vendor/pbshim.py) stands
+    in for google.protobuf on the workers; the JVM state server
+    validates every byte with real protobuf-java. Batch input = one
+    giant micro-batch with empty initial state, so the emitted rows are
+    exactly the batch session aggregate the SQL oracle computes."""
+    import datetime
+
+    from ibis_spark import pipeline as pl
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = pl.sessionize_tws(e, "ts", "user_id",
+                            datetime.timedelta(minutes=30))
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events"
+    ).to_spark()
+
+
 def _top_ngrams(spark, sf_dir):
     """Corpus-wide top-k word bigrams (pipeline.top_ngrams): scan +
     explode + ONE count exchange (map-side partial agg) + TakeOrdered."""
@@ -3348,7 +3373,7 @@ _SAMPLE_WINDOW = [
     "interval_range_window",
     "repetition_score",
     "winnow_fingerprint",
-    "pretokenize",
+    "sessionize_tws",
     "q1",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -3441,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _top_ngrams,
         "tfidf": _tfidf,
         "sessionize": _sessionize,
+        "sessionize_tws": _sessionize_tws,
         "quality_score": _quality_score,
         "ann_ivf_topk": _ann_ivf_topk,
         "array_named_reductions": _array_named_reductions,
@@ -5859,6 +5885,26 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY c_acctbal DESC, c_custkey) AS rn
               FROM customer)
             WHERE rn <= 5
+        """,
+        "sessionize_tws": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts) IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts)) > 1800.0
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sid
+              FROM marked)
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "sessionize": """
             SELECT event_id, user_id,

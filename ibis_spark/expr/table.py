@@ -1684,22 +1684,18 @@ class Table(CoreExpr):
           ``RpcEndpointNotFoundException: StateStoreCoordinator``).
 
         The Python worker's state client speaks protobuf to the JVM
-        state server (``pyspark/sql/streaming/proto/StateMessage_pb2``),
-        so the ``protobuf`` package must be importable on workers; this
-        container does not ship it, so the call raises
-        ``NotImplementedError`` here — the recipe itself is the
-        documented, forward-looking path (SURVEY §2.16).
+        state server (``pyspark/sql/streaming/proto/StateMessage_pb2``).
+        When the ``google.protobuf`` runtime is missing (as in this
+        container), the vendored pure-Python wire codec
+        (:mod:`ibis_spark._vendor.pbshim`) stands in for the generated
+        module: the processor is wrapped so worker unpickling installs
+        the shim before the state client's first proto import, and the
+        JVM side keeps validating every byte with real protobuf-java
+        (r10; the r9 NotImplementedError gate is retired).
         """
-        try:
-            from google.protobuf import descriptor  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "transformWithState needs the protobuf package (the "
-                "Python state client speaks protobuf to the JVM state "
-                "server); it is not installed in this environment. Use "
-                "Table.map_groups_with_state (applyInPandasWithState) "
-                "instead."
-            ) from e
+        from ibis_spark._vendor.tws import ShimProcessor
+
+        processor = ShimProcessor(processor)
         spark = self._df.sparkSession
         provider = spark.conf.get(
             "spark.sql.streaming.stateStore.providerClass", ""

@@ -3548,14 +3548,19 @@ def sessionize_tws(
     still-open session is also emitted each time it grows, so under
     ``Update`` output mode a sink keyed on ``(by, session_start)``
     converges to exactly the batch answer — the batch-equivalence
-    contract tested in tests/test_streaming.py (executable wherever the
-    protobuf package is present; this container gates it with
-    ``NotImplementedError``, see Table.transform_with_state).
+    contract tested end-to-end in tests/test_streaming.py (r10: the
+    vendored wire codec ibis_spark/_vendor/pbshim.py stands in for
+    google.protobuf on workers, so this executes even in this
+    container; see Table.transform_with_state).
 
     Batch-mode equivalence: on a non-streaming input Spark runs the
     whole table as one micro-batch with empty initial state, so the
     emitted closed sessions + final open session per key are EXACTLY
     ``sessionize(t).group_by(by, session_id).aggregate(min/max/count)``.
+
+    Serializer pitfall (r10): the TWS arrow serializer renames columns
+    whose names are dunder-style (``__ts__`` arrived in pandas as the
+    positional ``_2``) — internal columns here use a plain name.
     """
     import datetime as _dt
 
@@ -3567,12 +3572,12 @@ def sessionize_tws(
     gap_v = float(gap.total_seconds()) if temporal else float(gap)
     df = t.df
     if temporal:
-        df = df.withColumn("__ts__", F.col(ts_col).cast("timestamp").cast("double"))
+        df = df.withColumn("ts_walk_internal", F.col(ts_col).cast("timestamp").cast("double"))
     else:
-        df = df.withColumn("__ts__", F.col(ts_col).cast("double"))
+        df = df.withColumn("ts_walk_internal", F.col(ts_col).cast("double"))
     # NULL timestamps would reach pandas as NaN, sort last, and silently
     # fold into (or seed) the open session — drop them up front
-    df = df.filter(F.col("__ts__").isNotNull())
+    df = df.filter(F.col("ts_walk_internal").isNotNull())
     by_type = t.df.schema[by].dataType.simpleString()
 
     class _SessionProcessor(StatefulProcessor):
@@ -3583,7 +3588,7 @@ def sessionize_tws(
 
         def handleInputRows(self, key, rows, timer_values):
             cur = list(self._open.get()) if self._open.exists() else None
-            ts_all = [pdf["__ts__"] for pdf in rows]
+            ts_all = [pdf["ts_walk_internal"] for pdf in rows]
             ts = (
                 pd.concat(ts_all).sort_values(kind="mergesort")
                 if ts_all

@@ -406,15 +406,6 @@ def test_streaming_incremental_hll_sketch_maintenance(spark, stream_dir, tmp_pat
     assert sk.count() <= raw.count()
 
 
-def _have_protobuf():
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def test_session_walk_matches_batch_sessionize(spark):
     """The transformWithState sessionizer's core (_session_walk) agrees
     with the batch sessionize aggregate EXACTLY — both on a single pass
@@ -468,25 +459,25 @@ def test_session_walk_matches_batch_sessionize(spark):
         assert walked == batch, f"chunks={chunks}"
 
 
-def test_transform_with_state_gate_or_runs(spark, tmp_path):
-    """transformWithState (Spark 4 successor to applyInPandasWithState):
-    without the protobuf package the engine gates with a clean
-    NotImplementedError; where protobuf exists, batch-mode sessionize_tws
-    must equal the batch sessionize aggregate (one giant micro-batch,
-    empty initial state)."""
+def test_transform_with_state_batch_equivalence(spark):
+    """transformWithState (Spark 4 successor to applyInPandasWithState)
+    executes END-TO-END: with google.protobuf absent, the vendored wire
+    codec (ibis_spark._vendor.pbshim) stands in for the generated state
+    client module, and the JVM state server validates every byte with
+    real protobuf-java. Batch-mode sessionize_tws must equal the batch
+    sessionize aggregate (one giant micro-batch, empty initial state) —
+    sessions span multiple value-state get/update cycles per key."""
     import ibis_spark as ib
     from ibis_spark import pipeline as pl
 
     con = ib.connect(spark)
-    rows = [(1, 0.0), (1, 3.0), (1, 50.0), (2, 7.0)]
+    rows = [
+        (1, 0.0), (1, 3.0), (1, 50.0), (1, 55.0), (1, 200.0),
+        (2, 7.0), (2, 100.0),
+        (3, 1.0),
+    ]
     t = con.memtable(rows, schema={"uid": "int64", "ts": "float64"})
 
-    if not _have_protobuf():
-        with pytest.raises(NotImplementedError, match="protobuf"):
-            pl.sessionize_tws(t, "ts", "uid", 10.0).df.collect()
-        return
-
-    # pragma: no cover in this container - requires protobuf
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -512,3 +503,20 @@ def test_transform_with_state_gate_or_runs(spark, tmp_path):
     finally:
         if old:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_requires_rocksdb(spark):
+    """The provider guard raises a clear error instead of Spark's opaque
+    one when the HDFS-backed default provider is active."""
+    import ibis_spark as ib
+    from ibis_spark import pipeline as pl
+
+    con = ib.connect(spark)
+    t = con.memtable([(1, 0.0)], schema={"uid": "int64", "ts": "float64"})
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    if "RocksDB" in (old or ""):
+        pytest.skip("RocksDB provider already configured")
+    with pytest.raises(ValueError, match="RocksDB"):
+        pl.sessionize_tws(t, "ts", "uid", 10.0)
