@@ -262,6 +262,15 @@ def _minhash_verified_edges(
     carry = [F.col(id_col), sig.alias("__sig__")]
     if verify == "exact":
         carry.append(shingles(F.col(text_col), shingle_size).spark().alias("__sh__"))
+    # sig_df has THREE consumers (band bucketing + both sides of the
+    # verification join); each re-derives only its PRUNED columns from
+    # the shared repartition exchange — the signature fold runs once,
+    # the two verification sides rebuild just the shingle arrays
+    # (~0.55 s each at sf1 vs 4.9 s for the fold). An r10 experiment
+    # materialized (id, sig, shingles) here with localCheckpoint
+    # instead: the eager serialization of the shingle arrays made the
+    # edge stage 40% SLOWER at sf1 (11.6 s -> 16.7 s) — recompute over
+    # the exchange beats materializing wide array columns.
     sig_df = df.repartition(n_part, F.col(id_col)).select(*carry)
     exploded = sig_df.select(
         id_col,
