@@ -121,6 +121,12 @@ HEADLINE = [
     "geo_cluster",
     "geo_dbscan",
     "geo_polygon_contains",
+    # round-10 linestring slice: the two row-scaling entries (the
+    # 25-row dim entries — triangle_report, envelope_box — and the
+    # expression-build-bound intersects_pt_poly stay correctness-only,
+    # same posture as geo_polygon_area)
+    "geo_line_metrics",
+    "geo_segment_cross",
     "ds_returns_above_avg",
     "ds_best_customers",
     "ds_cross_channel_best",

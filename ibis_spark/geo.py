@@ -52,6 +52,25 @@ __all__ = [
     "geo_area",
     "geo_within_join",
     "geo_cluster",
+    "geo_linestring",
+    "geo_length",
+    "geo_perimeter",
+    "geo_geometry_type",
+    "geo_n_points",
+    "geo_n_rings",
+    "geo_bbox",
+    "geo_x_min",
+    "geo_x_max",
+    "geo_y_min",
+    "geo_y_max",
+    "geo_envelope",
+    "geo_start_point",
+    "geo_end_point",
+    "geo_point_n",
+    "geo_centroid",
+    "geo_flip_coordinates",
+    "geo_azimuth",
+    "geo_intersects",
 ]
 
 
@@ -933,8 +952,22 @@ def geo_cluster(
             nodes=nodes_t,
             node_col=id_col,
         )
-    # DBSCAN: neighbor counts from the SAME pair set (it includes the
-    # (a,a) self-pair, so the count is the closed neighborhood)
+    # DBSCAN: the pair set is consumed THREE times below (neighbor
+    # counts, core-core edges, border attach) — materialize it once
+    # with localCheckpoint instead of recomputing the grid self-join
+    # (decode + 9x replication + join) per consumer.  The checkpoint
+    # payload is two id columns, so unlike the dedup_clusters sig_df
+    # experiment (wide shingle arrays, where materialization cost MORE
+    # than recompute — see pipeline.py) this trade is narrow-data vs
+    # three wide joins.  Measured at sf0.1 blobs (host-noise-free
+    # framing: relative to geo_cluster min_pts=1, which shares the
+    # grid join + pointer CC but consumes pairs once): geo_dbscan cost
+    # 2.35x geo_cluster before, 1.08x after — the two recomputes are
+    # gone.  See SCALE.md round 10.
+    pairs = pairs.localCheckpoint()
+    edges = pairs.filter(F.col(id_col) < F.col(rid))
+    # neighbor counts from the SAME pair set (it includes the (a,a)
+    # self-pair, so the count is the closed neighborhood)
     ncount = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
     cores = ncount.filter(F.col("__n__") >= F.lit(int(min_pts))).select(
         F.col(id_col).alias("__core__")
@@ -971,3 +1004,887 @@ def geo_cluster(
         F.col(id_col)
     ).distinct()
     return Table(all_ids.join(attach, on=id_col, how="left"))
+
+
+# -- pure-Spark WKB LINESTRING + measures slice (round 10) -------------------
+#
+# Reference semantics: GeoLength / GeoPerimeter / GeoNPoints / GeoNRings /
+# GeoXMin..GeoYMax / GeoEnvelope / GeoStartPoint / GeoEndPoint / GeoPointN /
+# GeoGeometryType / GeoCentroid / GeoFlipCoordinates / GeoAzimuth /
+# GeoIntersects (ibis/expr/operations/geospatial.py:92-497).  Same
+# discipline as the polygon slice: LE WKB only, exact IEEE codec domain,
+# let-bound byte walks, scan-only plans, degrade-to-NULL on foreign bytes.
+
+_LINE_HDR = bytes.fromhex("0102000000")
+_PT_HDR = bytes.fromhex("0101000000")
+
+
+def _is_pt(u):
+    return F.substring(u, 1, 5) == F.lit(_PT_HDR)
+
+
+def _is_line(u):
+    return F.substring(u, 1, 5) == F.lit(_LINE_HDR)
+
+
+def _is_poly(u):
+    return F.substring(u, 1, 5) == F.lit(_POLY_HDR)
+
+
+def geo_linestring(xs, ys):
+    """WKB LINESTRING (little-endian, geometry type 2) from two
+    ARRAY<DOUBLE> coordinate columns — the linestring sibling of
+    geo_polygon (reference LineString inputs to GeoLength/GeoStartPoint,
+    geospatial.py:283-345).
+
+    NULL when either array is NULL, sizes mismatch, fewer than 2
+    vertices, or any coordinate is outside the exact codec domain
+    (NaN/Inf/denormal/|x| > 2**61) — same contract as geo_polygon.
+    Vertices are encoded with the deterministic arithmetic bit-encoder
+    (bit-identical to geo_point) inside the zip_with lambda."""
+    ux, uy = unwrap(xs), unwrap(ys)
+
+    def build(rr):
+        rx, ry = rr["rx"], rr["ry"]
+        n = F.size(rx)
+        vhex = F.zip_with(
+            rx,
+            ry,
+            lambda a, b: F.concat(
+                _le_hex(_hex16_expr(a)), _le_hex(_hex16_expr(b))
+            ),
+        )
+        # aggregate-concat (NULL-propagating), never array_join — see
+        # _ring_hex for why
+        body = F.aggregate(vhex, F.lit(""), lambda acc, v: F.concat(acc, v))
+        ok = rx.isNotNull() & ry.isNotNull() & (n == F.size(ry)) & (n >= 2)
+        hx = F.concat(
+            F.lit("0102000000"), _le_hex32(n.cast("bigint")), body
+        )
+        return F.when(ok, F.unhex(hx)).otherwise(F.lit(None).cast("binary"))
+
+    return wrap(_let(F.struct(ux.alias("rx"), uy.alias("ry")), build))
+
+
+def _edge_len(u, base, ei):
+    """sqrt edge length of the 32-byte vertex pair starting at 1-based
+    byte ``base + 16*ei`` (sqrt is correctly rounded, so the value is
+    deterministic given the stored bits)."""
+    return _let(
+        F.hex(F.substring(u, (base + 16 * ei).cast("int"), 32)),
+        lambda h: _let(
+            F.struct(
+                (_hexle_double(h, 32) - _hexle_double(h, 0)).alias("dx"),
+                (_hexle_double(h, 48) - _hexle_double(h, 16)).alias("dy"),
+            ),
+            lambda d: F.sqrt(d["dx"] * d["dx"] + d["dy"] * d["dy"]),
+        ),
+    )
+
+
+def geo_length(g):
+    """Length of a WKB LINESTRING (sum of segment lengths) — reference
+    GeoLength, PostGIS ST_Length semantics: 0.0 for points and
+    polygons (their length is defined as zero), NULL on foreign/BE
+    bytes.  Left-to-right summation order, so equal-input oracle
+    parity is bit-robust."""
+    u = unwrap(g)
+    npts = _le_uint32(u, 6)
+    total = F.aggregate(
+        _seq0(npts - 1),
+        F.lit(0.0),
+        lambda s, ei: s + _edge_len(u, F.lit(10).cast("bigint"), ei),
+    )
+    return wrap(
+        F.when(_is_line(u), total)
+        .when(_is_pt(u) | _is_poly(u), F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def geo_perimeter(g):
+    """Perimeter of a WKB POLYGON — reference GeoPerimeter, PostGIS
+    ST_Perimeter semantics: the total boundary length INCLUDING every
+    interior ring (holes add to the perimeter), 0.0 for points and
+    linestrings, NULL on foreign bytes.  Same let-bound
+    ring-directory walk as geo_area."""
+    u = unwrap(g)
+
+    def ring_step(racc, ri):
+        off = racc["off"]
+        return _let(
+            _le_uint32(u, off),
+            lambda npts: F.struct(
+                (off + 4 + 16 * npts).alias("off"),
+                (
+                    racc["tot"]
+                    + F.aggregate(
+                        _seq0(npts - 1),
+                        F.lit(0.0),
+                        lambda s, ei: s + _edge_len(u, off + 4, ei),
+                    )
+                ).alias("tot"),
+            ),
+        )
+
+    init = F.struct(
+        F.lit(10).cast("bigint").alias("off"), F.lit(0.0).alias("tot")
+    )
+    res = F.aggregate(_seq0(_le_uint32(u, 6)), init, ring_step)
+    return wrap(
+        F.when(_is_poly(u), res["tot"])
+        .when(_is_pt(u) | _is_line(u), F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def geo_geometry_type(g):
+    """Geometry type name of LE WKB — reference GeoGeometryType.
+    Returns 'POINT' / 'LINESTRING' / 'POLYGON' (the DuckDB-spatial
+    spelling; PostGIS prefixes 'ST_'), NULL for foreign/BE bytes or
+    types outside the pure-Spark slice."""
+    u = unwrap(g)
+    return wrap(
+        F.when(_is_pt(u), F.lit("POINT"))
+        .when(_is_line(u), F.lit("LINESTRING"))
+        .when(_is_poly(u), F.lit("POLYGON"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def geo_n_points(g):
+    """Number of vertices in a WKB geometry — reference GeoNPoints
+    (PostGIS ST_NPoints): 1 for a point, the vertex count for a
+    linestring, the SUM of all ring vertex counts (closing vertices
+    included, as PostGIS counts them) for a polygon."""
+    u = unwrap(g)
+
+    def ring_step(racc, ri):
+        off = racc["off"]
+        return _let(
+            _le_uint32(u, off),
+            lambda npts: F.struct(
+                (off + 4 + 16 * npts).alias("off"),
+                (racc["tot"] + npts).alias("tot"),
+            ),
+        )
+
+    init = F.struct(
+        F.lit(10).cast("bigint").alias("off"),
+        F.lit(0).cast("bigint").alias("tot"),
+    )
+    poly_n = F.aggregate(_seq0(_le_uint32(u, 6)), init, ring_step)["tot"]
+    return wrap(
+        F.when(_is_pt(u), F.lit(1).cast("bigint"))
+        .when(_is_line(u), _le_uint32(u, 6))
+        .when(_is_poly(u), poly_n)
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+
+
+def geo_n_rings(g):
+    """Number of rings of a WKB polygon (outer ring counted, so a
+    holed diamond reports 2) — reference GeoNRings.  0 for points and
+    linestrings, NULL on foreign bytes."""
+    u = unwrap(g)
+    return wrap(
+        F.when(_is_poly(u), _le_uint32(u, 6))
+        .when(_is_pt(u) | _is_line(u), F.lit(0).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+
+
+def _bbox_struct(u):
+    """STRUCT(xmin, xmax, ymin, ymax) of a LE WKB point / linestring /
+    polygon — one vertex walk, shared by the four extreme accessors and
+    geo_envelope.  least/greatest skip NULL accumulator seeds, so the
+    first vertex initializes all four extremes.  NULL struct fields on
+    foreign bytes or out-of-domain coordinates."""
+
+    def fold_run(base, n, acc0):
+        # fold vertices [0, n) at 1-based byte base + 16*i into acc0
+        def vstep(a, vi):
+            return _let(
+                F.hex(F.substring(u, (base + 16 * vi).cast("int"), 16)),
+                lambda h: _let(
+                    F.struct(
+                        _hexle_double(h, 0).alias("x"),
+                        _hexle_double(h, 16).alias("y"),
+                    ),
+                    lambda v: F.struct(
+                        F.least(a["xmin"], v["x"]).alias("xmin"),
+                        F.greatest(a["xmax"], v["x"]).alias("xmax"),
+                        F.least(a["ymin"], v["y"]).alias("ymin"),
+                        F.greatest(a["ymax"], v["y"]).alias("ymax"),
+                    ),
+                ),
+            )
+
+        return F.aggregate(_seq0(n), acc0, vstep)
+
+    nulld = F.lit(None).cast("double")
+    empty = F.struct(
+        nulld.alias("xmin"),
+        nulld.alias("xmax"),
+        nulld.alias("ymin"),
+        nulld.alias("ymax"),
+    )
+
+    # point: both extremes are the coordinate itself
+    px, py = _pt_double(u, 6), _pt_double(u, 14)
+    pt_box = F.struct(
+        px.alias("xmin"), px.alias("xmax"), py.alias("ymin"), py.alias("ymax")
+    )
+    # linestring: one run at byte 10
+    line_box = fold_run(F.lit(10).cast("bigint"), _le_uint32(u, 6), empty)
+
+    # polygon: ring-directory walk, extremes carried in the accumulator
+    def ring_step(racc, ri):
+        off = racc["off"]
+        return _let(
+            _le_uint32(u, off),
+            lambda npts: _let(
+                fold_run(
+                    off + 4,
+                    npts,
+                    F.struct(
+                        racc["xmin"].alias("xmin"),
+                        racc["xmax"].alias("xmax"),
+                        racc["ymin"].alias("ymin"),
+                        racc["ymax"].alias("ymax"),
+                    ),
+                ),
+                lambda b: F.struct(
+                    (off + 4 + 16 * npts).alias("off"),
+                    b["xmin"].alias("xmin"),
+                    b["xmax"].alias("xmax"),
+                    b["ymin"].alias("ymin"),
+                    b["ymax"].alias("ymax"),
+                ),
+            ),
+        )
+
+    poly0 = F.struct(
+        F.lit(10).cast("bigint").alias("off"),
+        nulld.alias("xmin"),
+        nulld.alias("xmax"),
+        nulld.alias("ymin"),
+        nulld.alias("ymax"),
+    )
+    pb = F.aggregate(_seq0(_le_uint32(u, 6)), poly0, ring_step)
+    poly_box = F.struct(
+        pb["xmin"].alias("xmin"),
+        pb["xmax"].alias("xmax"),
+        pb["ymin"].alias("ymin"),
+        pb["ymax"].alias("ymax"),
+    )
+    return (
+        F.when(_is_pt(u), pt_box)
+        .when(_is_line(u), line_box)
+        .when(_is_poly(u), poly_box)
+        .otherwise(empty)
+    )
+
+
+def geo_bbox(g):
+    """All four bbox extremes of a WKB geometry in ONE vertex walk, as
+    STRUCT<xmin, xmax, ymin, ymax> — the Box2D-style companion to the
+    scalar GeoXMin..GeoYMax accessors (which each re-walk the bytes;
+    when a query needs several extremes, one geo_bbox + field reads
+    builds a ~4x smaller expression tree and decodes each vertex
+    once)."""
+    return wrap(_bbox_struct(unwrap(g)))
+
+
+def geo_x_min(g):
+    """Minimum X over all vertices — reference GeoXMin."""
+    return wrap(_bbox_struct(unwrap(g))["xmin"])
+
+
+def geo_x_max(g):
+    """Maximum X over all vertices — reference GeoXMax."""
+    return wrap(_bbox_struct(unwrap(g))["xmax"])
+
+
+def geo_y_min(g):
+    """Minimum Y over all vertices — reference GeoYMin."""
+    return wrap(_bbox_struct(unwrap(g))["ymin"])
+
+
+def geo_y_max(g):
+    """Maximum Y over all vertices — reference GeoYMax."""
+    return wrap(_bbox_struct(unwrap(g))["ymax"])
+
+
+def geo_envelope(g):
+    """Bounding box of a WKB geometry as a geometry — reference
+    GeoEnvelope, PostGIS ST_Envelope semantics: a POINT for point
+    input (or a fully degenerate box), a 2-vertex LINESTRING when the
+    box is a horizontal or vertical segment, else the 5-vertex
+    rectangle POLYGON (xmin ymin → xmax ymin → xmax ymax → xmin ymax,
+    closed).  Corner bytes are produced by the deterministic arithmetic
+    encoder, so an envelope of exact-codec-domain input round-trips
+    bit-exactly.  NULL on foreign bytes."""
+    u = unwrap(g)
+
+    def build(b):
+        xmin, xmax, ymin, ymax = b["xmin"], b["xmax"], b["ymin"], b["ymax"]
+
+        def vx(a, c):
+            return F.concat(_le_hex(_hex16_expr(a)), _le_hex(_hex16_expr(c)))
+
+        pt = F.unhex(F.concat(F.lit("0101000000"), vx(xmin, ymin)))
+        line = F.unhex(
+            F.concat(
+                F.lit("0102000000"),
+                _le_hex32(F.lit(2).cast("bigint")),
+                vx(xmin, ymin),
+                vx(xmax, ymax),
+            )
+        )
+        poly = F.unhex(
+            F.concat(
+                F.lit("0103000000"),
+                _le_hex32(F.lit(1).cast("bigint")),
+                _le_hex32(F.lit(5).cast("bigint")),
+                vx(xmin, ymin),
+                vx(xmax, ymin),
+                vx(xmax, ymax),
+                vx(xmin, ymax),
+                vx(xmin, ymin),
+            )
+        )
+        return (
+            F.when(xmin.isNull() | ymin.isNull(), F.lit(None).cast("binary"))
+            .when((xmin == xmax) & (ymin == ymax), pt)
+            .when((xmin == xmax) | (ymin == ymax), line)
+            .otherwise(poly)
+        )
+
+    return wrap(_let(_bbox_struct(u), build))
+
+
+def _vertex_point(u, base, vi):
+    """Slice vertex ``vi`` of the run at 1-based byte ``base`` out of
+    the source WKB as a standalone WKB POINT — a 16-byte substring
+    under a point header, NO codec round-trip, so the emitted bytes
+    are the source's bytes verbatim."""
+    return F.concat(
+        F.lit(_PT_HDR), F.substring(u, (base + 16 * vi).cast("int"), 16)
+    )
+
+
+def geo_start_point(g):
+    """First point of a LINESTRING as a WKB POINT — reference
+    GeoStartPoint; NULL if the input is not a linestring (the
+    reference's documented contract).  The vertex bytes are sliced
+    straight out of the source WKB (bit-exact, no codec)."""
+    u = unwrap(g)
+    return wrap(
+        F.when(
+            _is_line(u) & (_le_uint32(u, 6) >= 1),
+            _vertex_point(u, F.lit(10).cast("bigint"), F.lit(0).cast("bigint")),
+        ).otherwise(F.lit(None).cast("binary"))
+    )
+
+
+def geo_end_point(g):
+    """Last point of a LINESTRING as a WKB POINT — reference
+    GeoEndPoint; NULL for non-linestrings.  Sliced, not re-encoded."""
+    u = unwrap(g)
+    return wrap(
+        _let(
+            _le_uint32(u, 6),
+            lambda n: F.when(
+                _is_line(u) & (n >= 1),
+                _vertex_point(u, F.lit(10).cast("bigint"), n - 1),
+            ).otherwise(F.lit(None).cast("binary")),
+        )
+    )
+
+
+def geo_point_n(g, n):
+    """Nth point of a LINESTRING as a WKB POINT — reference GeoPointN:
+    1-based from the start, NEGATIVE indices count back from the end
+    (-1 is the last point, per the reference docstring); NULL for
+    non-linestrings, 0, or out-of-range indices.  Sliced, not
+    re-encoded."""
+    u = unwrap(g)
+    nn = unwrap(n).cast("bigint")
+
+    def pick(s):
+        cnt, vi = s["cnt"], s["vi"]
+        ok = _is_line(u) & (vi >= 0) & (vi < cnt)
+        return F.when(
+            ok, _vertex_point(u, F.lit(10).cast("bigint"), vi)
+        ).otherwise(F.lit(None).cast("binary"))
+
+    return wrap(
+        _let(
+            _le_uint32(u, 6),
+            lambda cnt: _let(
+                F.struct(
+                    cnt.alias("cnt"),
+                    F.when(nn > 0, nn - 1)
+                    .when(nn < 0, cnt + nn)
+                    .otherwise(F.lit(None).cast("bigint"))
+                    .alias("vi"),
+                ),
+                pick,
+            ),
+        )
+    )
+
+
+def geo_centroid(g):
+    """Geometric center of a WKB geometry as a WKB POINT — reference
+    GeoCentroid, PostGIS semantics per dimension: a point is its own
+    centroid (bytes copied verbatim); a linestring's centroid is the
+    length-weighted mean of its segment midpoints (degenerate
+    zero-length linestrings fall back to the first vertex, as PostGIS
+    collapses them to a point); a polygon's centroid is the
+    area-weighted shoelace centroid with holes SUBTRACTED —
+    winding-insensitive (each ring's signed shoelace sums are
+    normalized by their own sign, same posture as geo_area), NULL if
+    the total area is zero.  NULL on foreign bytes.
+
+    The polygon math: per ring, signed 2A = sum(x1*y2 - x2*y1) and the
+    raw moments sx = sum((x1+x2)*(x1*y2-x2*y1)), sy likewise; the ring
+    contributes (|2A|/2, sign(2A)*sx/6, sign(2A)*sy/6) with holes
+    (every ring after the first) negated; centroid = total moment /
+    total area.  All products are exact for integer-valued coordinates,
+    so oracle parity is bit-robust wherever the inputs are."""
+    u = unwrap(g)
+
+    # ---- linestring branch: length-weighted segment midpoints ----
+    def line_step(acc, ei):
+        return _let(
+            F.hex(F.substring(u, (F.lit(10) + 16 * ei).cast("int"), 32)),
+            lambda h: _let(
+                F.struct(
+                    _hexle_double(h, 0).alias("x1"),
+                    _hexle_double(h, 16).alias("y1"),
+                    _hexle_double(h, 32).alias("x2"),
+                    _hexle_double(h, 48).alias("y2"),
+                ),
+                lambda v: _let(
+                    F.sqrt(
+                        (v["x2"] - v["x1"]) * (v["x2"] - v["x1"])
+                        + (v["y2"] - v["y1"]) * (v["y2"] - v["y1"])
+                    ),
+                    lambda ln: F.struct(
+                        (acc["l"] + ln).alias("l"),
+                        (
+                            acc["mx"] + ln * (v["x1"] + v["x2"]) / F.lit(2.0)
+                        ).alias("mx"),
+                        (
+                            acc["my"] + ln * (v["y1"] + v["y2"]) / F.lit(2.0)
+                        ).alias("my"),
+                    ),
+                ),
+            ),
+        )
+
+    line0 = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("mx"), F.lit(0.0).alias("my")
+    )
+    lres = F.aggregate(_seq0(_le_uint32(u, 6) - 1), line0, line_step)
+
+    # ---- polygon branch: shoelace centroid, holes subtract ----
+    def poly_edge(acc, ei, off):
+        return _let(
+            F.hex(F.substring(u, (off + 4 + 16 * ei).cast("int"), 32)),
+            lambda h: _let(
+                F.struct(
+                    _hexle_double(h, 0).alias("x1"),
+                    _hexle_double(h, 16).alias("y1"),
+                    _hexle_double(h, 32).alias("x2"),
+                    _hexle_double(h, 48).alias("y2"),
+                ),
+                lambda v: _let(
+                    v["x1"] * v["y2"] - v["x2"] * v["y1"],
+                    lambda cr: F.struct(
+                        (acc["sh"] + cr).alias("sh"),
+                        (acc["sx"] + (v["x1"] + v["x2"]) * cr).alias("sx"),
+                        (acc["sy"] + (v["y1"] + v["y2"]) * cr).alias("sy"),
+                    ),
+                ),
+            ),
+        )
+
+    def ring_step(racc, ri):
+        off = racc["off"]
+
+        def with_ring(npts, r):
+            sgn = F.signum(r["sh"])
+            w = F.abs(r["sh"]) / F.lit(2.0)
+            mx = sgn * r["sx"] / F.lit(6.0)
+            my = sgn * r["sy"] / F.lit(6.0)
+            hole = racc["idx"] > 0
+            return F.struct(
+                (off + 4 + 16 * npts).alias("off"),
+                (racc["idx"] + F.lit(1).cast("bigint")).alias("idx"),
+                (
+                    racc["a"] + F.when(hole, -w).otherwise(w)
+                ).alias("a"),
+                (
+                    racc["mx"] + F.when(hole, -mx).otherwise(mx)
+                ).alias("mx"),
+                (
+                    racc["my"] + F.when(hole, -my).otherwise(my)
+                ).alias("my"),
+            )
+
+        ring0 = F.struct(
+            F.lit(0.0).alias("sh"),
+            F.lit(0.0).alias("sx"),
+            F.lit(0.0).alias("sy"),
+        )
+        return _let(
+            _le_uint32(u, off),
+            lambda npts: _let(
+                F.aggregate(
+                    _seq0(npts - 1),
+                    ring0,
+                    lambda a, ei: poly_edge(a, ei, off),
+                ),
+                lambda r: with_ring(npts, r),
+            ),
+        )
+
+    poly0 = F.struct(
+        F.lit(10).cast("bigint").alias("off"),
+        F.lit(0).cast("bigint").alias("idx"),
+        F.lit(0.0).alias("a"),
+        F.lit(0.0).alias("mx"),
+        F.lit(0.0).alias("my"),
+    )
+    pres = F.aggregate(_seq0(_le_uint32(u, 6)), poly0, ring_step)
+
+    # The fold results (lres/pres) and the derived (cx, cy) pair are
+    # BOTH let-bound before the point emit: _hex16_expr references its
+    # input ~8 times and each coordinate references the fold twice, so
+    # the naive spelling duplicated the whole ring-walk aggregate ~32x
+    # in the UNRESOLVED tree — the analyzer's lambda resolution then
+    # deep-compares those copies quadratically (measured: minutes of
+    # analysis for a 25-row input; let-bound: sub-second).
+    def emit(c):
+        return F.unhex(
+            F.concat(
+                F.lit("0101000000"),
+                _le_hex(_hex16_expr(c["cx"])),
+                _le_hex(_hex16_expr(c["cy"])),
+            )
+        )
+
+    line_pt = _let(
+        lres,
+        lambda lr: _let(
+            F.struct(
+                F.when(lr["l"] > 0, lr["mx"] / lr["l"])
+                .otherwise(_wkb_double(u, 10))
+                .alias("cx"),
+                F.when(lr["l"] > 0, lr["my"] / lr["l"])
+                .otherwise(_wkb_double(u, 18))
+                .alias("cy"),
+            ),
+            emit,
+        ),
+    )
+    poly_pt = _let(
+        pres,
+        lambda pr: _let(
+            F.struct(
+                F.when(pr["a"] != 0.0, pr["mx"] / pr["a"])
+                .otherwise(F.lit(None).cast("double"))
+                .alias("cx"),
+                F.when(pr["a"] != 0.0, pr["my"] / pr["a"])
+                .otherwise(F.lit(None).cast("double"))
+                .alias("cy"),
+            ),
+            emit,
+        ),
+    )
+
+    return wrap(
+        F.when(_is_pt(u), u)
+        .when(_is_line(u), line_pt)
+        .when(_is_poly(u), poly_pt)
+        .otherwise(F.lit(None).cast("binary"))
+    )
+
+
+def geo_flip_coordinates(g):
+    """Swap X and Y of every vertex — reference GeoFlipCoordinates.
+    Pure byte SHUFFLE: each vertex's two 8-byte runs are swapped by
+    substring/concat (no codec, so out-of-codec-domain doubles — which
+    the constructors can't produce but foreign LE WKB could carry —
+    survive bit-exactly).  NULL on non-LE/unknown geometry types."""
+    u = unwrap(g)
+
+    def swapped_run(base, n, acc0):
+        return F.aggregate(
+            _seq0(n),
+            acc0,
+            lambda acc, vi: _let(
+                (base + 16 * vi).cast("int"),
+                lambda p: F.concat(
+                    acc, F.substring(u, p + 8, 8), F.substring(u, p, 8)
+                ),
+            ),
+        )
+
+    pt = F.concat(
+        F.lit(_PT_HDR), F.substring(u, 14, 8), F.substring(u, 6, 8)
+    )
+    line = swapped_run(
+        F.lit(10).cast("bigint"), _le_uint32(u, 6), F.substring(u, 1, 9)
+    )
+
+    def ring_step(racc, ri):
+        off = racc["off"]
+        return _let(
+            _le_uint32(u, off),
+            lambda npts: F.struct(
+                (off + 4 + 16 * npts).alias("off"),
+                swapped_run(
+                    off + 4,
+                    npts,
+                    F.concat(racc["out"], F.substring(u, off.cast("int"), 4)),
+                ).alias("out"),
+            ),
+        )
+
+    poly0 = F.struct(
+        F.lit(10).cast("bigint").alias("off"),
+        F.substring(u, 1, 9).alias("out"),
+    )
+    poly = F.aggregate(_seq0(_le_uint32(u, 6)), poly0, ring_step)["out"]
+    return wrap(
+        F.when(_is_pt(u), pt)
+        .when(_is_line(u), line)
+        .when(_is_poly(u), poly)
+        .otherwise(F.lit(None).cast("binary"))
+    )
+
+
+def geo_azimuth(a, b):
+    """Azimuth from point ``a`` to point ``b`` in radians, clockwise
+    from NORTH in [0, 2*pi) — reference GeoAzimuth (PostGIS
+    ST_Azimuth): atan2(dx, dy) folded into the north-clockwise range.
+    NULL when the points coincide (PostGIS contract) or either input
+    is not a LE WKB point.  Cardinal and half-cardinal directions are
+    deterministic across engines (atan2 of one zero argument returns
+    exact multiples of the machine pi/2); general angles carry the
+    usual last-ulp libm caveat."""
+    ua, ub = unwrap(a), unwrap(b)
+    import math
+
+    def build(v):
+        dx, dy = v["bx"] - v["ax"], v["by"] - v["ay"]
+        az = F.atan2(dx, dy)
+        azn = F.when(az < 0, az + F.lit(2.0 * math.pi)).otherwise(az)
+        return F.when(
+            (dx == 0.0) & (dy == 0.0), F.lit(None).cast("double")
+        ).otherwise(azn)
+
+    return wrap(
+        _let(
+            F.struct(
+                _pt_double(ua, 6).alias("ax"),
+                _pt_double(ua, 14).alias("ay"),
+                _pt_double(ub, 6).alias("bx"),
+                _pt_double(ub, 14).alias("by"),
+            ),
+            build,
+        )
+    )
+
+
+def _edges_array(u):
+    """All edges of a LE WKB geometry as ARRAY<STRUCT<x1, y1, x2, y2>>.
+    A POINT contributes one DEGENERATE edge (P, P) — with the full CLRS
+    segment test this makes point-point intersection collapse to
+    coordinate equality and point-on-segment fall out of the
+    collinear-touch branch, so one predicate serves all type pairs.
+    NULL array on foreign bytes — callers gate on type.
+
+    Materializing the decoded edge structs ONCE per row (rather than
+    folding a predicate over the byte walk) matters twice: the pairwise
+    consumer (geo_intersects) would otherwise RE-DECODE every edge of
+    one side for every edge of the other — O(Ea*Eb) codec work instead
+    of O(Ea+Eb) — and the flat transform()/one-exists() shape has ~4x
+    fewer nested LambdaFunctions, which the analyzer resolves
+    super-linearly (the geo_centroid lesson)."""
+
+    def edge_at(base, ei):
+        return _let(
+            F.hex(F.substring(u, (base + 16 * ei).cast("int"), 32)),
+            lambda h: F.struct(
+                _hexle_double(h, 0).alias("x1"),
+                _hexle_double(h, 16).alias("y1"),
+                _hexle_double(h, 32).alias("x2"),
+                _hexle_double(h, 48).alias("y2"),
+            ),
+        )
+
+    pt_arr = _let(
+        F.struct(
+            _pt_double(u, 6).alias("px"), _pt_double(u, 14).alias("py")
+        ),
+        lambda p: F.array(
+            F.struct(
+                p["px"].alias("x1"),
+                p["py"].alias("y1"),
+                p["px"].alias("x2"),
+                p["py"].alias("y2"),
+            )
+        ),
+    )
+    line_arr = F.transform(
+        _seq0(_le_uint32(u, 6) - 1),
+        lambda ei: edge_at(F.lit(10).cast("bigint"), ei),
+    )
+
+    def ring_step(racc, ri):
+        off = racc["off"]
+        return _let(
+            _le_uint32(u, off),
+            lambda npts: F.struct(
+                (off + 4 + 16 * npts).alias("off"),
+                F.concat(
+                    racc["arr"],
+                    F.transform(_seq0(npts - 1), lambda ei: edge_at(off + 4, ei)),
+                ).alias("arr"),
+            ),
+        )
+
+    poly0 = F.struct(
+        F.lit(10).cast("bigint").alias("off"),
+        F.expr(
+            "CAST(array() AS ARRAY<STRUCT<x1:DOUBLE,y1:DOUBLE,"
+            "x2:DOUBLE,y2:DOUBLE>>)"
+        ).alias("arr"),
+    )
+    poly_arr = F.aggregate(_seq0(_le_uint32(u, 6)), poly0, ring_step)["arr"]
+    null_arr = F.lit(None).cast(
+        "array<struct<x1:double,y1:double,x2:double,y2:double>>"
+    )
+    return (
+        F.when(_is_pt(u), pt_arr)
+        .when(_is_line(u), line_arr)
+        .when(_is_poly(u), poly_arr)
+        .otherwise(null_arr)
+    )
+
+
+def _seg_intersects(e1, e2):
+    """Closed-segment intersection test (CLRS 33.1): proper crossing
+    via four orientation signs, plus the collinear-touch branches with
+    bbox on-segment checks.  Orientation products of integer-valued
+    coordinates are exact in FP; near-degenerate float inputs carry
+    the usual epsilon caveat of every FP geometric predicate."""
+    ax, ay, bx, by = e1["x1"], e1["y1"], e1["x2"], e1["y2"]
+    cx, cy, dx, dy = e2["x1"], e2["y1"], e2["x2"], e2["y2"]
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    def onseg(px, py, qx, qy, rx, ry):
+        return (
+            (rx >= F.least(px, qx))
+            & (rx <= F.greatest(px, qx))
+            & (ry >= F.least(py, qy))
+            & (ry <= F.greatest(py, qy))
+        )
+
+    def with_d(d):
+        d1, d2, d3, d4 = d["d1"], d["d2"], d["d3"], d["d4"]
+        proper = (
+            ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
+        ) & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+        touch = (
+            ((d1 == 0) & onseg(cx, cy, dx, dy, ax, ay))
+            | ((d2 == 0) & onseg(cx, cy, dx, dy, bx, by))
+            | ((d3 == 0) & onseg(ax, ay, bx, by, cx, cy))
+            | ((d4 == 0) & onseg(ax, ay, bx, by, dx, dy))
+        )
+        return proper | touch
+
+    return _let(
+        F.struct(
+            orient(cx, cy, dx, dy, ax, ay).alias("d1"),
+            orient(cx, cy, dx, dy, bx, by).alias("d2"),
+            orient(ax, ay, bx, by, cx, cy).alias("d3"),
+            orient(ax, ay, bx, by, dx, dy).alias("d4"),
+        ),
+        with_d,
+    )
+
+
+def _first_vertex_point(u):
+    """First vertex of any LE WKB geometry as a standalone WKB POINT
+    (sliced bytes, no codec)."""
+    z = F.lit(0).cast("bigint")
+    return (
+        F.when(_is_pt(u), u)
+        .when(_is_line(u), _vertex_point(u, F.lit(10).cast("bigint"), z))
+        .when(_is_poly(u), _vertex_point(u, F.lit(14).cast("bigint"), z))
+        .otherwise(F.lit(None).cast("binary"))
+    )
+
+
+def geo_intersects(a, b):
+    """True when two LE WKB geometries (point / linestring / polygon,
+    any pairing) share at least one point — reference GeoIntersects,
+    PostGIS ST_Intersects semantics (boundary contact counts).
+
+    Decomposition: geometries intersect iff (1) some edge of A touches
+    or crosses some edge of B — points enter as degenerate (P, P)
+    edges, so point-point becomes coordinate equality and
+    point-on-line falls out of the collinear branch — or (2) one is a
+    polygon CONTAINING the other entirely (no boundary contact), which
+    a single representative-vertex ray cast detects, holes honored
+    (a geometry sealed inside a hole has its vertex ray-cast FALSE and
+    no edge contact, so the result is correctly false).
+
+    Scan-only, no join: cost is O(edges(A) * edges(B)) per row —
+    intended for the dim-side geometry shapes the constructors build
+    (tens of vertices), not for digitized coastlines.  Points exactly
+    ON a boundary follow geo_contains' half-open caveat when only
+    containment (not edge contact) decides.  NULL unless both sides
+    are LE point/linestring/polygon WKB."""
+    ua, ub = unwrap(a), unwrap(b)
+    # both edge sets decode ONCE into let-bound arrays, then one
+    # exists-exists pair test over the materialized structs — see
+    # _edges_array for why this beats a nested byte-walk fold
+    cross = F.coalesce(
+        _let(
+            F.struct(
+                _edges_array(ua).alias("ea"), _edges_array(ub).alias("eb")
+            ),
+            lambda s: F.exists(
+                s["ea"],
+                lambda e1: F.coalesce(
+                    F.exists(s["eb"], lambda e2: _seg_intersects(e1, e2)),
+                    F.lit(False),
+                ),
+            ),
+        ),
+        F.lit(False),
+    )
+    a_swallows_b = F.coalesce(
+        unwrap(geo_contains(wrap(ua), wrap(_first_vertex_point(ub)))),
+        F.lit(False),
+    )
+    b_swallows_a = F.coalesce(
+        unwrap(geo_contains(wrap(ub), wrap(_first_vertex_point(ua)))),
+        F.lit(False),
+    )
+    known_a = _is_pt(ua) | _is_line(ua) | _is_poly(ua)
+    known_b = _is_pt(ub) | _is_line(ub) | _is_poly(ub)
+    return wrap(
+        F.when(
+            known_a & known_b, cross | a_swallows_b | b_swallows_a
+        ).otherwise(F.lit(None).cast("boolean"))
+    )

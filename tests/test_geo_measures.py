@@ -1,0 +1,289 @@
+"""Linestring + measures geo slice (round 10): constructors, lengths,
+counts, bbox/envelope, vertex accessors, centroid, flip, azimuth,
+intersects — reference ibis/expr/operations/geospatial.py:92-497.
+
+Fixtures use 3-4-5 integer right triangles and dyadic-rational
+coordinates throughout, so every expected value (length 5, centroid
+492/96) is EXACT in FP and the asserts are equality, not approx."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+
+def _pt(x, y):
+    return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def _line(pts):
+    return (
+        struct.pack("<BII", 1, 2, len(pts))
+        + b"".join(struct.pack("<dd", x, y) for x, y in pts)
+    )
+
+
+def _poly(*rings):
+    out = struct.pack("<BII", 1, 3, len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        out += b"".join(struct.pack("<dd", x, y) for x, y in ring)
+    return out
+
+
+SQ4 = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+SQ10 = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+HOLE13 = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+DIAMOND345 = [(0.0, 0.0), (3.0, 4.0), (6.0, 0.0), (3.0, -4.0), (0.0, 0.0)]
+
+
+class TestGeoMeasures:
+    def _tbl(self, con, geoms):
+        return con.memtable(
+            [(i, g) for i, g in enumerate(geoms)],
+            schema={"i": "int64", "g": "binary"},
+        )
+
+    def _vals(self, t, expr):
+        rows = t.select("i", v=expr).df.collect()
+        return {r.i: r.v for r in rows}
+
+    def test_geo_linestring_constructor(self, con):
+        from ibis_spark import geo
+
+        rows = [
+            (1, [0.0, 3.0, 6.0], [0.0, 4.0, 0.0]),
+            (2, [1.5], [2.5]),            # too short
+            (3, [0.0, 1.0, 2.0], [0.0, 1.0]),  # size mismatch
+            (4, [0.0, float("nan")], [0.0, 1.0]),  # out of domain
+        ]
+        t = con.memtable(
+            rows,
+            schema={"i": "int64", "xs": "array<float64>", "ys": "array<float64>"},
+        )
+        got = {
+            r.i: r.g
+            for r in t.select("i", g=geo.geo_linestring(t.xs, t.ys)).df.collect()
+        }
+        assert bytes(got[1]) == _line([(0, 0), (3, 4), (6, 0)])
+        assert got[2] is None and got[3] is None and got[4] is None
+
+    def test_geo_length_and_perimeter(self, con):
+        from ibis_spark import geo
+
+        t = self._tbl(
+            con,
+            [
+                _line([(0.0, 0.0), (3.0, 4.0), (6.0, 0.0)]),  # 5 + 5
+                _pt(7.0, 8.0),
+                _poly(SQ4),
+                _poly(SQ10, HOLE13),  # 40 + 8
+                _poly(DIAMOND345),    # 4 x 5
+                b"\x00\x01\x02",      # foreign
+            ],
+        )
+        lens = self._vals(t, geo.geo_length(t.g))
+        assert lens[0] == 10.0
+        assert lens[1] == 0.0 and lens[2] == 0.0 and lens[3] == 0.0
+        assert lens[5] is None
+        per = self._vals(t, geo.geo_perimeter(t.g))
+        assert per[0] == 0.0 and per[1] == 0.0
+        assert per[2] == 16.0
+        assert per[3] == 48.0
+        assert per[4] == 20.0
+        assert per[5] is None
+
+    def test_geo_counts_and_type(self, con):
+        from ibis_spark import geo
+
+        t = self._tbl(
+            con,
+            [
+                _pt(1.0, 2.0),
+                _line([(0.0, 0.0), (3.0, 4.0), (6.0, 0.0)]),
+                _poly(SQ10, HOLE13),
+                b"\x00\x01\x02",
+            ],
+        )
+        np_ = self._vals(t, geo.geo_n_points(t.g))
+        assert np_ == {0: 1, 1: 3, 2: 10, 3: None}
+        nr = self._vals(t, geo.geo_n_rings(t.g))
+        assert nr == {0: 0, 1: 0, 2: 2, 3: None}
+        ty = self._vals(t, geo.geo_geometry_type(t.g))
+        assert ty == {0: "POINT", 1: "LINESTRING", 2: "POLYGON", 3: None}
+
+    def test_geo_bbox_and_envelope(self, con):
+        from ibis_spark import geo
+
+        diamond = [(2.0, 0.0), (4.0, 2.0), (2.0, 4.0), (0.0, 2.0), (2.0, 0.0)]
+        t = self._tbl(
+            con,
+            [
+                _poly(diamond),
+                _line([(1.0, -2.0), (5.0, 6.0)]),
+                _pt(3.5, -7.25),
+                _line([(2.0, 1.0), (2.0, 9.0)]),  # vertical -> envelope LINESTRING
+                b"\xff\xfe",
+            ],
+        )
+        for expr, exp in (
+            (geo.geo_x_min(t.g), {0: 0.0, 1: 1.0, 2: 3.5, 3: 2.0, 4: None}),
+            (geo.geo_x_max(t.g), {0: 4.0, 1: 5.0, 2: 3.5, 3: 2.0, 4: None}),
+            (geo.geo_y_min(t.g), {0: 0.0, 1: -2.0, 2: -7.25, 3: 1.0, 4: None}),
+            (geo.geo_y_max(t.g), {0: 4.0, 1: 6.0, 2: -7.25, 3: 9.0, 4: None}),
+        ):
+            assert self._vals(t, expr) == exp
+        env = self._vals(t, geo.geo_envelope(t.g))
+        assert bytes(env[0]) == _poly(
+            [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+        )
+        assert bytes(env[1]) == _poly(
+            [(1.0, -2.0), (5.0, -2.0), (5.0, 6.0), (1.0, 6.0), (1.0, -2.0)]
+        )
+        assert bytes(env[2]) == _pt(3.5, -7.25)
+        assert bytes(env[3]) == _line([(2.0, 1.0), (2.0, 9.0)])
+        assert env[4] is None
+
+    def test_geo_start_end_point_n(self, con):
+        from ibis_spark import geo
+
+        line = _line([(0.0, 0.0), (3.0, 4.0), (6.0, 0.0)])
+        t = self._tbl(con, [line, _pt(1.0, 1.0), _poly(SQ4)])
+        sp = self._vals(t, geo.geo_start_point(t.g))
+        ep = self._vals(t, geo.geo_end_point(t.g))
+        assert bytes(sp[0]) == _pt(0.0, 0.0)
+        assert bytes(ep[0]) == _pt(6.0, 0.0)
+        # NULL for non-linestrings (the reference's documented contract)
+        assert sp[1] is None and sp[2] is None
+        assert ep[1] is None and ep[2] is None
+        # point_n: 1-based, negative counts from the end, 0/overflow NULL
+        for n, exp in [
+            (1, _pt(0.0, 0.0)),
+            (2, _pt(3.0, 4.0)),
+            (3, _pt(6.0, 0.0)),
+            (-1, _pt(6.0, 0.0)),
+            (-3, _pt(0.0, 0.0)),
+            (0, None),
+            (4, None),
+            (-4, None),
+        ]:
+            got = self._vals(t, geo.geo_point_n(t.g, n))
+            if exp is None:
+                assert got[0] is None, n
+            else:
+                assert bytes(got[0]) == exp, n
+            assert got[1] is None and got[2] is None
+
+    def test_geo_centroid(self, con):
+        from ibis_spark import geo
+
+        t = self._tbl(
+            con,
+            [
+                _pt(9.0, -3.5),
+                _line([(0.0, 0.0), (3.0, 4.0), (6.0, 0.0)]),
+                _line([(2.0, 3.0), (2.0, 3.0)]),  # zero length
+                _poly(SQ4),
+                _poly(SQ10, HOLE13),
+                # clockwise square: winding-insensitive
+                _poly(list(reversed(SQ4))),
+                b"\x00",
+            ],
+        )
+        got = self._vals(t, geo.geo_centroid(t.g))
+        assert bytes(got[0]) == _pt(9.0, -3.5)
+        # two 5-length segments, midpoints (1.5,2) and (4.5,2)
+        assert bytes(got[1]) == _pt(3.0, 2.0)
+        assert bytes(got[2]) == _pt(2.0, 3.0)
+        assert bytes(got[3]) == _pt(2.0, 2.0)
+        # (100*5 - 4*2) / 96 = 492/96 = 5.125 exactly, both axes
+        assert bytes(got[4]) == _pt(5.125, 5.125)
+        assert bytes(got[5]) == _pt(2.0, 2.0)
+        assert got[6] is None
+
+    def test_geo_flip_coordinates(self, con):
+        from ibis_spark import geo
+
+        line = _line([(0.0, 1.0), (2.0, 3.0), (4.0, 5.0)])
+        poly = _poly(SQ10, HOLE13)
+        t = self._tbl(con, [_pt(1.5, -2.25), line, poly, b"\x00\x09"])
+        got = self._vals(t, geo.geo_flip_coordinates(t.g))
+        assert bytes(got[0]) == _pt(-2.25, 1.5)
+        assert bytes(got[1]) == _line([(1.0, 0.0), (3.0, 2.0), (5.0, 4.0)])
+        assert bytes(got[2]) == _poly(
+            [(y, x) for x, y in SQ10], [(y, x) for x, y in HOLE13]
+        )
+        assert got[3] is None
+        # involution: flip(flip(g)) == g byte-for-byte
+        t2 = t.mutate(f2=geo.geo_flip_coordinates(geo.geo_flip_coordinates(t.g)))
+        for r in t2.df.collect():
+            if r.g is not None and bytes(r.g)[:1] == b"\x01":
+                assert bytes(r.f2) == bytes(r.g)
+
+    def test_geo_azimuth(self, con):
+        from ibis_spark import geo
+
+        origin = _pt(0.0, 0.0)
+        cases = [
+            (_pt(0.0, 1.0), 0.0),                 # north
+            (_pt(1.0, 0.0), math.pi / 2),          # east
+            (_pt(0.0, -1.0), math.pi),             # south
+            (_pt(-1.0, 0.0), 3 * math.pi / 2),     # west
+            (_pt(1.0, 1.0), math.atan2(1.0, 1.0)),  # northeast
+            (_pt(0.0, 0.0), None),                 # coincident -> NULL
+        ]
+        t = con.memtable(
+            [(i, origin, b) for i, (b, _) in enumerate(cases)],
+            schema={"i": "int64", "a": "binary", "b": "binary"},
+        )
+        got = self._vals(t, geo.geo_azimuth(t.a, t.b))
+        for i, (_, exp) in enumerate(cases):
+            assert got[i] == exp, i
+
+    def test_geo_intersects(self, con):
+        from ibis_spark import geo
+
+        sq = _poly(SQ10)
+        holed = _poly(SQ10, [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)])
+        cases = [
+            # (a, b, expected)
+            (_pt(1.0, 2.0), _pt(1.0, 2.0), True),
+            (_pt(1.0, 2.0), _pt(1.0, 2.5), False),
+            # point on a segment (collinear-touch branch)
+            (_pt(3.0, 4.0), _line([(0.0, 0.0), (6.0, 8.0)]), True),
+            (_pt(3.0, 5.0), _line([(0.0, 0.0), (6.0, 8.0)]), False),
+            # point vs polygon (ray-cast branch)
+            (_pt(5.0, 5.0), sq, True),
+            (_pt(15.0, 5.0), sq, False),
+            (_pt(5.0, 5.0), holed, False),  # sealed inside the hole
+            # line crossing / inside / disjoint polygon
+            (_line([(-2.0, 5.0), (12.0, 5.0)]), sq, True),
+            (_line([(4.0, 4.0), (6.0, 6.0)]), sq, True),   # fully inside
+            (_line([(11.0, 0.0), (15.0, 4.0)]), sq, False),
+            (_line([(4.0, 4.0), (6.0, 6.0)]), holed, False),  # inside hole
+            # line/line
+            (_line([(0.0, 0.0), (4.0, 4.0)]), _line([(0.0, 4.0), (4.0, 0.0)]), True),
+            (_line([(0.0, 0.0), (4.0, 4.0)]), _line([(5.0, 0.0), (9.0, 4.0)]), False),
+            # poly/poly: overlap, nested, disjoint, shared vertex
+            (sq, _poly([(5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0), (5.0, 5.0)]), True),
+            (sq, _poly([(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0), (3.0, 3.0)]), True),
+            (sq, _poly([(20.0, 0.0), (30.0, 0.0), (30.0, 10.0), (20.0, 10.0), (20.0, 0.0)]), False),
+            (sq, _poly([(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0), (10.0, 10.0)]), True),  # vertex touch
+            # nested inside a hole: no contact
+            (holed, _poly([(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]), False),
+            # foreign bytes -> NULL
+            (b"\x00\x01", sq, None),
+        ]
+        t = con.memtable(
+            [(i, a, b) for i, (a, b, _) in enumerate(cases)],
+            schema={"i": "int64", "a": "binary", "b": "binary"},
+        )
+        got = self._vals(t, geo.geo_intersects(t.a, t.b))
+        for i, (_, _, exp) in enumerate(cases):
+            assert got[i] == exp, i
+        # symmetry on a few representative pairs
+        got_r = self._vals(t, geo.geo_intersects(t.b, t.a))
+        for i, (_, _, exp) in enumerate(cases):
+            assert got_r[i] == exp, f"symmetry {i}"
