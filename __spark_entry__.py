@@ -2812,6 +2812,39 @@ def _geo_line_metrics(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_line_locate(spark, sf_dir):
+    """GeoLineLocatePoint + GeoLineSubstring (reference
+    geospatial.py:116,144) over the per-order 3-4-5 linestring: the
+    tie point (k+3, 8) is equidistant from both edges and must resolve
+    to the FIRST (deterministic argmin -> 5/15); (k+6, 0) projects
+    exactly onto edge 2's midpoint (10/15); the [0.25, 0.75] substring
+    interpolates at t=0.75 / t=0.625 — all dyadic, so its vertex
+    coordinates and 7.5 length are exact closed forms."""
+    import ibis_spark.geo as geo
+
+    o = _t(spark, sf_dir, "orders")
+    k = (o.o_orderkey % 100).cast("float64")
+    line = geo.geo_linestring(
+        ib.array(k, k + 3.0, k + 9.0),
+        ib.array(k - k, k - k + 4.0, k - k - 4.0),
+    )
+    o = o.mutate(line=line)
+    o = o.mutate(
+        tie_pt=geo.geo_point(k + 3.0, k - k + 8.0),
+        mid_pt=geo.geo_point(k + 6.0, k - k),
+        sub=geo.geo_line_substring(o.line, 0.25, 0.75),
+    )
+    return o.select(
+        "o_orderkey",
+        loc_tie=geo.geo_line_locate_point(o.line, o.tie_pt),
+        loc_mid=geo.geo_line_locate_point(o.line, o.mid_pt),
+        sub_npts=geo.geo_n_points(o.sub),
+        sub_len=geo.geo_length(o.sub),
+        sub_sx=geo.geo_x(geo.geo_start_point(o.sub)),
+        sub_ey=geo.geo_y(geo.geo_end_point(o.sub)),
+    ).to_spark()
+
+
 def _geo_envelope_box(spark, sf_dir):
     """GeoEnvelope + GeoXMin..GeoYMax + GeoPerimeter over the
     per-nation diamond polygon (reference geospatial.py:202-282,398):
@@ -3506,6 +3539,7 @@ _SAMPLE_WINDOW = [
     "geo_triangle_report",
     "geo_intersects_pt_poly",
     "geo_segment_cross",
+    "geo_line_locate",
     "ds_returns_above_avg",
     "ds_frequent_items",
     "ds_best_customers",
@@ -3547,11 +3581,10 @@ _SAMPLE_WINDOW = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_volume_shipping",
-    # (q10/q14/q18/q20/q22 yield their r10 slots to the five late
-    # linestring entries: a new op with NO driver row outranks a
+    # (q7/q10/q14/q18/q20/q22 yield their r10 slots to the six late
+    # linestring-slice entries: a new op with NO driver row outranks a
     # 4-round-stale TPC-H surface that six sibling TPC-H entries
-    # exercise this same window; the five rotate first in r11)
+    # exercise this same window; the six rotate first in r11)
 ]
 
 
@@ -3570,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygon_area": _geo_polygon_area,
         # -- new in round 10: linestring + measures slice --------------------
         "geo_line_metrics": _geo_line_metrics,
+        "geo_line_locate": _geo_line_locate,
         "geo_envelope_box": _geo_envelope_box,
         "geo_triangle_report": _geo_triangle_report,
         "geo_intersects_pt_poly": _geo_intersects_pt_poly,
@@ -3995,6 +4029,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderkey % 100 AS DOUBLE) + 3.0 AS p2x,
                    CAST(o_orderkey % 100 AS DOUBLE) + 9.0 AS fy,
                    'LINESTRING' AS typ
+            FROM orders
+        """,
+        "geo_line_locate": """
+            SELECT o_orderkey,
+                   5.0 / 15.0 AS loc_tie,
+                   10.0 / 15.0 AS loc_mid,
+                   CAST(3 AS BIGINT) AS sub_npts,
+                   CAST(7.5 AS DOUBLE) AS sub_len,
+                   CAST(o_orderkey % 100 AS DOUBLE) + 2.25 AS sub_sx,
+                   CAST(-1.0 AS DOUBLE) AS sub_ey
             FROM orders
         """,
         "geo_envelope_box": """

@@ -71,6 +71,8 @@ __all__ = [
     "geo_flip_coordinates",
     "geo_azimuth",
     "geo_intersects",
+    "geo_line_locate_point",
+    "geo_line_substring",
 ]
 
 
@@ -1887,4 +1889,193 @@ def geo_intersects(a, b):
         F.when(
             known_a & known_b, cross | a_swallows_b | b_swallows_a
         ).otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def geo_line_locate_point(line, pt):
+    """Fraction in [0, 1] of a LINESTRING's total length at the point
+    on the line CLOSEST to ``pt`` — reference GeoLineLocatePoint
+    (geospatial.py:116), PostGIS ST_LineLocatePoint semantics.
+
+    One pass over the decoded edge array: per edge, the projection
+    parameter t = clamp(((p-a).(b-a)) / |b-a|^2, 0, 1), the squared
+    distance to the projected point, and the arc length at it; a
+    strictly-less running argmin keeps the FIRST best edge on exact
+    ties (deterministic left-to-right, same answer every run).  NULL
+    for non-linestrings or a NULL/invalid point; 0.0 for zero-length
+    lines (PostGIS contract)."""
+    u, p = unwrap(line), unwrap(pt)
+
+    def walk(q):
+        px, py = q["px"], q["py"]
+
+        def step(acc, e):
+            ax, ay, bx, by = e["x1"], e["y1"], e["x2"], e["y2"]
+            dx, dy = bx - ax, by - ay
+
+            def with_t(s):
+                elen, t = s["elen"], s["t"]
+                qx = ax + t * dx
+                qy = ay + t * dy
+                d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+                better = d2 < acc["bd2"]
+                return F.struct(
+                    (acc["cum"] + elen).alias("cum"),
+                    F.when(better, d2).otherwise(acc["bd2"]).alias("bd2"),
+                    F.when(better, acc["cum"] + t * elen)
+                    .otherwise(acc["blen"])
+                    .alias("blen"),
+                )
+
+            l2 = dx * dx + dy * dy
+            t_raw = F.when(
+                l2 > 0, ((px - ax) * dx + (py - ay) * dy) / l2
+            ).otherwise(F.lit(0.0))
+            return _let(
+                F.struct(
+                    F.sqrt(l2).alias("elen"),
+                    F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw)).alias("t"),
+                ),
+                with_t,
+            )
+
+        init = F.struct(
+            F.lit(0.0).alias("cum"),
+            F.lit(float("inf")).alias("bd2"),
+            F.lit(0.0).alias("blen"),
+        )
+        res = F.aggregate(_edges_array(u), init, step)
+        return F.when(res["cum"] > 0, res["blen"] / res["cum"]).otherwise(
+            F.lit(0.0)
+        )
+
+    out = _let(
+        F.struct(_pt_double(p, 6).alias("px"), _pt_double(p, 14).alias("py")),
+        walk,
+    )
+    return wrap(
+        F.when(
+            _is_line(u) & _is_pt(p) & _pt_double(p, 6).isNotNull(), out
+        ).otherwise(F.lit(None).cast("double"))
+    )
+
+
+def geo_line_substring(line, start: float, end: float):
+    """Sub-linestring between fractional arc-length locations ``start``
+    and ``end`` of a LINESTRING — reference GeoLineSubstring
+    (geospatial.py:144), PostGIS ST_LineSubstring semantics: the
+    endpoints are INTERPOLATED on their edges, interior vertices
+    strictly between the two arc positions are kept.  Fractions are
+    Python floats validated at build time (0 <= start <= end <= 1,
+    ValueError otherwise).  NULL for non-linestrings and zero-length
+    lines; ``start == end`` yields the degenerate 2-vertex linestring
+    at that point (the WKB-expressible stand-in for PostGIS' POINT
+    return).  Interpolation is a + t*(b-a) with one rounding per
+    coordinate, so dyadic fixtures stay exact end-to-end."""
+    s_f, e_f = float(start), float(end)
+    if not (0.0 <= s_f <= e_f <= 1.0):
+        raise ValueError("need 0 <= start <= end <= 1")
+    u = unwrap(line)
+
+    def walk(L):
+        s = F.lit(s_f) * L
+        e = F.lit(e_f) * L
+        empty = F.expr("CAST(array() AS ARRAY<STRUCT<x:DOUBLE,y:DOUBLE>>)")
+
+        def step(acc, ed):
+            ax, ay, bx, by = ed["x1"], ed["y1"], ed["x2"], ed["y2"]
+            dx, dy = bx - ax, by - ay
+
+            def with_e(st):
+                elen = st["elen"]
+                c0 = acc["cum"]
+                c1 = c0 + elen
+
+                def interp(arc):
+                    # clamp guards FP drift at edge boundaries (c0/c1
+                    # are running sums; never extrapolate past a vertex)
+                    t = F.when(
+                        elen > 0,
+                        F.greatest(
+                            F.lit(0.0),
+                            F.least(F.lit(1.0), (arc - c0) / elen),
+                        ),
+                    ).otherwise(F.lit(0.0))
+                    return F.struct(
+                        (ax + t * dx).alias("x"), (ay + t * dy).alias("y")
+                    )
+
+                add_start = F.when(
+                    (F.size(acc["arr"]) == 0) & (s <= c1),
+                    F.array(interp(s)),
+                ).otherwise(empty)
+                add_vert = F.when(
+                    (c1 > s) & (c1 < e),
+                    F.array(F.struct(bx.alias("x"), by.alias("y"))),
+                ).otherwise(empty)
+                # fires on exactly ONE edge: the first whose span
+                # reaches e (e == c0 means the PREVIOUS edge already
+                # fired, except the degenerate e == 0 start-of-line)
+                add_end = F.when(
+                    ((e > c0) | ((e == 0.0) & (c0 == 0.0))) & (e <= c1),
+                    F.array(interp(e)),
+                ).otherwise(empty)
+                return F.struct(
+                    c1.alias("cum"),
+                    F.concat(
+                        acc["arr"], add_start, add_vert, add_end
+                    ).alias("arr"),
+                )
+
+            return _let(
+                F.struct(F.sqrt(dx * dx + dy * dy).alias("elen")), with_e
+            )
+
+        init = F.struct(
+            F.lit(0.0).alias("cum"), empty.alias("arr")
+        )
+        arr = F.aggregate(_edges_array(u), init, step)["arr"]
+
+        def emit(vs):
+            vhex = F.transform(
+                vs,
+                lambda v: F.concat(
+                    _le_hex(_hex16_expr(v["x"])), _le_hex(_hex16_expr(v["y"]))
+                ),
+            )
+            body = F.aggregate(
+                vhex, F.lit(""), lambda a2, h: F.concat(a2, h)
+            )
+            return F.when(
+                F.size(vs) >= 2,
+                F.unhex(
+                    F.concat(
+                        F.lit("0102000000"),
+                        _le_hex32(F.size(vs).cast("bigint")),
+                        body,
+                    )
+                ),
+            ).otherwise(F.lit(None).cast("binary"))
+
+        return _let(arr, emit)
+
+    total = F.aggregate(
+        _edges_array(u),
+        F.lit(0.0),
+        lambda s2, ed: s2
+        + _let(
+            F.struct(
+                (ed["x2"] - ed["x1"]).alias("dx"),
+                (ed["y2"] - ed["y1"]).alias("dy"),
+            ),
+            lambda d: F.sqrt(d["dx"] * d["dx"] + d["dy"] * d["dy"]),
+        ),
+    )
+    return wrap(
+        _let(
+            total,
+            lambda L: F.when(_is_line(u) & (L > 0), walk(L)).otherwise(
+                F.lit(None).cast("binary")
+            ),
+        )
     )

@@ -287,3 +287,56 @@ class TestGeoMeasures:
         got_r = self._vals(t, geo.geo_intersects(t.b, t.a))
         for i, (_, _, exp) in enumerate(cases):
             assert got_r[i] == exp, f"symmetry {i}"
+
+    def test_geo_line_locate_point(self, con):
+        from ibis_spark import geo
+
+        line = _line([(0.0, 0.0), (3.0, 4.0), (9.0, -4.0)])  # lens 5, 10
+        cases = [
+            # (point, expected fraction)
+            (_pt(0.0, 0.0), 0.0),                  # start vertex
+            (_pt(9.0, -4.0), 1.0),                 # end vertex
+            (_pt(3.0, 8.0), 5.0 / 15.0),           # ties -> FIRST best edge
+            (_pt(6.0, 0.0), 10.0 / 15.0),          # interior of edge 2, d=0
+            (_pt(1.5, 2.0), 2.5 / 15.0),           # midpoint of edge 1
+        ]
+        t = con.memtable(
+            [(i, line, p) for i, (p, _) in enumerate(cases)],
+            schema={"i": "int64", "g": "binary", "p": "binary"},
+        )
+        got = self._vals(t, geo.geo_line_locate_point(t.g, t.p))
+        for i, (_, exp) in enumerate(cases):
+            assert got[i] == exp, i
+        # non-linestring and zero-length inputs
+        t2 = self._tbl(con, [_pt(1.0, 1.0), _line([(2.0, 3.0), (2.0, 3.0)])])
+        t2 = t2.mutate(p2=(t2.i * 0.0))
+        got2 = self._vals(
+            t2, geo.geo_line_locate_point(t2.g, geo.geo_point(t2.p2, t2.p2))
+        )
+        assert got2[0] is None      # point input -> NULL
+        assert got2[1] == 0.0       # zero-length line -> 0.0
+
+    def test_geo_line_substring(self, con):
+        from ibis_spark import geo
+
+        line = _line([(0.0, 0.0), (3.0, 4.0), (9.0, -4.0)])  # L = 15
+        t = self._tbl(con, [line, _pt(1.0, 1.0)])
+        # [0.25, 0.75] -> arc 3.75..11.25: interp on edge1 at t=0.75,
+        # keep vertex (3,4) at arc 5, interp on edge2 at t=0.625 —
+        # every coordinate dyadic, asserts exact
+        got = self._vals(t, geo.geo_line_substring(t.g, 0.25, 0.75))
+        assert bytes(got[0]) == _line([(2.25, 3.0), (3.0, 4.0), (6.75, -1.0)])
+        assert got[1] is None
+        # full line reproduces the input bytes
+        full = self._vals(t, geo.geo_line_substring(t.g, 0.0, 1.0))
+        assert bytes(full[0]) == line
+        # degenerate start == end -> 2-vertex linestring at that point
+        degen = self._vals(t, geo.geo_line_substring(t.g, 1.0 / 3.0, 1.0 / 3.0))
+        import struct as _s
+        n, = _s.unpack("<I", bytes(degen[0])[5:9])
+        assert n == 2
+        xs = _s.unpack("<dd", bytes(degen[0])[9:25])
+        assert xs == (3.0, 4.0)  # arc 5 = shared vertex
+        # validation
+        with pytest.raises(ValueError):
+            geo.geo_line_substring(t.g, 0.8, 0.2)
