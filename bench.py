@@ -121,12 +121,17 @@ HEADLINE = [
     "geo_cluster",
     "geo_dbscan",
     "geo_polygon_contains",
-    # round-10 linestring slice: the two row-scaling entries (the
-    # 25-row dim entries — triangle_report, envelope_box — and the
-    # expression-build-bound intersects_pt_poly stay correctness-only,
-    # same posture as geo_polygon_area)
-    "geo_line_metrics",
+    # round-10 linestring/MULTI* slices: segment_cross (per-row pairwise
+    # intersects) and union_agg (keyed MULTIPOINT reduction) are the
+    # row-scaling representatives; geo_line_metrics stays
+    # correctness-only — its 7 independent interpreted-HOF byte walks
+    # cost ~270 us/row and would dominate the headline total with
+    # column-at-a-time measure cost, not plan signal (SCALE.md erratum);
+    # the 25-row dim entries (triangle_report, envelope_box) and the
+    # build-bound intersects_pt_poly/line_locate follow the
+    # geo_polygon_area posture
     "geo_segment_cross",
+    "geo_union_agg",
     "ds_returns_above_avg",
     "ds_best_customers",
     "ds_cross_channel_best",

@@ -73,6 +73,9 @@ __all__ = [
     "geo_intersects",
     "geo_line_locate_point",
     "geo_line_substring",
+    "geo_multipoint",
+    "geo_unary_union",
+    "geo_geometry_n",
 ]
 
 
@@ -1146,10 +1149,16 @@ def geo_geometry_type(g):
     spelling; PostGIS prefixes 'ST_'), NULL for foreign/BE bytes or
     types outside the pure-Spark slice."""
     u = unwrap(g)
+    t = _le_uint32(u, 2)
+    le = F.substring(u, 1, 1) == F.lit(b"\x01")
     return wrap(
         F.when(_is_pt(u), F.lit("POINT"))
         .when(_is_line(u), F.lit("LINESTRING"))
         .when(_is_poly(u), F.lit("POLYGON"))
+        .when(le & (t == 4), F.lit("MULTIPOINT"))
+        .when(le & (t == 5), F.lit("MULTILINESTRING"))
+        .when(le & (t == 6), F.lit("MULTIPOLYGON"))
+        .when(le & (t == 7), F.lit("GEOMETRYCOLLECTION"))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -1176,10 +1185,23 @@ def geo_n_points(g):
         F.lit(0).cast("bigint").alias("tot"),
     )
     poly_n = F.aggregate(_seq0(_le_uint32(u, 6)), init, ring_step)["tot"]
+
+    # MULTI*: walk the children with the size/count dispatcher
+    def child_step(acc, ci):
+        return _let(
+            _child_meta(u, acc["off"]),
+            lambda m: F.struct(
+                (acc["off"] + m["sz"]).alias("off"),
+                (acc["tot"] + m["np"]).alias("tot"),
+            ),
+        )
+
+    multi_n = F.aggregate(_seq0(_le_uint32(u, 6)), init, child_step)["tot"]
     return wrap(
         F.when(_is_pt(u), F.lit(1).cast("bigint"))
         .when(_is_line(u), _le_uint32(u, 6))
         .when(_is_poly(u), poly_n)
+        .when(_is_multi(u), multi_n)
         .otherwise(F.lit(None).cast("bigint"))
     )
 
@@ -1280,10 +1302,31 @@ def _bbox_struct(u):
         pb["ymin"].alias("ymin"),
         pb["ymax"].alias("ymax"),
     )
+
+    # MULTIPOINT: fixed 21-byte child stride, coordinates at child+5
+    def mpt_step(a, ci):
+        return _let(
+            F.hex(F.substring(u, (15 + 21 * ci).cast("int"), 16)),
+            lambda h: _let(
+                F.struct(
+                    _hexle_double(h, 0).alias("x"),
+                    _hexle_double(h, 16).alias("y"),
+                ),
+                lambda v: F.struct(
+                    F.least(a["xmin"], v["x"]).alias("xmin"),
+                    F.greatest(a["xmax"], v["x"]).alias("xmax"),
+                    F.least(a["ymin"], v["y"]).alias("ymin"),
+                    F.greatest(a["ymax"], v["y"]).alias("ymax"),
+                ),
+            ),
+        )
+
+    mpt_box = F.aggregate(_seq0(_le_uint32(u, 6)), empty, mpt_step)
     return (
         F.when(_is_pt(u), pt_box)
         .when(_is_line(u), line_box)
         .when(_is_poly(u), poly_box)
+        .when(_is_mpt(u), mpt_box)
         .otherwise(empty)
     )
 
@@ -1608,10 +1651,40 @@ def geo_centroid(g):
         ),
     )
 
+    # MULTIPOINT: arithmetic mean of the children (PostGIS), one
+    # stride-21 fold, divisions after the exact-when-dyadic sums
+    def mpt_step(a, ci):
+        return _let(
+            F.hex(F.substring(u, (15 + 21 * ci).cast("int"), 16)),
+            lambda h: F.struct(
+                (a["sx"] + _hexle_double(h, 0)).alias("sx"),
+                (a["sy"] + _hexle_double(h, 16)).alias("sy"),
+            ),
+        )
+
+    mpt_pt = _let(
+        F.struct(
+            F.aggregate(
+                _seq0(_le_uint32(u, 6)),
+                F.struct(F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy")),
+                mpt_step,
+            ).alias("s"),
+            _le_uint32(u, 6).cast("double").alias("n"),
+        ),
+        lambda q: _let(
+            F.struct(
+                (q["s"]["sx"] / q["n"]).alias("cx"),
+                (q["s"]["sy"] / q["n"]).alias("cy"),
+            ),
+            emit,
+        ),
+    )
+
     return wrap(
         F.when(_is_pt(u), u)
         .when(_is_line(u), line_pt)
         .when(_is_poly(u), poly_pt)
+        .when(_is_mpt(u), mpt_pt)
         .otherwise(F.lit(None).cast("binary"))
     )
 
@@ -2078,4 +2151,171 @@ def geo_line_substring(line, start: float, end: float):
                 F.lit(None).cast("binary")
             ),
         )
+    )
+
+
+# -- pure-Spark WKB MULTI* slice (round 10, late) -----------------------------
+#
+# Reference semantics: GeoGeometryN (geospatial.py:84) and GeoUnaryUnion
+# (:186, the pointwise-union Reduction).  MULTI* WKB is a 9-byte header
+# (LE flag, type 4/5/6, child count) followed by each child as a FULL
+# standalone WKB value — so child extraction is a byte SLICE once the
+# child offsets are known, and the offsets come from a size walk that
+# dispatches on each child's own header.
+
+_MPT_HDR = bytes.fromhex("0104000000")
+
+
+def _is_mpt(u):
+    return F.substring(u, 1, 5) == F.lit(_MPT_HDR)
+
+
+def _is_multi(u):
+    t = _le_uint32(u, 2)
+    return (F.substring(u, 1, 1) == F.lit(b"\x01")) & (t >= 4) & (t <= 6)
+
+
+def _child_meta(u, off):
+    """STRUCT(sz, np) — byte size and vertex count of the LE WKB child
+    at 1-based offset ``off``: point 21/1, linestring 9+16k/k, polygon
+    via a ring-directory fold.  NULL fields for child types outside
+    1/2/3 (nested multis inside collections are not supported — the
+    caller degrades to NULL)."""
+    ctype = _le_uint32(u, off + 1)
+    lk = _le_uint32(u, off + 5)
+
+    def ring_step(acc, ri):
+        return _let(
+            _le_uint32(u, off + 9 + acc["rel"]),
+            lambda npts: F.struct(
+                (acc["rel"] + 4 + 16 * npts).alias("rel"),
+                (acc["np"] + npts).alias("np"),
+            ),
+        )
+
+    pinit = F.struct(
+        F.lit(0).cast("bigint").alias("rel"),
+        F.lit(0).cast("bigint").alias("np"),
+    )
+    pres = F.aggregate(_seq0(lk), pinit, ring_step)
+    nullb = F.lit(None).cast("bigint")
+    return (
+        F.when(
+            ctype == 1,
+            F.struct(
+                F.lit(21).cast("bigint").alias("sz"),
+                F.lit(1).cast("bigint").alias("np"),
+            ),
+        )
+        .when(
+            ctype == 2,
+            F.struct((9 + 16 * lk).alias("sz"), lk.alias("np")),
+        )
+        .when(
+            ctype == 3,
+            F.struct((9 + pres["rel"]).alias("sz"), pres["np"].alias("np")),
+        )
+        .otherwise(F.struct(nullb.alias("sz"), nullb.alias("np")))
+    )
+
+
+def geo_multipoint(xs, ys):
+    """WKB MULTIPOINT (LE, geometry type 4) from two ARRAY<DOUBLE>
+    columns — each element becomes a full standalone point WKB child.
+    NULL on NULL/mismatched/empty arrays or out-of-domain coordinates
+    (same contract as geo_linestring)."""
+    ux, uy = unwrap(xs), unwrap(ys)
+
+    def build(rr):
+        rx, ry = rr["rx"], rr["ry"]
+        n = F.size(rx)
+        vhex = F.zip_with(
+            rx,
+            ry,
+            lambda a, b: F.concat(
+                F.lit("0101000000"), _le_hex(_hex16_expr(a)), _le_hex(_hex16_expr(b))
+            ),
+        )
+        body = F.aggregate(vhex, F.lit(""), lambda acc, v: F.concat(acc, v))
+        ok = rx.isNotNull() & ry.isNotNull() & (n == F.size(ry)) & (n >= 1)
+        hx = F.concat(F.lit("0104000000"), _le_hex32(n.cast("bigint")), body)
+        return F.when(ok, F.unhex(hx)).otherwise(F.lit(None).cast("binary"))
+
+    return wrap(_let(F.struct(ux.alias("rx"), uy.alias("ry")), build))
+
+
+def geo_unary_union(pts):
+    """AGGREGATE: the pointwise union of a group's WKB POINTS as one
+    MULTIPOINT — reference GeoUnaryUnion (geospatial.py:186, a
+    Reduction).  Union of points = the DISTINCT point set; children are
+    emitted in lexicographic WKB-byte order, so the aggregate is fully
+    deterministic regardless of partitioning (the geo analog of the
+    engine's ordered collect reductions).  NULL when the group has a
+    non-point geometry or no non-NULL input.  Point-only by design:
+    polygon/line unions need real geometry construction (GEOS) and stay
+    deferred with buffer/simplify."""
+    p = unwrap(pts)
+    arr = F.array_sort(F.array_distinct(F.collect_list(p)))
+
+    def build(a):
+        ok = (F.size(a) >= 1) & F.forall(
+            a, lambda c: F.substring(c, 1, 5) == F.lit(_PT_HDR)
+        )
+        body = F.aggregate(
+            a, F.lit(b""), lambda acc, c: F.concat(acc, c)
+        )
+        out = F.concat(
+            F.lit(_MPT_HDR),
+            F.unhex(_le_hex32(F.size(a).cast("bigint"))),
+            body,
+        )
+        return F.when(ok, out).otherwise(F.lit(None).cast("binary"))
+
+    return wrap(_let(arr, build))
+
+
+def geo_geometry_n(g, n):
+    """Nth geometry of a MULTI* geometry as its own WKB value —
+    reference GeoGeometryN (geospatial.py:84), PostGIS 1-based: NULL
+    for n < 1 or n > count.  For a SINGLE point/linestring/polygon,
+    n = 1 returns the input itself (PostGIS contract).  Children are
+    byte SLICES of the source WKB (no codec).  GEOMETRYCOLLECTION and
+    nested multis degrade to NULL."""
+    u = unwrap(g)
+    nn = unwrap(n).cast("bigint")
+
+    def walk(target):
+        def step(acc, ci):
+            return _let(
+                _child_meta(u, acc["off"]),
+                lambda m: F.struct(
+                    (acc["off"] + m["sz"]).alias("off"),
+                    F.when(ci == target, acc["off"])
+                    .otherwise(acc["ro"])
+                    .alias("ro"),
+                    F.when(ci == target, m["sz"])
+                    .otherwise(acc["rs"])
+                    .alias("rs"),
+                ),
+            )
+
+        nullb = F.lit(None).cast("bigint")
+        init = F.struct(
+            F.lit(10).cast("bigint").alias("off"),
+            nullb.alias("ro"),
+            nullb.alias("rs"),
+        )
+        res = F.aggregate(_seq0(_le_uint32(u, 6)), init, step)
+        return F.substring(
+            u, res["ro"].cast("int"), res["rs"].cast("int")
+        )
+
+    single = _is_pt(u) | _is_line(u) | _is_poly(u)
+    return wrap(
+        F.when(single & (nn == 1), u)
+        .when(
+            _is_multi(u) & (nn >= 1) & (nn <= _le_uint32(u, 6)),
+            _let(nn - 1, walk),
+        )
+        .otherwise(F.lit(None).cast("binary"))
     )

@@ -340,3 +340,83 @@ class TestGeoMeasures:
         # validation
         with pytest.raises(ValueError):
             geo.geo_line_substring(t.g, 0.8, 0.2)
+
+    def test_geo_multipoint_and_multis(self, con):
+        from ibis_spark import geo
+        import struct as _s
+
+        def _mpt(pts):
+            return _s.pack("<BII", 1, 4, len(pts)) + b"".join(
+                _pt(x, y) for x, y in pts
+            )
+
+        def _mline(lines):
+            return _s.pack("<BII", 1, 5, len(lines)) + b"".join(
+                _line(l) for l in lines
+            )
+
+        def _mpoly(polys):
+            return _s.pack("<BII", 1, 6, len(polys)) + b"".join(
+                _poly(*p) for p in polys
+            )
+
+        mpt = _mpt([(1.0, 2.0), (3.0, -4.0), (0.5, 0.25)])
+        mline = _mline([[(0.0, 0.0), (3.0, 4.0)], [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0)]])
+        mpoly = _mpoly([[SQ4], [SQ10, HOLE13]])
+        t = self._tbl(con, [mpt, mline, mpoly])
+        ty = self._vals(t, geo.geo_geometry_type(t.g))
+        assert ty == {0: "MULTIPOINT", 1: "MULTILINESTRING", 2: "MULTIPOLYGON"}
+        np_ = self._vals(t, geo.geo_n_points(t.g))
+        assert np_ == {0: 3, 1: 5, 2: 15}
+        # geometry_n slices full child WKB values, 1-based
+        g2 = self._vals(t, geo.geo_geometry_n(t.g, 2))
+        assert bytes(g2[0]) == _pt(3.0, -4.0)
+        assert bytes(g2[1]) == _line([(1.0, 1.0), (2.0, 2.0), (3.0, 3.0)])
+        assert bytes(g2[2]) == _poly(SQ10, HOLE13)
+        for bad in (0, 4, -1):
+            gb = self._vals(t, geo.geo_geometry_n(t.g, bad))
+            assert gb == {0: None, 1: None, 2: None}, bad
+        # single geometry: n=1 returns the input itself
+        t1 = self._tbl(con, [_pt(7.0, 8.0)])
+        assert bytes(self._vals(t1, geo.geo_geometry_n(t1.g, 1))[0]) == _pt(7.0, 8.0)
+        # bbox + envelope + centroid over MULTIPOINT
+        assert self._vals(t, geo.geo_x_min(t.g))[0] == 0.5
+        assert self._vals(t, geo.geo_y_max(t.g))[0] == 2.0
+        cen = self._vals(t, geo.geo_centroid(t.g))
+        assert bytes(cen[0]) == _pt((1.0 + 3.0 + 0.5) / 3.0, (2.0 - 4.0 + 0.25) / 3.0)
+        # constructor matches the packed layout
+        t2 = con.memtable(
+            [(1, [1.0, 3.0, 0.5], [2.0, -4.0, 0.25])],
+            schema={"i": "int64", "xs": "array<float64>", "ys": "array<float64>"},
+        )
+        got = t2.select(g=geo.geo_multipoint(t2.xs, t2.ys)).df.collect()[0].g
+        assert bytes(got) == mpt
+
+    def test_geo_unary_union(self, con):
+        from ibis_spark import geo
+        import struct as _s
+
+        # two groups; group 1 has a DUPLICATE point that must collapse
+        rows = [
+            (1, _pt(3.0, 4.0)),
+            (1, _pt(1.0, 2.0)),
+            (1, _pt(3.0, 4.0)),
+            (2, _pt(-1.0, 0.0)),
+        ]
+        t = con.memtable(rows, schema={"grp": "int64", "p": "binary"})
+        agg = t.group_by("grp").aggregate(mp=geo.geo_unary_union(t.p))
+        got = {r.grp: bytes(r.mp) for r in agg.df.collect()}
+        n1, = _s.unpack("<I", got[1][5:9])
+        assert n1 == 2  # duplicate collapsed
+        n2, = _s.unpack("<I", got[2][5:9])
+        assert n2 == 1
+        # children are full point WKBs, sorted by bytes (deterministic)
+        kids = [got[1][9 + 21 * i: 9 + 21 * (i + 1)] for i in range(2)]
+        assert sorted(kids) == kids
+        assert set(kids) == {_pt(3.0, 4.0), _pt(1.0, 2.0)}
+        # non-point member poisons the group to NULL
+        rows2 = rows + [(2, _line([(0.0, 0.0), (1.0, 1.0)]))]
+        t2 = con.memtable(rows2, schema={"grp": "int64", "p": "binary"})
+        agg2 = t2.group_by("grp").aggregate(mp=geo.geo_unary_union(t2.p))
+        got2 = {r.grp: r.mp for r in agg2.df.collect()}
+        assert got2[2] is None and got2[1] is not None
