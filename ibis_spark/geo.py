@@ -515,57 +515,148 @@ def _hexle_double(h, o: int):
     )
 
 
+def _hex16_arr(xs):
+    """ARRAY of 16-hex-char IEEE-754 images of an ARRAY<DOUBLE> column
+    — the ARRAY-CONTEXT encoder.  Same arithmetic as _hex16_expr
+    (bit-identical output), but each of _hex16_expr's internal _let
+    levels becomes its OWN transform() pass whose lambda input is a
+    leaf variable: the analyzer EXPANDS _let bindings that sit under an
+    outer lambda (resolving the nested LambdaFunction substitutes the
+    bound subtree at every use site), so the single-expression encoder
+    costs ~3x per value inside zip_with/transform (measured 1502 vs
+    491 ns/encode on 2M rows) and ~8x the plan text.  Five O(n)
+    passes over small structs beat one exploded tree on both axes."""
+    # stage 1: carry x, |x|, floor-bit-length exponent estimate
+    s1 = F.transform(
+        xs,
+        lambda x: F.struct(
+            x.cast("double").alias("x"),
+            F.abs(x.cast("double")).alias("ax"),
+        ),
+    )
+    s2 = F.transform(
+        s1,
+        lambda s: F.struct(
+            s["x"].alias("x"),
+            s["ax"].alias("ax"),
+            F.when(
+                F.floor(s["ax"]).cast("bigint") >= 1,
+                (
+                    F.length(F.bin(F.floor(s["ax"]).cast("bigint"))) - F.lit(1)
+                ).cast("int"),
+            )
+            .otherwise(
+                (
+                    F.length(
+                        F.bin(F.floor(s["ax"] * F.lit(_P61)).cast("bigint"))
+                    )
+                    - F.lit(62)
+                ).cast("int")
+            )
+            .alias("e0"),
+        ),
+    )
+    # stage 3: exact fraction at the estimated exponent
+    s3 = F.transform(
+        s2,
+        lambda s: F.struct(
+            s["x"].alias("x"),
+            s["ax"].alias("ax"),
+            s["e0"].alias("e0"),
+            (s["ax"] / _pow2(s["e0"])).alias("f0"),
+        ),
+    )
+    # stage 4: one-step exact normalization
+    s4 = F.transform(
+        s3,
+        lambda s: F.struct(
+            s["x"].alias("x"),
+            s["ax"].alias("ax"),
+            F.when(s["f0"] >= 2.0, s["e0"] + F.lit(1))
+            .when(s["f0"] < 1.0, s["e0"] - F.lit(1))
+            .otherwise(s["e0"])
+            .alias("e"),
+            F.when(s["f0"] >= 2.0, s["f0"] / F.lit(2.0))
+            .when(s["f0"] < 1.0, s["f0"] * F.lit(2.0))
+            .otherwise(s["f0"])
+            .alias("f"),
+        ),
+    )
+
+    # stage 5: assemble hex, apply the shared domain gates
+    def fin(s):
+        m52 = ((s["f"] - F.lit(1.0)) * F.lit(_P52)).cast("bigint")
+        top12 = (
+            F.when(s["x"] < 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2048)
+            + s["e"]
+            + F.lit(1023)
+        ).cast("bigint")
+        hex16 = F.concat(
+            F.lpad(F.lower(F.hex(top12)), 3, "0"),
+            F.lpad(F.lower(F.hex(m52)), 13, "0"),
+        )
+        return (
+            F.when(s["x"].isNull() | F.isnan(s["x"]), F.lit(None).cast("string"))
+            .when(s["x"] == 0.0, F.lit(_ZERO16))
+            .when(
+                (s["ax"] < F.lit(2.0**-61)) | (s["ax"] > F.lit(_P61)),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(hex16)
+        )
+
+    return F.transform(s4, fin)
+
+
+def _vhex_arr(xs, ys):
+    """ARRAY of 32-hex-char little-endian WKB vertex images from two
+    coordinate arrays — staged-encoder path shared by the linestring /
+    polygon-ring / multipoint constructors."""
+    return F.zip_with(
+        _hex16_arr(xs), _hex16_arr(ys), lambda a, b: F.concat(_le_hex(a), _le_hex(b))
+    )
+
+
 def _ring_hex(ux, uy):
     """STRUCT(ok, hx) of one WKB ring from two ARRAY<DOUBLE> columns:
     npts uint32 + closed vertex run, auto-closing an open ring.
-    Fully let-bound: the coordinate arrays, the per-vertex hex array,
-    and the point count each appear once in the plan."""
 
-    def per_ring(rr):
-        rx, ry = rr["rx"], rr["ry"]
-        nx = F.size(rx)
-        closed = (F.element_at(rx, 1) == F.element_at(rx, -1)) & (
-            F.element_at(ry, 1) == F.element_at(ry, -1)
+    The encoder runs through the STAGED array path (_hex16_arr /
+    _vhex_arr) and every _let here carries its heavy subtree in the
+    VALUE position only: a _let whose binding sits inside an outer
+    lambda BODY gets its uses substituted during lambda resolution —
+    the constructor's first spelling paid ~3x runtime per encode and
+    ~8x plan text for exactly that (see _hex16_arr)."""
+    nx = F.size(ux)
+    closed = (F.element_at(ux, 1) == F.element_at(ux, -1)) & (
+        F.element_at(uy, 1) == F.element_at(uy, -1)
+    )
+
+    def with_np(nn):
+        npts, vh = nn["npts"], nn["vh"]
+        # aggregate-concat, NOT array_join: array_join silently
+        # SKIPS NULL elements (an out-of-domain coordinate would
+        # quietly drop a vertex) while concat NULL-propagates,
+        # which is the contract here.
+        body = F.aggregate(vh, F.lit(""), lambda acc, v: F.concat(acc, v))
+        full = F.when(npts == F.size(vh), body).otherwise(
+            F.concat(body, F.element_at(vh, 1))
         )
-        vhex = F.zip_with(
-            rx,
-            ry,
-            lambda a, b: F.concat(
-                _le_hex(_hex16_expr(a)), _le_hex(_hex16_expr(b))
-            ),
-        )
-
-        def with_np(nn):
-            npts, vh = nn["npts"], nn["vh"]
-            # aggregate-concat, NOT array_join: array_join silently
-            # SKIPS NULL elements (an out-of-domain coordinate would
-            # quietly drop a vertex) while concat NULL-propagates,
-            # which is the contract here.
-            body = F.aggregate(
-                vh, F.lit(""), lambda acc, v: F.concat(acc, v)
-            )
-            full = F.when(npts == F.size(vh), body).otherwise(
-                F.concat(body, F.element_at(vh, 1))
-            )
-            ok = (
-                rx.isNotNull()
-                & ry.isNotNull()
-                & (nx == F.size(ry))
-                & (npts >= 4)
-            )
-            return F.struct(
-                ok.alias("ok"), F.concat(_le_hex32(npts), full).alias("hx")
-            )
-
-        return _let(
-            F.struct(
-                F.when(closed, nx).otherwise(nx + 1).cast("bigint").alias("npts"),
-                vhex.alias("vh"),
-            ),
-            with_np,
+        ok = nn["okin"] & (npts >= 4)
+        return F.struct(
+            ok.alias("ok"), F.concat(_le_hex32(npts), full).alias("hx")
         )
 
-    return _let(F.struct(ux.alias("rx"), uy.alias("ry")), per_ring)
+    return _let(
+        F.struct(
+            F.when(closed, nx).otherwise(nx + 1).cast("bigint").alias("npts"),
+            _vhex_arr(ux, uy).alias("vh"),
+            (
+                ux.isNotNull() & uy.isNotNull() & (nx == F.size(uy))
+            ).alias("okin"),
+        ),
+        with_np,
+    )
 
 
 def geo_polygon(xs, ys, holes=()):
@@ -1045,30 +1136,37 @@ def geo_linestring(xs, ys):
     NULL when either array is NULL, sizes mismatch, fewer than 2
     vertices, or any coordinate is outside the exact codec domain
     (NaN/Inf/denormal/|x| > 2**61) — same contract as geo_polygon.
-    Vertices are encoded with the deterministic arithmetic bit-encoder
-    (bit-identical to geo_point) inside the zip_with lambda."""
+    Vertices run through the STAGED array encoder (_vhex_arr,
+    bit-identical to geo_point); the heavy subtrees sit in _let VALUE
+    position only — see _hex16_arr for the lambda-body expansion this
+    avoids."""
     ux, uy = unwrap(xs), unwrap(ys)
 
-    def build(rr):
-        rx, ry = rr["rx"], rr["ry"]
-        n = F.size(rx)
-        vhex = F.zip_with(
-            rx,
-            ry,
-            lambda a, b: F.concat(
-                _le_hex(_hex16_expr(a)), _le_hex(_hex16_expr(b))
-            ),
-        )
+    def build(nn):
+        n, vh = nn["n"], nn["vh"]
         # aggregate-concat (NULL-propagating), never array_join — see
         # _ring_hex for why
-        body = F.aggregate(vhex, F.lit(""), lambda acc, v: F.concat(acc, v))
-        ok = rx.isNotNull() & ry.isNotNull() & (n == F.size(ry)) & (n >= 2)
+        body = F.aggregate(vh, F.lit(""), lambda acc, v: F.concat(acc, v))
         hx = F.concat(
             F.lit("0102000000"), _le_hex32(n.cast("bigint")), body
         )
+        ok = nn["okin"] & (n >= 2)
         return F.when(ok, F.unhex(hx)).otherwise(F.lit(None).cast("binary"))
 
-    return wrap(_let(F.struct(ux.alias("rx"), uy.alias("ry")), build))
+    return wrap(
+        _let(
+            F.struct(
+                F.size(ux).alias("n"),
+                _vhex_arr(ux, uy).alias("vh"),
+                (
+                    ux.isNotNull()
+                    & uy.isNotNull()
+                    & (F.size(ux) == F.size(uy))
+                ).alias("okin"),
+            ),
+            build,
+        )
+    )
 
 
 def _edge_len(u, base, ei):
@@ -1928,40 +2026,56 @@ def geo_intersects(a, b):
     (tens of vertices), not for digitized coastlines.  Points exactly
     ON a boundary follow geo_contains' half-open caveat when only
     containment (not edge contact) decides.  NULL unless both sides
-    are LE point/linestring/polygon WKB."""
-    ua, ub = unwrap(a), unwrap(b)
-    # both edge sets decode ONCE into let-bound arrays, then one
-    # exists-exists pair test over the materialized structs — see
-    # _edges_array for why this beats a nested byte-walk fold
-    cross = F.coalesce(
-        _let(
-            F.struct(
-                _edges_array(ua).alias("ea"), _edges_array(ub).alias("eb")
-            ),
-            lambda s: F.exists(
-                s["ea"],
-                lambda e1: F.coalesce(
-                    F.exists(s["eb"], lambda e2: _seg_intersects(e1, e2)),
-                    F.lit(False),
+    are LE point/linestring/polygon WKB.
+
+    The two inputs are LET-BOUND once at the top: this predicate reads
+    each geometry ~15 times (type gates, edge arrays, vertex slices,
+    two ray-cast gates), and when the input is a COMPUTED geometry
+    (a constructor expression) Catalyst inlined the constructor tree
+    into every read — measured 9 full linestring-constructor
+    evaluations PER ROW in geo_segment_cross's optimized plan (72
+    encoder instantiations where the staged shape has 8).  Binding the
+    raw bytes to a lambda leaf makes every internal read leaf-cheap
+    regardless of what the caller feeds in."""
+
+    def body(ua, ub):
+        # both edge sets decode ONCE into let-bound arrays, then one
+        # exists-exists pair test over the materialized structs — see
+        # _edges_array for why this beats a nested byte-walk fold
+        cross = F.coalesce(
+            _let(
+                F.struct(
+                    _edges_array(ua).alias("ea"), _edges_array(ub).alias("eb")
+                ),
+                lambda s: F.exists(
+                    s["ea"],
+                    lambda e1: F.coalesce(
+                        F.exists(s["eb"], lambda e2: _seg_intersects(e1, e2)),
+                        F.lit(False),
+                    ),
                 ),
             ),
-        ),
-        F.lit(False),
-    )
-    a_swallows_b = F.coalesce(
-        unwrap(geo_contains(wrap(ua), wrap(_first_vertex_point(ub)))),
-        F.lit(False),
-    )
-    b_swallows_a = F.coalesce(
-        unwrap(geo_contains(wrap(ub), wrap(_first_vertex_point(ua)))),
-        F.lit(False),
-    )
-    known_a = _is_pt(ua) | _is_line(ua) | _is_poly(ua)
-    known_b = _is_pt(ub) | _is_line(ub) | _is_poly(ub)
-    return wrap(
-        F.when(
+            F.lit(False),
+        )
+        a_swallows_b = F.coalesce(
+            unwrap(geo_contains(wrap(ua), wrap(_first_vertex_point(ub)))),
+            F.lit(False),
+        )
+        b_swallows_a = F.coalesce(
+            unwrap(geo_contains(wrap(ub), wrap(_first_vertex_point(ua)))),
+            F.lit(False),
+        )
+        known_a = _is_pt(ua) | _is_line(ua) | _is_poly(ua)
+        known_b = _is_pt(ub) | _is_line(ub) | _is_poly(ub)
+        return F.when(
             known_a & known_b, cross | a_swallows_b | b_swallows_a
         ).otherwise(F.lit(None).cast("boolean"))
+
+    return wrap(
+        _let(
+            F.struct(unwrap(a).alias("ga"), unwrap(b).alias("gb")),
+            lambda g: body(g["ga"], g["gb"]),
+        )
     )
 
 
@@ -2110,11 +2224,13 @@ def geo_line_substring(line, start: float, end: float):
         arr = F.aggregate(_edges_array(u), init, step)["arr"]
 
         def emit(vs):
-            vhex = F.transform(
-                vs,
-                lambda v: F.concat(
-                    _le_hex(_hex16_expr(v["x"])), _le_hex(_hex16_expr(v["y"]))
-                ),
+            # staged encoder over the assembled vertex arrays (the
+            # inline _hex16_expr spelling pays the lambda-body _let
+            # expansion — see _hex16_arr)
+            vhex = F.zip_with(
+                _hex16_arr(F.transform(vs, lambda v: v["x"])),
+                _hex16_arr(F.transform(vs, lambda v: v["y"])),
+                lambda a2, b2: F.concat(_le_hex(a2), _le_hex(b2)),
             )
             body = F.aggregate(
                 vhex, F.lit(""), lambda a2, h: F.concat(a2, h)
@@ -2225,23 +2341,35 @@ def geo_multipoint(xs, ys):
     NULL on NULL/mismatched/empty arrays or out-of-domain coordinates
     (same contract as geo_linestring)."""
     ux, uy = unwrap(xs), unwrap(ys)
+    vhex = F.zip_with(
+        _hex16_arr(ux),
+        _hex16_arr(uy),
+        lambda a, b: F.concat(
+            F.lit("0101000000"), _le_hex(a), _le_hex(b)
+        ),
+    )
 
-    def build(rr):
-        rx, ry = rr["rx"], rr["ry"]
-        n = F.size(rx)
-        vhex = F.zip_with(
-            rx,
-            ry,
-            lambda a, b: F.concat(
-                F.lit("0101000000"), _le_hex(_hex16_expr(a)), _le_hex(_hex16_expr(b))
-            ),
-        )
-        body = F.aggregate(vhex, F.lit(""), lambda acc, v: F.concat(acc, v))
-        ok = rx.isNotNull() & ry.isNotNull() & (n == F.size(ry)) & (n >= 1)
+    def build(nn):
+        n, vh = nn["n"], nn["vh"]
+        body = F.aggregate(vh, F.lit(""), lambda acc, v: F.concat(acc, v))
         hx = F.concat(F.lit("0104000000"), _le_hex32(n.cast("bigint")), body)
+        ok = nn["okin"] & (n >= 1)
         return F.when(ok, F.unhex(hx)).otherwise(F.lit(None).cast("binary"))
 
-    return wrap(_let(F.struct(ux.alias("rx"), uy.alias("ry")), build))
+    return wrap(
+        _let(
+            F.struct(
+                F.size(ux).alias("n"),
+                vhex.alias("vh"),
+                (
+                    ux.isNotNull()
+                    & uy.isNotNull()
+                    & (F.size(ux) == F.size(uy))
+                ).alias("okin"),
+            ),
+            build,
+        )
+    )
 
 
 def geo_unary_union(pts):
