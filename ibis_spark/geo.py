@@ -76,6 +76,8 @@ __all__ = [
     "geo_multipoint",
     "geo_unary_union",
     "geo_geometry_n",
+    "geo_max_distance",
+    "geo_d_fully_within",
 ]
 
 
@@ -2446,4 +2448,103 @@ def geo_geometry_n(g, n):
             _let(nn - 1, walk),
         )
         .otherwise(F.lit(None).cast("binary"))
+    )
+
+
+def geo_max_distance(a, b):
+    """Maximum planar distance between two LE WKB geometries —
+    reference GeoMaxDistance (geospatial.py:223, PostGIS
+    ST_MaxDistance).  Distance is CONVEX along a segment, so the
+    maximum over two geometries is attained at a VERTEX pair; one
+    nested fold over the two decoded edge arrays (endpoints duplicated
+    across adjacent edges — harmless under max) computes the exact
+    squared maximum, with one sqrt at the end.  NULL unless both sides
+    are LE point/linestring/polygon WKB."""
+    ua, ub = unwrap(a), unwrap(b)
+
+    def body(s):
+        def d2(px, py, qx, qy):
+            return (px - qx) * (px - qx) + (py - qy) * (py - qy)
+
+        def inner(e1):
+            return F.aggregate(
+                s["eb"],
+                F.lit(None).cast("double"),
+                lambda acc, e2: F.greatest(
+                    acc,
+                    d2(e1["x1"], e1["y1"], e2["x1"], e2["y1"]),
+                    d2(e1["x1"], e1["y1"], e2["x2"], e2["y2"]),
+                    d2(e1["x2"], e1["y2"], e2["x1"], e2["y1"]),
+                    d2(e1["x2"], e1["y2"], e2["x2"], e2["y2"]),
+                ),
+            )
+
+        m2 = F.aggregate(
+            s["ea"],
+            F.lit(None).cast("double"),
+            lambda acc, e1: F.greatest(acc, inner(e1)),
+        )
+        return F.sqrt(m2)
+
+    known_a = _is_pt(ua) | _is_line(ua) | _is_poly(ua)
+    known_b = _is_pt(ub) | _is_line(ub) | _is_poly(ub)
+    return wrap(
+        F.when(
+            known_a & known_b,
+            _let(
+                F.struct(
+                    _edges_array(ua).alias("ea"), _edges_array(ub).alias("eb")
+                ),
+                body,
+            ),
+        ).otherwise(F.lit(None).cast("double"))
+    )
+
+
+def geo_d_fully_within(a, b, distance):
+    """True when the two geometries are ENTIRELY within ``distance`` of
+    one another (every point pair within the tolerance) — reference
+    GeoDFullyWithin (geospatial.py:380, PostGIS ST_DFullyWithin):
+    max_distance(a, b) <= distance, compared in the squared domain (no
+    sqrt rounding at the boundary).  Negative tolerance matches
+    nothing, same posture as geo_dwithin."""
+    ua, ub = unwrap(a), unwrap(b)
+    d = unwrap(distance)
+
+    def body(s):
+        def d2(px, py, qx, qy):
+            return (px - qx) * (px - qx) + (py - qy) * (py - qy)
+
+        def inner(e1):
+            return F.aggregate(
+                s["eb"],
+                F.lit(None).cast("double"),
+                lambda acc, e2: F.greatest(
+                    acc,
+                    d2(e1["x1"], e1["y1"], e2["x1"], e2["y1"]),
+                    d2(e1["x1"], e1["y1"], e2["x2"], e2["y2"]),
+                    d2(e1["x2"], e1["y2"], e2["x1"], e2["y1"]),
+                    d2(e1["x2"], e1["y2"], e2["x2"], e2["y2"]),
+                ),
+            )
+
+        m2 = F.aggregate(
+            s["ea"],
+            F.lit(None).cast("double"),
+            lambda acc, e1: F.greatest(acc, inner(e1)),
+        )
+        return (d >= 0) & (m2 <= d * d)
+
+    known_a = _is_pt(ua) | _is_line(ua) | _is_poly(ua)
+    known_b = _is_pt(ub) | _is_line(ub) | _is_poly(ub)
+    return wrap(
+        F.when(
+            known_a & known_b,
+            _let(
+                F.struct(
+                    _edges_array(ua).alias("ea"), _edges_array(ub).alias("eb")
+                ),
+                body,
+            ),
+        ).otherwise(F.lit(None).cast("boolean"))
     )

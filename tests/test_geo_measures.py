@@ -420,3 +420,32 @@ class TestGeoMeasures:
         agg2 = t2.group_by("grp").aggregate(mp=geo.geo_unary_union(t2.p))
         got2 = {r.grp: r.mp for r in agg2.df.collect()}
         assert got2[2] is None and got2[1] is not None
+
+    def test_geo_max_distance_fully_within(self, con):
+        from ibis_spark import geo
+
+        sq_far = _poly([(10.0, 10.0), (14.0, 10.0), (14.0, 14.0),
+                        (10.0, 14.0), (10.0, 10.0)])
+        cases = [
+            # (a, b, expected max distance)
+            (_pt(0.0, 0.0), _pt(3.0, 4.0), 5.0),
+            (_pt(0.0, 0.0), _line([(3.0, 4.0), (6.0, 8.0)]), 10.0),
+            (_poly(SQ4), sq_far, math.sqrt(392.0)),  # (0,0)-(14,14)
+            # center of SQ4: all four corners at sqrt(8)
+            (_pt(2.0, 2.0), _poly(SQ4), math.sqrt(8.0)),
+            (b"\x00", _pt(0.0, 0.0), None),
+        ]
+        t = con.memtable(
+            [(i, a, b) for i, (a, b, _) in enumerate(cases)],
+            schema={"i": "int64", "a": "binary", "b": "binary"},
+        )
+        got = self._vals(t, geo.geo_max_distance(t.a, t.b))
+        for i, (_, _, exp) in enumerate(cases):
+            assert got[i] == exp, (i, got[i])
+        # fully-within: boundary inclusive, squared-domain compare
+        fw5 = self._vals(t, geo.geo_d_fully_within(t.a, t.b, 5.0))
+        assert fw5[0] is True and fw5[1] is False and fw5[4] is None
+        fw10 = self._vals(t, geo.geo_d_fully_within(t.a, t.b, 10.0))
+        assert fw10[1] is True
+        fwneg = self._vals(t, geo.geo_d_fully_within(t.a, t.b, -1.0))
+        assert fwneg[0] is False
