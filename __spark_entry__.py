@@ -2872,6 +2872,37 @@ def _geo_union_agg(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_max_dist_report(spark, sf_dir):
+    """GeoMaxDistance + GeoDFullyWithin (reference geospatial.py:223,
+    :380): per customer point vs the nation diamond, the max distance
+    is attained at one of the diamond's 4 vertices (convexity), so the
+    oracle is GREATEST of four exact-operand square roots; the
+    fully-within flag compares in the squared domain on BOTH sides, so
+    the boundary is bit-exact."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer")
+    c = c.filter(c.c_nationkey < 10)
+    n = _t(spark, sf_dir, "nation")
+    cx = (n.n_nationkey * 14).cast("float64") - 175.0
+    cy = (n.n_nationkey * 7).cast("float64") - 87.0
+    R = 30.5
+    poly = geo.geo_polygon(
+        ib.array(cx + R, cx, cx - R, cx),
+        ib.array(cy, cy + R, cy, cy - R),
+    )
+    n = n.mutate(poly=poly)
+    j = c.inner_join(n, [("c_nationkey", "n_nationkey")])
+    lon, lat = _geo_lonlat(j)
+    j = j.mutate(pt=geo.geo_point(lon, lat))
+    return j.select(
+        "c_custkey",
+        "n_nationkey",
+        md=geo.geo_max_distance(j.pt, j.poly),
+        fw=geo.geo_d_fully_within(j.pt, j.poly, 120.0),
+    ).to_spark()
+
+
 def _geo_envelope_box(spark, sf_dir):
     """GeoEnvelope + GeoXMin..GeoYMax + GeoPerimeter over the
     per-nation diamond polygon (reference geospatial.py:202-282,398):
@@ -3568,6 +3599,7 @@ _SAMPLE_WINDOW = [
     "geo_segment_cross",
     "geo_line_locate",
     "geo_union_agg",
+    "geo_max_dist_report",
     "ds_returns_above_avg",
     "ds_frequent_items",
     "ds_best_customers",
@@ -3598,7 +3630,6 @@ _SAMPLE_WINDOW = [
     "udf_grouped_agg",
     "tumble",
     "session_window",
-    "rollup_agg",
     "interval_range_window",
     "repetition_score",
     "winnow_fingerprint",
@@ -3608,11 +3639,11 @@ _SAMPLE_WINDOW = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    # (q7/q10/q14/q18/q20/q22 and cube_agg yield their r10 slots to
-    # the seven late linestring/MULTI*-slice entries: a new op with NO
+    # (q7/q10/q14/q18/q20/q22, cube_agg and rollup_agg yield their
+    # r10 slots to the eight late linestring/MULTI*-slice entries: a new op with NO
     # driver row outranks a 4-round-stale surface that fresher siblings
     # exercise this same window — five TPC-H entries stay in, and the
-    # DS tranche re-proves rollup/cube shapes at r9/r10; the seven
+    # DS tranche re-proves rollup/cube shapes at r9/r10; the eight
     # rotate first in r11)
 ]
 
@@ -3634,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line_metrics": _geo_line_metrics,
         "geo_line_locate": _geo_line_locate,
         "geo_union_agg": _geo_union_agg,
+        "geo_max_dist_report": _geo_max_dist_report,
         "geo_envelope_box": _geo_envelope_box,
         "geo_triangle_report": _geo_triangle_report,
         "geo_intersects_pt_poly": _geo_intersects_pt_poly,
@@ -4085,6 +4117,31 @@ def oracle_sql() -> dict[str, str]:
                    MIN(x) AS uxmin, MAX(x) AS uxmax,
                    MIN(y) AS uymin, MAX(y) AS uymax
             FROM p GROUP BY c_nationkey
+        """,
+        "geo_max_dist_report": """
+            WITH p AS (
+              SELECT c_custkey, n_nationkey,
+                     (CAST(c_custkey % 360 AS DOUBLE) - 180.0)
+                       + (c_acctbal / 1000000.0) AS x,
+                     (CAST(c_custkey % 180 AS DOUBLE) - 90.0)
+                       + (c_acctbal / 2000000.0) AS y,
+                     CAST(n_nationkey * 14 AS DOUBLE) - 175.0 AS cx,
+                     CAST(n_nationkey * 7 AS DOUBLE) - 87.0 AS cy
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_nationkey < 10),
+            d AS (
+              SELECT c_custkey, n_nationkey,
+                     GREATEST(
+                       (x-(cx+30.5))*(x-(cx+30.5)) + (y-cy)*(y-cy),
+                       (x-cx)*(x-cx) + (y-(cy+30.5))*(y-(cy+30.5)),
+                       (x-(cx-30.5))*(x-(cx-30.5)) + (y-cy)*(y-cy),
+                       (x-cx)*(x-cx) + (y-(cy-30.5))*(y-(cy-30.5))
+                     ) AS m2
+              FROM p)
+            SELECT c_custkey, n_nationkey,
+                   SQRT(m2) AS md,
+                   m2 <= 120.0 * 120.0 AS fw
+            FROM d
         """,
         "geo_envelope_box": """
             WITH g AS (
