@@ -630,8 +630,11 @@ def _ring_hex(ux, uy):
     the constructor's first spelling paid ~3x runtime per encode and
     ~8x plan text for exactly that (see _hex16_arr)."""
     nx = F.size(ux)
-    closed = (F.element_at(ux, 1) == F.element_at(ux, -1)) & (
-        F.element_at(uy, 1) == F.element_at(uy, -1)
+    # try_element_at, not element_at: under Spark 4 ANSI mode an EMPTY
+    # coordinate array would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    # here instead of degrading to NULL via the npts >= 4 gate below.
+    closed = (F.try_element_at(ux, F.lit(1)) == F.try_element_at(ux, F.lit(-1))) & (
+        F.try_element_at(uy, F.lit(1)) == F.try_element_at(uy, F.lit(-1))
     )
 
     def with_np(nn):
@@ -642,7 +645,7 @@ def _ring_hex(ux, uy):
         # which is the contract here.
         body = F.aggregate(vh, F.lit(""), lambda acc, v: F.concat(acc, v))
         full = F.when(npts == F.size(vh), body).otherwise(
-            F.concat(body, F.element_at(vh, 1))
+            F.concat(body, F.try_element_at(vh, F.lit(1)))
         )
         ok = nn["okin"] & (npts >= 4)
         return F.struct(
@@ -745,9 +748,19 @@ def geo_contains(poly, pt):
                 crosses = straddles & F.when(dy > 0, lhs < rhs).otherwise(
                     lhs > rhs
                 )
+                # an undecodable vertex (out-of-codec-domain foreign
+                # bytes) poisons the count to NULL rather than reading
+                # as "no crossing" — degrade-to-NULL, never a wrong
+                # parity (3VL alone can't do this: NULL & FALSE = FALSE
+                # would silently skip the edge).
+                bad = (
+                    x1.isNull() | y1.isNull() | x2.isNull() | y2.isNull()
+                )
                 return ecnt + F.when(
-                    crosses, F.lit(1).cast("bigint")
-                ).otherwise(F.lit(0).cast("bigint"))
+                    bad, F.lit(None).cast("bigint")
+                ).when(crosses, F.lit(1).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
 
             def with_hex(h):
                 return _let(
@@ -2134,8 +2147,12 @@ def geo_line_locate_point(line, pt):
             F.lit(0.0).alias("blen"),
         )
         res = F.aggregate(_edges_array(u), init, step)
-        return F.when(res["cum"] > 0, res["blen"] / res["cum"]).otherwise(
-            F.lit(0.0)
+        # NULL cum means an undecodable line vertex poisoned the walk —
+        # NULL-propagate rather than report the 0.0 zero-length answer.
+        return (
+            F.when(res["cum"].isNull(), F.lit(None).cast("double"))
+            .when(res["cum"] > 0, res["blen"] / res["cum"])
+            .otherwise(F.lit(0.0))
         )
 
     out = _let(
@@ -2144,7 +2161,14 @@ def geo_line_locate_point(line, pt):
     )
     return wrap(
         F.when(
-            _is_line(u) & _is_pt(p) & _pt_double(p, 6).isNotNull(), out
+            _is_line(u)
+            & _is_pt(p)
+            # gate on BOTH coordinates: a point whose y decodes NULL
+            # (out-of-domain foreign bytes) would otherwise leave the
+            # argmin untouched and return 0.0 instead of NULL.
+            & _pt_double(p, 6).isNotNull()
+            & _pt_double(p, 14).isNotNull(),
+            out,
         ).otherwise(F.lit(None).cast("double"))
     )
 
@@ -2451,6 +2475,21 @@ def geo_geometry_n(g, n):
     )
 
 
+def _edges_has_null(ea):
+    """True when any decoded vertex in an edge array is NULL (foreign
+    LE WKB with out-of-codec-domain coordinates).  F.greatest SKIPS
+    NULL operands, so a max fold would silently drop an undecodable
+    far vertex — callers gate on this to NULL-propagate instead,
+    matching geo_area's degrade-to-NULL posture."""
+    return F.exists(
+        ea,
+        lambda e: e["x1"].isNull()
+        | e["y1"].isNull()
+        | e["x2"].isNull()
+        | e["y2"].isNull(),
+    )
+
+
 def geo_max_distance(a, b):
     """Maximum planar distance between two LE WKB geometries —
     reference GeoMaxDistance (geospatial.py:223, PostGIS
@@ -2459,7 +2498,9 @@ def geo_max_distance(a, b):
     nested fold over the two decoded edge arrays (endpoints duplicated
     across adjacent edges — harmless under max) computes the exact
     squared maximum, with one sqrt at the end.  NULL unless both sides
-    are LE point/linestring/polygon WKB."""
+    are LE point/linestring/polygon WKB with every vertex inside the
+    codec domain (any NULL vertex decode -> NULL result, not a
+    silently-smaller max)."""
     ua, ub = unwrap(a), unwrap(b)
 
     def body(s):
@@ -2484,7 +2525,8 @@ def geo_max_distance(a, b):
             F.lit(None).cast("double"),
             lambda acc, e1: F.greatest(acc, inner(e1)),
         )
-        return F.sqrt(m2)
+        bad = _edges_has_null(s["ea"]) | _edges_has_null(s["eb"])
+        return F.when(bad, F.lit(None).cast("double")).otherwise(F.sqrt(m2))
 
     known_a = _is_pt(ua) | _is_line(ua) | _is_poly(ua)
     known_b = _is_pt(ub) | _is_line(ub) | _is_poly(ub)
@@ -2533,7 +2575,10 @@ def geo_d_fully_within(a, b, distance):
             F.lit(None).cast("double"),
             lambda acc, e1: F.greatest(acc, inner(e1)),
         )
-        return (d >= 0) & (m2 <= d * d)
+        bad = _edges_has_null(s["ea"]) | _edges_has_null(s["eb"])
+        return F.when(bad, F.lit(None).cast("boolean")).otherwise(
+            (d >= 0) & (m2 <= d * d)
+        )
 
     known_a = _is_pt(ua) | _is_line(ua) | _is_poly(ua)
     known_b = _is_pt(ub) | _is_line(ub) | _is_poly(ub)

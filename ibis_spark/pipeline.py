@@ -3580,13 +3580,19 @@ def sessionize_tws(
     temporal = isinstance(gap, _dt.timedelta)
     gap_v = float(gap.total_seconds()) if temporal else float(gap)
     df = t.df
+    # plain (non-dunder) internal name to dodge the TWS arrow rename;
+    # suffix until unique so withColumn can't silently overwrite a
+    # user column that happens to carry the same name.
+    ts_int = "ts_walk_internal"
+    while ts_int in df.columns:
+        ts_int += "_x"
     if temporal:
-        df = df.withColumn("ts_walk_internal", F.col(ts_col).cast("timestamp").cast("double"))
+        df = df.withColumn(ts_int, F.col(ts_col).cast("timestamp").cast("double"))
     else:
-        df = df.withColumn("ts_walk_internal", F.col(ts_col).cast("double"))
+        df = df.withColumn(ts_int, F.col(ts_col).cast("double"))
     # NULL timestamps would reach pandas as NaN, sort last, and silently
     # fold into (or seed) the open session — drop them up front
-    df = df.filter(F.col("ts_walk_internal").isNotNull())
+    df = df.filter(F.col(ts_int).isNotNull())
     by_type = t.df.schema[by].dataType.simpleString()
 
     class _SessionProcessor(StatefulProcessor):
@@ -3597,7 +3603,7 @@ def sessionize_tws(
 
         def handleInputRows(self, key, rows, timer_values):
             cur = list(self._open.get()) if self._open.exists() else None
-            ts_all = [pdf["ts_walk_internal"] for pdf in rows]
+            ts_all = [pdf[ts_int] for pdf in rows]
             ts = (
                 pd.concat(ts_all).sort_values(kind="mergesort")
                 if ts_all

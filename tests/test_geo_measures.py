@@ -449,3 +449,88 @@ class TestGeoMeasures:
         assert fw10[1] is True
         fwneg = self._vals(t, geo.geo_d_fully_within(t.a, t.b, -1.0))
         assert fwneg[0] is False
+
+
+class TestGeoNullPropagation:
+    """r11 ADVICE fixes: out-of-codec-domain foreign WKB must degrade
+    the whole result to NULL, never silently drop a vertex/edge."""
+
+    def _tbl(self, con, geoms):
+        return con.memtable(
+            [(i, g) for i, g in enumerate(geoms)],
+            schema={"i": "int64", "g": "binary"},
+        )
+
+    def _vals(self, t, expr):
+        rows = t.select("i", v=expr).df.collect()
+        return {r.i: r.v for r in rows}
+
+    def test_max_distance_null_vertex_propagates(self, con):
+        from ibis_spark import geo
+
+        far = 2.0**62  # outside the |x| <= 2**61 codec domain
+        bad_line = _line([(0.0, 0.0), (far, 0.0)])
+        good_line = _line([(0.0, 0.0), (3.0, 4.0)])
+        t = con.memtable(
+            [(0, _pt(0.0, 0.0), bad_line), (1, _pt(0.0, 0.0), good_line)],
+            schema={"i": "int64", "a": "binary", "b": "binary"},
+        )
+        md = self._vals(t, geo.geo_max_distance(t.a, t.b))
+        assert md[0] is None and md[1] == 5.0
+        fw = self._vals(t, geo.geo_d_fully_within(t.a, t.b, 1e30))
+        assert fw[0] is None and fw[1] is True
+
+    def test_line_locate_point_null_y_gate(self, con):
+        from ibis_spark import geo
+
+        line = _line([(0.0, 0.0), (10.0, 0.0)])
+        bad_pt = _pt(1.0, 2.0**62)  # y outside codec domain
+        t = con.memtable(
+            [(0, line, bad_pt), (1, line, _pt(5.0, 1.0))],
+            schema={"i": "int64", "l": "binary", "p": "binary"},
+        )
+        got = self._vals(t, geo.geo_line_locate_point(t.l, t.p))
+        assert got[0] is None and got[1] == 0.5
+
+    def test_contains_null_vertex_propagates(self, con):
+        from ibis_spark import geo
+
+        far = 2.0**62
+        bad_poly = _poly(
+            [(0.0, 0.0), (4.0, 0.0), (far, 4.0), (0.0, 4.0), (0.0, 0.0)]
+        )
+        t = con.memtable(
+            [(0, bad_poly, _pt(1.0, 1.0)), (1, _poly(SQ4), _pt(1.0, 1.0))],
+            schema={"i": "int64", "poly": "binary", "p": "binary"},
+        )
+        got = self._vals(t, geo.geo_contains(t.poly, t.p))
+        assert got[0] is None and got[1] is True
+
+    def test_polygon_ctor_empty_arrays_null(self, con):
+        """Empty coordinate arrays must fall through to NULL (the
+        pre-r11 element_at(1) threw under ANSI mode)."""
+        from ibis_spark import geo
+
+        t = con.memtable(
+            [(0, [], []), (1, [0.0, 4.0, 0.0], [0.0, 0.0, 4.0])],
+            schema={
+                "i": "int64",
+                "xs": "array<float64>",
+                "ys": "array<float64>",
+            },
+        )
+        got = self._vals(t, geo.geo_polygon(t.xs, t.ys))
+        assert got[0] is None and got[1] is not None
+        line = self._vals(t, geo.geo_linestring(t.xs, t.ys))
+        assert line[0] is None and line[1] is not None
+
+    def test_line_locate_point_null_line_vertex(self, con):
+        from ibis_spark import geo
+
+        bad_line = _line([(0.0, 0.0), (2.0**62, 0.0)])
+        t = con.memtable(
+            [(0, bad_line, _pt(1.0, 1.0))],
+            schema={"i": "int64", "l": "binary", "p": "binary"},
+        )
+        got = self._vals(t, geo.geo_line_locate_point(t.l, t.p))
+        assert got[0] is None

@@ -128,3 +128,32 @@ def test_install_registers_pyspark_module_name():
     m = sm.StateRequest(version=2)
     assert m.SerializeToString() == bytes.fromhex("0802")
     assert sys.modules["pyspark.sql.streaming.proto.StateMessage_pb2"] is sm
+
+
+def test_packed_fixed_width_parse():
+    """Packed repeated fixed64/double/fixed32 (wire type 2) must be
+    unpacked in calcsize strides, not struct.unpack'd whole (ADVICE
+    r10: StateMessage has no such field today, but a regenerated
+    descriptor could introduce one)."""
+    import struct as _s
+
+    def mk(ptype):
+        spec = pbshim._FieldSpec.__new__(pbshim._FieldSpec)
+        spec.name, spec.number, spec.type = "xs", 1, ptype
+        spec.repeated, spec.type_name = True, ""
+        return type("PackedF", (pbshim.Message,), {"_specs": {"xs": spec}})()
+
+    # packed double: field1|wt2, len=16, two <d values
+    payload = _s.pack("<dd", 1.5, -2.25)
+    m = mk(pbshim._T_DOUBLE)
+    m.ParseFromString(bytes([0x0A, len(payload)]) + payload)
+    assert m.xs == [1.5, -2.25]
+    # packed fixed32
+    payload = _s.pack("<II", 7, 2**32 - 1)
+    m = mk(pbshim._T_FIXED32)
+    m.ParseFromString(bytes([0x0A, len(payload)]) + payload)
+    assert m.xs == [7, 2**32 - 1]
+    # unpacked encoding of the same field type still parses
+    m2 = mk(pbshim._T_DOUBLE)
+    m2.ParseFromString(bytes([0x09]) + _s.pack("<d", 3.5))
+    assert m2.xs == [3.5]

@@ -520,3 +520,36 @@ def test_transform_with_state_requires_rocksdb(spark):
         pytest.skip("RocksDB provider already configured")
     with pytest.raises(ValueError, match="RocksDB"):
         pl.sessionize_tws(t, "ts", "uid", 10.0)
+
+
+def test_sessionize_tws_internal_column_collision(spark):
+    """A user column named ts_walk_internal must survive — the internal
+    event-time column picks a suffixed unique name instead of silently
+    overwriting it (r10 ADVICE)."""
+    import ibis_spark as ib
+    from ibis_spark import pipeline as pl
+
+    con = ib.connect(spark)
+    rows = [(1, 0.0, 111.0), (1, 3.0, 222.0), (1, 50.0, 333.0)]
+    t = con.memtable(
+        rows,
+        schema={"uid": "int64", "ts": "float64",
+                "ts_walk_internal": "float64"},
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = {
+            (r.uid, r.session_start): (r.session_end, r.n_events)
+            for r in pl.sessionize_tws(t, "ts", "uid", 10.0).df.collect()
+        }
+        # sessions from ts (0,3 | 50), NOT from the decoy column
+        assert got == {(1, 0.0): (3.0, 2), (1, 50.0): (50.0, 1)}
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
