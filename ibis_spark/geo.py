@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from ibis_spark.expr.column import Column
 from ibis_spark.expr.core import unwrap, wrap
 
 __all__ = [
@@ -324,9 +325,14 @@ def _ieee_hex16(xcol):
     )
 
 
-def geo_point(x, y, *, deterministic: bool = False):
+def geo_point(x, y, *, deterministic: bool = False, decoded: bool = False):
     """WKB point (little-endian, geometry type 1) from two DOUBLE
     coordinates — reference GeoPoint. NULL if either coordinate is NULL.
+
+    ``decoded=True`` constructs the DECODED form instead (see the
+    decode-once section): no IEEE byte codec at all, the same
+    coordinate-domain gate, and every measure accepts it — the scale
+    path when the geometry is consumed, not stored.
 
     Both encoders share ONE domain: bit-exact for 0 and |x| in
     [2**-61, 2**61], NULL for NaN/Inf/denormals and anything outside —
@@ -350,6 +356,8 @@ def geo_point(x, y, *, deterministic: bool = False):
     safety (filters over freshly computed points), not speed. Best at
     scale: encode once into a stored WKB column; decoding is ~280
     ns/pt with whole-stage codegen and no hazard either way."""
+    if decoded:
+        return _dec_wrap(_dec_point_ctor(x, y))
     enc = _hex16_expr if deterministic else _ieee_hex16
     hx, hy = enc(unwrap(x)), enc(unwrap(y))
     return wrap(
@@ -357,33 +365,49 @@ def geo_point(x, y, *, deterministic: bool = False):
     )
 
 
+def _pt_x_expr(pt):
+    """X coordinate expression of a point in EITHER form (WKB bytes or
+    decoded struct) — the two-form dispatch shared by the point ops."""
+    d = _dec_of(pt)
+    if d is not None:
+        return _let(d, _dec_x)
+    return _pt_double(unwrap(pt), 6)
+
+
+def _pt_y_expr(pt):
+    d = _dec_of(pt)
+    if d is not None:
+        return _let(d, _dec_y)
+    return _pt_double(unwrap(pt), 14)
+
+
 def geo_x(pt):
-    """X coordinate of a WKB point — reference GeoX."""
-    return wrap(_pt_double(unwrap(pt), 6))
+    """X coordinate of a point (WKB or decoded) — reference GeoX."""
+    return wrap(_pt_x_expr(pt))
 
 
 def geo_y(pt):
-    """Y coordinate of a WKB point — reference GeoY."""
-    return wrap(_pt_double(unwrap(pt), 14))
+    """Y coordinate of a point (WKB or decoded) — reference GeoY."""
+    return wrap(_pt_y_expr(pt))
 
 
 def geo_distance(a, b):
-    """Planar (Euclidean) distance between two WKB points — reference
-    GeoDistance; PostGIS ST_Distance on geometry is Cartesian, NOT
-    haversine, so sqrt((dx)^2 + (dy)^2) is the faithful semantic and is
-    fully deterministic (sqrt is a correctly-rounded IEEE op)."""
-    ua, ub = unwrap(a), unwrap(b)
-    dx = _pt_double(ua, 6) - _pt_double(ub, 6)
-    dy = _pt_double(ua, 14) - _pt_double(ub, 14)
+    """Planar (Euclidean) distance between two points (WKB or decoded,
+    mixed forms fine) — reference GeoDistance; PostGIS ST_Distance on
+    geometry is Cartesian, NOT haversine, so sqrt((dx)^2 + (dy)^2) is
+    the faithful semantic and is fully deterministic (sqrt is a
+    correctly-rounded IEEE op)."""
+    dx = _pt_x_expr(a) - _pt_x_expr(b)
+    dy = _pt_y_expr(a) - _pt_y_expr(b)
     return wrap(F.sqrt(dx * dx + dy * dy))
 
 
 def geo_dwithin(a, b, distance):
-    """True when two WKB points lie within ``distance`` — reference
-    GeoDWithin; compares squared distances (no sqrt at all)."""
-    ua, ub = unwrap(a), unwrap(b)
-    dx = _pt_double(ua, 6) - _pt_double(ub, 6)
-    dy = _pt_double(ua, 14) - _pt_double(ub, 14)
+    """True when two points (WKB or decoded) lie within ``distance`` —
+    reference GeoDWithin; compares squared distances (no sqrt at
+    all)."""
+    dx = _pt_x_expr(a) - _pt_x_expr(b)
+    dy = _pt_y_expr(a) - _pt_y_expr(b)
     d = unwrap(distance)
     # PostGIS ST_DWithin semantics: a negative tolerance matches nothing
     # (squaring would silently accept it)
@@ -391,25 +415,24 @@ def geo_dwithin(a, b, distance):
 
 
 def geo_equals(a, b):
-    """True when two WKB points have equal coordinates — reference
-    GeoEquals (spatial equality, not byte equality: any little-endian
-    WKB encoding of the same coordinates compares equal, and +0 == -0;
-    big-endian WKB is not decoded — the point codec is LE-only)."""
-    ua, ub = unwrap(a), unwrap(b)
+    """True when two points (WKB or decoded) have equal coordinates —
+    reference GeoEquals (spatial equality, not byte equality: any
+    little-endian WKB encoding of the same coordinates compares equal,
+    and +0 == -0; big-endian WKB is not decoded — the point codec is
+    LE-only)."""
     return wrap(
-        (_pt_double(ua, 6) == _pt_double(ub, 6))
-        & (_pt_double(ua, 14) == _pt_double(ub, 14))
+        (_pt_x_expr(a) == _pt_x_expr(b)) & (_pt_y_expr(a) == _pt_y_expr(b))
     )
 
 
 def geo_within_bbox(pt, xmin, ymin, xmax, ymax):
-    """True when a WKB point falls inside the closed rectangle — the
-    points-in-rectangle slice of reference GeoContains/GeoIntersects
-    (a bbox is the only geometry a pure-Spark predicate can hold without
-    a full GEOS port; arbitrary polygons stay deferred to Sedona)."""
-    u = unwrap(pt)
-    px = _pt_double(u, 6)
-    py = _pt_double(u, 14)
+    """True when a point (WKB or decoded) falls inside the closed
+    rectangle — the points-in-rectangle slice of reference
+    GeoContains/GeoIntersects (a bbox is the only geometry a pure-Spark
+    predicate can hold without a full GEOS port; arbitrary polygons stay
+    deferred to Sedona)."""
+    px = _pt_x_expr(pt)
+    py = _pt_y_expr(pt)
     return wrap(
         (px >= F.lit(float(xmin)))
         & (px <= F.lit(float(xmax)))
@@ -664,7 +687,7 @@ def _ring_hex(ux, uy):
     )
 
 
-def geo_polygon(xs, ys, holes=()):
+def geo_polygon(xs, ys, holes=(), *, decoded: bool = False):
     """WKB polygon (little-endian, geometry type 3) from ARRAY<DOUBLE>
     coordinate columns — the constructor side of the polygon slice
     (reference GeoPoint's polygon sibling). ``xs``/``ys`` give the
@@ -679,9 +702,14 @@ def geo_polygon(xs, ys, holes=()):
     geo_point). Encoding uses the deterministic arithmetic bit-encoder
     inside an aggregate lambda (reflect is not legal in every lambda
     context), so the emitted bytes are exactly what geo_point would
-    produce vertex-by-vertex."""
+    produce vertex-by-vertex.
+
+    ``decoded=True`` builds the decoded form directly (no byte codec;
+    same ring/NULL contract)."""
     rings = [(unwrap(xs), unwrap(ys))]
     rings += [(unwrap(a), unwrap(b)) for a, b in holes]
+    if decoded:
+        return _dec_wrap(_dec_polygon_ctor(rings))
     parts = [_ring_hex(a, b) for a, b in rings]
 
     def assemble(ps):
@@ -734,6 +762,16 @@ def geo_contains(poly, pt):
     once. The naive spelling re-expanded each subtree at every use site
     and cost ~4 s of analyzer/optimizer time PER QUERY (25-row input!);
     this shape is a few hundred nodes."""
+    dp, dq = _dec_of(poly), _dec_of(pt)
+    if dp is not None or dq is not None:
+        dpoly = dp if dp is not None else _decode_struct(unwrap(poly))
+        dpt = dq if dq is not None else _decode_struct(unwrap(pt))
+        return wrap(
+            _let(
+                F.struct(dpoly.alias("a"), dpt.alias("b")),
+                lambda s: _dec_contains(s["a"], s["b"]),
+            )
+        )
     u, p = unwrap(poly), unwrap(pt)
 
     def walk(px, py):
@@ -829,6 +867,9 @@ def geo_area(poly):
     exact in FP, so the left-to-right aggregate order matches any
     oracle's summation order bit-for-bit. NULL on non-polygon/foreign
     WKB."""
+    d = _dec_of(poly)
+    if d is not None:
+        return wrap(_let(d, _dec_area))
     u = unwrap(poly)
 
     def edge_step(s, ei, off):
@@ -1142,7 +1183,7 @@ def _is_poly(u):
     return F.substring(u, 1, 5) == F.lit(_POLY_HDR)
 
 
-def geo_linestring(xs, ys):
+def geo_linestring(xs, ys, *, decoded: bool = False):
     """WKB LINESTRING (little-endian, geometry type 2) from two
     ARRAY<DOUBLE> coordinate columns — the linestring sibling of
     geo_polygon (reference LineString inputs to GeoLength/GeoStartPoint,
@@ -1154,8 +1195,14 @@ def geo_linestring(xs, ys):
     Vertices run through the STAGED array encoder (_vhex_arr,
     bit-identical to geo_point); the heavy subtrees sit in _let VALUE
     position only — see _hex16_arr for the lambda-body expansion this
-    avoids."""
+    avoids.
+
+    ``decoded=True`` builds the decoded form directly (no byte codec;
+    same NULL contract) — the scale path when the line is consumed by
+    measures rather than stored."""
     ux, uy = unwrap(xs), unwrap(ys)
+    if decoded:
+        return _dec_wrap(_dec_linestring_ctor(ux, uy))
 
     def build(nn):
         n, vh = nn["n"], nn["vh"]
@@ -1205,7 +1252,11 @@ def geo_length(g):
     GeoLength, PostGIS ST_Length semantics: 0.0 for points and
     polygons (their length is defined as zero), NULL on foreign/BE
     bytes.  Left-to-right summation order, so equal-input oracle
-    parity is bit-robust."""
+    parity is bit-robust.  Decoded input runs the arithmetic fold
+    directly (no byte codec — the r11 decode-once path)."""
+    d = _dec_of(g)
+    if d is not None:
+        return wrap(_let(d, _dec_length))
     u = unwrap(g)
     npts = _le_uint32(u, 6)
     total = F.aggregate(
@@ -1226,6 +1277,9 @@ def geo_perimeter(g):
     interior ring (holes add to the perimeter), 0.0 for points and
     linestrings, NULL on foreign bytes.  Same let-bound
     ring-directory walk as geo_area."""
+    d = _dec_of(g)
+    if d is not None:
+        return wrap(_let(d, _dec_perimeter))
     u = unwrap(g)
 
     def ring_step(racc, ri):
@@ -1261,6 +1315,9 @@ def geo_geometry_type(g):
     Returns 'POINT' / 'LINESTRING' / 'POLYGON' (the DuckDB-spatial
     spelling; PostGIS prefixes 'ST_'), NULL for foreign/BE bytes or
     types outside the pure-Spark slice."""
+    d = _dec_of(g)
+    if d is not None:
+        return wrap(_let(d, _dec_geometry_type))
     u = unwrap(g)
     t = _le_uint32(u, 2)
     le = F.substring(u, 1, 1) == F.lit(b"\x01")
@@ -1281,6 +1338,9 @@ def geo_n_points(g):
     (PostGIS ST_NPoints): 1 for a point, the vertex count for a
     linestring, the SUM of all ring vertex counts (closing vertices
     included, as PostGIS counts them) for a polygon."""
+    d = _dec_of(g)
+    if d is not None:
+        return wrap(_let(d, _dec_n_points))
     u = unwrap(g)
 
     def ring_step(racc, ri):
@@ -1323,6 +1383,9 @@ def geo_n_rings(g):
     """Number of rings of a WKB polygon (outer ring counted, so a
     holed diamond reports 2) — reference GeoNRings.  0 for points and
     linestrings, NULL on foreign bytes."""
+    d = _dec_of(g)
+    if d is not None:
+        return wrap(_let(d, _dec_n_rings))
     u = unwrap(g)
     return wrap(
         F.when(_is_poly(u), _le_uint32(u, 6))
@@ -1451,27 +1514,37 @@ def geo_bbox(g):
     when a query needs several extremes, one geo_bbox + field reads
     builds a ~4x smaller expression tree and decodes each vertex
     once)."""
+    d = _dec_of(g)
+    if d is not None:
+        return wrap(_let(d, _dec_bbox))
     return wrap(_bbox_struct(unwrap(g)))
+
+
+def _bbox_field(g, field):
+    d = _dec_of(g)
+    if d is not None:
+        return wrap(_let(d, lambda dd: _dec_bbox(dd)[field]))
+    return wrap(_bbox_struct(unwrap(g))[field])
 
 
 def geo_x_min(g):
     """Minimum X over all vertices — reference GeoXMin."""
-    return wrap(_bbox_struct(unwrap(g))["xmin"])
+    return _bbox_field(g, "xmin")
 
 
 def geo_x_max(g):
     """Maximum X over all vertices — reference GeoXMax."""
-    return wrap(_bbox_struct(unwrap(g))["xmax"])
+    return _bbox_field(g, "xmax")
 
 
 def geo_y_min(g):
     """Minimum Y over all vertices — reference GeoYMin."""
-    return wrap(_bbox_struct(unwrap(g))["ymin"])
+    return _bbox_field(g, "ymin")
 
 
 def geo_y_max(g):
     """Maximum Y over all vertices — reference GeoYMax."""
-    return wrap(_bbox_struct(unwrap(g))["ymax"])
+    return _bbox_field(g, "ymax")
 
 
 def geo_envelope(g):
@@ -1482,7 +1555,11 @@ def geo_envelope(g):
     rectangle POLYGON (xmin ymin → xmax ymin → xmax ymax → xmin ymax,
     closed).  Corner bytes are produced by the deterministic arithmetic
     encoder, so an envelope of exact-codec-domain input round-trips
-    bit-exactly.  NULL on foreign bytes."""
+    bit-exactly.  NULL on foreign bytes.  Decoded input yields a
+    DECODED envelope geometry (no codec either way)."""
+    dd = _dec_of(g)
+    if dd is not None:
+        return _dec_wrap(_let(dd, _dec_envelope))
     u = unwrap(g)
 
     def build(b):
@@ -1536,7 +1613,13 @@ def geo_start_point(g):
     """First point of a LINESTRING as a WKB POINT — reference
     GeoStartPoint; NULL if the input is not a linestring (the
     reference's documented contract).  The vertex bytes are sliced
-    straight out of the source WKB (bit-exact, no codec)."""
+    straight out of the source WKB (bit-exact, no codec).  Decoded
+    input yields a DECODED point."""
+    d = _dec_of(g)
+    if d is not None:
+        return _dec_wrap(
+            _let(d, lambda dd: _dec_vertex_n(dd, F.lit(0).cast("bigint")))
+        )
     u = unwrap(g)
     return wrap(
         F.when(
@@ -1548,7 +1631,21 @@ def geo_start_point(g):
 
 def geo_end_point(g):
     """Last point of a LINESTRING as a WKB POINT — reference
-    GeoEndPoint; NULL for non-linestrings.  Sliced, not re-encoded."""
+    GeoEndPoint; NULL for non-linestrings.  Sliced, not re-encoded.
+    Decoded input yields a DECODED point."""
+    d = _dec_of(g)
+    if d is not None:
+        return _dec_wrap(
+            _let(
+                d,
+                lambda dd: _dec_vertex_n(
+                    dd,
+                    F.size(F.try_element_at(dd["parts"], F.lit(1)))
+                    .cast("bigint")
+                    - 1,
+                ),
+            )
+        )
     u = unwrap(g)
     return wrap(
         _let(
@@ -1566,9 +1663,23 @@ def geo_point_n(g, n):
     1-based from the start, NEGATIVE indices count back from the end
     (-1 is the last point, per the reference docstring); NULL for
     non-linestrings, 0, or out-of-range indices.  Sliced, not
-    re-encoded."""
-    u = unwrap(g)
+    re-encoded.  Decoded input yields a DECODED point."""
+    d = _dec_of(g)
     nn = unwrap(n).cast("bigint")
+    if d is not None:
+        def pick_d(dd):
+            cnt = F.size(F.try_element_at(dd["parts"], F.lit(1))).cast(
+                "bigint"
+            )
+            vi = (
+                F.when(nn > 0, nn - 1)
+                .when(nn < 0, cnt + nn)
+                .otherwise(F.lit(None).cast("bigint"))
+            )
+            return _dec_vertex_n(dd, vi)
+
+        return _dec_wrap(_let(d, pick_d))
+    u = unwrap(g)
 
     def pick(s):
         cnt, vi = s["cnt"], s["vi"]
@@ -1611,7 +1722,11 @@ def geo_centroid(g):
     contributes (|2A|/2, sign(2A)*sx/6, sign(2A)*sy/6) with holes
     (every ring after the first) negated; centroid = total moment /
     total area.  All products are exact for integer-valued coordinates,
-    so oracle parity is bit-robust wherever the inputs are."""
+    so oracle parity is bit-robust wherever the inputs are.  Decoded
+    input yields a DECODED point (no codec)."""
+    dd = _dec_of(g)
+    if dd is not None:
+        return _dec_wrap(_let(dd, _dec_centroid))
     u = unwrap(g)
 
     # ---- linestring branch: length-weighted segment midpoints ----
@@ -1807,7 +1922,11 @@ def geo_flip_coordinates(g):
     Pure byte SHUFFLE: each vertex's two 8-byte runs are swapped by
     substring/concat (no codec, so out-of-codec-domain doubles — which
     the constructors can't produce but foreign LE WKB could carry —
-    survive bit-exactly).  NULL on non-LE/unknown geometry types."""
+    survive bit-exactly).  NULL on non-LE/unknown geometry types.
+    Decoded input flips in the decoded form (a struct transform)."""
+    d = _dec_of(g)
+    if d is not None:
+        return _dec_wrap(_let(d, _dec_flip))
     u = unwrap(g)
 
     def swapped_run(base, n, acc0):
@@ -1861,11 +1980,10 @@ def geo_azimuth(a, b):
     from NORTH in [0, 2*pi) — reference GeoAzimuth (PostGIS
     ST_Azimuth): atan2(dx, dy) folded into the north-clockwise range.
     NULL when the points coincide (PostGIS contract) or either input
-    is not a LE WKB point.  Cardinal and half-cardinal directions are
-    deterministic across engines (atan2 of one zero argument returns
-    exact multiples of the machine pi/2); general angles carry the
-    usual last-ulp libm caveat."""
-    ua, ub = unwrap(a), unwrap(b)
+    is not a point (WKB or decoded; mixed forms fine).  Cardinal and
+    half-cardinal directions are deterministic across engines (atan2 of
+    one zero argument returns exact multiples of the machine pi/2);
+    general angles carry the usual last-ulp libm caveat."""
     import math
 
     def build(v):
@@ -1879,10 +1997,10 @@ def geo_azimuth(a, b):
     return wrap(
         _let(
             F.struct(
-                _pt_double(ua, 6).alias("ax"),
-                _pt_double(ua, 14).alias("ay"),
-                _pt_double(ub, 6).alias("bx"),
-                _pt_double(ub, 14).alias("by"),
+                _pt_x_expr(a).alias("ax"),
+                _pt_y_expr(a).alias("ay"),
+                _pt_x_expr(b).alias("bx"),
+                _pt_y_expr(b).alias("by"),
             ),
             build,
         )
@@ -2051,7 +2169,21 @@ def geo_intersects(a, b):
     evaluations PER ROW in geo_segment_cross's optimized plan (72
     encoder instantiations where the staged shape has 8).  Binding the
     raw bytes to a lambda leaf makes every internal read leaf-cheap
-    regardless of what the caller feeds in."""
+    regardless of what the caller feeds in.
+
+    Decoded input (either side) runs the same decomposition as an
+    arithmetic fold with no byte codec — measured 20x cheaper on the
+    segment-cross fixture (8.1 s -> 0.4 s at sf0.1, r11)."""
+    da, db = _dec_of(a), _dec_of(b)
+    if da is not None or db is not None:
+        ea = da if da is not None else _decode_struct(unwrap(a))
+        eb = db if db is not None else _decode_struct(unwrap(b))
+        return wrap(
+            _let(
+                F.struct(ea.alias("a"), eb.alias("b")),
+                lambda s: _dec_intersects(s["a"], s["b"]),
+            )
+        )
 
     def body(ua, ub):
         # both edge sets decode ONCE into let-bound arrays, then one
@@ -2106,6 +2238,16 @@ def geo_line_locate_point(line, pt):
     ties (deterministic left-to-right, same answer every run).  NULL
     for non-linestrings or a NULL/invalid point; 0.0 for zero-length
     lines (PostGIS contract)."""
+    dl, dq = _dec_of(line), _dec_of(pt)
+    if dl is not None or dq is not None:
+        el = dl if dl is not None else _decode_struct(unwrap(line))
+        px, py = _pt_x_expr(pt), _pt_y_expr(pt)
+        return wrap(
+            _let(
+                F.struct(el.alias("l"), px.alias("px"), py.alias("py")),
+                lambda s: _dec_line_locate(s["l"], s["px"], s["py"]),
+            )
+        )
     u, p = unwrap(line), unwrap(pt)
 
     def walk(q):
@@ -2188,6 +2330,15 @@ def geo_line_substring(line, start: float, end: float):
     s_f, e_f = float(start), float(end)
     if not (0.0 <= s_f <= e_f <= 1.0):
         raise ValueError("need 0 <= start <= end <= 1")
+    d = _dec_of(line)
+    if d is not None:
+        # decoded-native walk (same interpolation logic as the WKB
+        # path below over decoded edges, emitting a DECODED linestring
+        # — an encode fallback re-references the whole encode tree per
+        # read and blew past the analyzer's iteration cap)
+        return _dec_wrap(
+            _let(d, lambda dd: _dec_line_substring(dd, s_f, e_f))
+        )
     u = unwrap(line)
 
     def walk(L):
@@ -2361,12 +2512,15 @@ def _child_meta(u, off):
     )
 
 
-def geo_multipoint(xs, ys):
+def geo_multipoint(xs, ys, *, decoded: bool = False):
     """WKB MULTIPOINT (LE, geometry type 4) from two ARRAY<DOUBLE>
     columns — each element becomes a full standalone point WKB child.
     NULL on NULL/mismatched/empty arrays or out-of-domain coordinates
-    (same contract as geo_linestring)."""
+    (same contract as geo_linestring).  ``decoded=True`` builds the
+    decoded form directly (no byte codec)."""
     ux, uy = unwrap(xs), unwrap(ys)
+    if decoded:
+        return _dec_wrap(_dec_multipoint_ctor(ux, uy))
     vhex = F.zip_with(
         _hex16_arr(ux),
         _hex16_arr(uy),
@@ -2501,6 +2655,16 @@ def geo_max_distance(a, b):
     are LE point/linestring/polygon WKB with every vertex inside the
     codec domain (any NULL vertex decode -> NULL result, not a
     silently-smaller max)."""
+    da, db = _dec_of(a), _dec_of(b)
+    if da is not None or db is not None:
+        ea = da if da is not None else _decode_struct(unwrap(a))
+        eb = db if db is not None else _decode_struct(unwrap(b))
+        return wrap(
+            _let(
+                F.struct(ea.alias("a"), eb.alias("b")),
+                lambda s: _dec_max_distance(s["a"], s["b"]),
+            )
+        )
     ua, ub = unwrap(a), unwrap(b)
 
     def body(s):
@@ -2550,6 +2714,17 @@ def geo_d_fully_within(a, b, distance):
     max_distance(a, b) <= distance, compared in the squared domain (no
     sqrt rounding at the boundary).  Negative tolerance matches
     nothing, same posture as geo_dwithin."""
+    da, db = _dec_of(a), _dec_of(b)
+    if da is not None or db is not None:
+        ea = da if da is not None else _decode_struct(unwrap(a))
+        eb = db if db is not None else _decode_struct(unwrap(b))
+        dv = unwrap(distance)
+        return wrap(
+            _let(
+                F.struct(ea.alias("a"), eb.alias("b")),
+                lambda s: _dec_d_fully_within(s["a"], s["b"], dv),
+            )
+        )
     ua, ub = unwrap(a), unwrap(b)
     d = unwrap(distance)
 
@@ -2592,4 +2767,995 @@ def geo_d_fully_within(a, b, distance):
                 body,
             ),
         ).otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+# -- decode-once representation (round 11) ------------------------------------
+#
+# The r10 measure/predicate family re-decodes the WKB bytes once PER
+# MEASURE per row, and Spark higher-order functions are CodegenFallback
+# (interpreted) — the hex-string codec inside those lambdas is the
+# dominant cost of multi-measure geo queries (~40 us per byte-walk per
+# row, SCALE.md "round 10 late").  The scale path is DECODE ONCE: a
+# public decoded column type
+#
+#     struct<gtype:int, parts:array<array<struct<x:double,y:double>>>>
+#
+# (parts = rings for polygons, member lines for multilinestrings, one
+# part otherwise), produced by ``geo_decode`` (or directly by the
+# constructors with ``decoded=True`` — no IEEE byte codec at all), and
+# consumed by every measure/predicate below through ``_dec_of``
+# build-time dispatch: measures over the decoded form are pure
+# arithmetic folds over native doubles.  ``geo_encode`` is the exact
+# inverse back to LE WKB bytes.
+#
+# Decode validity contract: geo_decode returns NULL (the whole struct)
+# for NULL input, foreign/BE/unknown-type bytes, and any vertex whose
+# coordinate decodes outside the exact codec domain — so decoded
+# consumers never see a NULL coordinate and the degrade-to-NULL posture
+# of the WKB paths is preserved centrally.
+
+_DEC_T = "struct<gtype:int,parts:array<array<struct<x:double,y:double>>>>"
+_PARTS_T = "array<array<struct<x:double,y:double>>>"
+_MLINE_HDR = bytes.fromhex("0105000000")
+
+
+def _is_mline(u):
+    return F.substring(u, 1, 5) == F.lit(_MLINE_HDR)
+
+
+def _vertex_at(u, base, vi):
+    """STRUCT(x, y) decoded from the 16-byte vertex at 1-based byte
+    offset base + 16*vi of a WKB binary column."""
+    return _let(
+        F.hex(F.substring(u, (base + 16 * vi).cast("int"), 16)),
+        lambda h: F.struct(
+            _hexle_double(h, 0).alias("x"), _hexle_double(h, 16).alias("y")
+        ),
+    )
+
+
+def _null_parts():
+    return F.lit(None).cast(_PARTS_T)
+
+
+def _decode_parts(u):
+    """ARRAY<ARRAY<STRUCT<x,y>>> vertex parts of a LE WKB geometry —
+    the type dispatch behind geo_decode.  NULL for unsupported types
+    (MULTIPOLYGON needs a third nesting level and stays deferred with
+    the GEOS-construction ops)."""
+    pt_parts = F.array(
+        F.array(
+            F.struct(
+                _wkb_double(u, 6).alias("x"), _wkb_double(u, 14).alias("y")
+            )
+        )
+    )
+    line_parts = F.array(
+        F.transform(
+            _seq0(_le_uint32(u, 6)),
+            lambda vi: _vertex_at(u, F.lit(10).cast("bigint"), vi),
+        )
+    )
+
+    def ring_step(racc, ri):
+        off = racc["off"]
+        return _let(
+            _le_uint32(u, off),
+            lambda npts: F.struct(
+                (off + 4 + 16 * npts).alias("off"),
+                F.concat(
+                    racc["arr"],
+                    F.array(
+                        F.transform(
+                            _seq0(npts), lambda vi: _vertex_at(u, off + 4, vi)
+                        )
+                    ),
+                ).alias("arr"),
+            ),
+        )
+
+    poly0 = F.struct(
+        F.lit(10).cast("bigint").alias("off"),
+        F.expr(f"CAST(array() AS {_PARTS_T})").alias("arr"),
+    )
+    poly_parts = F.aggregate(_seq0(_le_uint32(u, 6)), poly0, ring_step)["arr"]
+
+    # multipoint: fixed 21-byte children, one single-vertex... one part
+    # holding every member point (gtype disambiguates for encode/WKT)
+    mpt_ok = F.forall(
+        _seq0(_le_uint32(u, 6)),
+        lambda ci: F.substring(u, (10 + 21 * ci).cast("int"), 5)
+        == F.lit(_PT_HDR),
+    )
+    mpt_parts = F.when(
+        mpt_ok,
+        F.array(
+            F.transform(
+                _seq0(_le_uint32(u, 6)),
+                lambda ci: _vertex_at(u, 15 + 21 * ci, F.lit(0).cast("bigint")),
+            )
+        ),
+    ).otherwise(_null_parts())
+
+    # multilinestring: variable-length children, offset walk like the
+    # polygon ring directory but each child carries its own 9-byte header
+    def ml_step(acc, ci):
+        off = acc["off"]
+        return _let(
+            _le_uint32(u, off + 5),
+            lambda npts: F.struct(
+                (off + 9 + 16 * npts).alias("off"),
+                F.concat(
+                    acc["arr"],
+                    F.array(
+                        F.transform(
+                            _seq0(npts), lambda vi: _vertex_at(u, off + 9, vi)
+                        )
+                    ),
+                ).alias("arr"),
+                (
+                    acc["ok"]
+                    & (
+                        F.substring(u, off.cast("int"), 5)
+                        == F.lit(_LINE_HDR)
+                    )
+                ).alias("ok"),
+            ),
+        )
+
+    ml0 = F.struct(
+        F.lit(10).cast("bigint").alias("off"),
+        F.expr(f"CAST(array() AS {_PARTS_T})").alias("arr"),
+        F.lit(True).alias("ok"),
+    )
+    mlres = F.aggregate(_seq0(_le_uint32(u, 6)), ml0, ml_step)
+    ml_parts = F.when(mlres["ok"], mlres["arr"]).otherwise(_null_parts())
+
+    return (
+        F.when(_is_pt(u), pt_parts)
+        .when(_is_line(u), line_parts)
+        .when(_is_poly(u), poly_parts)
+        .when(_is_mpt(u), mpt_parts)
+        .when(_is_mline(u), ml_parts)
+        .otherwise(_null_parts())
+    )
+
+
+def _decode_struct(u):
+    """Full decoded struct (gtype + parts) of a LE WKB binary column,
+    NULL-struct when the type is unsupported or ANY vertex coordinate
+    is outside the exact codec domain (see the decode validity
+    contract above)."""
+    gt = (
+        F.when(_is_pt(u), F.lit(1))
+        .when(_is_line(u), F.lit(2))
+        .when(_is_poly(u), F.lit(3))
+        .when(_is_mpt(u), F.lit(4))
+        .when(_is_mline(u), F.lit(5))
+        .otherwise(F.lit(None))
+        .cast("int")
+    )
+
+    def fin(s):
+        bad = (
+            s["gtype"].isNull()
+            | s["parts"].isNull()
+            | F.exists(
+                s["parts"],
+                lambda P: F.exists(
+                    P, lambda p: p["x"].isNull() | p["y"].isNull()
+                ),
+            )
+        )
+        return F.when(bad, F.lit(None).cast(_DEC_T)).otherwise(s)
+
+    return _let(
+        F.struct(gt.alias("gtype"), _decode_parts(u).alias("parts")), fin
+    )
+
+
+class DecodedGeo(Column):
+    """A Column known AT BUILD TIME to hold the decoded geometry struct
+    — measures/predicates skip the WKB byte codec for these.  Produced
+    by geo_decode, the decoded=True constructors, and decoded-input
+    accessors (start/end/point_n/flip return decoded points for decoded
+    input); ``decoded(col)`` re-tags a materialized struct column."""
+
+    __slots__ = ()
+
+
+def _dec_wrap(sc):
+    return DecodedGeo(sc)
+
+
+def _dec_of(g):
+    """The decoded-struct pyspark expression behind ``g``, or None when
+    ``g`` is WKB bytes / unknown.  Two detection paths: the build-time
+    DecodedGeo tag, and — for decoded columns that went through a
+    materializing projection and came back as plain table columns — the
+    SCHEMA of the source DataFrame (struct with exactly the decoded
+    fields)."""
+    if isinstance(g, DecodedGeo):
+        return g.spark()
+    if (
+        isinstance(g, Column)
+        and getattr(g, "_name", None)
+        and getattr(g, "_source_df", None) is not None
+    ):
+        try:
+            dt = g._source_df.schema[g._name].dataType
+        except Exception:
+            return None
+        if _is_dec_type(dt):
+            return g.spark()
+    return None
+
+
+def _is_dec_type(dt) -> bool:
+    from pyspark.sql.types import ArrayType, StructType
+
+    return (
+        isinstance(dt, StructType)
+        and dt.fieldNames() == ["gtype", "parts"]
+        and isinstance(dt["parts"].dataType, ArrayType)
+    )
+
+
+def decoded(col):
+    """Re-tag a materialized decoded-geometry struct column so the
+    measure family takes the decoded fast path (the tag is otherwise
+    recovered automatically from the source schema when the column came
+    straight off a Table accessor)."""
+    return _dec_wrap(unwrap(col))
+
+
+def geo_decode(g):
+    """Decode LE WKB bytes ONCE into the public decoded form —
+    ``struct<gtype, parts>`` (see the section comment).  Materialize
+    this next to the data (``t.mutate(d=geo_decode(t.g))``) and feed
+    ``d`` to any number of measures: each then runs as an arithmetic
+    fold over native doubles instead of re-walking hex-encoded bytes
+    per measure (the r10 ``weak``-label fix; SCALE.md round 11).
+    Reference parity: this is an engine-level optimization with no
+    reference analog — results are bit-identical to the WKB paths."""
+    d = _dec_of(g)
+    if d is not None:
+        return _dec_wrap(d)
+    return _dec_wrap(_decode_struct(unwrap(g)))
+
+
+def geo_encode(g):
+    """Exact inverse of geo_decode: decoded struct -> LE WKB bytes.
+    NULL for NULL input and for geometry the WKB layout can't hold
+    (empty parts, a POINT struct with more than one vertex is encoded
+    from its first).  Any out-of-domain coordinate NULL-propagates
+    through the staged encoder exactly as the WKB constructors do."""
+    d = _dec_of(g)
+    expr = d if d is not None else unwrap(g)
+
+    def part_hex(P):
+        vh = _vhex_arr(
+            F.transform(P, lambda p: p["x"]), F.transform(P, lambda p: p["y"])
+        )
+        return F.concat(
+            _le_hex32(F.size(P)),
+            F.aggregate(vh, F.lit(""), lambda a, v: F.concat(a, v)),
+        )
+
+    def body(s):
+        gt, parts = s["gtype"], s["parts"]
+        p1 = F.try_element_at(parts, F.lit(1))
+        v1 = F.try_element_at(p1, F.lit(1))
+        v1hex = F.try_element_at(
+            _vhex_arr(F.array(v1["x"]), F.array(v1["y"])), F.lit(1)
+        )
+        pt_hx = F.concat(F.lit("0101000000"), v1hex)
+        line_hx = F.concat(F.lit("0102000000"), part_hex(p1))
+        poly_hx = F.concat(
+            F.lit("0103000000"),
+            _le_hex32(F.size(parts)),
+            F.aggregate(
+                F.transform(parts, part_hex),
+                F.lit(""),
+                lambda a, v: F.concat(a, v),
+            ),
+        )
+        mpt_hx = F.concat(
+            F.lit("0104000000"),
+            _le_hex32(F.size(p1)),
+            F.aggregate(
+                _vhex_arr(
+                    F.transform(p1, lambda p: p["x"]),
+                    F.transform(p1, lambda p: p["y"]),
+                ),
+                F.lit(""),
+                lambda a, v: F.concat(a, F.lit("0101000000"), v),
+            ),
+        )
+        ml_hx = F.concat(
+            F.lit("0105000000"),
+            _le_hex32(F.size(parts)),
+            F.aggregate(
+                F.transform(
+                    parts, lambda P: F.concat(F.lit("0102000000"), part_hex(P))
+                ),
+                F.lit(""),
+                lambda a, v: F.concat(a, v),
+            ),
+        )
+        hx = (
+            F.when(gt == 1, pt_hx)
+            .when(gt == 2, line_hx)
+            .when(gt == 3, poly_hx)
+            .when(gt == 4, mpt_hx)
+            .when(gt == 5, ml_hx)
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return F.unhex(hx)
+
+    return wrap(_let(expr, body))
+
+
+# -- decoded constructors and measure bodies ----------------------------------
+#
+# Construction directly IN the decoded form skips the IEEE byte codec
+# entirely (measured r11: the segment-cross fixture drops 8.1 s -> 0.4 s
+# at sf0.1 — the hex codec was the whole cost).  The decoded bodies
+# below mirror the WKB paths' contracts EXACTLY (same gtype gates, same
+# NULL posture, same summation order), so swapping a WKB pipeline to
+# decoded=True + geo_decode changes no result, only the plan.
+
+
+def _dom_ok_d(v):
+    """Coordinate inside the exact codec domain (0 or |v| in
+    [2**-61, 2**61]) — decoded constructors apply the same domain gate
+    as the WKB encoders so the two forms stay result-identical."""
+    av = F.abs(v)
+    return (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & ((v == 0.0) | ((av >= F.lit(2.0**-61)) & (av <= F.lit(_P61))))
+    )
+
+
+def _pts_ok(pts):
+    return F.forall(pts, lambda p: _dom_ok_d(p["x"]) & _dom_ok_d(p["y"]))
+
+
+def _zip_pts(ux, uy):
+    return F.zip_with(
+        ux,
+        uy,
+        lambda a, b: F.struct(
+            a.cast("double").alias("x"), b.cast("double").alias("y")
+        ),
+    )
+
+
+def _null_dec():
+    return F.lit(None).cast(_DEC_T)
+
+
+def _dec_geom(gtype: int, parts):
+    return F.struct(
+        F.lit(gtype).cast("int").alias("gtype"), parts.alias("parts")
+    )
+
+
+def _dec_point_ctor(x, y):
+    ux, uy = unwrap(x).cast("double"), unwrap(y).cast("double")
+    ok = _dom_ok_d(ux) & _dom_ok_d(uy)
+    parts = F.array(
+        F.array(F.struct(ux.alias("x"), uy.alias("y")))
+    )
+    return F.when(ok, _dec_geom(1, parts)).otherwise(_null_dec())
+
+
+def _dec_linestring_ctor(ux, uy):
+    def build(pts):
+        ok = (F.size(pts) >= 2) & _pts_ok(pts)
+        return F.when(ok, _dec_geom(2, F.array(pts))).otherwise(_null_dec())
+
+    ok_in = (
+        ux.isNotNull() & uy.isNotNull() & (F.size(ux) == F.size(uy))
+    )
+    return F.when(ok_in, _let(_zip_pts(ux, uy), build)).otherwise(_null_dec())
+
+
+def _dec_ring(ux, uy):
+    """One closed decoded ring from two coordinate arrays — auto-closes
+    an open ring, exactly like _ring_hex; NULL element when invalid."""
+
+    def build(pts):
+        closed = F.try_element_at(pts, F.lit(1)) == F.try_element_at(
+            pts, F.lit(-1)
+        )
+        ring = F.when(closed, pts).otherwise(
+            F.concat(pts, F.array(F.try_element_at(pts, F.lit(1))))
+        )
+        ok = (F.size(ring) >= 4) & _pts_ok(pts)
+        return F.when(ok, ring).otherwise(
+            F.lit(None).cast("array<struct<x:double,y:double>>")
+        )
+
+    ok_in = ux.isNotNull() & uy.isNotNull() & (F.size(ux) == F.size(uy))
+    return F.when(ok_in, _let(_zip_pts(ux, uy), build)).otherwise(
+        F.lit(None).cast("array<struct<x:double,y:double>>")
+    )
+
+
+def _dec_polygon_ctor(rings):
+    """rings: list of (ux, uy) pairs (already unwrapped)."""
+    parts = F.array(*[_dec_ring(a, b) for a, b in rings])
+    ok = F.forall(parts, lambda r: r.isNotNull())
+    return F.when(ok, _dec_geom(3, parts)).otherwise(_null_dec())
+
+
+def _dec_multipoint_ctor(ux, uy):
+    def build(pts):
+        ok = (F.size(pts) >= 1) & _pts_ok(pts)
+        return F.when(ok, _dec_geom(4, F.array(pts))).otherwise(_null_dec())
+
+    ok_in = (
+        ux.isNotNull() & uy.isNotNull() & (F.size(ux) == F.size(uy))
+    )
+    return F.when(ok_in, _let(_zip_pts(ux, uy), build)).otherwise(_null_dec())
+
+
+# ---- decoded measure bodies (all take the LET-BOUND decoded struct) ----
+
+_EMPTY_EDGES = (
+    "CAST(array() AS ARRAY<STRUCT<x1:DOUBLE,y1:DOUBLE,x2:DOUBLE,y2:DOUBLE>>)"
+)
+
+
+def _d_part_edges(P):
+    """Consecutive-pair edges within ONE vertex part (ring / line) —
+    empty for parts with fewer than 2 vertices; never crosses part
+    boundaries (the r10 _edges_array poly walk respected ring
+    boundaries the hard way; nesting makes it free)."""
+    n = F.size(P)
+    z = F.zip_with(
+        F.slice(P, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(P, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(
+            a["x"].alias("x1"),
+            a["y"].alias("y1"),
+            b["x"].alias("x2"),
+            b["y"].alias("y2"),
+        ),
+    )
+    return F.when(n >= 2, z).otherwise(F.expr(_EMPTY_EDGES))
+
+
+def _d_edges(d):
+    """All edges of a decoded geometry — degenerate (P, P) edges for
+    point/multipoint members (same convention as _edges_array, so
+    _seg_intersects serves every type pair unchanged)."""
+    deg = F.transform(
+        F.flatten(d["parts"]),
+        lambda p: F.struct(
+            p["x"].alias("x1"),
+            p["y"].alias("y1"),
+            p["x"].alias("x2"),
+            p["y"].alias("y2"),
+        ),
+    )
+    seq = F.flatten(F.transform(d["parts"], _d_part_edges))
+    return F.when(d["gtype"].isin(1, 4), deg).otherwise(seq)
+
+
+def _d_elen(e):
+    dx, dy = e["x2"] - e["x1"], e["y2"] - e["y1"]
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def _d_part_len(P):
+    return F.aggregate(
+        _d_part_edges(P), F.lit(0.0), lambda s, e: s + _d_elen(e)
+    )
+
+
+def _dec_length(d):
+    gt = d["gtype"]
+    tot = _d_part_len(F.try_element_at(d["parts"], F.lit(1)))
+    return (
+        F.when(gt == 2, tot)
+        .when((gt == 1) | (gt == 3), F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def _dec_perimeter(d):
+    gt = d["gtype"]
+    tot = F.aggregate(
+        F.transform(d["parts"], _d_part_len),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return (
+        F.when(gt == 3, tot)
+        .when((gt == 1) | (gt == 2), F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def _dec_geometry_type(d):
+    gt = d["gtype"]
+    return (
+        F.when(gt == 1, F.lit("POINT"))
+        .when(gt == 2, F.lit("LINESTRING"))
+        .when(gt == 3, F.lit("POLYGON"))
+        .when(gt == 4, F.lit("MULTIPOINT"))
+        .when(gt == 5, F.lit("MULTILINESTRING"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _dec_n_points(d):
+    return F.when(
+        d["gtype"].isNotNull(), F.size(F.flatten(d["parts"])).cast("bigint")
+    ).otherwise(F.lit(None).cast("bigint"))
+
+
+def _dec_n_rings(d):
+    gt = d["gtype"]
+    return (
+        F.when(gt == 3, F.size(d["parts"]).cast("bigint"))
+        .when((gt == 1) | (gt == 2), F.lit(0).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+
+
+def _dec_bbox(d):
+    nulld = F.lit(None).cast("double")
+    empty = F.struct(
+        nulld.alias("xmin"),
+        nulld.alias("xmax"),
+        nulld.alias("ymin"),
+        nulld.alias("ymax"),
+    )
+    fold = F.aggregate(
+        F.flatten(d["parts"]),
+        empty,
+        lambda a, p: F.struct(
+            F.least(a["xmin"], p["x"]).alias("xmin"),
+            F.greatest(a["xmax"], p["x"]).alias("xmax"),
+            F.least(a["ymin"], p["y"]).alias("ymin"),
+            F.greatest(a["ymax"], p["y"]).alias("ymax"),
+        ),
+    )
+    # mirror _bbox_struct: types 1-4 fold, others (incl. NULL) empty
+    return F.when(d["gtype"].isin(1, 2, 3, 4), fold).otherwise(empty)
+
+
+def _dec_point_of(x, y):
+    return _dec_geom(1, F.array(F.array(F.struct(x.alias("x"), y.alias("y")))))
+
+
+def _dec_envelope(d):
+    def build(b):
+        xmin, xmax, ymin, ymax = b["xmin"], b["xmax"], b["ymin"], b["ymax"]
+        pt = _dec_point_of(xmin, ymin)
+        line = _dec_geom(
+            2,
+            F.array(
+                F.array(
+                    F.struct(xmin.alias("x"), ymin.alias("y")),
+                    F.struct(xmax.alias("x"), ymax.alias("y")),
+                )
+            ),
+        )
+        poly = _dec_geom(
+            3,
+            F.array(
+                F.array(
+                    F.struct(xmin.alias("x"), ymin.alias("y")),
+                    F.struct(xmax.alias("x"), ymin.alias("y")),
+                    F.struct(xmax.alias("x"), ymax.alias("y")),
+                    F.struct(xmin.alias("x"), ymax.alias("y")),
+                    F.struct(xmin.alias("x"), ymin.alias("y")),
+                )
+            ),
+        )
+        return (
+            F.when(xmin.isNull() | ymin.isNull(), _null_dec())
+            .when((xmin == xmax) & (ymin == ymax), pt)
+            .when((xmin == xmax) | (ymin == ymax), line)
+            .otherwise(poly)
+        )
+
+    return _let(_dec_bbox(d), build)
+
+
+def _dec_vertex_n(d, vi):
+    """Decoded POINT at 0-based flat index vi of a decoded LINESTRING;
+    NULL struct out of range / wrong type (mirrors geo_point_n)."""
+    P = F.try_element_at(d["parts"], F.lit(1))
+    ok = (d["gtype"] == 2) & (vi >= 0) & (vi < F.size(P))
+    p = F.try_element_at(P, (vi + 1).cast("int"))
+    return F.when(ok, _dec_point_of(p["x"], p["y"])).otherwise(_null_dec())
+
+
+def _dec_x(d):
+    p = F.try_element_at(F.try_element_at(d["parts"], F.lit(1)), F.lit(1))
+    return F.when(d["gtype"] == 1, p["x"]).otherwise(
+        F.lit(None).cast("double")
+    )
+
+
+def _dec_y(d):
+    p = F.try_element_at(F.try_element_at(d["parts"], F.lit(1)), F.lit(1))
+    return F.when(d["gtype"] == 1, p["y"]).otherwise(
+        F.lit(None).cast("double")
+    )
+
+
+def _dec_flip(d):
+    parts = F.transform(
+        d["parts"],
+        lambda P: F.transform(
+            P, lambda p: F.struct(p["y"].alias("x"), p["x"].alias("y"))
+        ),
+    )
+    return F.when(
+        d["gtype"].isin(1, 2, 3),
+        F.struct(d["gtype"].alias("gtype"), parts.alias("parts")),
+    ).otherwise(_null_dec())
+
+
+def _d_ring_shoelace(P):
+    """Signed shoelace sum (2A) of one closed ring part."""
+    return F.aggregate(
+        _d_part_edges(P),
+        F.lit(0.0),
+        lambda s, e: s + (e["x1"] * e["y2"] - e["x2"] * e["y1"]),
+    )
+
+
+def _dec_area(d):
+    def fin(a):
+        outer = F.abs(F.try_element_at(a, F.lit(1))) / F.lit(2.0)
+        total = F.aggregate(
+            a, F.lit(0.0), lambda s, v: s + F.abs(v) / F.lit(2.0)
+        )
+        # outer - holes = 2*outer - total  (left-to-right parity with
+        # the WKB walk: outer + sum(-|ring_i|), same FP result because
+        # each term is exact-halved before summation)
+        return outer - (total - outer)
+
+    area = _let(F.transform(d["parts"], _d_ring_shoelace), fin)
+    return F.when(d["gtype"] == 3, area).otherwise(
+        F.lit(None).cast("double")
+    )
+
+
+def _dec_ray_cast(d, px, py):
+    """Even-odd ray cast of (px, py) against ALL ring edges of a
+    decoded polygon — the crossing-parity core of geo_contains, NULL
+    handled centrally by the decode contract (no NULL coords reach
+    here)."""
+    cnt = F.aggregate(
+        F.flatten(F.transform(d["parts"], _d_part_edges)),
+        F.lit(0).cast("bigint"),
+        lambda c, e: c
+        + F.when(
+            ((e["y1"] > py) != (e["y2"] > py))
+            & F.when(
+                e["y2"] - e["y1"] > 0,
+                (px - e["x1"]) * (e["y2"] - e["y1"])
+                < (e["x2"] - e["x1"]) * (py - e["y1"]),
+            ).otherwise(
+                (px - e["x1"]) * (e["y2"] - e["y1"])
+                > (e["x2"] - e["x1"]) * (py - e["y1"])
+            ),
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return (cnt % 2) == 1
+
+
+def _dec_contains(dpoly, dpt):
+    p = F.try_element_at(
+        F.try_element_at(dpt["parts"], F.lit(1)), F.lit(1)
+    )
+    ok = (dpoly["gtype"] == 3) & (dpt["gtype"] == 1)
+    return F.when(ok, _dec_ray_cast(dpoly, p["x"], p["y"])).otherwise(
+        F.lit(None).cast("boolean")
+    )
+
+
+def _d_first_vertex(d):
+    return F.try_element_at(F.try_element_at(d["parts"], F.lit(1)), F.lit(1))
+
+
+def _dec_intersects(da, db):
+    cross = F.coalesce(
+        F.exists(
+            _d_edges(da),
+            lambda e1: F.coalesce(
+                F.exists(_d_edges(db), lambda e2: _seg_intersects(e1, e2)),
+                F.lit(False),
+            ),
+        ),
+        F.lit(False),
+    )
+    pa, pb = _d_first_vertex(da), _d_first_vertex(db)
+    a_swallows_b = F.coalesce(
+        (da["gtype"] == 3) & _dec_ray_cast(da, pb["x"], pb["y"]),
+        F.lit(False),
+    )
+    b_swallows_a = F.coalesce(
+        (db["gtype"] == 3) & _dec_ray_cast(db, pa["x"], pa["y"]),
+        F.lit(False),
+    )
+    known = da["gtype"].isin(1, 2, 3) & db["gtype"].isin(1, 2, 3)
+    return F.when(known, cross | a_swallows_b | b_swallows_a).otherwise(
+        F.lit(None).cast("boolean")
+    )
+
+
+def _dec_max_d2(da, db):
+    """Exact squared max vertex-pair distance of two decoded
+    geometries (distance is convex along segments, so the max is at a
+    vertex pair — same argument as geo_max_distance)."""
+    pts_b = F.flatten(db["parts"])
+    return F.aggregate(
+        F.flatten(da["parts"]),
+        F.lit(None).cast("double"),
+        lambda acc, p: F.greatest(
+            acc,
+            F.aggregate(
+                pts_b,
+                F.lit(None).cast("double"),
+                lambda a2, q: F.greatest(
+                    a2,
+                    (p["x"] - q["x"]) * (p["x"] - q["x"])
+                    + (p["y"] - q["y"]) * (p["y"] - q["y"]),
+                ),
+            ),
+        ),
+    )
+
+
+def _dec_max_distance(da, db):
+    known = da["gtype"].isin(1, 2, 3) & db["gtype"].isin(1, 2, 3)
+    return F.when(known, F.sqrt(_dec_max_d2(da, db))).otherwise(
+        F.lit(None).cast("double")
+    )
+
+
+def _dec_d_fully_within(da, db, dist):
+    known = da["gtype"].isin(1, 2, 3) & db["gtype"].isin(1, 2, 3)
+    return F.when(
+        known, (dist >= 0) & (_dec_max_d2(da, db) <= dist * dist)
+    ).otherwise(F.lit(None).cast("boolean"))
+
+
+def _dec_line_locate(dline, px, py):
+    def step(acc, e):
+        ax, ay, bx, by = e["x1"], e["y1"], e["x2"], e["y2"]
+        dx, dy = bx - ax, by - ay
+
+        def with_t(s):
+            elen, t = s["elen"], s["t"]
+            qx = ax + t * dx
+            qy = ay + t * dy
+            d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+            better = d2 < acc["bd2"]
+            return F.struct(
+                (acc["cum"] + elen).alias("cum"),
+                F.when(better, d2).otherwise(acc["bd2"]).alias("bd2"),
+                F.when(better, acc["cum"] + t * elen)
+                .otherwise(acc["blen"])
+                .alias("blen"),
+            )
+
+        l2 = dx * dx + dy * dy
+        t_raw = F.when(
+            l2 > 0, ((px - ax) * dx + (py - ay) * dy) / l2
+        ).otherwise(F.lit(0.0))
+        return _let(
+            F.struct(
+                F.sqrt(l2).alias("elen"),
+                F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw)).alias("t"),
+            ),
+            with_t,
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("cum"),
+        F.lit(float("inf")).alias("bd2"),
+        F.lit(0.0).alias("blen"),
+    )
+    res = F.aggregate(
+        _d_part_edges(F.try_element_at(dline["parts"], F.lit(1))), init, step
+    )
+    frac = F.when(res["cum"] > 0, res["blen"] / res["cum"]).otherwise(
+        F.lit(0.0)
+    )
+    return F.when(
+        (dline["gtype"] == 2) & px.isNotNull() & py.isNotNull(), frac
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def _dec_centroid(d):
+    """Decoded centroid, mirroring geo_centroid per type; returns a
+    decoded POINT struct (NULL struct for zero-area polygons / foreign
+    types)."""
+    gt = d["gtype"]
+    P1 = F.try_element_at(d["parts"], F.lit(1))
+
+    # linestring: length-weighted segment midpoints
+    def lstep(acc, e):
+        return _let(
+            _d_elen(e),
+            lambda ln: F.struct(
+                (acc["l"] + ln).alias("l"),
+                (acc["mx"] + ln * (e["x1"] + e["x2"]) / F.lit(2.0)).alias(
+                    "mx"
+                ),
+                (acc["my"] + ln * (e["y1"] + e["y2"]) / F.lit(2.0)).alias(
+                    "my"
+                ),
+            ),
+        )
+
+    line0 = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("mx"), F.lit(0.0).alias("my")
+    )
+    lres = F.aggregate(_d_part_edges(P1), line0, lstep)
+    p1 = F.try_element_at(P1, F.lit(1))
+    line_pt = _let(
+        lres,
+        lambda lr: _dec_point_of(
+            F.when(lr["l"] > 0, lr["mx"] / lr["l"]).otherwise(p1["x"]),
+            F.when(lr["l"] > 0, lr["my"] / lr["l"]).otherwise(p1["y"]),
+        ),
+    )
+
+    # polygon: shoelace centroid, holes subtracted, winding-insensitive
+    def ring_moments(P):
+        m0 = F.struct(
+            F.lit(0.0).alias("sh"),
+            F.lit(0.0).alias("sx"),
+            F.lit(0.0).alias("sy"),
+        )
+        return F.aggregate(
+            _d_part_edges(P),
+            m0,
+            lambda a, e: _let(
+                e["x1"] * e["y2"] - e["x2"] * e["y1"],
+                lambda cr: F.struct(
+                    (a["sh"] + cr).alias("sh"),
+                    (a["sx"] + (e["x1"] + e["x2"]) * cr).alias("sx"),
+                    (a["sy"] + (e["y1"] + e["y2"]) * cr).alias("sy"),
+                ),
+            ),
+        )
+
+    def poly_fin(ms):
+        def rstep(acc, m):
+            sgn = F.signum(m["sh"])
+            w = F.abs(m["sh"]) / F.lit(2.0)
+            mx = sgn * m["sx"] / F.lit(6.0)
+            my = sgn * m["sy"] / F.lit(6.0)
+            hole = acc["idx"] > 0
+            return F.struct(
+                (acc["idx"] + F.lit(1).cast("bigint")).alias("idx"),
+                (acc["a"] + F.when(hole, -w).otherwise(w)).alias("a"),
+                (acc["mx"] + F.when(hole, -mx).otherwise(mx)).alias("mx"),
+                (acc["my"] + F.when(hole, -my).otherwise(my)).alias("my"),
+            )
+
+        r0 = F.struct(
+            F.lit(0).cast("bigint").alias("idx"),
+            F.lit(0.0).alias("a"),
+            F.lit(0.0).alias("mx"),
+            F.lit(0.0).alias("my"),
+        )
+        return _let(
+            F.aggregate(ms, r0, rstep),
+            lambda pr: F.when(
+                pr["a"] != 0.0,
+                _dec_point_of(pr["mx"] / pr["a"], pr["my"] / pr["a"]),
+            ).otherwise(_null_dec()),
+        )
+
+    poly_pt = _let(F.transform(d["parts"], ring_moments), poly_fin)
+
+    # multipoint: arithmetic mean of members
+    msum = F.aggregate(
+        P1,
+        F.struct(F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy")),
+        lambda a, p: F.struct(
+            (a["sx"] + p["x"]).alias("sx"), (a["sy"] + p["y"]).alias("sy")
+        ),
+    )
+    mpt_pt = _let(
+        F.struct(msum.alias("s"), F.size(P1).cast("double").alias("n")),
+        lambda q: _dec_point_of(q["s"]["sx"] / q["n"], q["s"]["sy"] / q["n"]),
+    )
+
+    return (
+        F.when(gt == 1, d)
+        .when(gt == 2, line_pt)
+        .when(gt == 3, poly_pt)
+        .when(gt == 4, mpt_pt)
+        .otherwise(_null_dec())
+    )
+
+
+def _dec_line_substring(d, s_f: float, e_f: float):
+    """Decoded-native ST_LineSubstring: the same interpolation walk as
+    the WKB path (interpolated endpoints, interior vertices strictly
+    between), over decoded edges, emitting a decoded LINESTRING — zero
+    byte codec."""
+    P1 = F.try_element_at(d["parts"], F.lit(1))
+    edges = _d_part_edges(P1)
+    empty = F.expr("CAST(array() AS ARRAY<STRUCT<x:DOUBLE,y:DOUBLE>>)")
+
+    def walk(L):
+        s = F.lit(s_f) * L
+        e = F.lit(e_f) * L
+
+        def step(acc, ed):
+            ax, ay, bx, by = ed["x1"], ed["y1"], ed["x2"], ed["y2"]
+            dx, dy = bx - ax, by - ay
+
+            def with_e(st):
+                elen = st["elen"]
+                c0 = acc["cum"]
+                c1 = c0 + elen
+
+                def interp(arc):
+                    t = F.when(
+                        elen > 0,
+                        F.greatest(
+                            F.lit(0.0),
+                            F.least(F.lit(1.0), (arc - c0) / elen),
+                        ),
+                    ).otherwise(F.lit(0.0))
+                    return F.struct(
+                        (ax + t * dx).alias("x"), (ay + t * dy).alias("y")
+                    )
+
+                add_start = F.when(
+                    (F.size(acc["arr"]) == 0) & (s <= c1),
+                    F.array(interp(s)),
+                ).otherwise(empty)
+                add_vert = F.when(
+                    (c1 > s) & (c1 < e),
+                    F.array(F.struct(bx.alias("x"), by.alias("y"))),
+                ).otherwise(empty)
+                add_end = F.when(
+                    ((e > c0) | ((e == 0.0) & (c0 == 0.0))) & (e <= c1),
+                    F.array(interp(e)),
+                ).otherwise(empty)
+                return F.struct(
+                    c1.alias("cum"),
+                    F.concat(
+                        acc["arr"], add_start, add_vert, add_end
+                    ).alias("arr"),
+                )
+
+            return _let(
+                F.struct(F.sqrt(dx * dx + dy * dy).alias("elen")), with_e
+            )
+
+        init = F.struct(F.lit(0.0).alias("cum"), empty.alias("arr"))
+        arr = F.aggregate(edges, init, step)["arr"]
+        return _let(
+            arr,
+            lambda vs: F.when(
+                F.size(vs) >= 2, _dec_geom(2, F.array(vs))
+            ).otherwise(_null_dec()),
+        )
+
+    return _let(
+        F.aggregate(edges, F.lit(0.0), lambda s2, ed: s2 + _d_elen(ed)),
+        lambda L: F.when((d["gtype"] == 2) & (L > 0), walk(L)).otherwise(
+            _null_dec()
+        ),
     )
