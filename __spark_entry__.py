@@ -2732,16 +2732,21 @@ def _geo_polygon_contains(spark, sf_dir):
     INDEPENDENT closed form |dx|+|dy| — diamond interior in the L1
     metric — so a green row proves the ray cast itself, not a shared
     implementation. Radii are chosen so no point can land exactly on a
-    ring (acctbal-cent fractions can never sum to .5/.25)."""
+    ring (acctbal-cent fractions can never sum to .5/.25).
+
+    r11: the polygon is built DECODED on the 25-row dim side and the
+    point is constructed decoded on the fact scan — the ray cast runs
+    as an arithmetic fold with zero byte codec (the r10 per-row
+    interpreted-hex tax is gone; results bit-identical, parity-tested
+    in tests/test_geo_decoded.py)."""
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     # Build each nation's polygon ON THE 25-ROW DIM SIDE, before the
-    # join: the 20-vertex encode tree then runs 25 times total instead
-    # of once per customer row, and the broadcast join ships finished
-    # WKB bytes — the shape that holds at 100 TB (geometry on the dim,
-    # ray cast on the fact scan).
+    # join: the broadcast join ships 25 finished decoded structs — the
+    # shape that holds at 100 TB (geometry on the dim, ray cast on the
+    # fact scan).
     cx = (n.n_nationkey * 14).cast("float64") - 175.0
     cy = (n.n_nationkey * 7).cast("float64") - 87.0
     R, r = 30.5, 8.25
@@ -2750,11 +2755,12 @@ def _geo_polygon_contains(spark, sf_dir):
         ib.array(cy, cy + R, cy, cy - R),
         holes=[(ib.array(cx + r, cx, cx - r, cx),
                 ib.array(cy, cy + r, cy, cy - r))],
+        decoded=True,
     )
     n = n.mutate(poly=poly)
     j = c.inner_join(n, [("c_nationkey", "n_nationkey")])
     lon, lat = _geo_lonlat(j)
-    j = j.mutate(pt=geo.geo_point(lon, lat))
+    j = j.mutate(pt=geo.geo_point(lon, lat, decoded=True))
     j = j.mutate(inside=geo.geo_contains(j.poly, j.pt))
     return j.select("c_custkey", "n_nationkey", "inside").to_spark()
 
@@ -2787,9 +2793,13 @@ def _geo_line_metrics(spark, sf_dir):
     GeoPointN/GeoNPoints/GeoGeometryType/GeoFlipCoordinates,
     geospatial.py:92-345): per-order 3-vertex linestring built from
     3-4-5 right triangles, so every measure is EXACT in FP — length
-    5 + 10 = 15, vertex coordinates are small integers.  start/end/
-    point_n are byte slices of the source WKB (no codec), and the flip
-    is a byte shuffle, so the oracle closed forms match bit-for-bit."""
+    5 + 10 = 15, vertex coordinates are small integers.
+
+    r11: the line is constructed DECODED and materialized once; all 7
+    measures run as arithmetic folds over the one decoded struct — the
+    decode-once path that retired the r10 `weak` label (was 25.5 s at
+    sf0.1 through the WKB codec, ~0.9 s decoded; bit-identical
+    results, parity-tested)."""
     import ibis_spark.geo as geo
 
     o = _t(spark, sf_dir, "orders")
@@ -2797,6 +2807,7 @@ def _geo_line_metrics(spark, sf_dir):
     line = geo.geo_linestring(
         ib.array(k, k + 3.0, k + 9.0),
         ib.array(k - k, k - k + 4.0, k - k - 4.0),
+        decoded=True,
     )
     o = o.mutate(line=line)
     o = o.mutate(flipped=geo.geo_flip_coordinates(o.line))
@@ -2819,7 +2830,10 @@ def _geo_line_locate(spark, sf_dir):
     to the FIRST (deterministic argmin -> 5/15); (k+6, 0) projects
     exactly onto edge 2's midpoint (10/15); the [0.25, 0.75] substring
     interpolates at t=0.75 / t=0.625 — all dyadic, so its vertex
-    coordinates and 7.5 length are exact closed forms."""
+    coordinates and 7.5 length are exact closed forms.
+
+    r11: decoded construction end-to-end (line, probe points, and the
+    substring all stay in the decoded form; no byte codec anywhere)."""
     import ibis_spark.geo as geo
 
     o = _t(spark, sf_dir, "orders")
@@ -2827,11 +2841,12 @@ def _geo_line_locate(spark, sf_dir):
     line = geo.geo_linestring(
         ib.array(k, k + 3.0, k + 9.0),
         ib.array(k - k, k - k + 4.0, k - k - 4.0),
+        decoded=True,
     )
     o = o.mutate(line=line)
     o = o.mutate(
-        tie_pt=geo.geo_point(k + 3.0, k - k + 8.0),
-        mid_pt=geo.geo_point(k + 6.0, k - k),
+        tie_pt=geo.geo_point(k + 3.0, k - k + 8.0, decoded=True),
+        mid_pt=geo.geo_point(k + 6.0, k - k, decoded=True),
         sub=geo.geo_line_substring(o.line, 0.25, 0.75),
     )
     return o.select(
@@ -2878,7 +2893,8 @@ def _geo_max_dist_report(spark, sf_dir):
     is attained at one of the diamond's 4 vertices (convexity), so the
     oracle is GREATEST of four exact-operand square roots; the
     fully-within flag compares in the squared domain on BOTH sides, so
-    the boundary is bit-exact."""
+    the boundary is bit-exact.  r11: decoded construction on both
+    sides — the vertex-pair max fold runs with no byte codec."""
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer")
@@ -2890,11 +2906,12 @@ def _geo_max_dist_report(spark, sf_dir):
     poly = geo.geo_polygon(
         ib.array(cx + R, cx, cx - R, cx),
         ib.array(cy, cy + R, cy, cy - R),
+        decoded=True,
     )
     n = n.mutate(poly=poly)
     j = c.inner_join(n, [("c_nationkey", "n_nationkey")])
     lon, lat = _geo_lonlat(j)
-    j = j.mutate(pt=geo.geo_point(lon, lat))
+    j = j.mutate(pt=geo.geo_point(lon, lat, decoded=True))
     return j.select(
         "c_custkey",
         "n_nationkey",
@@ -3023,15 +3040,45 @@ def _geo_segment_cross(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     k = (c.c_custkey % 13).cast("float64")
     m = (c.c_custkey % 7).cast("float64")
+    # r11: decoded construction — the CLRS test runs on native doubles
+    # with no byte codec (was 8.6 s at sf0.1, the round's slowest
+    # headline query; ~0.4 s decoded, bit-identical results)
     segA = geo.geo_linestring(
-        ib.array(k - k, k - k + 10.0), ib.array(k - k, k)
+        ib.array(k - k, k - k + 10.0), ib.array(k - k, k), decoded=True
     )
     segB = geo.geo_linestring(
-        ib.array(m - m, m - m + 10.0), ib.array(m, 13.0 - m)
+        ib.array(m - m, m - m + 10.0), ib.array(m, 13.0 - m), decoded=True
     )
     c = c.mutate(a=segA, b=segB)
     return c.select(
         "c_custkey", crossed=geo.geo_intersects(c.a, c.b)
+    ).to_spark()
+
+
+def _geo_decode_roundtrip(spark, sf_dir):
+    """geo_decode / geo_encode (r11 decode-once architecture): a WKB
+    linestring built per order is decoded ONCE into the public
+    struct<gtype, parts> form; measures run over the decoded column and
+    geo_encode must reproduce the source bytes EXACTLY (rt_ok) — the
+    engine-level guarantee that the decoded fast paths are a plan
+    optimization, not a semantic fork.  Oracle: closed forms (length
+    15, xmax k+9, 3 vertices, byte round-trip always true)."""
+    import ibis_spark.geo as geo
+
+    o = _t(spark, sf_dir, "orders")
+    k = (o.o_orderkey % 100).cast("float64")
+    wkb = geo.geo_linestring(
+        ib.array(k, k + 3.0, k + 9.0),
+        ib.array(k - k, k - k + 4.0, k - k - 4.0),
+    )
+    o = o.mutate(g=wkb)
+    o = o.mutate(d=geo.geo_decode(o.g))
+    return o.select(
+        "o_orderkey",
+        rt_ok=(geo.geo_encode(o.d) == o.g),
+        ln=geo.geo_length(o.d),
+        xmax=geo.geo_x_max(o.d),
+        npts=geo.geo_n_points(o.d),
     ).to_spark()
 
 
@@ -3670,6 +3717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_triangle_report": _geo_triangle_report,
         "geo_intersects_pt_poly": _geo_intersects_pt_poly,
         "geo_segment_cross": _geo_segment_cross,
+        # -- new in round 11: decode-once architecture -----------------------
+        "geo_decode_roundtrip": _geo_decode_roundtrip,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -4215,6 +4264,17 @@ def oracle_sql() -> dict[str, str]:
                                                AND GREATEST(0.0, k))
                    AS crossed
             FROM d
+        """,
+        "geo_decode_roundtrip": """
+            -- decode-once closed forms: the 3-4-5 double-triangle line
+            -- has exact length 15, xmax k+9, 3 vertices, and the byte
+            -- round-trip is an identity for in-domain coordinates
+            SELECT o_orderkey,
+                   TRUE AS rt_ok,
+                   CAST(15.0 AS DOUBLE) AS ln,
+                   CAST(o_orderkey % 100 AS DOUBLE) + 9.0 AS xmax,
+                   CAST(3 AS BIGINT) AS npts
+            FROM orders
         """,
         "ds_time_band_counts": """
             SELECT
