@@ -3082,6 +3082,126 @@ def _geo_decode_roundtrip(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_square_relations(spark, sf_dir):
+    """DE-9IM predicate tranche (reference GeoTouches/GeoDisjoint/
+    GeoOverlaps/GeoCovers/GeoWithin/GeoCrosses, geospatial.py:42-185)
+    between two axis-aligned unit-integer squares whose horizontal
+    offset d = (c_custkey % 13) - 6 sweeps every relation class: |d|>4
+    disjoint, |d|=4 touches (shared edge), 0<|d|<4 overlaps, d=0 equal
+    (covers both ways, within, no overlap).  The oracle is the CLOSED
+    FORM on |d| — fully independent of the engine's orientation-test
+    spelling."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer")
+    d = (c.c_custkey % 13).cast("float64") - 6.0
+    zero = d - d
+    sq_a = geo.geo_polygon(
+        ib.array(zero, zero + 4.0, zero + 4.0, zero),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+        decoded=True,
+    )
+    sq_b = geo.geo_polygon(
+        ib.array(d, d + 4.0, d + 4.0, d),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+        decoded=True,
+    )
+    # ONE geo_relate pass (static ctor tags prune to the poly/poly
+    # branch; shared cores computed once) + field reads — six separate
+    # predicate columns rebuilt the interiors/coverage cores ~15x and
+    # cost ~30 s of expression build alone
+    c = c.mutate(rel=geo.geo_relate(sq_a, sq_b))
+    return c.select(
+        "c_custkey",
+        touches=c.rel["touches"],
+        disjoint=c.rel["disjoint"],
+        overlaps=c.rel["overlaps"],
+        covers=c.rel["covers"],
+        within=c.rel["within"],
+        crosses=c.rel["crosses"],
+    ).to_spark()
+
+
+def _geo_line_cross_report(spark, sf_dir):
+    """Line-vs-polygon DE-9IM slice (reference GeoCrosses/GeoCovers/
+    GeoWithin/GeoContainsProperly): a length-3 horizontal line at y=2
+    sliding across the unit square [0,4]^2 with x0 = (c_custkey%13)-6.
+    Closed forms on x0: crosses when the interior run is partial,
+    covered when [x0, x0+3] within [0,4], properly contained when
+    strictly within — each an independent interval predicate in SQL."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer")
+    x0 = (c.c_custkey % 13).cast("float64") - 6.0
+    zero = x0 - x0
+    sq = geo.geo_polygon(
+        ib.array(zero, zero + 4.0, zero + 4.0, zero),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+        decoded=True,
+    )
+    ln = geo.geo_linestring(
+        ib.array(x0, x0 + 3.0), ib.array(zero + 2.0, zero + 2.0),
+        decoded=True,
+    )
+    # ONE geo_relate pass on the (poly, line) pair; `within` asks for
+    # line-within-poly, which is relate's covered_by+interiors combo
+    c = c.mutate(rel=geo.geo_relate(sq, ln))
+    return c.select(
+        "c_custkey",
+        crosses=c.rel["crosses"],
+        covers=c.rel["covers"],
+        within=c.rel["contains"],  # poly contains line == line within poly
+        cp=c.rel["contains_properly"],
+        touches=c.rel["touches"],
+    ).to_spark()
+
+
+def _geo_wkt_export(spark, sf_dir):
+    """GeoAsText (reference geospatial.py:490): WKT of an
+    integer-coordinate point and linestring per order; the oracle
+    builds the exact same strings with SQL concatenation (integer
+    coordinates print without a decimal part — DuckDB-spatial
+    spelling)."""
+    import ibis_spark.geo as geo
+
+    o = _t(spark, sf_dir, "orders")
+    k = (o.o_orderkey % 100).cast("float64")
+    pt = geo.geo_point(k, k - 50.0, decoded=True)
+    ln = geo.geo_linestring(
+        ib.array(k, k + 3.0), ib.array(k - k, k - k + 4.0), decoded=True
+    )
+    o = o.mutate(pt=pt, ln=ln)
+    return o.select(
+        "o_orderkey",
+        wkt_pt=geo.geo_as_text(o.pt),
+        wkt_line=geo.geo_as_text(o.ln),
+    ).to_spark()
+
+
+def _geo_simplify_tolerance(spark, sf_dir):
+    """GeoSimplify (reference geospatial.py:440), Douglas-Peucker with
+    tolerance 1.0 over a 3-vertex zigzag whose middle deviation is
+    (o_orderkey % 5) * 0.4: the perpendicular distance to the chord is
+    exactly the deviation, so the midpoint is dropped iff dev <= 1.0 —
+    npts and the simplified length have closed forms (2*sqrt(25+dev^2)
+    is the same correctly-rounded IEEE value in both engines)."""
+    import ibis_spark.geo as geo
+
+    o = _t(spark, sf_dir, "orders")
+    dev = (o.o_orderkey % 5).cast("float64") * 0.4
+    zero = dev - dev
+    ln = geo.geo_linestring(
+        ib.array(zero, zero + 5.0, zero + 10.0),
+        ib.array(zero, dev, zero),
+    )
+    o = o.mutate(s=geo.geo_simplify(ln, 1.0))
+    return o.select(
+        "o_orderkey",
+        npts=geo.geo_n_points(o.s),
+        slen=geo.geo_length(o.s),
+    ).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -3629,69 +3749,70 @@ def _ds_sales_growth_pairs(spark, sf_dir):
 
 
 _SAMPLE_WINDOW = [
-    # r10 rotation — owed driver evidence first (VERDICT r9 item 1)
-    "geo_envelope_agg",
-    "geo_cluster",
-    "geo_dbscan",
-    "ds_time_band_counts",
-    "ds_cume_channels",
-    # new this round: polygon slice + DS correlated tranche
-    "geo_polygon_contains",
-    "geo_polygon_area",
-    # new this round (late): linestring + measures slice
-    "geo_line_metrics",
-    "geo_envelope_box",
-    "geo_triangle_report",
-    "geo_intersects_pt_poly",
+    # r11 rotation. Slots: (1) 10 entries whose EMISSION is new or
+    # rewired this round (decode-once paths + DE-9IM tranche), (2) 4
+    # geo entries collaterally re-emitted by the _ring_hex/geo_contains
+    # ADVICE hardening (WKB polygon ctor bytes path), (3) ALL 23
+    # r6-stale oracled queries (the full backlog the r10 verdict
+    # counted — nothing deferred this time), (4) the 3 rows-only-by-
+    # design entries (r6-stale too), (5) 10 of the 44 r7-stale entries
+    # (joins/TPC-H/pipeline spread, including the r10 bench-regression
+    # suspects funnel/retention). 10+4+23+3+10 = 50.
+    # -- (1) new/rewired r11 emissions --
+    "geo_decode_roundtrip",
+    "geo_square_relations",
+    "geo_line_cross_report",
+    "geo_wkt_export",
+    "geo_simplify_tolerance",
     "geo_segment_cross",
+    "geo_line_metrics",
     "geo_line_locate",
-    "geo_union_agg",
+    "geo_polygon_contains",
     "geo_max_dist_report",
-    "ds_returns_above_avg",
-    "ds_frequent_items",
-    "ds_best_customers",
-    "ds_cross_channel_best",
-    "ds_wide_multijoin",
-    "ds_sales_growth_pairs",
-    # geo emissions changed by the r10 codec hardening -> re-prove
-    "geo_point_roundtrip",
-    "geo_distance_filter",
-    "geo_bbox_count",
-    "geo_within_join",
-    # staleness rotation: oldest driver evidence (r6), 33 of 50
-    # (deferred to r11: the 3 rows-only-by-design entries and 14 whose
-    # surface was re-proved via sibling entries in r8/r9)
-    "quality_score",
-    "ann_ivf_topk",
-    "map_struct_ops",
-    "array_hof",
-    "hash_ops",
-    "bitwise_ops",
-    "dedup_minhash_verified",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "ann_cosine_topk",
-    "lang_id",
-    "token_count_bpe",
-    "udf_pandas",
-    "udf_grouped_agg",
-    "tumble",
-    "session_window",
-    "interval_range_window",
-    "repetition_score",
-    "winnow_fingerprint",
-    "sessionize_tws",
-    "q1",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    # (q7/q10/q14/q18/q20/q22, cube_agg and rollup_agg yield their
-    # r10 slots to the eight late linestring/MULTI*-slice entries: a new op with NO
-    # driver row outranks a 4-round-stale surface that fresher siblings
-    # exercise this same window — five TPC-H entries stay in, and the
-    # DS tranche re-proves rollup/cube shapes at r9/r10; the eight
-    # rotate first in r11)
+    # -- (2) collateral geo re-emissions (_ring_hex try_element_at) --
+    "geo_polygon_area",
+    "geo_triangle_report",
+    "geo_envelope_box",
+    "geo_intersects_pt_poly",
+    # -- (3) the 23 r6-stale oracled queries --
+    "agg_filtered",
+    "agg_having",
+    "collect_ordered",
+    "cube_agg",
+    "filter_sort_limit",
+    "hop",
+    "info_table",
+    "integer_range_unnest",
+    "pivot_wider_explicit",
+    "pretokenize",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q20_big_suppliers",
+    "q22_global_sales_opportunity",
+    "q7_volume_shipping",
+    "regex_ops",
+    "rollup_agg",
+    "sql_escape_hatch",
+    "temporal_ctors",
+    "temporal_delta",
+    "udf_builtin",
+    "udf_python",
+    # -- (4) rows-only-by-design (r6-stale) --
+    "dedup_minhash",
+    "simhash",
+    "ann_lsh_topk",
+    # -- (5) 10 r7-stale --
+    "join_asof",
+    "q2_min_cost_supplier",
+    "q21_suppliers_kept_waiting",
+    "connected_components",
+    "pagerank",
+    "funnel",
+    "retention",
+    "sessionize",
+    "range_join",
+    "dedup_clusters",
 ]
 
 
@@ -3719,6 +3840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_segment_cross": _geo_segment_cross,
         # -- new in round 11: decode-once architecture -----------------------
         "geo_decode_roundtrip": _geo_decode_roundtrip,
+        # -- new in round 11: DE-9IM predicates + WKT + simplify -------------
+        "geo_square_relations": _geo_square_relations,
+        "geo_line_cross_report": _geo_line_cross_report,
+        "geo_wkt_export": _geo_wkt_export,
+        "geo_simplify_tolerance": _geo_simplify_tolerance,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -4275,6 +4401,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderkey % 100 AS DOUBLE) + 9.0 AS xmax,
                    CAST(3 AS BIGINT) AS npts
             FROM orders
+        """,
+        "geo_square_relations": """
+            -- closed-form DE-9IM relations of two 4x4 squares offset
+            -- horizontally by d: |d|>4 disjoint, |d|=4 touches,
+            -- 0<|d|<4 overlaps, d=0 equal (covers+within)
+            WITH s AS (
+              SELECT c_custkey, ABS((c_custkey % 13) - 6) AS ad
+              FROM customer)
+            SELECT c_custkey,
+                   ad = 4 AS touches,
+                   ad > 4 AS disjoint,
+                   ad > 0 AND ad < 4 AS overlaps,
+                   ad = 0 AS covers,
+                   ad = 0 AS within,
+                   FALSE AS crosses
+            FROM s
+        """,
+        "geo_line_cross_report": """
+            -- length-3 line at y=2 sliding over [0,4]^2: interval
+            -- closed forms on x0 = (c_custkey%13)-6
+            WITH s AS (
+              SELECT c_custkey,
+                     (c_custkey % 13) - 6 AS x0,
+                     (c_custkey % 13) - 3 AS x1
+              FROM customer)
+            SELECT c_custkey,
+                   (x1 > 0 AND x0 < 4) AND (x0 < 0 OR x1 > 4) AS crosses,
+                   x0 >= 0 AND x1 <= 4 AS covers,
+                   x0 >= 0 AND x1 <= 4 AS within,
+                   x0 > 0 AND x1 < 4 AS cp,
+                   (x1 = 0 OR x0 = 4) AS touches
+            FROM s
+        """,
+        "geo_wkt_export": """
+            -- exact WKT strings rebuilt by SQL concatenation (integer
+            -- coordinates print with no decimal part)
+            SELECT o_orderkey,
+                   'POINT (' || CAST(o_orderkey % 100 AS VARCHAR) || ' '
+                     || CAST((o_orderkey % 100) - 50 AS VARCHAR) || ')'
+                     AS wkt_pt,
+                   'LINESTRING (' || CAST(o_orderkey % 100 AS VARCHAR)
+                     || ' 0, ' || CAST((o_orderkey % 100) + 3 AS VARCHAR)
+                     || ' 4)' AS wkt_line
+            FROM orders
+        """,
+        "geo_simplify_tolerance": """
+            -- Douglas-Peucker closed form: the midpoint's chord
+            -- distance IS the deviation, dropped iff <= tolerance;
+            -- CAST(0.4 AS DOUBLE) keeps DuckDB off its DECIMAL typing
+            WITH s AS (
+              SELECT o_orderkey,
+                     CAST(o_orderkey % 5 AS DOUBLE)
+                       * CAST(0.4 AS DOUBLE) AS dev
+              FROM orders)
+            SELECT o_orderkey,
+                   CASE WHEN dev <= 1.0 THEN CAST(2 AS BIGINT)
+                        ELSE CAST(3 AS BIGINT) END AS npts,
+                   CASE WHEN dev <= 1.0 THEN CAST(10.0 AS DOUBLE)
+                        ELSE CAST(2.0 AS DOUBLE)
+                          * SQRT(CAST(25.0 AS DOUBLE) + dev * dev)
+                   END AS slen
+            FROM s
         """,
         "ds_time_band_counts": """
             SELECT

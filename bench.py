@@ -248,6 +248,16 @@ def main():
             summary["sf_small"] = None
         ok_small = [t for t in small_times.values() if t is not None]
         summary["small_sf_total"] = round(sum(ok_small), 3)
+    if oracle_times is not None:
+        # compact [spark, duck] pairs placed LAST among the wide maps:
+        # the driver records only a ~2000-char stdout TAIL, which used
+        # to cut exactly the oracle column the per-query regression
+        # analysis needs (VERDICT r10 item 6) — the tail now carries
+        # the final ~half of the pairs plus the full scalar summary,
+        # and BENCH_LOCAL_r{N}.json always has everything.
+        out["pairs"] = {
+            q: [times.get(q), oracle_times.get(q)] for q in times
+        }
     out.update(summary)
     # Durable full artifact: the committed file survives even when the
     # driver's stdout tail truncates the one-line JSON.

@@ -257,3 +257,98 @@ class TestGeoPredicates:
         d = d.mutate(s=geo.geo_simplify(d.d, 1.0))
         rows = d.select("i", n=geo.geo_n_points(d.s)).df.collect()
         assert {r.i: r.n for r in rows}[0] == 2
+
+
+def test_identical_polygons_de9im(con):
+    """Boundary-coincident containment (r11 strict-check regression):
+    IDENTICAL squares cover each other, are within each other, and do
+    NOT touch or overlap (DE-9IM: equal geometries' interiors meet)."""
+    from ibis_spark import geo
+
+    t = con.memtable(
+        [(0, _poly(SQ4), _poly(SQ4)),
+         (1, _poly(SQ4), _poly(list(reversed(SQ4))))],
+        schema={"i": "int64", "a": "binary", "b": "binary"},
+    )
+    rows = t.select(
+        "i",
+        to=geo.geo_touches(t.a, t.b),
+        ov=geo.geo_overlaps(t.a, t.b),
+        cv=geo.geo_covers(t.a, t.b),
+        wi=geo.geo_within(t.a, t.b),
+    ).df.collect()
+    for r in rows:
+        assert (r.to, r.ov, r.cv, r.wi) == (False, False, True, True), r.i
+
+
+def test_relate_parity(con):
+    """geo_relate's batched fields must equal the individual predicate
+    functions on the full pairing matrix (both untagged-WKB and
+    statically-typed decoded ctor inputs)."""
+    from ibis_spark import geo
+
+    t = con.memtable(
+        [(i, a, b) for i, (_, a, b, *_e) in enumerate(MATRIX)],
+        schema={"i": "int64", "a": "binary", "b": "binary"},
+    )
+    t = t.mutate(rel=geo.geo_relate(t.a, t.b))
+    rows = t.select(
+        "i",
+        r_to=t.rel["touches"], r_dj=t.rel["disjoint"],
+        r_cr=t.rel["crosses"], r_ov=t.rel["overlaps"],
+        r_cv=t.rel["covers"], r_cp=t.rel["contains_properly"],
+        r_wi=t.rel["within"], r_cb=t.rel["covered_by"],
+        s_to=geo.geo_touches(t.a, t.b), s_dj=geo.geo_disjoint(t.a, t.b),
+        s_cr=geo.geo_crosses(t.a, t.b), s_ov=geo.geo_overlaps(t.a, t.b),
+        s_cv=geo.geo_covers(t.a, t.b),
+        s_cp=geo.geo_contains_properly(t.a, t.b),
+        s_wi=geo.geo_within(t.a, t.b), s_cb=geo.geo_covered_by(t.a, t.b),
+    ).df.collect()
+    for r in rows:
+        for f in ("to", "dj", "cr", "ov", "cv", "cp", "wi", "cb"):
+            assert getattr(r, f"r_{f}") == getattr(r, f"s_{f}"), (r.i, f)
+
+
+def test_static_pruning_parity(con):
+    """Constructor-tagged (static gtype) inputs must give the same
+    answers as untagged WKB inputs for every predicate."""
+    import ibis_spark as ib
+    from ibis_spark import geo
+
+    t = con.memtable(
+        [(k,) for k in range(13)], schema={"k": "int64"}
+    )
+    d = t.k.cast("float64") - 6.0
+    zero = d - d
+
+    def sq(x0):
+        return geo.geo_polygon(
+            ib.array(x0, x0 + 4.0, x0 + 4.0, x0),
+            ib.array(zero, zero, zero + 4.0, zero + 4.0),
+            decoded=True,
+        )
+
+    a, b = sq(zero), sq(d)
+    rel = geo.geo_relate(a, b)
+    # same geometry as WKB (untagged)
+    aw = geo.geo_polygon(
+        ib.array(zero, zero + 4.0, zero + 4.0, zero),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+    )
+    bw = geo.geo_polygon(
+        ib.array(d, d + 4.0, d + 4.0, d),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+    )
+    rows = t.mutate(rel=rel).select(
+        "k",
+        p_to=ib._.rel["touches"],
+        p_ov=ib._.rel["overlaps"],
+        p_cv=ib._.rel["covers"],
+        w_to=geo.geo_touches(aw, bw),
+        w_ov=geo.geo_overlaps(aw, bw),
+        w_cv=geo.geo_covers(aw, bw),
+    ).df.collect()
+    for r in rows:
+        assert r.p_to == r.w_to, (r.k, "touches")
+        assert r.p_ov == r.w_ov, (r.k, "overlaps")
+        assert r.p_cv == r.w_cv, (r.k, "covers")
