@@ -4,7 +4,10 @@ output) with bench.py's exact protocol (2 consecutive warmups, then
 best-of-3, noop sink), plus DuckDB running the identical oracle SQL on
 the same sf1 parquet. Emits one JSON file (default SF1_ANCHOR.json).
 
-Usage: python tools/bench_sf1.py [out.json]
+Usage: python tools/bench_sf1.py [out.json] [--only-geo]
+  --only-geo times just the GEO list and MERGES the rows into an
+  existing out.json (r11: adds the geo slice to the r10 anchor
+  without re-running the 27 TPC-H/pipeline entries).
 """
 
 import json
@@ -28,9 +31,16 @@ HEAVY = [
     "embedding_clusters", "dedup_embedding", "dedup_clusters",
     "connected_components_isolated", "ann_recall",
 ]
+# r11 (VERDICT r10 item 8): the geo slice measured above the JVM floor
+# with the same clean protocol — the decode-once rewires + the DE-9IM
+# relate entry, plus the grid-join/CC pair.
+GEO = [
+    "geo_polygon_contains", "geo_segment_cross", "geo_line_metrics",
+    "geo_cluster", "geo_dbscan", "geo_square_relations",
+]
 
 
-def main(out_path: str = "SF1_ANCHOR.json") -> None:
+def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False) -> None:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
@@ -50,8 +60,9 @@ def main(out_path: str = "SF1_ANCHOR.json") -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    names = [n for n in TPCH + HEAVY if n in qs]
-    missing = [n for n in TPCH + HEAVY if n not in qs]
+    wanted = GEO if only_geo else TPCH + HEAVY + GEO
+    names = [n for n in wanted if n in qs]
+    missing = [n for n in wanted if n not in qs]
     if missing:
         print(f"not in queries(): {missing}", file=sys.stderr)
 
@@ -112,10 +123,19 @@ def main(out_path: str = "SF1_ANCHOR.json") -> None:
             res[name]["duckdb_sf1"] = None
         print(f"duckdb {name}: {res[name]['duckdb_sf1']}s", flush=True)
 
+    if only_geo and os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(res)
+        res = merged
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "SF1_ANCHOR.json")
+    args = [a for a in sys.argv[1:] if a != "--only-geo"]
+    main(
+        args[0] if args else "SF1_ANCHOR.json",
+        only_geo="--only-geo" in sys.argv,
+    )
