@@ -123,13 +123,9 @@ HEADLINE = [
     "geo_polygon_contains",
     # round-10 linestring/MULTI* slices: segment_cross (per-row pairwise
     # intersects) and union_agg (keyed MULTIPOINT reduction) are the
-    # row-scaling representatives; geo_line_metrics stays
-    # correctness-only — its 7 independent interpreted-HOF byte walks
-    # cost ~270 us/row and would dominate the headline total with
-    # column-at-a-time measure cost, not plan signal (SCALE.md erratum);
-    # the 25-row dim entries (triangle_report, envelope_box) and the
-    # build-bound intersects_pt_poly/line_locate follow the
-    # geo_polygon_area posture
+    # row-scaling representatives; the 25-row dim entries
+    # (triangle_report, envelope_box) and the build-bound
+    # intersects_pt_poly/line_locate follow the geo_polygon_area posture
     "geo_segment_cross",
     "geo_union_agg",
     "ds_returns_above_avg",
@@ -137,6 +133,19 @@ HEADLINE = [
     "ds_cross_channel_best",
     "ds_wide_multijoin",
     "ds_sales_growth_pairs",
+    # round-11 additions: decode-once retired the r10 `weak` labels —
+    # geo_line_metrics re-enters the headline set (was excluded at
+    # ~270 us/row through the WKB codec; the 7 measures now fold over
+    # one decoded struct at ~6 us/row). geo_decode_roundtrip carries
+    # the stored-WKB decode-once shape; line_cross_report the DE-9IM
+    # relate pass; wkt/simplify the export + UDF paths.
+    # geo_square_relations stays OUT: expression-build-bound (~11 s
+    # constant, rows-independent — the geo_polygon_area posture).
+    "geo_line_metrics",
+    "geo_decode_roundtrip",
+    "geo_line_cross_report",
+    "geo_wkt_export",
+    "geo_simplify_tolerance",
 ]
 
 

@@ -1,5 +1,12 @@
 """Geospatial operations — the subset Spark 4.1 core supports, plus a
-pure-Spark analytic slice over WKB points (round 9).
+pure-Spark analytic surface: WKB points (round 9), polygons and
+linestrings with the full measure family (round 10), and — round 11 —
+the DECODE-ONCE architecture (public geo_decode/geo_encode, decoded
+constructors, decoded fast paths in every op), the DE-9IM predicate
+tranche (touches/crosses/disjoint/overlaps/covers/covered_by/within/
+contains_properly + the one-pass geo_relate struct), WKT output
+(geo_as_text), structural validity (geo_is_valid), ordered equality
+(geo_ordering_equals), and Douglas-Peucker geo_simplify.
 
 The reference exposes ~60 PostGIS-style ops (ibis/expr/operations/
 geospatial.py:28-497). Core Spark ships exactly five ST functions (WKB
