@@ -3195,10 +3195,14 @@ def _geo_simplify_tolerance(spark, sf_dir):
         ib.array(zero, dev, zero),
     )
     o = o.mutate(s=geo.geo_simplify(ln, 1.0))
+    # decode the UDF's WKB output ONCE; both measures fold over the
+    # decoded struct (the first spelling re-walked the bytes per
+    # measure — half the entry's sf0.1 wall)
+    o = o.mutate(d=geo.geo_decode(o.s))
     return o.select(
         "o_orderkey",
-        npts=geo.geo_n_points(o.s),
-        slen=geo.geo_length(o.s),
+        npts=geo.geo_n_points(o.d),
+        slen=geo.geo_length(o.d),
     ).to_spark()
 
 

@@ -141,8 +141,11 @@ HEADLINE = [
     # relate pass; wkt/simplify the export + UDF paths.
     # geo_square_relations stays OUT: expression-build-bound (~11 s
     # constant, rows-independent — the geo_polygon_area posture).
+    # geo_decode_roundtrip also stays OUT: it exists to PROVE the
+    # encode(decode(g)) byte identity, so it is codec-bound three times
+    # over by construction (27 s at sf0.1 vs a trivial closed-form
+    # oracle) — correctness entry, not a plan signal.
     "geo_line_metrics",
-    "geo_decode_roundtrip",
     "geo_line_cross_report",
     "geo_wkt_export",
     "geo_simplify_tolerance",
