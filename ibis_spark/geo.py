@@ -4797,3 +4797,16 @@ def geo_relate(a, b):
         )
 
     return wrap(_let(_pair_ctx(a, b), body))
+
+
+def geo_as_ewkt(g, srid_value: int = 0):
+    """Extended WKT with the SRID prefix — reference GeoAsEWKT
+    (geospatial.py, dtype string).  The pure-Spark WKB codec carries no
+    SRID metadata (plain WKB, not EWKB), so the SRID is supplied by the
+    caller (default 0, PostGIS' 'unknown'); the body is exactly
+    geo_as_text."""
+    return wrap(
+        F.concat(
+            F.lit(f"SRID={int(srid_value)};"), unwrap(geo_as_text(g))
+        )
+    )
