@@ -3175,6 +3175,7 @@ def _geo_wkt_export(spark, sf_dir):
         "o_orderkey",
         wkt_pt=geo.geo_as_text(o.pt),
         wkt_line=geo.geo_as_text(o.ln),
+        ewkt_pt=geo.geo_as_ewkt(o.pt, 4326),
     ).to_spark()
 
 
@@ -4447,7 +4448,11 @@ def oracle_sql() -> dict[str, str]:
                      AS wkt_pt,
                    'LINESTRING (' || CAST(o_orderkey % 100 AS VARCHAR)
                      || ' 0, ' || CAST((o_orderkey % 100) + 3 AS VARCHAR)
-                     || ' 4)' AS wkt_line
+                     || ' 4)' AS wkt_line,
+                   'SRID=4326;POINT ('
+                     || CAST(o_orderkey % 100 AS VARCHAR) || ' '
+                     || CAST((o_orderkey % 100) - 50 AS VARCHAR) || ')'
+                     AS ewkt_pt
             FROM orders
         """,
         "geo_simplify_tolerance": """

@@ -352,3 +352,11 @@ def test_static_pruning_parity(con):
         assert r.p_to == r.w_to, (r.k, "touches")
         assert r.p_ov == r.w_ov, (r.k, "overlaps")
         assert r.p_cv == r.w_cv, (r.k, "covers")
+
+
+def test_as_ewkt(con):
+    from ibis_spark import geo
+
+    t = con.memtable([(0, _pt(1.5, -2.0))], schema={"i": "int64", "g": "binary"})
+    rows = t.select("i", e=geo.geo_as_ewkt(t.g, 4326)).df.collect()
+    assert rows[0].e == "SRID=4326;POINT (1.5 -2)"
