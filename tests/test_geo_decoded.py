@@ -264,3 +264,31 @@ class TestDecodedParity:
         ).df.collect()
         for r in rows:
             assert r.w == r.e, (r.i, r.w, r.e)
+
+
+def test_decoded_column_parquet_roundtrip(con, tmp_path):
+    """The 100 TB guidance (SCALE.md round 11) is to STORE the decoded
+    struct column: it must survive a parquet write/read with schema
+    intact, measures must take the decoded fast path on the re-read
+    column (source-schema detection), and geo_encode must still
+    reproduce the original bytes."""
+    from ibis_spark import geo
+
+    t = con.memtable(
+        [(i, g) for i, g in enumerate(FIXTURES) if g is not None],
+        schema={"i": "int64", "g": "binary"},
+    )
+    t = t.mutate(d=geo.geo_decode(t.g))
+    out = str(tmp_path / "geoms.parquet")
+    t.select("i", "g", "d").to_parquet(out)
+    r = con.read_parquet(out)
+    rows = r.select(
+        "i",
+        n=geo.geo_n_points(r.d),          # schema-path decoded dispatch
+        rt=(geo.geo_encode(r.d) == r.g),
+        ln=geo.geo_length(r.d),
+    ).df.collect()
+    got = {x.i: x for x in rows}
+    assert got[1].n == 3 and got[1].ln == 15.0 and got[1].rt is True
+    assert got[3].n == 10 and got[3].rt is True   # holed polygon
+    assert got[5].n == 5 and got[5].rt is True    # multilinestring
