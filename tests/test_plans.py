@@ -342,3 +342,37 @@ def test_new_pipeline_ops_plan_shapes(plans, spark):
     p = plans("quantile_filter")
     assert "Python" not in p
     assert "CartesianProduct" not in p
+
+
+def test_geo_decoded_queries_no_python_eval(plans):
+    """The decode-once geo queries are pure JVM expressions: no
+    BatchEvalPython/ArrowEvalPython node anywhere in the plan (the
+    documented exception is geo_simplify's pandas UDF), and the
+    predicates keep the scan column-pruned."""
+    for name in (
+        "geo_segment_cross",
+        "geo_line_metrics",
+        "geo_polygon_contains",
+        "geo_line_cross_report",
+        "geo_wkt_export",
+        "geo_decode_roundtrip",
+    ):
+        p = plans(name)
+        assert "EvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_geo_segment_cross_prunes_scan(plans):
+    # the predicate touches only c_custkey; the customer scan must not
+    # read the wide text columns
+    p = plans("geo_segment_cross")
+    scan = p.split("ReadSchema")[1].splitlines()[0]
+    assert "c_comment" not in scan and "c_address" not in scan
+
+
+def test_geo_simplify_is_arrow_batched(plans):
+    # the ONE sanctioned Python node: Arrow-batched, never row-wise
+    p = plans("geo_simplify_tolerance")
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
