@@ -3207,6 +3207,31 @@ def _geo_simplify_tolerance(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_validity_report(spark, sf_dir):
+    """GeoIsValid + GeoOrderingEquals (reference geospatial.py:109,
+    161): structural validity of constructed vs corrupt WKB, and
+    ordered coordinate equality of a line against itself / its
+    coordinate flip.  Closed forms: constructed geometry is always
+    valid, the 4-byte junk literal never is; a line ordering-equals
+    itself and never equals its x/y flip on this fixture (the
+    coordinates never coincide)."""
+    import ibis_spark.geo as geo
+
+    o = _t(spark, sf_dir, "orders")
+    k = (o.o_orderkey % 100).cast("float64")
+    ln = geo.geo_linestring(ib.array(k, k + 3.0), ib.array(k - k, k - k + 4.0))
+    ln2 = geo.geo_linestring(ib.array(k, k + 3.0), ib.array(k - k, k - k + 4.0))
+    o = o.mutate(ln=ln, junk=ib.literal(b"\x00bad"))
+    o = o.mutate(fl=geo.geo_flip_coordinates(o.ln))
+    return o.select(
+        "o_orderkey",
+        v_line=geo.geo_is_valid(o.ln),
+        v_junk=geo.geo_is_valid(o.junk),
+        oe_same=geo.geo_ordering_equals(o.ln, ln2),
+        oe_flip=geo.geo_ordering_equals(o.ln, o.fl),
+    ).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -3807,7 +3832,10 @@ _SAMPLE_WINDOW = [
     "dedup_minhash",
     "simhash",
     "ann_lsh_topk",
-    # -- (5) 10 r7-stale --
+    # -- (5) 9 r7-stale + the late r11 entry (a new op with NO driver
+    # row outranks a stale surface whose sibling sessionize_tws carries
+    # r10 hash-green evidence of the same walk)
+    "geo_validity_report",
     "join_asof",
     "q2_min_cost_supplier",
     "q21_suppliers_kept_waiting",
@@ -3815,7 +3843,6 @@ _SAMPLE_WINDOW = [
     "pagerank",
     "funnel",
     "retention",
-    "sessionize",
     "range_join",
     "dedup_clusters",
 ]
@@ -3850,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line_cross_report": _geo_line_cross_report,
         "geo_wkt_export": _geo_wkt_export,
         "geo_simplify_tolerance": _geo_simplify_tolerance,
+        "geo_validity_report": _geo_validity_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -4472,6 +4500,14 @@ def oracle_sql() -> dict[str, str]:
                           * SQRT(CAST(25.0 AS DOUBLE) + dev * dev)
                    END AS slen
             FROM s
+        """,
+        "geo_validity_report": """
+            SELECT o_orderkey,
+                   TRUE AS v_line,
+                   FALSE AS v_junk,
+                   TRUE AS oe_same,
+                   FALSE AS oe_flip
+            FROM orders
         """,
         "ds_time_band_counts": """
             SELECT
