@@ -3170,12 +3170,23 @@ def _geo_wkt_export(spark, sf_dir):
     ln = geo.geo_linestring(
         ib.array(k, k + 3.0), ib.array(k - k, k - k + 4.0), decoded=True
     )
-    o = o.mutate(pt=pt, ln=ln)
+    # EWKB (r12): a point at (2^(k%5), 1.0) — power-of-two coordinates
+    # have 2-nibble IEEE images, so the oracle rebuilds the exact hex
+    # with a 5-way CASE; hex via the geo wrap (printable for the
+    # driver's value hash, binary columns stay out of the compare)
+    from pyspark.sql import functions as F
+
+    e = (o.o_orderkey % 5).cast("float64")
+    pt2 = geo.geo_point(
+        geo.wrap(F.pow(F.lit(2.0), geo.unwrap(e))), (k - k) + 1.0
+    )
+    o = o.mutate(pt=pt, ln=ln, e2=geo.geo_as_ewkb(pt2, 4326))
     return o.select(
         "o_orderkey",
         wkt_pt=geo.geo_as_text(o.pt),
         wkt_line=geo.geo_as_text(o.ln),
         ewkt_pt=geo.geo_as_ewkt(o.pt, 4326),
+        ewkb_hex=geo.wrap(F.hex(geo.unwrap(o.e2))),
     ).to_spark()
 
 
@@ -3191,19 +3202,21 @@ def _geo_simplify_tolerance(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     dev = (o.o_orderkey % 5).cast("float64") * 0.4
     zero = dev - dev
+    # decoded ctor -> expression-path DP (r12): the whole query is pure
+    # JVM arithmetic — no Python worker, no Arrow serialization (the
+    # r11 spelling ran the Arrow-batched UDF at 12.9 s sf0.1 vs a
+    # 0.078 s closed-form oracle); the simplified struct materializes
+    # once and both measures fold over it
     ln = geo.geo_linestring(
         ib.array(zero, zero + 5.0, zero + 10.0),
         ib.array(zero, dev, zero),
+        decoded=True,
     )
     o = o.mutate(s=geo.geo_simplify(ln, 1.0))
-    # decode the UDF's WKB output ONCE; both measures fold over the
-    # decoded struct (the first spelling re-walked the bytes per
-    # measure — half the entry's sf0.1 wall)
-    o = o.mutate(d=geo.geo_decode(o.s))
     return o.select(
         "o_orderkey",
-        npts=geo.geo_n_points(o.d),
-        slen=geo.geo_length(o.d),
+        npts=geo.geo_n_points(o.s),
+        slen=geo.geo_length(o.s),
     ).to_spark()
 
 
@@ -3229,6 +3242,50 @@ def _geo_validity_report(spark, sf_dir):
         v_junk=geo.geo_is_valid(o.junk),
         oe_same=geo.geo_ordering_equals(o.ln, ln2),
         oe_flip=geo.geo_ordering_equals(o.ln, o.fl),
+    ).to_spark()
+
+
+def _geo_multipolygon_report(spark, sf_dir):
+    """MULTIPOLYGON decode/encode/WKT (r12 — reference MultiPolygon
+    inputs, geospatial.py Multi* types): a 2-member multipolygon per
+    order (holed 4x4 square at x=k plus a 2x2 square at (k+10,10)),
+    built by geo_multipolygon in the flattened separator encoding.
+    Closed forms: 15 vertices, 3 rings, type name, structural
+    validity, the full WKT string (integer coordinates), and the
+    encode(decode(encode(g))) == encode(g) byte round-trip through
+    real WKB bytes."""
+    import ibis_spark.geo as geo
+
+    o = _t(spark, sf_dir, "orders")
+    k = (o.o_orderkey % 50).cast("float64")
+    zero = k - k
+    holed = geo.geo_polygon(
+        ib.array(k, k + 4.0, k + 4.0, k),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+        holes=[
+            (
+                ib.array(k + 1.0, k + 2.0, k + 2.0, k + 1.0),
+                ib.array(zero + 1.0, zero + 1.0, zero + 2.0, zero + 2.0),
+            )
+        ],
+        decoded=True,
+    )
+    sq = geo.geo_polygon(
+        ib.array(k + 10.0, k + 12.0, k + 12.0, k + 10.0),
+        ib.array(zero + 10.0, zero + 10.0, zero + 12.0, zero + 12.0),
+        decoded=True,
+    )
+    o = o.mutate(mp=geo.geo_multipolygon(holed, sq))
+    o = o.mutate(w=geo.geo_encode(o.mp))
+    o = o.mutate(d2=geo.geo_decode(o.w))
+    return o.select(
+        "o_orderkey",
+        npts=geo.geo_n_points(o.mp),
+        nrings=geo.geo_n_rings(o.mp),
+        gt=geo.geo_geometry_type(o.mp),
+        valid=geo.geo_is_valid(o.w),
+        wkt=geo.geo_as_text(o.mp),
+        rt_ok=(geo.geo_encode(o.d2) == o.w),
     ).to_spark()
 
 
@@ -3878,6 +3935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_wkt_export": _geo_wkt_export,
         "geo_simplify_tolerance": _geo_simplify_tolerance,
         "geo_validity_report": _geo_validity_report,
+        # -- new in round 12: MULTIPOLYGON + EWKB ----------------------------
+        "geo_multipolygon_report": _geo_multipolygon_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -4480,7 +4539,17 @@ def oracle_sql() -> dict[str, str]:
                    'SRID=4326;POINT ('
                      || CAST(o_orderkey % 100 AS VARCHAR) || ' '
                      || CAST((o_orderkey % 100) - 50 AS VARCHAR) || ')'
-                     AS ewkt_pt
+                     AS ewkt_pt,
+                   -- EWKB of POINT(2^(k%5), 1.0) with SRID 4326: header
+                   -- 01 + (type|0x20000000 LE) + E6100000, then the two
+                   -- LE IEEE images (powers of two = exponent-only hex)
+                   CASE CAST(o_orderkey % 5 AS INT)
+                     WHEN 0 THEN '0101000020E6100000000000000000F03F000000000000F03F'
+                     WHEN 1 THEN '0101000020E61000000000000000000040000000000000F03F'
+                     WHEN 2 THEN '0101000020E61000000000000000001040000000000000F03F'
+                     WHEN 3 THEN '0101000020E61000000000000000002040000000000000F03F'
+                     ELSE        '0101000020E61000000000000000003040000000000000F03F'
+                   END AS ewkb_hex
             FROM orders
         """,
         "geo_simplify_tolerance": """
@@ -4508,6 +4577,34 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS oe_same,
                    FALSE AS oe_flip
             FROM orders
+        """,
+        "geo_multipolygon_report": """
+            -- closed forms: the 2-member multipolygon always has 15
+            -- vertices / 3 rings; the WKT string is rebuilt by SQL
+            -- concatenation (integer coordinates, DuckDB-spatial
+            -- MULTIPOLYGON (((...)), ((...))) nesting)
+            WITH s AS (
+              SELECT o_orderkey,
+                     CAST(o_orderkey % 50 AS VARCHAR) AS k0,
+                     CAST((o_orderkey % 50) + 1 AS VARCHAR) AS k1,
+                     CAST((o_orderkey % 50) + 2 AS VARCHAR) AS k2,
+                     CAST((o_orderkey % 50) + 4 AS VARCHAR) AS k4,
+                     CAST((o_orderkey % 50) + 10 AS VARCHAR) AS k10,
+                     CAST((o_orderkey % 50) + 12 AS VARCHAR) AS k12
+              FROM orders)
+            SELECT o_orderkey,
+                   CAST(15 AS BIGINT) AS npts,
+                   CAST(3 AS BIGINT) AS nrings,
+                   'MULTIPOLYGON' AS gt,
+                   TRUE AS valid,
+                   'MULTIPOLYGON (((' || k0 || ' 0, ' || k4 || ' 0, '
+                     || k4 || ' 4, ' || k0 || ' 4, ' || k0 || ' 0), ('
+                     || k1 || ' 1, ' || k2 || ' 1, ' || k2 || ' 2, '
+                     || k1 || ' 2, ' || k1 || ' 1)), ((' || k10
+                     || ' 10, ' || k12 || ' 10, ' || k12 || ' 12, '
+                     || k10 || ' 12, ' || k10 || ' 10)))' AS wkt,
+                   TRUE AS rt_ok
+            FROM s
         """,
         "ds_time_band_counts": """
             SELECT

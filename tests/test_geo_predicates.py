@@ -252,11 +252,57 @@ class TestGeoPredicates:
         s2 = t.mutate(s=geo.geo_simplify(t.g, 1.0, preserve_collapsed=True))
         rows = s2.select("i", n=geo.geo_n_points(s2.s)).df.collect()
         assert {r.i: r.n for r in rows}[4] == 10
-        # decoded input accepted
+        # decoded input accepted — takes the r12 expression path
+        # (decoded struct out, no Python node in the plan)
         d = t.mutate(d=geo.geo_decode(t.g))
         d = d.mutate(s=geo.geo_simplify(d.d, 1.0))
-        rows = d.select("i", n=geo.geo_n_points(d.s)).df.collect()
+        sel = d.select("i", n=geo.geo_n_points(d.s))
+        plan = sel.df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        rows = sel.df.collect()
         assert {r.i: r.n for r in rows}[0] == 2
+
+    def test_simplify_expression_udf_parity(self, con):
+        """The decoded expression-path DP and the WKB Arrow-UDF DP make
+        IEEE-identical keep decisions: encode(simplify(decode(g))) ==
+        simplify(g) byte-for-byte over random lines (incl. equal-d2
+        ties and a degenerate all-coincident run), holed polygons
+        (collapse + preserve_collapsed), and multilinestrings."""
+        import random
+
+        from ibis_spark import geo
+
+        random.seed(7)
+        rows, i = [], 0
+        for _ in range(25):
+            n = random.randint(2, 9)
+            rows.append(
+                (i, _line([(random.uniform(-10, 10), random.uniform(-10, 10))
+                           for _ in range(n)]))
+            )
+            i += 1
+        rows.append((i, _line([(0, 0), (5, 2), (5, -2), (10, 0)]))); i += 1
+        rows.append((i, _line([(0, 0), (0, 0), (0, 0)]))); i += 1
+        for _ in range(6):
+            ring = [(0, 0), (8, random.uniform(-0.5, 2)), (8, 8),
+                    (random.uniform(-1, 1), 8), (0, 0)]
+            hole = [(3, 3), (3.2, 3.1), (3.4, 3.0), (3.2, 3.05), (3, 3)]
+            rows.append((i, _poly(ring, hole))); i += 1
+        mline = struct.pack("<BII", 1, 5, 2) + _line(
+            [(0, 0), (5, 0.5), (10, 0)]
+        ) + _line([(0, 0), (5, 3), (10, 0)])
+        rows.append((i, mline)); i += 1
+        rows.append((i, _pt(1.0, 2.0))); i += 1
+        rows.append((i, None)); i += 1
+        t = con.memtable(rows, schema={"i": "int64", "g": "binary"})
+        for pc in (False, True):
+            u = t.mutate(s=geo.geo_simplify(t.g, 1.0, preserve_collapsed=pc))
+            udf = {r.i: r.s for r in u.select("i", "s").df.collect()}
+            d = t.mutate(d=geo.geo_decode(t.g))
+            d = d.mutate(s=geo.geo_simplify(d.d, 1.0, preserve_collapsed=pc))
+            d = d.mutate(w=geo.geo_encode(d.s))
+            ex = {r.i: r.w for r in d.select("i", "w").df.collect()}
+            assert udf == ex, [k for k in udf if udf[k] != ex[k]]
 
 
 def test_identical_polygons_de9im(con):

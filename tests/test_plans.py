@@ -346,9 +346,10 @@ def test_new_pipeline_ops_plan_shapes(plans, spark):
 
 def test_geo_decoded_queries_no_python_eval(plans):
     """The decode-once geo queries are pure JVM expressions: no
-    BatchEvalPython/ArrowEvalPython node anywhere in the plan (the
-    documented exception is geo_simplify's pandas UDF), and the
-    predicates keep the scan column-pruned."""
+    BatchEvalPython/ArrowEvalPython node anywhere in the plan, and the
+    predicates keep the scan column-pruned.  geo_simplify_tolerance
+    joined the list in r12: decoded input takes the expression-path
+    DP, so the Arrow UDF is gone from the headline entry."""
     for name in (
         "geo_segment_cross",
         "geo_line_metrics",
@@ -356,6 +357,7 @@ def test_geo_decoded_queries_no_python_eval(plans):
         "geo_line_cross_report",
         "geo_wkt_export",
         "geo_decode_roundtrip",
+        "geo_simplify_tolerance",
     ):
         p = plans(name)
         assert "EvalPython" not in p, name
@@ -371,8 +373,14 @@ def test_geo_segment_cross_prunes_scan(plans):
     assert "c_comment" not in scan and "c_address" not in scan
 
 
-def test_geo_simplify_is_arrow_batched(plans):
-    # the ONE sanctioned Python node: Arrow-batched, never row-wise
-    p = plans("geo_simplify_tolerance")
+def test_geo_simplify_wkb_path_is_arrow_batched(spark):
+    # WKB (non-decoded) input still runs the sanctioned Python node:
+    # Arrow-batched, never row-wise
+    import ibis_spark as ib
+    from ibis_spark import geo
+
+    t = ib.memtable([(b"",)], schema={"g": "binary"})
+    df = t.mutate(s=geo.geo_simplify(t.g, 1.0)).df
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
