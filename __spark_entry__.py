@@ -3289,6 +3289,48 @@ def _geo_multipolygon_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_clip_report(spark, sf_dir):
+    """Geometric set operations (r12 — reference GeoIntersection/
+    GeoDifference/GeoUnion, geospatial.py:362-468): two 4x4 squares
+    with horizontal offset d = (c_custkey%13)-6 sweeping disjoint /
+    touching / overlapping / equal.  Sutherland-Hodgman intersection
+    polygon + prefix-decomposition difference/union multipolygons; all
+    coordinates integer with power-of-two spans, so every measure has
+    an exact closed form on |d| (overlap width w = 4-|d|): area
+    4w / 16-4w / 32-4w, 5 closed vertices, bbox [max(0,d), min(4,4+d)].
+    Touching (|d|=4) lowers the intersection to a line -> NULL (the
+    engine's documented degenerate posture)."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer")
+    d = (c.c_custkey % 13).cast("float64") - 6.0
+    zero = d - d
+    A = geo.geo_polygon(
+        ib.array(zero, zero + 4.0, zero + 4.0, zero),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+        decoded=True,
+    )
+    B = geo.geo_polygon(
+        ib.array(d, d + 4.0, d + 4.0, d),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+        decoded=True,
+    )
+    c = c.mutate(
+        gi=geo.geo_intersection(A, B),
+        gd=geo.geo_difference(A, B),
+        gu=geo.geo_union(A, B),
+    )
+    return c.select(
+        "c_custkey",
+        ia=geo.geo_area(c.gi),
+        ip=geo.geo_n_points(c.gi),
+        ixmin=geo.geo_x_min(c.gi),
+        ixmax=geo.geo_x_max(c.gi),
+        da=geo.geo_area(c.gd),
+        ua=geo.geo_area(c.gu),
+    ).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -3935,8 +3977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_wkt_export": _geo_wkt_export,
         "geo_simplify_tolerance": _geo_simplify_tolerance,
         "geo_validity_report": _geo_validity_report,
-        # -- new in round 12: MULTIPOLYGON + EWKB ----------------------------
+        # -- new in round 12: MULTIPOLYGON + EWKB + set operations -----------
         "geo_multipolygon_report": _geo_multipolygon_report,
+        "geo_clip_report": _geo_clip_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -4604,6 +4647,29 @@ def oracle_sql() -> dict[str, str]:
                      || ' 10, ' || k12 || ' 10, ' || k12 || ' 12, '
                      || k10 || ' 12, ' || k10 || ' 10)))' AS wkt,
                    TRUE AS rt_ok
+            FROM s
+        """,
+        "geo_clip_report": """
+            -- 4x4 squares offset by d: overlap width w = 4-|d| when
+            -- |d|<4; touching (|d|=4) lowers the intersection to a
+            -- line -> NULLs; disjoint keeps difference/union trivial
+            WITH s AS (
+              SELECT c_custkey,
+                     CAST((c_custkey % 13) - 6 AS DOUBLE) AS d
+              FROM customer)
+            SELECT c_custkey,
+                   CASE WHEN ABS(d) < 4 THEN 4 * (4 - ABS(d)) END AS ia,
+                   CASE WHEN ABS(d) < 4 THEN CAST(5 AS BIGINT) END AS ip,
+                   CASE WHEN ABS(d) < 4
+                        THEN CASE WHEN d > 0 THEN d ELSE CAST(0 AS DOUBLE) END
+                   END AS ixmin,
+                   CASE WHEN ABS(d) < 4
+                        THEN CASE WHEN d < 0 THEN 4 + d ELSE CAST(4 AS DOUBLE) END
+                   END AS ixmax,
+                   CASE WHEN ABS(d) < 4 THEN 16 - 4 * (4 - ABS(d))
+                        ELSE CAST(16 AS DOUBLE) END AS da,
+                   CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
+                        ELSE CAST(32 AS DOUBLE) END AS ua
             FROM s
         """,
         "ds_time_band_counts": """

@@ -923,8 +923,13 @@ def geo_area(poly):
     )
     res = F.aggregate(_seq0(_le_uint32(u, 6)), init, ring_step)
     hdr_ok = F.substring(u, 1, 5) == F.lit(_POLY_HDR)
+    # multipolygon (r12): delegate through the decoded form — the new
+    # WKB type's measure IS decode-once (no second byte walk to keep in
+    # bit-parity; the decoded body is the definition)
     return wrap(
-        F.when(hdr_ok, res["tot"]).otherwise(F.lit(None).cast("double"))
+        F.when(hdr_ok, res["tot"])
+        .when(_is_mpoly(u), _let(_decode_struct(u), _dec_area))
+        .otherwise(F.lit(None).cast("double"))
     )
 
 
@@ -1312,6 +1317,7 @@ def geo_perimeter(g):
     res = F.aggregate(_seq0(_le_uint32(u, 6)), init, ring_step)
     return wrap(
         F.when(_is_poly(u), res["tot"])
+        .when(_is_mpoly(u), _let(_decode_struct(u), _dec_perimeter))
         .when(_is_pt(u) | _is_line(u), F.lit(0.0))
         .otherwise(F.lit(None).cast("double"))
     )
@@ -3451,7 +3457,9 @@ def _dec_perimeter(d):
         lambda s, v: s + v,
     )
     return (
-        F.when(gt == 3, tot)
+        # multipolygon: every ring (incl. holes) contributes; separator
+        # parts are empty and add 0.0, so the same fold serves both
+        F.when((gt == 3) | (gt == 6), tot)
         .when((gt == 1) | (gt == 2), F.lit(0.0))
         .otherwise(F.lit(None).cast("double"))
     )
@@ -3611,8 +3619,32 @@ def _dec_area(d):
         return outer - (total - outer)
 
     area = _let(F.transform(d["parts"], _d_ring_shoelace), fin)
-    return F.when(d["gtype"] == 3, area).otherwise(
-        F.lit(None).cast("double")
+
+    # multipolygon: sum member areas over the separator encoding — the
+    # first ring after each separator is that member's outer (+), the
+    # rest are holes (-)
+    def mp_step(a, P):
+        piece = F.when(
+            a["first"], F.abs(_d_ring_shoelace(P)) / F.lit(2.0)
+        ).otherwise(-F.abs(_d_ring_shoelace(P)) / F.lit(2.0))
+        return F.when(
+            F.size(P) == 0,
+            F.struct(F.lit(True).alias("first"), a["tot"].alias("tot")),
+        ).otherwise(
+            F.struct(
+                F.lit(False).alias("first"), (a["tot"] + piece).alias("tot")
+            )
+        )
+
+    mp_area = F.aggregate(
+        d["parts"],
+        F.struct(F.lit(True).alias("first"), F.lit(0.0).alias("tot")),
+        mp_step,
+    )["tot"]
+    return (
+        F.when(d["gtype"] == 3, area)
+        .when(d["gtype"] == 6, mp_area)
+        .otherwise(F.lit(None).cast("double"))
     )
 
 
@@ -5299,3 +5331,431 @@ def geo_as_ewkb(g, srid_value: int = 0):
         return F.when(known, ew).otherwise(F.lit(None).cast("binary"))
 
     return wrap(_let(u, body))
+
+
+# -- geometric set operations (round 12) ---------------------------------------
+#
+# geo_intersection / geo_difference / geo_union over decoded rings —
+# reference GeoIntersection/GeoDifference/GeoUnion
+# (ibis/expr/operations/geospatial.py:362-468; the reference's own
+# Spark backend implements none of these, so this is surplus parity).
+#
+# Engine: Sutherland-Hodgman half-plane clipping as a pure Spark
+# expression fold — ``aggregate(edges, subject_ring, clip_step)`` where
+# each step is one O(n) pass emitting the inside vertices and boundary
+# crossings.  The CLIP side must be a CONVEX hole-free polygon (checked
+# at runtime via the orientation-signed cross products; non-convex or
+# holed clips degrade to NULL — the engine's documented posture, never
+# a wrong answer).  The subject may be any simple polygon: S-H then
+# returns one ring that may carry degenerate bridge edges for
+# non-convex crossings (they cancel in the shoelace, so areas stay
+# exact; documented).  Difference/union build MULTIPOLYGON results via
+# the prefix half-plane decomposition of the convex clip's complement:
+#   A \ B  =  disjoint-union over edges e_i of
+#             A * H+(e_1) * ... * H+(e_(i-1)) * H-(e_i)
+# each term another S-H fold.  All arithmetic is native-double,
+# scan-local, shuffle-free — per-row independent at any scale.
+#
+# Intersection points: p = cur + (nxt - cur) * d1/(d1 - d2) with the
+# d's the exact cross-product sides, so integer-coordinate fixtures
+# with power-of-two spans produce bit-exact closed-form results.
+
+
+def _sh_empty_part():
+    return F.expr(f"CAST(array() AS {_PART_T})")
+
+
+def _e_side(e, px, py):
+    """Signed side of (px,py) against directed edge e (cross product;
+    positive = left of a->b)."""
+    return (e["bx"] - e["ax"]) * (py - e["ay"]) - (e["by"] - e["ay"]) * (
+        px - e["ax"]
+    )
+
+
+def _ring_edges_sg(P, sg):
+    """Directed edges of a CLOSED ring as ARRAY<STRUCT<ax,ay,bx,by,sg>>
+    — sg is the inside-sign (+1 for CCW rings), attached per edge so
+    the difference decomposition can flip a single edge."""
+    return F.transform(
+        F.slice(P, 1, F.size(P) - 1),
+        lambda p, i: F.struct(
+            p["x"].alias("ax"),
+            p["y"].alias("ay"),
+            F.get(P, i + 1)["x"].alias("bx"),
+            F.get(P, i + 1)["y"].alias("by"),
+            sg.alias("sg"),
+        ),
+    )
+
+
+def _flip_e(e):
+    return F.struct(
+        e["ax"].alias("ax"),
+        e["ay"].alias("ay"),
+        e["bx"].alias("bx"),
+        e["by"].alias("by"),
+        (-e["sg"]).alias("sg"),
+    )
+
+
+def _clip_step(acc, e):
+    """One Sutherland-Hodgman half-plane pass: ``acc`` is the current
+    OPEN subject ring, ``e`` a directed clip edge (inside where
+    sg*side >= 0 — boundary points count as inside, PostGIS closed
+    semantics)."""
+    n = F.size(acc)
+
+    def emit(i):
+        cur = F.get(acc, i)
+        nxt = F.get(acc, F.when(i == n - 1, F.lit(0)).otherwise(i + 1))
+
+        def go(c):
+            d1, d2 = c["d1"], c["d2"]
+            in1 = e["sg"] * d1 >= 0
+            in2 = e["sg"] * d2 >= 0
+            t = d1 / (d1 - d2)
+            ip = F.struct(
+                (c["cur"]["x"] + (c["nxt"]["x"] - c["cur"]["x"]) * t).alias(
+                    "x"
+                ),
+                (c["cur"]["y"] + (c["nxt"]["y"] - c["cur"]["y"]) * t).alias(
+                    "y"
+                ),
+            )
+            return (
+                F.when(in2 & in1, F.array(c["nxt"]))
+                .when(in2 & ~in1, F.array(ip, c["nxt"]))
+                .when(~in2 & in1, F.array(ip))
+                .otherwise(_sh_empty_part())
+            )
+
+        return _let(
+            F.struct(
+                cur.alias("cur"),
+                nxt.alias("nxt"),
+                _e_side(e, cur["x"], cur["y"]).alias("d1"),
+                _e_side(e, nxt["x"], nxt["y"]).alias("d2"),
+            ),
+            go,
+        )
+
+    return F.when(n < 3, _sh_empty_part()).otherwise(
+        F.flatten(F.transform(F.sequence(F.lit(0), n - 1), emit))
+    )
+
+
+def _sh_clip(P_open, E):
+    return F.aggregate(E, P_open, _clip_step)
+
+
+def _ring_open(P):
+    return F.slice(P, 1, F.size(P) - 1)
+
+
+def _post_ring(R):
+    """Clip output -> CLOSED result ring: drop consecutive (cyclic)
+    duplicate vertices, close, and empty out degenerate results
+    (<3 distinct vertices or exactly zero area — PostGIS lowers those
+    to points/lines; the engine's polygon ops empty them, and the
+    callers turn all-empty into NULL)."""
+
+    def fin(D):
+        closed = F.concat(D, F.slice(D, 1, 1))
+        ok = (F.size(D) >= 3) & (F.abs(_d_ring_shoelace(closed)) > 0.0)
+        return F.when(ok, closed).otherwise(_sh_empty_part())
+
+    n = F.size(R)
+    dedup = F.filter(
+        R,
+        lambda p, i: _let(
+            F.get(R, F.when(i == n - 1, F.lit(0)).otherwise(i + 1)),
+            lambda q: (p["x"] != q["x"]) | (p["y"] != q["y"]),
+        ),
+    )
+    return _let(dedup, fin)
+
+
+def _clip_region(bP):
+    """STRUCT<E, ok> — the directed edge array of a closed clip ring
+    with the orientation sign baked in, and the convex+valid gate
+    (>=4 closed vertices, nonzero area, all turns the same way)."""
+
+    def fin(c):
+        E, s = c["E"], c["s"]
+        m = F.size(E)
+        conv = F.forall(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: _let(
+                F.struct(
+                    F.get(E, i).alias("e1"),
+                    F.get(
+                        E, F.when(i == m - 1, F.lit(0)).otherwise(i + 1)
+                    ).alias("e2"),
+                ),
+                lambda p: s
+                * (
+                    (p["e1"]["bx"] - p["e1"]["ax"])
+                    * (p["e2"]["by"] - p["e2"]["ay"])
+                    - (p["e1"]["by"] - p["e1"]["ay"])
+                    * (p["e2"]["bx"] - p["e2"]["ax"])
+                )
+                >= 0,
+            ),
+        )
+        ok = s.isNotNull() & (F.size(bP) >= 4) & F.coalesce(conv, F.lit(False))
+        return F.struct(E.alias("E"), ok.alias("ok"))
+
+    sh = _d_ring_shoelace(bP)
+    s = (
+        F.when(sh > 0, F.lit(1.0))
+        .when(sh < 0, F.lit(-1.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return _let(
+        F.struct(_ring_edges_sg(bP, s).alias("E"), s.alias("s")),
+        fin,
+    )
+
+
+def _mp_assemble(rings):
+    """Non-empty closed rings -> MULTIPOLYGON parts (one member per
+    ring, separators between members)."""
+    return F.aggregate(
+        rings,
+        _empty_parts(),
+        lambda acc, R: F.when(
+            F.size(acc) == 0, F.array(R)
+        ).otherwise(F.concat(acc, _mp_separator(), F.array(R))),
+    )
+
+
+def _setop_ctx(a, b):
+    da = _dec_of(a)
+    da = da if da is not None else _decode_struct(unwrap(a))
+    db = _dec_of(b)
+    db = db if db is not None else _decode_struct(unwrap(b))
+    return F.struct(da.alias("da"), db.alias("db"))
+
+
+def geo_intersection(a, b):
+    """Geometric intersection of two polygons — reference
+    GeoIntersection (geospatial.py:388).  ``a`` may carry holes (each
+    ring is clipped independently; holes that clip empty are dropped);
+    ``b`` must be a CONVEX hole-free polygon (see the section comment —
+    non-convex/holed/non-polygon clips return NULL, never a wrong
+    ring).  Returns the decoded polygon, or NULL when the intersection
+    is empty or lower-dimensional (zero area)."""
+
+    def body(s):
+        da, db = s["da"], s["db"]
+        bring = F.try_element_at(db["parts"], F.lit(1))
+
+        def with_cr(cr):
+            base_ok = (
+                da.isNotNull()
+                & db.isNotNull()
+                & (da["gtype"] == 3)
+                & (db["gtype"] == 3)
+                & (F.size(db["parts"]) == 1)
+                & cr["ok"]
+            )
+            rings = F.transform(
+                da["parts"],
+                lambda P: _post_ring(_sh_clip(_ring_open(P), cr["E"])),
+            )
+
+            def fin(rs):
+                kept = F.filter(rs, lambda R: F.size(R) > 0)
+                outer_ok = F.size(F.get(rs, 0)) > 0
+                return F.when(
+                    F.coalesce(base_ok & outer_ok, F.lit(False)),
+                    _dec_geom(3, kept),
+                ).otherwise(_null_dec())
+
+            return _let(rings, fin)
+
+        return _let(_clip_region(bring), with_cr)
+
+    return _dec_wrap(_let(_setop_ctx(a, b), body), gtype=3)
+
+
+def _diff_pieces(aP, cr):
+    """The prefix half-plane decomposition of subject ring ``aP`` minus
+    the convex region ``cr`` — ARRAY of closed result rings (possibly
+    empty rings for empty pieces)."""
+    E = cr["E"]
+    m = F.size(E)
+
+    def piece(i):
+        Ei = F.concat(
+            F.slice(E, F.lit(1), i - 1),
+            F.array(_flip_e(F.get(E, i - 1))),
+        )
+        return _post_ring(_sh_clip(_ring_open(aP), Ei))
+
+    return F.transform(F.sequence(F.lit(1), m), piece)
+
+
+def _bbox_apart(da, db):
+    """True when the two decoded geometries' bounding boxes have no
+    interior overlap (touching counts as apart — a boundary contact
+    changes no area, so the set-op fast paths stay exact)."""
+
+    def fin(bb):
+        a, b = bb["a"], bb["b"]
+        return (
+            (a["xmax"] <= b["xmin"])
+            | (b["xmax"] <= a["xmin"])
+            | (a["ymax"] <= b["ymin"])
+            | (b["ymax"] <= a["ymin"])
+        )
+
+    return _let(
+        F.struct(_dec_bbox(da).alias("a"), _dec_bbox(db).alias("b")), fin
+    )
+
+
+def geo_difference(a, b):
+    """Geometric difference a \\ b — reference GeoDifference
+    (geospatial.py:375).  Returns a decoded MULTIPOLYGON:
+
+    - bbox-apart inputs (any polygons, holes fine) pass ``a`` through
+      unsplit as MULTIPOLYGON([a]);
+    - overlapping-bbox inputs need ``b`` simple CONVEX (the clip side)
+      and, for a true overlap, ``a`` hole-free: the result is the
+      prefix-decomposition pieces (area-exact; seam boundaries between
+      members are not dissolved — documented);
+    - a within b returns MULTIPOLYGON EMPTY;
+    - anything else (non-convex b, holed a against an overlapping b,
+      non-polygon input) returns NULL — never a wrong ring."""
+
+    def body(s):
+        da, db = s["da"], s["db"]
+        aP = F.try_element_at(da["parts"], F.lit(1))
+        bring = F.try_element_at(db["parts"], F.lit(1))
+        types_ok = (
+            da.isNotNull()
+            & db.isNotNull()
+            & (da["gtype"] == 3)
+            & (db["gtype"] == 3)
+        )
+
+        def with_cr(cr):
+            b_cc = (F.size(db["parts"]) == 1) & cr["ok"]
+            inter = _post_ring(_sh_clip(_ring_open(aP), cr["E"]))
+
+            def fin(c):
+                nonempty = F.filter(c["p"], lambda R: F.size(R) > 0)
+                passthru = _dec_geom(6, da["parts"])
+                t = F.coalesce(types_ok, F.lit(False))
+                return (
+                    F.when(t & _bbox_apart(da, db), passthru)
+                    .when(
+                        t & F.coalesce(b_cc, F.lit(False))
+                        & (F.size(c["i"]) == 0),
+                        passthru,
+                    )
+                    .when(
+                        t
+                        & F.coalesce(b_cc, F.lit(False))
+                        & (F.size(da["parts"]) == 1),
+                        _dec_geom(6, _mp_assemble(nonempty)),
+                    )
+                    .otherwise(_null_dec())
+                )
+
+            return _let(
+                F.struct(
+                    inter.alias("i"), _diff_pieces(aP, cr).alias("p")
+                ),
+                fin,
+            )
+
+        return _let(_clip_region(bring), with_cr)
+
+    return _dec_wrap(_let(_setop_ctx(a, b), body), gtype=6)
+
+
+def geo_union(a, b):
+    """Binary geometric union — reference GeoUnion (geospatial.py:362).
+    Returns a decoded MULTIPOLYGON:
+
+    - bbox-apart inputs (any polygons, holes fine) return [a, b];
+    - overlapping-bbox inputs need BOTH simple CONVEX (the overlap
+      branch decomposes b \\ a against a's edges): [b] when b covers
+      a, [a] when a covers b, else [a] + the b \\ a pieces (area-exact
+      covering; seam boundaries not dissolved — section comment);
+    - anything else returns NULL."""
+
+    def body(s):
+        da, db = s["da"], s["db"]
+        aP = F.try_element_at(da["parts"], F.lit(1))
+        bP = F.try_element_at(db["parts"], F.lit(1))
+        types_ok = (
+            da.isNotNull()
+            & db.isNotNull()
+            & (da["gtype"] == 3)
+            & (db["gtype"] == 3)
+        )
+
+        def with_cr(crs):
+            cra, crb = crs["cra"], crs["crb"]
+            both_cc = (
+                (F.size(da["parts"]) == 1)
+                & (F.size(db["parts"]) == 1)
+                & cra["ok"]
+                & crb["ok"]
+            )
+            inter = _post_ring(_sh_clip(_ring_open(aP), crb["E"]))
+
+            def fin(c):
+                ia = F.when(
+                    F.size(c["i"]) == 0, F.lit(0.0)
+                ).otherwise(F.abs(_d_ring_shoelace(c["i"])) / F.lit(2.0))
+                a_area = F.abs(_d_ring_shoelace(aP)) / F.lit(2.0)
+                b_area = F.abs(_d_ring_shoelace(bP)) / F.lit(2.0)
+                nonempty = F.filter(c["p"], lambda R: F.size(R) > 0)
+                side_by_side = _dec_geom(
+                    6,
+                    F.concat(
+                        da["parts"], _mp_separator(), db["parts"]
+                    ),
+                )
+                t = F.coalesce(types_ok, F.lit(False))
+                cc = F.coalesce(both_cc, F.lit(False))
+                return (
+                    F.when(t & _bbox_apart(da, db), side_by_side)
+                    .when(t & cc & (F.size(c["i"]) == 0), side_by_side)
+                    .when(t & cc & (ia == a_area), _dec_geom(6, F.array(bP)))
+                    .when(t & cc & (ia == b_area), _dec_geom(6, F.array(aP)))
+                    .when(
+                        t & cc,
+                        _dec_geom(
+                            6,
+                            F.concat(
+                                F.array(aP),
+                                _mp_separator(),
+                                _mp_assemble(nonempty),
+                            ),
+                        ),
+                    )
+                    .otherwise(_null_dec())
+                )
+
+            return _let(
+                F.struct(
+                    inter.alias("i"), _diff_pieces(bP, cra).alias("p")
+                ),
+                fin,
+            )
+
+        return _let(
+            F.struct(
+                _clip_region(aP).alias("cra"),
+                _clip_region(bP).alias("crb"),
+            ),
+            with_cr,
+        )
+
+    return _dec_wrap(_let(_setop_ctx(a, b), body), gtype=6)
