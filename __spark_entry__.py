@@ -3331,6 +3331,46 @@ def _geo_clip_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_line_merge_report(spark, sf_dir):
+    """GeoLineMerge (reference geospatial.py:219, PostGIS ST_LineMerge):
+    three unit chain segments in shuffled order plus one stray segment,
+    assembled with geo_multilinestring.  The merge is deterministic
+    (first-mergeable-pair order), so the full WKT has a closed form:
+    the chain merges ascending from (k,0) to (k+3,0); with the stray
+    the result stays MULTILINESTRING, without it it lowers to
+    LINESTRING."""
+    import ibis_spark.geo as geo
+
+    o = _t(spark, sf_dir, "orders")
+    k = (o.o_orderkey % 100).cast("float64")
+    z = k - k
+
+    def seg(x0, x1, y):
+        return geo.geo_linestring(
+            ib.array(x0, x1), ib.array(y, y), decoded=True
+        )
+
+    chain = geo.geo_multilinestring(
+        seg(k + 1.0, k + 2.0, z), seg(k, k + 1.0, z), seg(k + 2.0, k + 3.0, z)
+    )
+    with_stray = geo.geo_multilinestring(
+        seg(k + 1.0, k + 2.0, z),
+        seg(k, k + 1.0, z),
+        seg(k + 2.0, k + 3.0, z),
+        seg(k + 10.0, k + 11.0, z + 5.0),
+    )
+    o = o.mutate(m1=geo.geo_line_merge(chain), m2=geo.geo_line_merge(with_stray))
+    return o.select(
+        "o_orderkey",
+        ty1=geo.geo_geometry_type(o.m1),
+        w1=geo.geo_as_text(o.m1),
+        len1=geo.geo_length(o.m1),
+        ty2=geo.geo_geometry_type(o.m2),
+        np2=geo.geo_n_points(o.m2),
+        w2=geo.geo_as_text(o.m2),
+    ).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -3980,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 12: MULTIPOLYGON + EWKB + set operations -----------
         "geo_multipolygon_report": _geo_multipolygon_report,
         "geo_clip_report": _geo_clip_report,
+        "geo_line_merge_report": _geo_line_merge_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -4670,6 +4711,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 AS DOUBLE) END AS da,
                    CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
                         ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "geo_line_merge_report": """
+            -- the chain merges ascending (first-mergeable-pair order
+            -- is deterministic): LINESTRING (k 0 .. k+3 0); the stray
+            -- keeps the second fixture a 2-member MULTILINESTRING
+            WITH s AS (
+              SELECT o_orderkey,
+                     CAST(o_orderkey % 100 AS VARCHAR) AS k0,
+                     CAST((o_orderkey % 100) + 1 AS VARCHAR) AS k1,
+                     CAST((o_orderkey % 100) + 2 AS VARCHAR) AS k2,
+                     CAST((o_orderkey % 100) + 3 AS VARCHAR) AS k3,
+                     CAST((o_orderkey % 100) + 10 AS VARCHAR) AS ka,
+                     CAST((o_orderkey % 100) + 11 AS VARCHAR) AS kb
+              FROM orders)
+            SELECT o_orderkey,
+                   'LINESTRING' AS ty1,
+                   'LINESTRING (' || k0 || ' 0, ' || k1 || ' 0, '
+                     || k2 || ' 0, ' || k3 || ' 0)' AS w1,
+                   CAST(3.0 AS DOUBLE) AS len1,
+                   'MULTILINESTRING' AS ty2,
+                   CAST(6 AS BIGINT) AS np2,
+                   'MULTILINESTRING ((' || k0 || ' 0, ' || k1 || ' 0, '
+                     || k2 || ' 0, ' || k3 || ' 0), (' || ka || ' 5, '
+                     || kb || ' 5))' AS w2
             FROM s
         """,
         "ds_time_band_counts": """

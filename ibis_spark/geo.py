@@ -5759,3 +5759,155 @@ def geo_union(a, b):
         )
 
     return _dec_wrap(_let(_setop_ctx(a, b), body), gtype=6)
+
+
+def geo_multilinestring(*lines):
+    """Decoded MULTILINESTRING from member linestrings (decoded structs
+    or WKB bytes) — reference MultiLineString input type.  NULL when
+    any member is NULL or not a linestring; zero members build an
+    empty multilinestring.  Sibling of geo_multipolygon."""
+    ds = []
+    for p in lines:
+        d = _dec_of(p)
+        ds.append(d if d is not None else _decode_struct(unwrap(p)))
+    if not ds:
+        return _dec_wrap(_dec_geom(5, _empty_parts()), gtype=5)
+
+    def body(s):
+        ok = F.lit(True)
+        pieces = []
+        for i in range(len(ds)):
+            pi = s[f"p{i}"]
+            ok = ok & pi.isNotNull() & (pi["gtype"] == 2)
+            pieces.append(pi["parts"])
+        return F.when(
+            ok, _dec_geom(5, F.concat(*pieces))
+        ).otherwise(_null_dec())
+
+    s = F.struct(*[d.alias(f"p{i}") for i, d in enumerate(ds)])
+    return _dec_wrap(_let(s, body), gtype=5)
+
+
+# -- line merge (round 12) ------------------------------------------------------
+
+
+def _p_eq(p, q):
+    return (p["x"] == q["x"]) & (p["y"] == q["y"])
+
+
+def _lm_merged(P0):
+    """ST_LineMerge core over the ORIGINAL member-line array ``P0``:
+    n-1 passes, each merging the first pair of open lines that share
+    an endpoint where EXACTLY two line ends meet (PostGIS merges only
+    degree-2 nodes; junctions of 3+ stay split).  Degrees are computed
+    once over the original ends — every merge consumes a degree-2 node
+    entirely, so surviving ends keep their original degrees.  Closed
+    members (start == end) never merge."""
+
+    def hd(P):
+        return F.get(P, 0)
+
+    def tl(P):
+        return F.element_at(P, -1)
+
+    def deg(x, y):
+        return F.aggregate(
+            P0,
+            F.lit(0),
+            lambda c, P: c
+            + F.when((hd(P)["x"] == x) & (hd(P)["y"] == y), 1).otherwise(0)
+            + F.when((tl(P)["x"] == x) & (tl(P)["y"] == y), 1).otherwise(0),
+        )
+
+    def cases(Pi, Pj):
+        """The four end-matching cases, deg-2 gated, in fixed priority
+        order — shared by the pair predicate and the merge builder so
+        they can never disagree."""
+        open_ok = ~_p_eq(hd(Pi), tl(Pi)) & ~_p_eq(hd(Pj), tl(Pj))
+        d_tl = deg(tl(Pi)["x"], tl(Pi)["y"]) == 2
+        d_hd = deg(hd(Pi)["x"], hd(Pi)["y"]) == 2
+        c1 = open_ok & _p_eq(tl(Pi), hd(Pj)) & d_tl
+        c2 = open_ok & _p_eq(tl(Pi), tl(Pj)) & d_tl
+        c3 = open_ok & _p_eq(hd(Pi), tl(Pj)) & d_hd
+        c4 = open_ok & _p_eq(hd(Pi), hd(Pj)) & d_hd
+        return c1, c2, c3, c4
+
+    def rest(P):
+        return F.slice(P, 2, F.size(P) - 1)
+
+    def step(acc, _si):
+        m = F.size(acc)
+
+        def pred(k):
+            i, j = (k / m).cast("int"), F.pmod(k, m)
+            Pi, Pj = F.get(acc, i), F.get(acc, j)
+            c1, c2, c3, c4 = cases(Pi, Pj)
+            return (i < j) & (c1 | c2 | c3 | c4)
+
+        kf = F.aggregate(
+            F.sequence(F.lit(0), m * m - 1),
+            F.lit(-1),
+            lambda a, k: F.when(a >= 0, a).otherwise(
+                F.when(pred(k), k).otherwise(a)
+            ),
+        )
+
+        def rebuild(kf):
+            i, j = (kf / m).cast("int"), F.pmod(kf, m)
+            Pi, Pj = F.get(acc, i), F.get(acc, j)
+            c1, c2, c3, c4 = cases(Pi, Pj)
+            merged = (
+                F.when(c1, F.concat(Pi, rest(Pj)))
+                .when(c2, F.concat(Pi, rest(F.reverse(Pj))))
+                .when(c3, F.concat(Pj, rest(Pi)))
+                .otherwise(F.concat(F.reverse(Pj), rest(Pi)))
+            )
+            return F.when(kf < 0, acc).otherwise(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), m - 1),
+                        lambda t: F.when(t == j, _empty_parts())
+                        .when(t == i, F.array(merged))
+                        .otherwise(F.array(F.get(acc, t))),
+                    )
+                )
+            )
+
+        return F.when(m < 2, acc).otherwise(_let(kf, rebuild))
+
+    n0 = F.size(P0)
+    return F.when(n0 < 2, P0).otherwise(
+        F.aggregate(F.sequence(F.lit(1), n0 - 1), P0, step)
+    )
+
+
+def geo_line_merge(g):
+    """Merge the members of a MULTILINESTRING at their shared
+    endpoints — reference GeoLineMerge (geospatial.py:219), PostGIS
+    ST_LineMerge semantics: lines join only where exactly two line
+    ends meet (degree-2 nodes); 3-way junctions and closed members
+    stay split.  Returns LINESTRING when everything merged into one
+    line, else MULTILINESTRING; linestrings pass through; other types
+    NULL.  Pure expression fold (n-1 first-mergeable-pair passes over
+    the decoded parts) — scan-local, per-row independent."""
+    d = _dec_of(g)
+    if d is None:
+        d = _decode_struct(unwrap(g))
+
+    def body(s):
+        gt, parts = s["gtype"], s["parts"]
+
+        def fin(m):
+            ogt = F.when(F.size(m) == 1, F.lit(2)).otherwise(F.lit(5))
+            return F.struct(
+                ogt.cast("int").alias("gtype"), m.alias("parts")
+            )
+
+        out = (
+            F.when(gt == 2, s)
+            .when(gt == 5, _let(_lm_merged(parts), fin))
+            .otherwise(_null_dec())
+        )
+        return F.when(s.isNull(), _null_dec()).otherwise(out)
+
+    return _dec_wrap(_let(d, body))

@@ -251,3 +251,71 @@ def test_geo_multipolygon_ctor(con):
     )
     assert r.a == 20.0
     assert r.bad is None
+
+
+def _mline(*parts):
+    return struct.pack("<BII", 1, 5, len(parts)) + b"".join(
+        struct.pack("<BII", 1, 2, len(p))
+        + b"".join(struct.pack("<dd", x, y) for x, y in p)
+        for p in parts
+    )
+
+
+def test_geo_line_merge(con):
+    """ST_LineMerge semantics (reference GeoLineMerge,
+    geospatial.py:219): merge at degree-2 endpoints only; junctions
+    and closed members stay split; full merge lowers to LINESTRING."""
+    from ibis_spark import geo
+
+    rows = [
+        (0, _mline([(0, 0), (1, 0)], [(2, 0), (3, 0)], [(1, 0), (2, 0)])),
+        (1, _mline([(0, 0), (1, 0)], [(1, 0), (2, 0)], [(10, 0), (11, 0)])),
+        (2, _mline([(0, 0), (1, 0)], [(1, 0), (2, 0)], [(1, 0), (1, 5)])),
+        (3, _mline([(3, 0), (2, 0)], [(0, 0), (1, 0)], [(3, 0), (4, 0)])),
+        (4, _mline([(0, 0), (1, 0), (1, 1)], [(1, 1), (0, 1), (0, 0)])),
+        (5, struct.pack("<BII", 1, 2, 2) + struct.pack("<dddd", 0, 0, 5, 5)),
+        (6, struct.pack("<BIdd", 1, 1, 0.0, 0.0)),
+        (7, None),
+    ]
+    t = con.memtable(rows, schema={"i": "int64", "g": "binary"})
+    t = t.mutate(m=geo.geo_line_merge(t.g))
+    out = {
+        r.i: r
+        for r in t.select(
+            "i", ty=geo.geo_geometry_type(t.m), w=geo.geo_as_text(t.m)
+        ).df.collect()
+    }
+    assert out[0].ty == "LINESTRING"
+    assert out[0].w == "LINESTRING (0 0, 1 0, 2 0, 3 0)"
+    assert out[1].w == "MULTILINESTRING ((0 0, 1 0, 2 0), (10 0, 11 0))"
+    # degree-3 junction at (1,0): NOTHING merges
+    assert out[2].w == (
+        "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))"
+    )
+    # orientation-reversing merge
+    assert out[3].w == "MULTILINESTRING ((4 0, 3 0, 2 0), (0 0, 1 0))"
+    # two open lines closing a loop -> closed LINESTRING
+    assert out[4].w == "LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)"
+    assert out[5].w == "LINESTRING (0 0, 5 5)"   # passthrough
+    assert out[6].w is None and out[7].w is None
+
+
+def test_geo_multilinestring_ctor(con):
+    import ibis_spark as ib
+    from ibis_spark import geo
+
+    t = con.memtable([(1.0,)], schema={"x": "float64"})
+    z = t.x - t.x
+    l1 = geo.geo_linestring(ib.array(z, z + 1.0), ib.array(z, z), decoded=True)
+    l2 = geo.geo_linestring(
+        ib.array(z + 1.0, z + 2.0), ib.array(z, z), decoded=True
+    )
+    pt = geo.geo_point(t.x, t.x, decoded=True)
+    r = t.select(
+        w=geo.geo_as_text(geo.geo_multilinestring(l1, l2)),
+        m=geo.geo_as_text(geo.geo_line_merge(geo.geo_multilinestring(l1, l2))),
+        bad=geo.geo_as_text(geo.geo_multilinestring(l1, pt)),
+    ).df.collect()[0]
+    assert r.w == "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))"
+    assert r.m == "LINESTRING (0 0, 1 0, 2 0)"
+    assert r.bad is None
