@@ -3918,72 +3918,69 @@ def _ds_sales_growth_pairs(spark, sf_dir):
 
 
 _SAMPLE_WINDOW = [
-    # r11 rotation. Slots: (1) 10 entries whose EMISSION is new or
-    # rewired this round (decode-once paths + DE-9IM tranche), (2) 4
-    # geo entries collaterally re-emitted by the _ring_hex/geo_contains
-    # ADVICE hardening (WKB polygon ctor bytes path), (3) ALL 23
-    # r6-stale oracled queries (the full backlog the r10 verdict
-    # counted — nothing deferred this time), (4) the 3 rows-only-by-
-    # design entries (r6-stale too), (5) 10 of the 44 r7-stale entries
-    # (joins/TPC-H/pipeline spread, including the r10 bench-regression
-    # suspects funnel/retention). 10+4+23+3+10 = 50.
-    # -- (1) new/rewired r11 emissions --
-    "geo_decode_roundtrip",
-    "geo_square_relations",
-    "geo_line_cross_report",
-    "geo_wkt_export",
+    # r12 rotation. Slots: (1) 3 NEW entries (MULTIPOLYGON/EWKB, set
+    # operations, line merge), (2) 2 entries whose EMISSION changed
+    # this round (geo_simplify_tolerance went expression-path decoded;
+    # geo_wkt_export gained ewkb_hex) plus geo_decode_roundtrip as
+    # codec insurance (the decoder gained the MULTIPOLYGON branch —
+    # results must be byte-identical, prove it with a driver row), (3)
+    # ALL 35 r7-stale oracled queries (the complete backlog — post-r12
+    # evidence floor moves to r8), (4) 9 of the 46 r8-stale entries
+    # (subquery/set/window/pipeline spread). 3+3+35+9 = 50.
+    # -- (1) new r12 entries --
+    "geo_multipolygon_report",
+    "geo_clip_report",
+    "geo_line_merge_report",
+    # -- (2) changed emissions + codec insurance --
     "geo_simplify_tolerance",
-    "geo_segment_cross",
-    "geo_line_metrics",
-    "geo_line_locate",
-    "geo_polygon_contains",
-    "geo_max_dist_report",
-    # -- (2) collateral geo re-emissions (_ring_hex try_element_at) --
-    "geo_polygon_area",
-    "geo_triangle_report",
-    "geo_envelope_box",
-    "geo_intersects_pt_poly",
-    # -- (3) the 23 r6-stale oracled queries --
-    "agg_filtered",
-    "agg_having",
-    "collect_ordered",
-    "cube_agg",
-    "filter_sort_limit",
-    "hop",
-    "info_table",
-    "integer_range_unnest",
-    "pivot_wider_explicit",
-    "pretokenize",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customer",
-    "q20_big_suppliers",
-    "q22_global_sales_opportunity",
-    "q7_volume_shipping",
-    "regex_ops",
-    "rollup_agg",
-    "sql_escape_hatch",
-    "temporal_ctors",
-    "temporal_delta",
-    "udf_builtin",
-    "udf_python",
-    # -- (4) rows-only-by-design (r6-stale) --
-    "dedup_minhash",
-    "simhash",
-    "ann_lsh_topk",
-    # -- (5) 9 r7-stale + the late r11 entry (a new op with NO driver
-    # row outranks a stale surface whose sibling sessionize_tws carries
-    # r10 hash-green evidence of the same walk)
-    "geo_validity_report",
-    "join_asof",
-    "q2_min_cost_supplier",
-    "q21_suppliers_kept_waiting",
-    "connected_components",
-    "pagerank",
-    "funnel",
-    "retention",
-    "range_join",
-    "dedup_clusters",
+    "geo_wkt_export",
+    "geo_decode_roundtrip",
+    # -- (3) the 35 r7-stale oracled queries (full backlog) --
+    "ann_recall",
+    "ann_recall_lsh",
+    "bpe_encode",
+    "chunk_text",
+    "decontaminate",
+    "distinct_keep_last",
+    "distinct_keep_none",
+    "distinct_rows",
+    "domain_quota_sample",
+    "drop_fill_null",
+    "embedding_clusters",
+    "gap_fill",
+    "gopher_filter",
+    "grouped_topk",
+    "hash_sample",
+    "hash_split",
+    "join_anti",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_inner_chain",
+    "join_left",
+    "join_positional",
+    "join_semi",
+    "join_theta",
+    "key_skew_stats",
+    "line_dedup",
+    "mixture_sample",
+    "q11_important_stock",
+    "quantile_filter",
+    "redact",
+    "sessionize",
+    "table_diff",
+    "top_ngrams",
+    "topk",
+    "value_counts",
+    # -- (4) 9 r8-stale (subquery/set/window/pipeline spread) --
+    "scalar_subquery",
+    "exists_subquery",
+    "set_union_all",
+    "set_intersect",
+    "window_rank",
+    "window_moving_avg",
+    "dedup_exact",
+    "cross_dedup",
+    "pack_sequences",
 ]
 
 

@@ -1261,11 +1261,12 @@ def _edge_len(u, base, ei):
 
 def geo_length(g):
     """Length of a WKB LINESTRING (sum of segment lengths) — reference
-    GeoLength, PostGIS ST_Length semantics: 0.0 for points and
-    polygons (their length is defined as zero), NULL on foreign/BE
-    bytes.  Left-to-right summation order, so equal-input oracle
-    parity is bit-robust.  Decoded input runs the arithmetic fold
-    directly (no byte codec — the r11 decode-once path)."""
+    GeoLength, PostGIS ST_Length semantics: multilinestrings sum their
+    member lengths (r12), 0.0 for points/polygons and their multis
+    (length is defined as zero), NULL on foreign/BE bytes.
+    Left-to-right summation order, so equal-input oracle parity is
+    bit-robust.  Decoded input runs the arithmetic fold directly (no
+    byte codec — the r11 decode-once path)."""
     d = _dec_of(g)
     if d is not None:
         return wrap(_let(d, _dec_length))
@@ -1278,7 +1279,11 @@ def geo_length(g):
     )
     return wrap(
         F.when(_is_line(u), total)
-        .when(_is_pt(u) | _is_poly(u), F.lit(0.0))
+        .when(_is_mline(u), _let(_decode_struct(u), _dec_length))
+        .when(
+            _is_pt(u) | _is_poly(u) | _is_mpt(u) | _is_mpoly(u),
+            F.lit(0.0),
+        )
         .otherwise(F.lit(None).cast("double"))
     )
 
@@ -3442,9 +3447,17 @@ def _d_part_len(P):
 def _dec_length(d):
     gt = d["gtype"]
     tot = _d_part_len(F.try_element_at(d["parts"], F.lit(1)))
+    # multilinestring sums member lengths (PostGIS); points/polygons
+    # and their multis measure 0 (r12 — both forms extended together)
+    ml_tot = F.aggregate(
+        F.transform(d["parts"], _d_part_len),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
     return (
         F.when(gt == 2, tot)
-        .when((gt == 1) | (gt == 3), F.lit(0.0))
+        .when(gt == 5, ml_tot)
+        .when((gt == 1) | (gt == 3) | (gt == 4) | (gt == 6), F.lit(0.0))
         .otherwise(F.lit(None).cast("double"))
     )
 
