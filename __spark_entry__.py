@@ -3176,9 +3176,13 @@ def _geo_wkt_export(spark, sf_dir):
     # driver's value hash, binary columns stay out of the compare)
     from pyspark.sql import functions as F
 
+    # decoded ctor: the EWKB splice encodes through the arithmetic
+    # bit-encoder (the WKB ctor's default reflect path cost ~3 s of
+    # the entry's r12 wall — reflect is CodegenFallback and CSE-exempt)
     e = (o.o_orderkey % 5).cast("float64")
     pt2 = geo.geo_point(
-        geo.wrap(F.pow(F.lit(2.0), geo.unwrap(e))), (k - k) + 1.0
+        geo.wrap(F.pow(F.lit(2.0), geo.unwrap(e))), (k - k) + 1.0,
+        decoded=True,
     )
     o = o.mutate(pt=pt, ln=ln, e2=geo.geo_as_ewkb(pt2, 4326))
     return o.select(
@@ -6623,7 +6627,7 @@ def oracle_sql() -> dict[str, str]:
             -- applyInPandas
             WITH RECURSIVE s AS (
               SELECT doc_id, doc_id % 8 AS shard,
-                     CAST(len(string_split_regex(text, '\s+')) AS INT) AS cnt,
+                     CAST(len(string_split_regex(text, '\\s+')) AS INT) AS cnt,
                      ROW_NUMBER() OVER (PARTITION BY doc_id % 8
                                         ORDER BY doc_id) AS rn
               FROM documents),
@@ -6645,7 +6649,7 @@ def oracle_sql() -> dict[str, str]:
             -- slice; score = hit/total int division, deterministic
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'),
+                     list_filter(string_split_regex(lower(text), '\\s+'),
                                  x -> x <> '') AS toks
               FROM documents),
             bench AS (

@@ -149,6 +149,19 @@ HEADLINE = [
     "geo_line_cross_report",
     "geo_wkt_export",
     "geo_simplify_tolerance",
+    # round-12: the new geo capability entries stay OUT of the
+    # headline set, each with a measured reason (solo sf0.1, warm,
+    # exec-only):
+    # - geo_clip_report (3 set ops + 6 measures): 11-14 s exec =
+    #   ~0.8 ms/row for eleven Sutherland-Hodgman folds — already cut
+    #   3-6x by the r12 _bind eval-once work; interpreted-HOF bound,
+    #   scan-local and embarrassingly parallel, with the named next
+    #   lever (Arrow-batched mapInPandas clipping) in SCALE.md.
+    # - geo_line_merge_report: ~22 s exec, same interpreted-fold class.
+    # - geo_multipolygon_report: codec-proof three times over by
+    #   construction — the geo_decode_roundtrip posture.
+    # All three are correctness entries vs closed-form oracles; their
+    # costs are recorded in SCALE.md round 12, not hidden.
 ]
 
 
@@ -206,14 +219,43 @@ def main():
         and re-plans per action (only py4j tree construction and
         analysis are cached on the Dataset), and the DuckDB oracle
         column gets the same treatment (SQL parsed per rep — DuckDB
-        parse cost is sub-ms, so its column is unchanged)."""
+        parse cost is sub-ms, so its column is unchanged).
+
+        EXCEPTION, probed not hard-coded: queries whose CONSTRUCTION
+        itself runs Spark jobs (driver-side iterative algorithms —
+        pointer-jumping CC, k-means index builds, BPE merge loops —
+        that materialize via localCheckpoint/collect while the
+        expression is being built).  For those, construct-once would
+        silently move the real work OUT of the timed reps (geo_cluster
+        read 0.022 s under a naive construct-once — the whole CC loop
+        escaped).  The probe: run the construction under a job group
+        and ask the status tracker whether any Spark jobs landed in
+        it; if so, fall back to per-rep construction (the r11
+        protocol) so every rep pays the full iterative cost."""
         best = None
         try:
-            df = qs[name](spark, sf_dir)
+            sc = spark.sparkContext
+            group = f"bench-construct-{name}"
+            sc.setJobGroup(group, "construction probe")
+            try:
+                df = qs[name](spark, sf_dir)
+            finally:
+                try:
+                    construct_jobs = (
+                        sc.statusTracker().getJobIdsForGroup(group)
+                    )
+                except Exception:
+                    construct_jobs = []
+                sc.setJobGroup("bench", "bench reps")
+            per_rep_construct = len(construct_jobs) > 0
             for _ in range(warmups):
+                if per_rep_construct:
+                    df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
             for _ in range(reps):
                 t0 = time.time()
+                if per_rep_construct:
+                    df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)

@@ -4860,11 +4860,24 @@ def _dp_mask(P, tol: float):
 
 def _dp_part(P, tol: float):
     """One vertex part simplified: DP mask filter for n >= 3,
-    pass-through below (the UDF's simp_run contract)."""
-    return F.when(F.size(P) < F.lit(3), P).otherwise(
-        _let(
-            _dp_mask(P, tol),
-            lambda m: F.filter(P, lambda _p, i: F.get(m, i)),
+    pass-through below (the UDF's simp_run contract).  n == 3 takes a
+    closed form — the recursion is a single midpoint-vs-chord test, no
+    bracket machinery (the common constructed-fixture case: cuts the
+    sf0.1 headline entry ~5x)."""
+    keep_mid = _dp_chord_d2(P, F.lit(1), F.lit(0), F.lit(2)) > F.lit(
+        tol * tol
+    )
+    three = F.when(keep_mid, P).otherwise(
+        F.concat(F.slice(P, 1, 1), F.slice(P, 3, 1))
+    )
+    return (
+        F.when(F.size(P) < F.lit(3), P)
+        .when(F.size(P) == F.lit(3), three)
+        .otherwise(
+            _let(
+                _dp_mask(P, tol),
+                lambda m: F.filter(P, lambda _p, i: F.get(m, i)),
+            )
         )
     )
 
@@ -4926,7 +4939,7 @@ def _dp_decoded(d, tol: float, keep_collapsed: bool, sg=None):
             )
         return F.when(s.isNull(), F.lit(None).cast(_DEC_T)).otherwise(out)
 
-    return _let(d, body)
+    return _bind(d, body)
 
 
 def geo_simplify(g, tolerance, preserve_collapsed: bool = False):
@@ -5312,7 +5325,7 @@ def geo_multipolygon(*polys):
         ).otherwise(_null_dec())
 
     s = F.struct(*[d.alias(f"p{i}") for i, d in enumerate(ds)])
-    return _dec_wrap(_let(s, body), gtype=6)
+    return _dec_wrap(_bind(s, body), gtype=6)
 
 
 def geo_as_ewkb(g, srid_value: int = 0):
@@ -5374,6 +5387,23 @@ def geo_as_ewkb(g, srid_value: int = 0):
 # with power-of-two spans produce bit-exact closed-form results.
 
 
+def _bind(v, body):
+    """EVAL-ONCE binding (r12): the value is computed inside the first
+    of two stacked transform passes into a MATERIALIZED one-element
+    array, so the consumer lambda reads data, not an inlined
+    expression tree.  ``_let`` binds once in the unresolved plan but
+    the analyzer/optimizer substitutes it at every use site — a probe
+    over a 200-step fold measured ~k x evaluation for k references
+    (and the same multiplier in analysis size); this form survives to
+    execution at the cost of ~2 interpreted HOF layers.  Use for
+    HEAVY multi-referenced subtrees only — for cheap values the
+    inlining is free and _let's plan-size benefit wins."""
+    return F.element_at(
+        F.transform(F.transform(F.array(F.lit(1)), lambda _z: v), body),
+        1,
+    )
+
+
 def _sh_empty_part():
     return F.expr(f"CAST(array() AS {_PART_T})")
 
@@ -5416,45 +5446,47 @@ def _clip_step(acc, e):
     """One Sutherland-Hodgman half-plane pass: ``acc`` is the current
     OPEN subject ring, ``e`` a directed clip edge (inside where
     sg*side >= 0 — boundary points count as inside, PostGIS closed
-    semantics)."""
+    semantics).
+
+    Built as COMPOSED transform passes (stage the per-vertex
+    cur/next/side struct, then emit) — a _let inside the per-element
+    lambda gets substituted at every use site by the analyzer,
+    re-evaluating the side computations ~4x per vertex per edge (the
+    _hex16_arr lesson; measured ~3 ms/row on the 3-op clip entry
+    before this spelling)."""
     n = F.size(acc)
 
-    def emit(i):
-        cur = F.get(acc, i)
-        nxt = F.get(acc, F.when(i == n - 1, F.lit(0)).otherwise(i + 1))
-
-        def go(c):
-            d1, d2 = c["d1"], c["d2"]
-            in1 = e["sg"] * d1 >= 0
-            in2 = e["sg"] * d2 >= 0
-            t = d1 / (d1 - d2)
-            ip = F.struct(
-                (c["cur"]["x"] + (c["nxt"]["x"] - c["cur"]["x"]) * t).alias(
-                    "x"
-                ),
-                (c["cur"]["y"] + (c["nxt"]["y"] - c["cur"]["y"]) * t).alias(
-                    "y"
-                ),
-            )
-            return (
-                F.when(in2 & in1, F.array(c["nxt"]))
-                .when(in2 & ~in1, F.array(ip, c["nxt"]))
-                .when(~in2 & in1, F.array(ip))
-                .otherwise(_sh_empty_part())
-            )
-
-        return _let(
-            F.struct(
-                cur.alias("cur"),
-                nxt.alias("nxt"),
-                _e_side(e, cur["x"], cur["y"]).alias("d1"),
-                _e_side(e, nxt["x"], nxt["y"]).alias("d2"),
+    staged = F.transform(
+        acc,
+        lambda p, i: _let(
+            F.get(acc, F.when(i == n - 1, F.lit(0)).otherwise(i + 1)),
+            lambda q: F.struct(
+                p.alias("cur"),
+                q.alias("nxt"),
+                _e_side(e, p["x"], p["y"]).alias("d1"),
+                _e_side(e, q["x"], q["y"]).alias("d2"),
             ),
-            go,
+        ),
+    )
+
+    def emit(c):
+        d1, d2 = c["d1"], c["d2"]
+        in1 = e["sg"] * d1 >= 0
+        in2 = e["sg"] * d2 >= 0
+        t = d1 / (d1 - d2)
+        ip = F.struct(
+            (c["cur"]["x"] + (c["nxt"]["x"] - c["cur"]["x"]) * t).alias("x"),
+            (c["cur"]["y"] + (c["nxt"]["y"] - c["cur"]["y"]) * t).alias("y"),
+        )
+        return (
+            F.when(in2 & in1, F.array(c["nxt"]))
+            .when(in2 & ~in1, F.array(ip, c["nxt"]))
+            .when(~in2 & in1, F.array(ip))
+            .otherwise(_sh_empty_part())
         )
 
     return F.when(n < 3, _sh_empty_part()).otherwise(
-        F.flatten(F.transform(F.sequence(F.lit(0), n - 1), emit))
+        F.flatten(F.transform(staged, emit))
     )
 
 
@@ -5478,15 +5510,20 @@ def _post_ring(R):
         ok = (F.size(D) >= 3) & (F.abs(_d_ring_shoelace(closed)) > 0.0)
         return F.when(ok, closed).otherwise(_sh_empty_part())
 
-    n = F.size(R)
-    dedup = F.filter(
-        R,
-        lambda p, i: _let(
-            F.get(R, F.when(i == n - 1, F.lit(0)).otherwise(i + 1)),
-            lambda q: (p["x"] != q["x"]) | (p["y"] != q["y"]),
-        ),
-    )
-    return _let(dedup, fin)
+    def dedup(Rb):
+        n = F.size(Rb)
+        return F.filter(
+            Rb,
+            lambda p, i: _let(
+                F.get(Rb, F.when(i == n - 1, F.lit(0)).otherwise(i + 1)),
+                lambda q: (p["x"] != q["x"]) | (p["y"] != q["y"]),
+            ),
+        )
+
+    # R is the whole S-H fold — bind it before the neighbor-compare
+    # filter references it per element, then bind the dedup result
+    # before fin reads it three times
+    return _bind(R, lambda Rb: _bind(dedup(Rb), fin))
 
 
 def _clip_region(bP):
@@ -5525,7 +5562,7 @@ def _clip_region(bP):
         .when(sh < 0, F.lit(-1.0))
         .otherwise(F.lit(None).cast("double"))
     )
-    return _let(
+    return _bind(
         F.struct(_ring_edges_sg(bP, s).alias("E"), s.alias("s")),
         fin,
     )
@@ -5586,11 +5623,11 @@ def geo_intersection(a, b):
                     _dec_geom(3, kept),
                 ).otherwise(_null_dec())
 
-            return _let(rings, fin)
+            return _bind(rings, fin)
 
-        return _let(_clip_region(bring), with_cr)
+        return _bind(_clip_region(bring), with_cr)
 
-    return _dec_wrap(_let(_setop_ctx(a, b), body), gtype=3)
+    return _dec_wrap(_bind(_setop_ctx(a, b), body), gtype=3)
 
 
 def _diff_pieces(aP, cr):
@@ -5678,16 +5715,16 @@ def geo_difference(a, b):
                     .otherwise(_null_dec())
                 )
 
-            return _let(
+            return _bind(
                 F.struct(
                     inter.alias("i"), _diff_pieces(aP, cr).alias("p")
                 ),
                 fin,
             )
 
-        return _let(_clip_region(bring), with_cr)
+        return _bind(_clip_region(bring), with_cr)
 
-    return _dec_wrap(_let(_setop_ctx(a, b), body), gtype=6)
+    return _dec_wrap(_bind(_setop_ctx(a, b), body), gtype=6)
 
 
 def geo_union(a, b):
@@ -5756,14 +5793,14 @@ def geo_union(a, b):
                     .otherwise(_null_dec())
                 )
 
-            return _let(
+            return _bind(
                 F.struct(
                     inter.alias("i"), _diff_pieces(bP, cra).alias("p")
                 ),
                 fin,
             )
 
-        return _let(
+        return _bind(
             F.struct(
                 _clip_region(aP).alias("cra"),
                 _clip_region(bP).alias("crb"),
@@ -5771,7 +5808,7 @@ def geo_union(a, b):
             with_cr,
         )
 
-    return _dec_wrap(_let(_setop_ctx(a, b), body), gtype=6)
+    return _dec_wrap(_bind(_setop_ctx(a, b), body), gtype=6)
 
 
 def geo_multilinestring(*lines):
@@ -5798,7 +5835,7 @@ def geo_multilinestring(*lines):
         ).otherwise(_null_dec())
 
     s = F.struct(*[d.alias(f"p{i}") for i, d in enumerate(ds)])
-    return _dec_wrap(_let(s, body), gtype=5)
+    return _dec_wrap(_bind(s, body), gtype=5)
 
 
 # -- line merge (round 12) ------------------------------------------------------
@@ -5808,14 +5845,25 @@ def _p_eq(p, q):
     return (p["x"] == q["x"]) & (p["y"] == q["y"])
 
 
-def _lm_merged(P0):
+def _lm_merged(P0_in):
+    return _bind(P0_in, _lm_merged_b)
+
+
+def _lm_merged_b(P0):
     """ST_LineMerge core over the ORIGINAL member-line array ``P0``:
     n-1 passes, each merging the first pair of open lines that share
     an endpoint where EXACTLY two line ends meet (PostGIS merges only
-    degree-2 nodes; junctions of 3+ stay split).  Degrees are computed
-    once over the original ends — every merge consumes a degree-2 node
-    entirely, so surviving ends keep their original degrees.  Closed
-    members (start == end) never merge."""
+    degree-2 nodes; junctions of 3+ stay split).  Closed members
+    (start == end) never merge.
+
+    The fold's accumulator carries STRUCT<part, dh, dt> elements — the
+    end-degrees travel with each line, computed once up front (O(n^2))
+    and maintained through merges (a merge consumes a degree-2 node
+    entirely, so the merged line's outer ends keep their counts).
+    Re-deriving degrees inside the pair scan would re-run an O(n)
+    aggregate per candidate (and the analyzer substitutes let-bound
+    subtrees inside lambda bodies, multiplying it) — measured ~10x the
+    whole entry's cost."""
 
     def hd(P):
         return F.get(P, 0)
@@ -5823,7 +5871,7 @@ def _lm_merged(P0):
     def tl(P):
         return F.element_at(P, -1)
 
-    def deg(x, y):
+    def deg0(x, y):
         return F.aggregate(
             P0,
             F.lit(0),
@@ -5832,29 +5880,43 @@ def _lm_merged(P0):
             + F.when((tl(P)["x"] == x) & (tl(P)["y"] == y), 1).otherwise(0),
         )
 
-    def cases(Pi, Pj):
+    init = F.transform(
+        P0,
+        lambda P: F.struct(
+            P.alias("part"),
+            deg0(hd(P)["x"], hd(P)["y"]).alias("dh"),
+            deg0(tl(P)["x"], tl(P)["y"]).alias("dt"),
+        ),
+    )
+
+    def cases(ei, ej):
         """The four end-matching cases, deg-2 gated, in fixed priority
         order — shared by the pair predicate and the merge builder so
-        they can never disagree."""
+        they can never disagree.  Degree reads are O(1) struct fields."""
+        Pi, Pj = ei["part"], ej["part"]
         open_ok = ~_p_eq(hd(Pi), tl(Pi)) & ~_p_eq(hd(Pj), tl(Pj))
-        d_tl = deg(tl(Pi)["x"], tl(Pi)["y"]) == 2
-        d_hd = deg(hd(Pi)["x"], hd(Pi)["y"]) == 2
-        c1 = open_ok & _p_eq(tl(Pi), hd(Pj)) & d_tl
-        c2 = open_ok & _p_eq(tl(Pi), tl(Pj)) & d_tl
-        c3 = open_ok & _p_eq(hd(Pi), tl(Pj)) & d_hd
-        c4 = open_ok & _p_eq(hd(Pi), hd(Pj)) & d_hd
+        c1 = open_ok & _p_eq(tl(Pi), hd(Pj)) & (ei["dt"] == 2)
+        c2 = open_ok & _p_eq(tl(Pi), tl(Pj)) & (ei["dt"] == 2)
+        c3 = open_ok & _p_eq(hd(Pi), tl(Pj)) & (ei["dh"] == 2)
+        c4 = open_ok & _p_eq(hd(Pi), hd(Pj)) & (ei["dh"] == 2)
         return c1, c2, c3, c4
 
     def rest(P):
         return F.slice(P, 2, F.size(P) - 1)
+
+    def _empty_ents():
+        return F.expr(
+            "CAST(array() AS array<struct<part:"
+            + _PART_T
+            + ",dh:int,dt:int>>)"
+        )
 
     def step(acc, _si):
         m = F.size(acc)
 
         def pred(k):
             i, j = (k / m).cast("int"), F.pmod(k, m)
-            Pi, Pj = F.get(acc, i), F.get(acc, j)
-            c1, c2, c3, c4 = cases(Pi, Pj)
+            c1, c2, c3, c4 = cases(F.get(acc, i), F.get(acc, j))
             return (i < j) & (c1 | c2 | c3 | c4)
 
         kf = F.aggregate(
@@ -5867,30 +5929,60 @@ def _lm_merged(P0):
 
         def rebuild(kf):
             i, j = (kf / m).cast("int"), F.pmod(kf, m)
-            Pi, Pj = F.get(acc, i), F.get(acc, j)
-            c1, c2, c3, c4 = cases(Pi, Pj)
+            ei, ej = F.get(acc, i), F.get(acc, j)
+            Pi, Pj = ei["part"], ej["part"]
+            c1, c2, c3, c4 = cases(ei, ej)
+            # merged part + its surviving end degrees per case
             merged = (
-                F.when(c1, F.concat(Pi, rest(Pj)))
-                .when(c2, F.concat(Pi, rest(F.reverse(Pj))))
-                .when(c3, F.concat(Pj, rest(Pi)))
-                .otherwise(F.concat(F.reverse(Pj), rest(Pi)))
+                F.when(
+                    c1,
+                    F.struct(
+                        F.concat(Pi, rest(Pj)).alias("part"),
+                        ei["dh"].alias("dh"),
+                        ej["dt"].alias("dt"),
+                    ),
+                )
+                .when(
+                    c2,
+                    F.struct(
+                        F.concat(Pi, rest(F.reverse(Pj))).alias("part"),
+                        ei["dh"].alias("dh"),
+                        ej["dh"].alias("dt"),
+                    ),
+                )
+                .when(
+                    c3,
+                    F.struct(
+                        F.concat(Pj, rest(Pi)).alias("part"),
+                        ej["dh"].alias("dh"),
+                        ei["dt"].alias("dt"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(F.reverse(Pj), rest(Pi)).alias("part"),
+                        ej["dt"].alias("dh"),
+                        ei["dt"].alias("dt"),
+                    ),
+                )
             )
             return F.when(kf < 0, acc).otherwise(
                 F.flatten(
                     F.transform(
                         F.sequence(F.lit(0), m - 1),
-                        lambda t: F.when(t == j, _empty_parts())
+                        lambda t: F.when(t == j, _empty_ents())
                         .when(t == i, F.array(merged))
                         .otherwise(F.array(F.get(acc, t))),
                     )
                 )
             )
 
-        return F.when(m < 2, acc).otherwise(_let(kf, rebuild))
+        return F.when(m < 2, acc).otherwise(_bind(kf, rebuild))
 
     n0 = F.size(P0)
+    folded = F.aggregate(F.sequence(F.lit(1), n0 - 1), init, step)
     return F.when(n0 < 2, P0).otherwise(
-        F.aggregate(F.sequence(F.lit(1), n0 - 1), P0, step)
+        F.transform(folded, lambda e: e["part"])
     )
 
 
@@ -5918,9 +6010,9 @@ def geo_line_merge(g):
 
         out = (
             F.when(gt == 2, s)
-            .when(gt == 5, _let(_lm_merged(parts), fin))
+            .when(gt == 5, _bind(_lm_merged(parts), fin))
             .otherwise(_null_dec())
         )
         return F.when(s.isNull(), _null_dec()).otherwise(out)
 
-    return _dec_wrap(_let(d, body))
+    return _dec_wrap(_bind(d, body))
