@@ -38,9 +38,16 @@ GEO = [
     "geo_polygon_contains", "geo_segment_cross", "geo_line_metrics",
     "geo_cluster", "geo_dbscan", "geo_square_relations",
 ]
+# r12: the two row-scaling new entries (expression-path DP simplify and
+# the set-op sweep); --only-r12 merges just these into an existing
+# anchor without re-running the rest (line_merge_report at sf1 would be
+# ~20 min of interpreted fold — its sf0.1 cost is recorded in SCALE.md
+# round 12 and scales linearly by the same mechanism as clip).
+R12 = ["geo_simplify_tolerance", "geo_clip_report"]
 
 
-def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False) -> None:
+def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False,
+         only_r12: bool = False) -> None:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
@@ -60,7 +67,7 @@ def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    wanted = GEO if only_geo else TPCH + HEAVY + GEO
+    wanted = R12 if only_r12 else (GEO if only_geo else TPCH + HEAVY + GEO)
     names = [n for n in wanted if n in qs]
     missing = [n for n in wanted if n not in qs]
     if missing:
@@ -127,7 +134,7 @@ def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False) -> None:
             res[name]["duckdb_sf1"] = None
         print(f"duckdb {name}: {res[name]['duckdb_sf1']}s", flush=True)
 
-    if only_geo and os.path.exists(out_path):
+    if (only_geo or only_r12) and os.path.exists(out_path):
         with open(out_path) as f:
             merged = json.load(f)
         merged.update(res)
@@ -138,8 +145,9 @@ def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--only-geo"]
+    args = [a for a in sys.argv[1:] if a not in ("--only-geo", "--only-r12")]
     main(
         args[0] if args else "SF1_ANCHOR.json",
         only_geo="--only-geo" in sys.argv,
+        only_r12="--only-r12" in sys.argv,
     )
