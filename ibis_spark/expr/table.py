@@ -1812,6 +1812,21 @@ class Table(CoreExpr):
     def cache(self) -> "Table":
         return Table(self._df.cache())
 
+    def repartition(self, num: int, *cols) -> "Table":
+        """Spark-native partition-count control (``df.repartition``) —
+        an engine-level scale knob with no reference analog.  The case
+        that needs it: a SMALL scan (one input split — parquet's
+        open-cost floor keeps files under ~4 MB unsplit) feeding
+        CPU-heavy per-row work (geometry, codecs, UDFs); without the
+        explicit exchange the whole pipeline runs on ONE core of the
+        cluster.  The shuffle moves only the scan's bytes — trivial
+        next to the per-row work it parallelizes.  At real scale the
+        storage layout provides the splits and this is a no-op
+        decision; prefer ``hint("rebalance")`` under AQE when the goal
+        is evening out skew rather than forcing a count."""
+        args = [c.spark() if hasattr(c, "spark") else c for c in cols]
+        return Table(self._df.repartition(num, *args))
+
     def hint(self, name: str, *params) -> "Table":
         """Planner hint passthrough (``df.hint``): join-strategy
         (``broadcast``, ``merge``, ``shuffle_hash``,

@@ -3080,11 +3080,12 @@ class DecodedGeo(Column):
     recover it), so feed constructor results straight into predicates
     when plan size matters."""
 
-    __slots__ = ("_static_gtype",)
+    __slots__ = ("_static_gtype", "_src_wkb")
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         object.__setattr__(self, "_static_gtype", None)
+        object.__setattr__(self, "_src_wkb", None)
 
 
 def _dec_wrap(sc, gtype=None):
@@ -3151,7 +3152,12 @@ def geo_decode(g):
     d = _dec_of(g)
     if d is not None:
         return _dec_wrap(d)
-    return _dec_wrap(_decode_struct(unwrap(g)))
+    out = _dec_wrap(_decode_struct(unwrap(g)))
+    # remember the WKB source: the batch set-op path re-uses the raw
+    # bytes instead of re-encoding through the decode tree (whose
+    # _let-in-lambda staging defeats ExtractPythonUDFs as a UDF arg)
+    object.__setattr__(out, "_src_wkb", unwrap(g))
+    return out
 
 
 def geo_encode(g):
@@ -5588,14 +5594,24 @@ def _setop_ctx(a, b):
     return F.struct(da.alias("da"), db.alias("db"))
 
 
-def geo_intersection(a, b):
+def geo_intersection(a, b, method: str = "expr"):
     """Geometric intersection of two polygons — reference
     GeoIntersection (geospatial.py:388).  ``a`` may carry holes (each
     ring is clipped independently; holes that clip empty are dropped);
     ``b`` must be a CONVEX hole-free polygon (see the section comment —
     non-convex/holed/non-polygon clips return NULL, never a wrong
     ring).  Returns the decoded polygon, or NULL when the intersection
-    is empty or lower-dimensional (zero area)."""
+    is empty or lower-dimensional (zero area).
+
+    ``method="batch"`` routes through the Arrow-batched Python kernel
+    (geo_batch.py): IEEE-identical to this path on every input it
+    answers, ~20x less per-row cost on small polygons, and NON-CONVEX
+    hole-free clip sides produce real results (Greiner-Hormann)
+    instead of NULL."""
+    if method == "batch":
+        return _setop_batch(a, b, "intersection")
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'batch', got {method!r}")
 
     def body(s):
         da, db = s["da"], s["db"]
@@ -5666,9 +5682,12 @@ def _bbox_apart(da, db):
     )
 
 
-def geo_difference(a, b):
+def geo_difference(a, b, method: str = "expr"):
     """Geometric difference a \\ b — reference GeoDifference
-    (geospatial.py:375).  Returns a decoded MULTIPOLYGON:
+    (geospatial.py:375).  ``method="batch"`` — see geo_intersection:
+    same results where this path answers, plus non-convex hole-free
+    pairs (including the b-inside-a annulus).  Returns a decoded
+    MULTIPOLYGON:
 
     - bbox-apart inputs (any polygons, holes fine) pass ``a`` through
       unsplit as MULTIPOLYGON([a]);
@@ -5679,6 +5698,10 @@ def geo_difference(a, b):
     - a within b returns MULTIPOLYGON EMPTY;
     - anything else (non-convex b, holed a against an overlapping b,
       non-polygon input) returns NULL — never a wrong ring."""
+    if method == "batch":
+        return _setop_batch(a, b, "difference", gtype_hint=6)
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'batch', got {method!r}")
 
     def body(s):
         da, db = s["da"], s["db"]
@@ -5727,9 +5750,11 @@ def geo_difference(a, b):
     return _dec_wrap(_bind(_setop_ctx(a, b), body), gtype=6)
 
 
-def geo_union(a, b):
+def geo_union(a, b, method: str = "expr"):
     """Binary geometric union — reference GeoUnion (geospatial.py:362).
-    Returns a decoded MULTIPOLYGON:
+    ``method="batch"`` — see geo_intersection: same results where this
+    path answers, plus non-convex hole-free pairs (nested result rings
+    become holes).  Returns a decoded MULTIPOLYGON:
 
     - bbox-apart inputs (any polygons, holes fine) return [a, b];
     - overlapping-bbox inputs need BOTH simple CONVEX (the overlap
@@ -5737,6 +5762,10 @@ def geo_union(a, b):
       a, [a] when a covers b, else [a] + the b \\ a pieces (area-exact
       covering; seam boundaries not dissolved — section comment);
     - anything else returns NULL."""
+    if method == "batch":
+        return _setop_batch(a, b, "union", gtype_hint=6)
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'batch', got {method!r}")
 
     def body(s):
         da, db = s["da"], s["db"]
@@ -5809,6 +5838,183 @@ def geo_union(a, b):
         )
 
     return _dec_wrap(_bind(_setop_ctx(a, b), body), gtype=6)
+
+
+def _setop_batch(a, b, op: str, gtype_hint=None):
+    """Arrow-batched set-op path (``method="batch"``): one struct-in/
+    struct-out pandas UDF per op over the decoded forms, kernels in
+    geo_batch.py.  Two reasons to choose it over the expression
+    default (SCALE.md round 12 named this lever):
+
+    - native-loop arithmetic replaces the interpreted S-H folds
+      (IEEE-identical results on every input the expression path
+      answers — parity-fuzzed);
+    - NON-CONVEX clip sides work (Greiner-Hormann over hole-free
+      simple pairs; degenerate boundary contact degrades to NULL,
+      never a wrong ring) where the expression path only degrades.
+
+    Same scale shape as the expression path: per-row independent,
+    scan-local, shuffle-free — plus one Arrow batch hop."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from . import geo_batch as _gb
+
+    # the UDF takes WKB BYTES: raw for WKB inputs, the staged encoder
+    # for decoded inputs.  NOT the decoded struct — a _let inside a
+    # lambda body in the argument tree (e.g. _decode_parts's ring
+    # walk) defeats ExtractPythonUDFs and the plan dies at execution
+    # with INTERNAL_ERROR (probed; see geo_batch.py module comment).
+    def _wkb_arg(g):
+        src = getattr(g, "_src_wkb", None)
+        if src is not None:
+            return src
+        if _dec_of(g) is not None:
+            raise ValueError(
+                "method='batch' takes WKB input (a bytes column, or "
+                "geo_decode(col) which short-circuits to its source "
+                "bytes).  For constructed or stored DECODED geometry "
+                "use geo_setops_batch(table, ...): the Spark 4.1 "
+                "optimizer can silently leave a scalar-pandas UDF with "
+                "a computed argument tree unextracted once any other "
+                "Python UDF has been optimized in the session — the "
+                "query then dies at execution (probed; SCALE.md round "
+                "12).  The table-level mapInPandas path has no "
+                "extraction step and is immune."
+            )
+        return unwrap(g)
+
+    aw, bw = _wkb_arg(a), _wkb_arg(b)
+
+    def run(ga, gb):
+        out_g, out_p = [], []
+        for awkb, bwkb in zip(ga, gb):
+            r = _gb.setop_wkb(op, awkb, bwkb)
+            if r is None:
+                out_g.append(None)
+                out_p.append(None)
+            else:
+                out_g.append(r[0])
+                out_p.append(
+                    [[{"x": x, "y": y} for (x, y) in P] for P in r[1]]
+                )
+        return pd.DataFrame({"gtype": out_g, "parts": out_p})
+
+    run.__annotations__ = {
+        "ga": pd.Series,
+        "gb": pd.Series,
+        "return": pd.DataFrame,
+    }
+    res = pandas_udf(run, _DEC_T)(aw, bw)
+    # a pandas UDF can't emit a NULL STRUCT row (only null fields) —
+    # normalize null-gtype rows back to the NULL decoded contract.
+    # The double reference is safe: ExtractPythonUDFs dedupes equal
+    # PythonUDF calls into ONE ArrowEvalPython column (plan-tested),
+    # and a UDF can't sit inside a _bind/_let HOF lambda.
+    return _dec_wrap(
+        F.when(res["gtype"].isNull(), _null_dec()).otherwise(res),
+        gtype=gtype_hint,
+    )
+
+
+def geo_setops_batch(
+    t,
+    a,
+    b,
+    ops=("intersection", "difference", "union"),
+    *,
+    keep=None,
+    names=None,
+):
+    """TABLE-level Arrow-batched geometric set operations — the batch
+    path for CONSTRUCTED or stored-decoded geometry (reference
+    GeoUnion/GeoDifference/GeoIntersection, geospatial.py:362-468).
+
+    ``t.select(keep..., decoded(a), decoded(b))`` materializes the
+    geometry pair in ONE projection, then a single ``mapInPandas``
+    pass computes every requested op per batch with the geo_batch.py
+    kernels (IEEE-identical to the expression path where it answers;
+    Greiner-Hormann for non-convex hole-free pairs).  Returns a Table
+    of the ``keep`` columns plus one decoded geometry column per op.
+
+    Why a table operation and not ``method="batch"``: a scalar-pandas
+    UDF whose ARGUMENT is a computed expression tree can be silently
+    left unextracted by the Spark 4.1 optimizer once any other Python
+    UDF has been optimized in the same session — the plan then fails
+    at execution with INTERNAL_ERROR (probed; SCALE.md round 12).
+    mapInPandas is a plan NODE, not an expression: there is no
+    extraction step to lose.
+
+    Scale shape: one narrow projection + one batch-streamed Python
+    pass; per-row independent, no shuffle, no state.  ``keep`` should
+    name only the columns the caller needs downstream — everything
+    listed rides through the Python worker.
+
+    The default result names shadow the Table set-op METHODS of the
+    same name — read them with brackets (``out["intersection"]``) or
+    pass ``names=``."""
+    import pandas as pd
+
+    from ibis_spark.expr.table import Table
+
+    from . import geo_batch as _gb
+
+    df = t.df if hasattr(t, "df") else t
+    if keep is None:
+        keep = list(df.columns)
+    ops = tuple(ops)
+    names = list(names) if names is not None else [op for op in ops]
+    if len(names) != len(ops):
+        raise ValueError("names must match ops")
+    for op in ops:
+        if op not in ("intersection", "difference", "union"):
+            raise ValueError(f"unknown set op: {op!r}")
+
+    def _dec_expr(g):
+        d = _dec_of(g)
+        return d if d is not None else _decode_struct(unwrap(g))
+
+    staged = df.select(
+        *[F.col(c) for c in keep],
+        _dec_expr(a).alias("__ga"),
+        _dec_expr(b).alias("__gb"),
+    )
+    dtypes = {f.name: f.dataType.simpleString() for f in staged.schema}
+    out_schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in keep]
+        + [f"`{n}` {_DEC_T}" for n in names]
+    )
+
+    def _row_dec(gt, parts):
+        if gt is None or (isinstance(gt, float) and gt != gt) or parts is None:
+            return None
+        return (int(gt), [[(p["x"], p["y"]) for p in P] for P in parts])
+
+    def kernel(batches):
+        for pdf in batches:
+            ga, gb_ = pdf["__ga"], pdf["__gb"]
+            outs = {n: [] for n in names}
+            for i in range(len(pdf)):
+                ta = _row_dec(ga.iloc[i]["gtype"], ga.iloc[i]["parts"]) if ga.iloc[i] is not None else None
+                tb = _row_dec(gb_.iloc[i]["gtype"], gb_.iloc[i]["parts"]) if gb_.iloc[i] is not None else None
+                for op, n in zip(ops, names):
+                    r = _gb.setop(op, ta, tb)
+                    outs[n].append(
+                        None
+                        if r is None
+                        else {
+                            "gtype": r[0],
+                            "parts": [
+                                [{"x": x, "y": y} for (x, y) in P] for P in r[1]
+                            ],
+                        }
+                    )
+            res = pdf[[c for c in keep]].copy()
+            for n in names:
+                res[n] = outs[n]
+            yield res
+
+    return Table(staged.mapInPandas(kernel, out_schema))
 
 
 def geo_multilinestring(*lines):

@@ -1,0 +1,618 @@
+"""Pure-Python geometry engine behind the Arrow-batched set-op path.
+
+``geo_intersection/geo_difference/geo_union(..., method="batch")``
+route each row through :func:`setop` inside a struct-in/struct-out
+pandas UDF (geo.py wires the UDF; this module is Spark-free so the
+row kernels unit-test without a session).
+
+Two kernels:
+
+- **Convex clips** replicate the expression path's Sutherland-Hodgman
+  fold OPERATION BY OPERATION (same formulas, same evaluation order,
+  C-double arithmetic) so the two paths return IEEE-identical bytes —
+  the parity fuzz in tests/test_geo_setops.py holds them to it.  The
+  expression path (geo.py, section comment at the S-H engine) stays
+  the no-Python default; this path trades one Arrow batch hop for
+  native-loop arithmetic (~20x on the clip report entry, SCALE.md
+  round 12 named this lever).
+- **General simple polygons** (phase 2 of the batch path): a
+  Greiner-Hormann traversal handles NON-CONVEX clip sides — the case
+  the expression path degrades to NULL — for hole-free simple
+  subject/clip pairs whose boundaries cross transversally.  Degenerate
+  boundary contact (vertex exactly on an edge, collinear edge overlap)
+  degrades to NULL, never a wrong ring; PURE containment/disjoint
+  cases (no crossings at all) are exact closed forms and allowed.
+
+Reference parity: GeoIntersection/GeoDifference/GeoUnion
+(/root/reference/ibis/expr/operations/geospatial.py:362-468).  The
+reference's own Spark backend implements none of these — surplus
+parity, same posture as the expression path.
+
+Scale shape: per-row independent, no shuffle, no state; Arrow-batched
+like every other honest-UDF site in the engine.
+"""
+
+from __future__ import annotations
+
+# The decoded geometry form mirrored here (geo.py _DEC_T):
+#   (gtype, parts)  with parts = list of vertex parts, each a list of
+#   (x, y) float tuples; MULTIPOLYGON members separated by empty parts
+#   (geo.py _mp_separator).
+
+import math
+import struct as _s
+
+OP_INTERSECTION = "intersection"
+OP_DIFFERENCE = "difference"
+OP_UNION = "union"
+
+
+# ---------------------------------------------------------------------------
+# WKB -> decoded (gtype, parts).  The batch UDF takes WKB BYTES, not
+# the decoded struct: a decoded-struct argument whose expression tree
+# carries a _let inside another lambda's body (geo.py _decode_parts's
+# ring walk) defeats Spark's ExtractPythonUDFs — the PythonUDF is left
+# inside the projection and execution dies with INTERNAL_ERROR
+# "Cannot evaluate expression" (probed on Spark 4.1, SCALE.md round
+# 12).  Raw bytes sidestep the hazard for WKB inputs entirely and the
+# staged encoder (geo.py _ring_hex: "_let in VALUE position only") is
+# extraction-safe for decoded inputs.
+
+
+def _dec_double(raw, off):
+    """The decode-side domain gate of geo.py _wkb_double: the +0 image
+    is 0.0; denormals/NaN/Inf/-0/out-of-exact-domain decode to None."""
+    if raw[off : off + 8] == b"\x00\x00\x00\x00\x00\x00\x00\x00":
+        return 0.0
+    v = _s.unpack_from("<d", raw, off)[0]
+    if v != v or math.isinf(v):
+        return None
+    a = abs(v)
+    if not (2.0**-61 <= a <= 2.0**61):
+        return None
+    return v
+
+
+def parse_wkb_polygon(wkb):
+    """(3, rings) for a little-endian WKB POLYGON within the codec
+    domain, else None — the only type the set ops accept (everything
+    else is NULL on both paths)."""
+    if wkb is None or len(wkb) < 9 or wkb[0] != 1:
+        return None
+    if _s.unpack_from("<I", wkb, 1)[0] != 3:
+        return None
+    nrings = _s.unpack_from("<I", wkb, 5)[0]
+    off = 9
+    rings = []
+    for _ in range(nrings):
+        if off + 4 > len(wkb):
+            return None
+        npts = _s.unpack_from("<I", wkb, off)[0]
+        off += 4
+        if npts == 0 or off + 16 * npts > len(wkb):
+            return None
+        ring = []
+        for i in range(npts):
+            x = _dec_double(wkb, off)
+            y = _dec_double(wkb, off + 8)
+            if x is None or y is None:
+                return None
+            ring.append((x, y))
+            off += 16
+        rings.append(ring)
+    if off != len(wkb) or not rings:
+        return None
+    return (3, rings)
+
+
+# ---------------------------------------------------------------------------
+# Exact replication of the expression-path S-H engine (geo.py
+# _e_side/_clip_step/_sh_clip/_post_ring/_clip_region/_diff_pieces).
+# Every arithmetic expression below keeps the Spark spelling's operand
+# order so results are bit-identical.
+
+
+def _shoelace(P):
+    """Signed shoelace sum (2A) of one closed ring — geo.py
+    _d_ring_shoelace: a LEFT fold over consecutive-pair edges."""
+    s = 0.0
+    for i in range(len(P) - 1):
+        x1, y1 = P[i]
+        x2, y2 = P[i + 1]
+        s = s + (x1 * y2 - x2 * y1)
+    return s
+
+
+def _e_side(e, px, py):
+    ax, ay, bx, by, _sg = e
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def _clip_step(acc, e):
+    """One S-H half-plane pass — geo.py _clip_step."""
+    n = len(acc)
+    if n < 3:
+        return []
+    sg = e[4]
+    out = []
+    for i in range(n):
+        cur = acc[i]
+        nxt = acc[0] if i == n - 1 else acc[i + 1]
+        d1 = _e_side(e, cur[0], cur[1])
+        d2 = _e_side(e, nxt[0], nxt[1])
+        in1 = sg * d1 >= 0
+        in2 = sg * d2 >= 0
+        if in2 and in1:
+            out.append(nxt)
+        elif in2 or in1:
+            t = d1 / (d1 - d2)
+            ip = (cur[0] + (nxt[0] - cur[0]) * t, cur[1] + (nxt[1] - cur[1]) * t)
+            if in2:
+                out.append(ip)
+                out.append(nxt)
+            else:
+                out.append(ip)
+    return out
+
+
+def _sh_clip(P_open, E):
+    acc = P_open
+    for e in E:
+        acc = _clip_step(acc, e)
+    return acc
+
+
+def _post_ring(R):
+    """Clip output -> closed result ring — geo.py _post_ring: cyclic
+    consecutive-duplicate drop, close, degenerate -> empty."""
+    n = len(R)
+    D = [
+        p
+        for i, p in enumerate(R)
+        if (lambda q: p[0] != q[0] or p[1] != q[1])(R[0] if i == n - 1 else R[i + 1])
+    ]
+    if len(D) >= 3:
+        closed = D + D[:1]
+        if abs(_shoelace(closed)) > 0.0:
+            return closed
+    return []
+
+
+def _ring_edges_sg(P, sg):
+    return [
+        (P[i][0], P[i][1], P[i + 1][0], P[i + 1][1], sg)
+        for i in range(len(P) - 1)
+    ]
+
+
+def _clip_region(bP):
+    """(E, ok) of a closed clip ring — geo.py _clip_region: orientation
+    sign from the shoelace, convexity via same-sign consecutive
+    cross products (closed semantics, >= 0)."""
+    sh = _shoelace(bP)
+    if sh > 0:
+        s = 1.0
+    elif sh < 0:
+        s = -1.0
+    else:
+        return [], False
+    E = _ring_edges_sg(bP, s)
+    m = len(E)
+    conv = all(
+        s
+        * (
+            (E[i][2] - E[i][0]) * (E[0 if i == m - 1 else i + 1][3] - E[0 if i == m - 1 else i + 1][1])
+            - (E[i][3] - E[i][1]) * (E[0 if i == m - 1 else i + 1][2] - E[0 if i == m - 1 else i + 1][0])
+        )
+        >= 0
+        for i in range(m)
+    )
+    ok = len(bP) >= 4 and conv
+    return E, ok
+
+
+def _flip_e(e):
+    return (e[0], e[1], e[2], e[3], -e[4])
+
+
+def _diff_pieces(aP, E):
+    """Prefix half-plane decomposition — geo.py _diff_pieces."""
+    out = []
+    for i in range(1, len(E) + 1):
+        Ei = list(E[: i - 1]) + [_flip_e(E[i - 1])]
+        out.append(_post_ring(_sh_clip(aP[:-1], Ei)))
+    return out
+
+
+def _bbox(parts):
+    xs = [p[0] for P in parts for p in P]
+    ys = [p[1] for P in parts for p in P]
+    if not xs:
+        return None
+    return (min(xs), max(xs), min(ys), max(ys))
+
+
+def _bbox_apart(pa, pb):
+    """geo.py _bbox_apart: touching counts as apart (<=)."""
+    a, b = _bbox(pa), _bbox(pb)
+    if a is None or b is None:
+        return False
+    return a[1] <= b[0] or b[1] <= a[0] or a[3] <= b[2] or b[3] <= a[2]
+
+
+def _mp_assemble(rings):
+    """Non-empty closed rings -> MULTIPOLYGON parts with separators —
+    geo.py _mp_assemble."""
+    out = []
+    for R in rings:
+        if out:
+            out.append([])
+        out.append(R)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: general simple-polygon clipping (Greiner-Hormann) for
+# non-convex clip sides.  Hole-free subject and clip only; degenerate
+# boundary contact -> None (degrade, never a wrong ring).
+
+
+class _GHDegenerate(Exception):
+    """Raised when a boundary incidence is not a transversal crossing."""
+
+
+def _seg_cross(p0, p1, q0, q1):
+    """Proper-crossing test with parameters.  Returns (t, u) in OPEN
+    (0,1) x (0,1) for a transversal interior crossing, None when the
+    segments don't meet, and raises _GHDegenerate for touches (an
+    endpoint on the other segment, collinear overlap)."""
+    rx, ry = p1[0] - p0[0], p1[1] - p0[1]
+    sx, sy = q1[0] - q0[0], q1[1] - q0[1]
+    den = rx * sy - ry * sx
+    qpx, qpy = q0[0] - p0[0], q0[1] - p0[1]
+    cross_qp_s = qpx * sy - qpy * sx
+    cross_qp_r = qpx * ry - qpy * rx
+    if den == 0.0:
+        if cross_qp_r == 0.0:
+            # collinear: overlap iff the projections intersect
+            if rx != 0.0 or ry != 0.0:
+                if abs(rx) >= abs(ry):
+                    t0 = qpx / rx
+                    t1 = (qpx + sx) / rx
+                else:
+                    t0 = qpy / ry
+                    t1 = (qpy + sy) / ry
+                lo, hi = min(t0, t1), max(t0, t1)
+                if hi >= 0.0 and lo <= 1.0:
+                    raise _GHDegenerate("collinear overlap")
+        return None
+    t = cross_qp_s / den
+    u = cross_qp_r / den
+    if t < 0.0 or t > 1.0 or u < 0.0 or u > 1.0:
+        return None
+    if t == 0.0 or t == 1.0 or u == 0.0 or u == 1.0:
+        raise _GHDegenerate("endpoint touch")
+    return t, u
+
+
+def _point_in_ring(pt, P):
+    """Even-odd point-in-polygon over a CLOSED ring; raises
+    _GHDegenerate when the point sits exactly on the boundary."""
+    x, y = pt
+    inside = False
+    for i in range(len(P) - 1):
+        (x1, y1), (x2, y2) = P[i], P[i + 1]
+        # exact on-boundary check
+        if (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) == 0.0 and (
+            min(x1, x2) <= x <= max(x1, x2) and min(y1, y2) <= y <= max(y1, y2)
+        ):
+            raise _GHDegenerate("vertex on boundary")
+        if (y1 > y) != (y2 > y):
+            xin = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+            if xin > x:
+                inside = not inside
+    return inside
+
+
+def _ccw(P):
+    """Ring re-oriented counter-clockwise (closed in, closed out)."""
+    return P if _shoelace(P) > 0 else P[::-1]
+
+
+class _GHNode:
+    __slots__ = ("pt", "isect", "other", "entry", "visited", "alpha")
+
+    def __init__(self, pt, isect=False, alpha=0.0):
+        self.pt = pt
+        self.isect = isect
+        self.other = None
+        self.entry = False
+        self.visited = False
+        self.alpha = alpha
+
+
+def _gh_build(A, B):
+    """Greiner-Hormann node lists for CCW closed rings A, B.  Returns
+    (listA, listB, n_crossings); raises _GHDegenerate on any
+    non-transversal incidence."""
+    la = [[] for _ in range(len(A) - 1)]  # per-edge crossing lists
+    lb = [[] for _ in range(len(B) - 1)]
+    n = 0
+    for i in range(len(A) - 1):
+        for j in range(len(B) - 1):
+            r = _seg_cross(A[i], A[i + 1], B[j], B[j + 1])
+            if r is None:
+                continue
+            t, u = r
+            pt = (
+                A[i][0] + (A[i + 1][0] - A[i][0]) * t,
+                A[i][1] + (A[i + 1][1] - A[i][1]) * t,
+            )
+            na, nb = _GHNode(pt, True, t), _GHNode(pt, True, u)
+            na.other, nb.other = nb, na
+            la[i].append(na)
+            lb[j].append(nb)
+            n += 1
+
+    def chain(P, lists):
+        out = []
+        for i in range(len(P) - 1):
+            out.append(_GHNode(P[i]))
+            out.extend(sorted(lists[i], key=lambda nd: nd.alpha))
+        return out
+
+    return chain(A, la), chain(B, lb), n
+
+
+def _gh_mark(chain_nodes, other_ring, entry_for_first):
+    """Alternate entry/exit flags along a chain, seeded by whether the
+    chain's first vertex is inside the other ring."""
+    status = not _point_in_ring(chain_nodes[0].pt, other_ring)
+    # status True -> next crossing is an ENTRY into the other ring
+    if not entry_for_first:
+        status = not status
+    for nd in chain_nodes:
+        if nd.isect:
+            nd.entry = status
+            status = not status
+
+
+def _gh_trace(la, lb):
+    """Trace result rings from the marked node chains (closed CCW
+    rings out)."""
+    rings = []
+    nodes = [nd for nd in la if nd.isect]
+    for start in nodes:
+        if start.visited:
+            continue
+        ring = [start.pt]
+        cur, in_a = start, True
+        chain = la
+        while True:
+            cur.visited = True
+            cur.other.visited = True
+            idx = chain.index(cur)
+            forward = cur.entry
+            while True:
+                idx = (idx + 1) % len(chain) if forward else (idx - 1) % len(chain)
+                nd = chain[idx]
+                ring.append(nd.pt)
+                if nd.isect:
+                    break
+            cur = nd.other
+            in_a = not in_a
+            chain = la if in_a else lb
+            if cur is start.other or cur is start:
+                break
+        # close; drop the duplicated junction vertex the trace appends
+        if ring[-1] == ring[0]:
+            R = ring
+        else:
+            R = ring + [ring[0]]
+        R = _post_ring(R[:-1])
+        if R:
+            rings.append(R)
+    return rings
+
+
+def _gh_clip(A, B, op):
+    """General clipping of hole-free simple CLOSED rings.  Returns a
+    list of closed result rings (possibly with nested hole rings for
+    difference/union), or raises _GHDegenerate."""
+    A, B = _ccw(A), _ccw(B)
+    # difference/union traverse B reversed (classic G-H op encoding)
+    if op == OP_INTERSECTION:
+        ea, eb = True, True
+    elif op == OP_UNION:
+        ea, eb = False, False
+    else:  # difference
+        ea, eb = False, True
+    la, lb, n = _gh_build(A, B)
+    if n == 0:
+        return None  # containment/disjoint closed forms handled by caller
+    if n % 2 != 0:
+        raise _GHDegenerate("odd crossing count")
+    _gh_mark(la, B, ea)
+    _gh_mark(lb, A, eb)
+    return _gh_trace(la, lb)
+
+
+def _nest_rings(rings):
+    """Assign traced rings to MULTIPOLYGON members: rings contained in
+    another ring become that member's holes (one nesting level —
+    deeper nesting raises, the honest cap for clip results)."""
+    info = []
+    for R in rings:
+        info.append({"ring": R, "holes": [], "outer": None})
+    for i, a in enumerate(info):
+        for j, b in enumerate(info):
+            if i == j:
+                continue
+            try:
+                inside = _point_in_ring(a["ring"][0], b["ring"])
+            except _GHDegenerate:
+                raise
+            if inside:
+                if a["outer"] is not None:
+                    raise _GHDegenerate("deep ring nesting")
+                a["outer"] = j
+    members = []
+    for i, a in enumerate(info):
+        if a["outer"] is None:
+            members.append(i)
+        else:
+            info[a["outer"]]["holes"].append(a["ring"])
+    parts = []
+    for i in members:
+        if parts:
+            parts.append([])
+        outer = _ccw(info[i]["ring"])
+        parts.append(outer)
+        for H in info[i]["holes"]:
+            # holes clockwise (encode convention: orientation free in
+            # the decoded form; keep CW for readability)
+            parts.append(H if _shoelace(H) < 0 else H[::-1])
+    return parts
+
+
+def _general_setop(op, aP, bP):
+    """Non-convex fallback over hole-free simple closed rings.  Returns
+    decoded (gtype, parts) or None (degrade)."""
+    try:
+        rings = _gh_clip(aP, bP, op)
+        if rings is None:
+            a_in_b = _point_in_ring(aP[0], bP)
+            b_in_a = _point_in_ring(bP[0], aP)
+            if op == OP_INTERSECTION:
+                if a_in_b:
+                    return (3, [aP])
+                if b_in_a:
+                    return (3, [bP])
+                return None  # disjoint -> NULL (empty intersection)
+            if op == OP_DIFFERENCE:
+                if a_in_b:
+                    return (6, [])
+                if b_in_a:
+                    # annulus: a with hole b
+                    return (6, [_ccw(aP), _ccw(bP)[::-1]])
+                return (6, list(_mp_assemble([aP])))
+            # union
+            if a_in_b:
+                return (6, [bP])
+            if b_in_a:
+                return (6, [aP])
+            return (6, list(_mp_assemble([aP, bP])))
+        if not rings:
+            if op == OP_INTERSECTION:
+                return None
+            if op == OP_DIFFERENCE:
+                return (6, [])
+            return (6, [aP])
+        if op == OP_INTERSECTION:
+            # intersection of simple polygons: no holes possible;
+            # multiple disjoint pieces -> MULTIPOLYGON
+            pieces = [_ccw(R) for R in rings]
+            if len(pieces) == 1:
+                return (3, pieces)
+            return (6, list(_mp_assemble(pieces)))
+        return (6, _nest_rings(rings))
+    except _GHDegenerate:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Row kernel: decoded (gtype, parts) pair -> decoded result, mirroring
+# geo.py's geo_intersection/geo_difference/geo_union branch structure
+# exactly for convex clips and extending to _general_setop otherwise.
+
+
+def setop_wkb(op, awkb, bwkb):
+    """One set-op row over WKB POLYGON inputs — the batch UDF's row
+    kernel.  Non-polygon / malformed / out-of-domain input is NULL on
+    both paths (decode contract)."""
+    return setop(op, parse_wkb_polygon(awkb), parse_wkb_polygon(bwkb))
+
+
+def setop(op, ga, gb):
+    """One set-op row: ``ga``/``gb`` are decoded ``(gtype, parts)``
+    tuples or None.  Returns decoded ``(gtype, parts)`` or None —
+    IEEE-identical to the expression path wherever that path is
+    non-NULL, a real result where it degrades (non-convex clip over
+    hole-free simple inputs), and None otherwise."""
+    if ga is None or gb is None:
+        return None
+    agt, aparts = ga
+    bgt, bparts = gb
+    if agt != 3 or bgt != 3:
+        return None
+    bring = bparts[0] if bparts else None
+
+    if op == OP_INTERSECTION:
+        if bring is None:
+            return None
+        E, ok = _clip_region(bring)
+        base_ok = len(bparts) == 1 and ok
+        if base_ok:
+            rings = [_post_ring(_sh_clip(P[:-1], E)) for P in aparts]
+            if rings and rings[0]:
+                return (3, [R for R in rings if R])
+            return None
+        if len(aparts) == 1 and len(bparts) == 1:
+            return _general_setop(op, aparts[0], bparts[0])
+        return None
+
+    if op == OP_DIFFERENCE:
+        if _bbox_apart(aparts, bparts):
+            return (6, list(aparts))
+        if bring is None:
+            return None
+        E, ok = _clip_region(bring)
+        b_cc = len(bparts) == 1 and ok
+        if b_cc:
+            inter = _post_ring(_sh_clip(aparts[0][:-1], E))
+            if len(inter) == 0:
+                return (6, list(aparts))
+            if len(aparts) == 1:
+                pieces = [R for R in _diff_pieces(aparts[0], E) if R]
+                return (6, _mp_assemble(pieces))
+            return None
+        if len(aparts) == 1 and len(bparts) == 1:
+            return _general_setop(op, aparts[0], bparts[0])
+        return None
+
+    if op == OP_UNION:
+        if _bbox_apart(aparts, bparts):
+            out = list(aparts)
+            out.append([])
+            out.extend(bparts)
+            return (6, out)
+        aP = aparts[0] if aparts else None
+        bP = bparts[0] if bparts else None
+        if aP is None or bP is None:
+            return None
+        Ea, oka = _clip_region(aP)
+        Eb, okb = _clip_region(bP)
+        both_cc = len(aparts) == 1 and len(bparts) == 1 and oka and okb
+        if both_cc:
+            inter = _post_ring(_sh_clip(aP[:-1], Eb))
+            ia = 0.0 if len(inter) == 0 else abs(_shoelace(inter)) / 2.0
+            a_area = abs(_shoelace(aP)) / 2.0
+            b_area = abs(_shoelace(bP)) / 2.0
+            if len(inter) == 0:
+                out = list(aparts)
+                out.append([])
+                out.extend(bparts)
+                return (6, out)
+            if ia == a_area:
+                return (6, [bP])
+            if ia == b_area:
+                return (6, [aP])
+            pieces = [R for R in _diff_pieces(bP, Ea) if R]
+            out = [aP, []]
+            out.extend(_mp_assemble(pieces))
+            return (6, out)
+        if len(aparts) == 1 and len(bparts) == 1:
+            return _general_setop(op, aP, bP)
+        return None
+
+    raise ValueError(f"unknown set op: {op!r}")

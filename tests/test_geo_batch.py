@@ -1,0 +1,432 @@
+"""The Arrow-batched set-op path (round 12, SCALE.md's named lever):
+``geo_intersection/geo_difference/geo_union(..., method="batch")`` —
+reference GeoUnion/GeoDifference/GeoIntersection
+(ibis/expr/operations/geospatial.py:362-468).
+
+Three layers of evidence:
+
+1. Spark-free kernel tests over hand-verified non-convex fixtures —
+   the capability the expression path degrades to NULL on
+   (Greiner-Hormann, including hole-producing unions and the annulus
+   difference).
+2. A pointwise set-identity fuzz: for random simple (star-shaped)
+   polygon pairs, membership in the computed result must equal the
+   boolean combination of memberships in the inputs, at hundreds of
+   random probe points per pair — an oracle independent of the
+   clipping algorithm — plus the area identities.
+3. Spark parity: on inputs the expression path answers, the batch
+   path returns BYTE-IDENTICAL WKB (same S-H arithmetic, same
+   operation order); where the expression path degrades (non-convex
+   clips), batch returns the real result.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pytest
+
+from ibis_spark import geo_batch as gb
+
+
+def _sq(x0, y0, s):
+    return [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+
+
+def _area(parts):
+    tot, first = 0.0, True
+    for P in parts:
+        if not P:
+            first = True
+            continue
+        a = abs(gb._shoelace(P)) / 2.0
+        tot += a if first else -a
+        first = False
+    return tot
+
+
+def _inside(parts, pt):
+    """Even-odd membership across every ring of a decoded result —
+    correct for disjoint members with nested holes."""
+    ins = False
+    for P in parts:
+        if P:
+            ins ^= gb._point_in_ring(pt, P)
+    return ins
+
+
+L6 = [(0, 0), (6, 0), (6, 2), (2, 2), (2, 6), (0, 6), (0, 0)]
+U6 = [(0, 0), (6, 0), (6, 6), (4, 6), (4, 2), (2, 2), (2, 6), (0, 6), (0, 0)]
+B15 = [(1, 1), (5, 1), (5, 5), (1, 5), (1, 1)]
+B35 = [(-1, 3), (7, 3), (7, 5), (-1, 5), (-1, 3)]
+CAP = [(-1, 5), (7, 5), (7, 7), (-1, 7), (-1, 5)]
+LIN = [(2, 2), (4, 2), (4, 3), (3, 3), (3, 4), (2, 4), (2, 2)]
+BIG6 = _sq(0, 0, 6)
+
+
+class TestBatchKernels:
+    """Spark-free: the row kernel on hand-verified fixtures."""
+
+    @pytest.mark.parametrize(
+        "op,a,b,exp_area",
+        [
+            # non-convex CLIP sides -> the Greiner-Hormann path
+            ("intersection", B15, L6, 7.0),
+            ("difference", B15, L6, 9.0),
+            ("union", B15, L6, 29.0),
+            ("intersection", B35, U6, 8.0),   # two pieces
+            ("difference", B35, U6, 8.0),     # three pieces
+            ("union", B35, U6, 36.0),
+            ("union", U6, CAP, 40.0),         # union CREATES a hole
+            ("difference", BIG6, LIN, 33.0),  # non-convex hole (annulus)
+            ("intersection", BIG6, LIN, 3.0),
+            ("union", LIN, BIG6, 36.0),
+        ],
+    )
+    def test_nonconvex_closed_forms(self, op, a, b, exp_area):
+        r = gb.setop(op, (3, [a]), (3, [b]))
+        assert r is not None
+        assert _area(r[1]) == pytest.approx(exp_area, abs=1e-12)
+
+    def test_convex_matches_offset_square_closed_form(self):
+        for d in range(-7, 8):
+            A, B = _sq(0, 0, 4), _sq(d, 0, 4)
+            w = max(0, 4 - abs(d))
+            gi = gb.setop("intersection", (3, [A]), (3, [B]))
+            gd = gb.setop("difference", (3, [A]), (3, [B]))
+            gu = gb.setop("union", (3, [A]), (3, [B]))
+            if w == 0:
+                assert gi is None
+            else:
+                assert _area(gi[1]) == 4.0 * w
+            assert _area(gd[1]) == 16.0 - 4.0 * w
+            assert _area(gu[1]) == 32.0 - 4.0 * w
+
+    def test_union_hole_is_a_hole_not_a_member(self):
+        r = gb.setop("union", (3, [U6]), (3, [CAP]))
+        assert r[0] == 6
+        # one member: outer + one hole ring, no separator part
+        assert [len(P) > 0 for P in r[1]] == [True, True]
+        outer, hole = r[1]
+        assert abs(gb._shoelace(hole)) / 2.0 == pytest.approx(6.0)
+        # the hole is the bridged notch x in (2,4), y in (2,5)
+        assert gb._point_in_ring((3.0, 3.5), hole)
+
+    def test_degenerate_contact_degrades_to_null(self):
+        # vertex of b exactly on an edge of the non-convex a -> NULL
+        a = L6
+        b = [(2, 1), (5, 1), (5, 4), (2, 1)]  # vertex (2,1)? inside; edge touch below
+        touch = [(6, 1), (9, 1), (9, 4), (6, 1)]  # vertex on a's edge x=6
+        assert gb.setop("intersection", (3, [touch]), (3, [a])) is None
+        # collinear overlap with a non-convex clip -> NULL
+        shared = [(0, -2), (6, -2), (6, 0), (0, 0), (0, -2)]
+        assert gb.setop("intersection", (3, [shared]), (3, [a])) is None
+
+    def test_null_and_type_gates(self):
+        assert gb.setop("intersection", None, (3, [B15])) is None
+        assert gb.setop("union", (2, [[(0, 0), (1, 1)]]), (3, [B15])) is None
+
+    def test_holed_inputs_stay_on_expression_semantics(self):
+        # holed subject with an overlapping NON-convex clip: the
+        # general path requires hole-free pairs -> NULL, never wrong
+        holed = (3, [BIG6, _sq(1, 1, 1)])
+        assert gb.setop("difference", holed, (3, [LIN])) is None
+        # but the bbox-apart fast path still passes any polygons through
+        far = (3, [[(20, 20), (22, 20), (22, 22), (20, 22), (20, 20)]])
+        r = gb.setop("difference", holed, far)
+        assert r[0] == 6 and _area(r[1]) == 35.0
+
+
+def _star(rng, cx, cy, n, rmin, rmax):
+    """Random star-shaped (hence simple) polygon: sorted angles,
+    random radii."""
+    angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+    # reject near-duplicate angles (degenerate slivers)
+    if min((b - a) for a, b in zip(angles, angles[1:])) < 0.05:
+        return None
+    ring = [
+        (cx + r * math.cos(t), cy + r * math.sin(t))
+        for t, r in ((t, rng.uniform(rmin, rmax)) for t in angles)
+    ]
+    return ring + ring[:1]
+
+
+def _seg_dist(pt, a, b):
+    px, py = pt
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    l2 = dx * dx + dy * dy
+    t = 0.0 if l2 == 0.0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / l2))
+    qx, qy = ax + t * dx, ay + t * dy
+    return math.hypot(px - qx, py - qy)
+
+
+def _near_boundary(pt, rings, eps):
+    for P in rings:
+        for i in range(len(P) - 1):
+            if _seg_dist(pt, P[i], P[i + 1]) < eps:
+                return True
+    return False
+
+
+class TestBatchPointwiseFuzz:
+    """Membership in setop(A, B) == membership(A) <op> membership(B)
+    at random probe points — an oracle independent of the clipper."""
+
+    def test_pointwise_and_area_identities(self):
+        rng = random.Random(1205)
+        tried = answered = 0
+        while answered < 40 and tried < 400:
+            tried += 1
+            A = _star(rng, 0.0, 0.0, rng.randint(5, 11), 1.0, 4.0)
+            B = _star(rng, rng.uniform(-2, 2), rng.uniform(-2, 2),
+                      rng.randint(5, 11), 1.0, 4.0)
+            if A is None or B is None:
+                continue
+            res = {
+                op: gb.setop(op, (3, [A]), (3, [B]))
+                for op in ("intersection", "difference", "union")
+            }
+            if any(
+                v is None and op != "intersection"
+                for op, v in res.items()
+            ):
+                continue  # degenerate degrade — allowed, not counted
+            answered += 1
+
+            ia = 0.0 if res["intersection"] is None else _area(res["intersection"][1])
+            da = _area(res["difference"][1])
+            ua = _area(res["union"][1])
+            aa = abs(gb._shoelace(A)) / 2.0
+            ba = abs(gb._shoelace(B)) / 2.0
+            assert ia + da == pytest.approx(aa, rel=1e-9, abs=1e-9)
+            assert ua == pytest.approx(aa + ba - ia, rel=1e-9, abs=1e-9)
+
+            for _ in range(120):
+                pt = (rng.uniform(-6, 6), rng.uniform(-6, 6))
+                if _near_boundary(pt, [A, B], 1e-6):
+                    continue
+                in_a = gb._point_in_ring(pt, A)
+                in_b = gb._point_in_ring(pt, B)
+                exp = {
+                    "intersection": in_a and in_b,
+                    "difference": in_a and not in_b,
+                    "union": in_a or in_b,
+                }
+                for op, want in exp.items():
+                    r = res[op]
+                    got = False if r is None else _inside(r[1], pt)
+                    assert got == want, (
+                        f"{op} disagrees at {pt}: A={A} B={B}"
+                    )
+        assert answered >= 40
+
+
+def _poly_wkb(*rings):
+    out = struct.pack("<BII", 1, 3, len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        out += b"".join(struct.pack("<dd", float(x), float(y)) for x, y in ring)
+    return out
+
+
+@pytest.fixture(scope="module")
+def batch_vs_expr(con):
+    from ibis_spark import geo
+
+    rng = random.Random(77)
+    rows = []
+    # the offset-square sweep (every convex regime) ...
+    for i, d in enumerate(range(-6, 7)):
+        rows.append((i, _poly_wkb(_sq(0, 0, 4)), _poly_wkb(_sq(d, 0, 4))))
+    # ... plus random convex clips (regular k-gons, random subject stars)
+    k = len(rows)
+    for i in range(k, k + 12):
+        A = _star(rng, 0, 0, rng.randint(5, 9), 1.0, 4.0)
+        if A is None:
+            continue
+        n = rng.randint(3, 8)
+        r0, cx, cy = rng.uniform(1, 3), rng.uniform(-1, 1), rng.uniform(-1, 1)
+        Bring = [
+            (cx + r0 * math.cos(2 * math.pi * j / n),
+             cy + r0 * math.sin(2 * math.pi * j / n))
+            for j in range(n)
+        ]
+        rows.append((i, _poly_wkb(A), _poly_wkb(Bring + Bring[:1])))
+    # non-convex clips: expr degrades to NULL, batch answers
+    j = rows[-1][0]
+    rows.append((j + 1, _poly_wkb(_sq(1, 1, 4)), _poly_wkb([(float(x), float(y)) for x, y in L6])))
+    rows.append((j + 2, _poly_wkb(_sq(-1, 3, 8)), _poly_wkb([(float(x), float(y)) for x, y in U6])))
+
+    t = con.memtable(rows, schema={"i": "int64", "a": "binary", "b": "binary"})
+    # batch args: geo_decode(col) short-circuits to the raw bytes —
+    # the extraction-safe spelling (see _setop_batch's contract)
+    cols = {}
+    for op, fn in (
+        ("in", geo.geo_intersection),
+        ("df", geo.geo_difference),
+        ("un", geo.geo_union),
+    ):
+        cols[f"e_{op}"] = geo.geo_encode(fn(geo.geo_decode(t.a), geo.geo_decode(t.b)))
+        cols[f"b_{op}"] = geo.geo_encode(
+            fn(geo.geo_decode(t.a), geo.geo_decode(t.b), method="batch")
+        )
+    out = t.mutate(**cols).select("i", *cols).df.collect()
+    return {r.i: r for r in out}
+
+
+class TestBatchSparkParity:
+    def test_byte_identical_where_expression_answers(self, batch_vs_expr):
+        checked = 0
+        for i, r in batch_vs_expr.items():
+            for op in ("in", "df", "un"):
+                e, b = getattr(r, f"e_{op}"), getattr(r, f"b_{op}")
+                if e is not None:
+                    assert b == e, f"row {i} op {op}: batch != expr"
+                    checked += 1
+        assert checked >= 30
+
+    def test_batch_answers_nonconvex_clips(self, batch_vs_expr):
+        from ibis_spark import geo_batch as _gb
+
+        last2 = sorted(batch_vs_expr)[-2:]
+        for i in last2:
+            r = batch_vs_expr[i]
+            assert r.e_in is None  # expression path degrades
+            assert r.b_in is not None  # batch answers
+
+
+def test_batch_arg_contract_and_flip_robustness(con):
+    """The Spark 4.1 extraction flake, pinned (SCALE.md round 12): a
+    scalar-pandas UDF whose argument is a COMPUTED expression tree can
+    be silently left unextracted by the optimizer once any other
+    Python UDF has been optimized in the session (the plan then dies
+    at execution).  The engine's contract:
+
+    - WKB inputs (raw bytes column, or geo_decode(col) which
+      short-circuits to the bytes) stay on the column path — those
+      plain arguments always extract, INCLUDING in a flipped session;
+    - constructed/decoded geometry must go through geo_setops_batch
+      (mapInPandas — no extraction step) — the column path REFUSES it
+      at build time rather than failing at execution.
+
+    This test force-flips the session with a trivial pandas UDF first,
+    so it holds regardless of suite order."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    import ibis_spark as ib
+    from ibis_spark import geo
+
+    def _flip(s: pd.Series) -> pd.Series:
+        return s * 2.0
+
+    _flip.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark = con._session
+    _ = (
+        spark.range(3)
+        .select(pandas_udf(_flip, "double")(F.col("id").cast("double")).alias("r"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+
+    rows = [(1, _poly_wkb(_sq(0, 0, 4)), _poly_wkb(_sq(2, 0, 4)))]
+    t = con.memtable(rows, schema={"i": "int64", "a": "binary", "b": "binary"})
+    r1 = (
+        t.mutate(
+            g=geo.geo_intersection(
+                geo.geo_decode(t.a), geo.geo_decode(t.b), method="batch"
+            )
+        )
+        .select("i", "g")
+        .df.collect()
+    )
+    assert r1[0].g.gtype == 3
+
+    z = (t.i - t.i).cast("float64")
+    A = geo.geo_polygon(
+        ib.array(z, z + 4.0, z + 4.0, z), ib.array(z, z, z + 4.0, z + 4.0),
+        decoded=True,
+    )
+    B = geo.geo_polygon(
+        ib.array(z + 2.0, z + 6.0, z + 6.0, z + 2.0),
+        ib.array(z, z, z + 4.0, z + 4.0),
+        decoded=True,
+    )
+    with pytest.raises(ValueError, match="geo_setops_batch"):
+        geo.geo_union(A, B, method="batch")
+
+    out = geo.geo_setops_batch(t, A, B, keep=["i"])
+    res = out.mutate(
+        ia=geo.geo_area(out["intersection"]),
+        da=geo.geo_area(out["difference"]),
+        ua=geo.geo_area(out["union"]),
+    ).select("i", "ia", "da", "ua").df.collect()
+    assert res[0].ia == 8.0 and res[0].da == 8.0 and res[0].ua == 24.0
+
+
+def test_setops_batch_table_parity_and_nonconvex(con):
+    """geo_setops_batch values match the expression path on the
+    offset-square sweep and answer a non-convex clip."""
+    import ibis_spark as ib
+    from ibis_spark import geo
+
+    t = con.memtable([(i,) for i in range(13)], schema={"i": "int64"})
+    d = (t.i % 13).cast("float64") - 6.0
+    z = d - d
+    A = geo.geo_polygon(
+        ib.array(z, z + 4.0, z + 4.0, z), ib.array(z, z, z + 4.0, z + 4.0),
+        decoded=True,
+    )
+    B = geo.geo_polygon(
+        ib.array(d, d + 4.0, d + 4.0, d), ib.array(z, z, z + 4.0, z + 4.0),
+        decoded=True,
+    )
+    out = geo.geo_setops_batch(t, A, B, keep=["i"])
+    res = out.mutate(
+        ia=geo.geo_area(out["intersection"]),
+        da=geo.geo_area(out["difference"]),
+        ua=geo.geo_area(out["union"]),
+    ).select("i", "ia", "da", "ua").df.collect()
+    assert len(res) == 13
+    for r in res:
+        w = max(0, 4 - abs(r.i - 6))
+        assert r.ia == (None if w == 0 else 4.0 * w)
+        assert r.da == 16.0 - 4.0 * w
+        assert r.ua == 32.0 - 4.0 * w
+
+    # non-convex clip: L-shape b — expression path NULLs, table batch answers
+    t2 = con.memtable([(1,)], schema={"i": "int64"})
+    z2 = (t2.i - t2.i).cast("float64")
+    A2 = geo.geo_polygon(
+        ib.array(z2 + 1, z2 + 5, z2 + 5, z2 + 1),
+        ib.array(z2 + 1, z2 + 1, z2 + 5, z2 + 5),
+        decoded=True,
+    )
+    L = geo.geo_polygon(
+        ib.array(z2, z2 + 6, z2 + 6, z2 + 2, z2 + 2, z2),
+        ib.array(z2, z2, z2 + 2, z2 + 2, z2 + 6, z2 + 6),
+        decoded=True,
+    )
+    out2 = geo.geo_setops_batch(t2, A2, L, ops=("intersection",), names=["gi"])
+    r2 = out2.mutate(ia=geo.geo_area(out2.gi)).select("i", "ia").df.collect()
+    assert r2[0].ia == 7.0
+
+
+def test_batch_plan_single_python_eval(con, tmp_path):
+    """The batch path is ONE ArrowEvalPython per op — no extra Python
+    round-trips from the null-normalization wrapper."""
+    from ibis_spark import geo
+
+    rows = [(1, _poly_wkb(_sq(0, 0, 4)), _poly_wkb(_sq(2, 0, 4)))]
+    t = con.memtable(rows, schema={"i": "int64", "a": "binary", "b": "binary"})
+    out = t.mutate(
+        g=geo.geo_intersection(geo.geo_decode(t.a), geo.geo_decode(t.b), method="batch")
+    ).select("i", "g")
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
