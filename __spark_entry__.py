@@ -3375,6 +3375,82 @@ def _geo_line_merge_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_clip_batch_report(spark, sf_dir):
+    """The geo_clip_report fixture through the BATCH set-op path
+    (geo.geo_setops_batch, r12 — the SCALE.md-named mapInPandas lever):
+    same closed-form oracle, native-loop kernels instead of the
+    interpreted Sutherland-Hodgman folds, plus an explicit
+    repartition so the CPU-heavy per-row work uses every core instead
+    of the small scan's single input split."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = (c.c_custkey % 13).cast("float64") - 6.0
+    zero = d - d
+    A = geo.geo_polygon(
+        ib.array(zero, zero + 4.0, zero + 4.0, zero),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+        decoded=True,
+    )
+    B = geo.geo_polygon(
+        ib.array(d, d + 4.0, d + 4.0, d),
+        ib.array(zero, zero, zero + 4.0, zero + 4.0),
+        decoded=True,
+    )
+    out = geo.geo_setops_batch(c, A, B, keep=["c_custkey"])
+    return out.select(
+        "c_custkey",
+        ia=geo.geo_area(out["intersection"]),
+        ip=geo.geo_n_points(out["intersection"]),
+        ixmin=geo.geo_x_min(out["intersection"]),
+        ixmax=geo.geo_x_max(out["intersection"]),
+        da=geo.geo_area(out["difference"]),
+        ua=geo.geo_area(out["union"]),
+    ).to_spark()
+
+
+def _geo_clip_general_report(spark, sf_dir):
+    """NON-CONVEX clipping (r12 batch path, Greiner-Hormann): square
+    A = (1+s, 1+s)..(5+s, 5+s) against the fixed L-shape
+    (0 0, 6 0, 6 2, 2 2, 2 6, 0 6) with s = (c_custkey % 5)/4 sweeping
+    0..1.  For s < 1 the boundaries cross transversally and every
+    measure has an exact closed form (ia = 8(1-s) - (1-s)^2, the
+    intersection traces a hexagon, the difference is the (3+s)^2
+    square); s = 1 makes A's bottom edge collinear with the L's shelf
+    — the documented degenerate degrade to NULL, which the oracle
+    predicts.  The expression path returns NULL for ALL of these (its
+    clip side must be convex) — this entry exists precisely because
+    the batch path answers them."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    s = (c.c_custkey % 5).cast("float64") / 4.0
+    z = s - s
+    A = geo.geo_polygon(
+        ib.array(s + 1.0, s + 5.0, s + 5.0, s + 1.0),
+        ib.array(s + 1.0, s + 1.0, s + 5.0, s + 5.0),
+        decoded=True,
+    )
+    L = geo.geo_polygon(
+        ib.array(z, z + 6.0, z + 6.0, z + 2.0, z + 2.0, z),
+        ib.array(z, z, z + 2.0, z + 2.0, z + 6.0, z + 6.0),
+        decoded=True,
+    )
+    out = geo.geo_setops_batch(c, A, L, keep=["c_custkey"])
+    return out.select(
+        "c_custkey",
+        ia=geo.geo_area(out["intersection"]),
+        ip=geo.geo_n_points(out["intersection"]),
+        da=geo.geo_area(out["difference"]),
+        dp=geo.geo_n_points(out["difference"]),
+        ua=geo.geo_area(out["union"]),
+    ).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -3929,12 +4005,15 @@ _SAMPLE_WINDOW = [
     # codec insurance (the decoder gained the MULTIPOLYGON branch —
     # results must be byte-identical, prove it with a driver row), (3)
     # ALL 35 r7-stale oracled queries (the complete backlog — post-r12
-    # evidence floor moves to r8), (4) 9 of the 46 r8-stale entries
-    # (subquery/set/window/pipeline spread). 3+3+35+9 = 50.
+    # evidence floor moves to r8), (4) 7 of the 46 r8-stale entries
+    # (subquery/set/window/pipeline spread). 3+2+3+35+7 = 50.
     # -- (1) new r12 entries --
     "geo_multipolygon_report",
     "geo_clip_report",
     "geo_line_merge_report",
+    # -- (1b) r12 late additions: the batch set-op path --
+    "geo_clip_batch_report",
+    "geo_clip_general_report",
     # -- (2) changed emissions + codec insurance --
     "geo_simplify_tolerance",
     "geo_wkt_export",
@@ -3975,7 +4054,9 @@ _SAMPLE_WINDOW = [
     "top_ngrams",
     "topk",
     "value_counts",
-    # -- (4) 9 r8-stale (subquery/set/window/pipeline spread) --
+    # -- (4) 7 r8-stale (subquery/set/window/pipeline spread; two slots
+    # ceded to the late batch-path entries above — cross_dedup and
+    # pack_sequences roll to the r13 window) --
     "scalar_subquery",
     "exists_subquery",
     "set_union_all",
@@ -3983,8 +4064,6 @@ _SAMPLE_WINDOW = [
     "window_rank",
     "window_moving_avg",
     "dedup_exact",
-    "cross_dedup",
-    "pack_sequences",
 ]
 
 
@@ -4021,6 +4100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 12: MULTIPOLYGON + EWKB + set operations -----------
         "geo_multipolygon_report": _geo_multipolygon_report,
         "geo_clip_report": _geo_clip_report,
+        "geo_clip_batch_report": _geo_clip_batch_report,
+        "geo_clip_general_report": _geo_clip_general_report,
         "geo_line_merge_report": _geo_line_merge_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
@@ -4712,6 +4793,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 AS DOUBLE) END AS da,
                    CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
                         ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "geo_clip_batch_report": """
+            -- identical closed form to geo_clip_report: the batch
+            -- kernels replicate the expression S-H arithmetic exactly
+            WITH s AS (
+              SELECT c_custkey,
+                     CAST((c_custkey % 13) - 6 AS DOUBLE) AS d
+              FROM customer)
+            SELECT c_custkey,
+                   CASE WHEN ABS(d) < 4 THEN 4 * (4 - ABS(d)) END AS ia,
+                   CASE WHEN ABS(d) < 4 THEN CAST(5 AS BIGINT) END AS ip,
+                   CASE WHEN ABS(d) < 4
+                        THEN CASE WHEN d > 0 THEN d ELSE CAST(0 AS DOUBLE) END
+                   END AS ixmin,
+                   CASE WHEN ABS(d) < 4
+                        THEN CASE WHEN d < 0 THEN 4 + d ELSE CAST(4 AS DOUBLE) END
+                   END AS ixmax,
+                   CASE WHEN ABS(d) < 4 THEN 16 - 4 * (4 - ABS(d))
+                        ELSE CAST(16 AS DOUBLE) END AS da,
+                   CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
+                        ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "geo_clip_general_report": """
+            -- square (1+s..5+s)^2 against the L-shape: for s < 1 the
+            -- intersection is the hexagon around the L's inner corner
+            -- (area 8(1-s) - (1-s)^2, 6 distinct vertices + close),
+            -- the difference is the (3+s)^2 square; s = 1 is the
+            -- collinear-shelf degenerate -> NULL by contract
+            WITH s AS (
+              SELECT c_custkey,
+                     CAST(c_custkey % 5 AS DOUBLE) / 4.0 AS sh
+              FROM customer)
+            SELECT c_custkey,
+                   CASE WHEN sh < 1
+                        THEN 8 * (1 - sh) - (1 - sh) * (1 - sh) END AS ia,
+                   CASE WHEN sh < 1 THEN CAST(7 AS BIGINT) END AS ip,
+                   CASE WHEN sh < 1
+                        THEN 16 - (8 * (1 - sh) - (1 - sh) * (1 - sh)) END AS da,
+                   CASE WHEN sh < 1 THEN CAST(5 AS BIGINT) END AS dp,
+                   CASE WHEN sh < 1
+                        THEN 36 - (8 * (1 - sh) - (1 - sh) * (1 - sh)) END AS ua
             FROM s
         """,
         "geo_line_merge_report": """

@@ -162,6 +162,14 @@ HEADLINE = [
     #   construction — the geo_decode_roundtrip posture.
     # All three are correctness entries vs closed-form oracles; their
     # costs are recorded in SCALE.md round 12, not hidden.
+    #
+    # round-12 late: the named lever landed — geo_setops_batch
+    # (mapInPandas kernels + explicit repartition off the single-split
+    # scan).  The BATCH spellings are headline entries; the expression
+    # geo_clip_report above stays out as the documented no-Python
+    # reference point for the same closed form.
+    "geo_clip_batch_report",
+    "geo_clip_general_report",
 ]
 
 
