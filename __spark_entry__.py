@@ -3451,6 +3451,61 @@ def _geo_clip_general_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_transform_report(spark, sf_dir):
+    """CRS transforms (r12 — reference GeoConvert geospatial.py:459 /
+    GeoTransform :450): per customer, a lon/lat sweep projected to
+    EPSG:3857 (spherical web mercator) and UTM zone 31N (Snyder
+    transverse-Mercator series), plus round-trip closure booleans
+    through the inverse maps.
+
+    Hash posture (measured, SCALE.md round 12 late): Java and DuckDB
+    agree BIT-EXACTLY on sin/cos/tan/atan/sqrt over this input range
+    but differ in the last ulp on ln (1269/1500 values) and exp
+    (75/1500) — so the mercator NORTHING (the one ln) is emitted
+    quantized to millimeters, the easting and both UTM forwards are
+    exact doubles, and the inverse maps (exp/atan) are proven by
+    1e-9-closure booleans the oracle pins to TRUE."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lon = (c.c_custkey % 360).cast("float64") - 179.5
+    lat = ((c.c_custkey % 160).cast("float64") - 80.0) / 2.0 + 0.25
+    lon_u = (c.c_custkey % 12).cast("float64") - 2.5  # inside zone 31
+    p = geo.geo_point(lon, lat, decoded=True)
+    pu = geo.geo_point(lon_u, lat, decoded=True)
+    wm = geo.geo_convert(p, 4326, 3857)
+    back = geo.geo_convert(wm, 3857, 4326)
+    u31 = geo.geo_convert(pu, 4326, 32631)
+    uback = geo.geo_convert(u31, 32631, 4326)
+    c = c.mutate(
+        wx=geo.geo_x(wm),
+        wy=geo.geo_y(wm),
+        bx=geo.geo_x(back),
+        by=geo.geo_y(back),
+        ue=geo.geo_x(u31),
+        un=geo.geo_y(u31),
+        rx=geo.geo_x(uback),
+        ry=geo.geo_y(uback),
+        lon=lon,
+        lat=lat,
+        lon_u=lon_u,
+    )
+    return c.select(
+        "c_custkey",
+        wx=c.wx,
+        wy_mm=(c.wy * 1000.0).round(0).cast("int64"),
+        ue=c.ue,
+        un=c.un,
+        rt_wm=((c.bx - c.lon).abs() < 1e-9) & ((c.by - c.lat).abs() < 1e-9),
+        # 1e-6 deg (~0.1 m): the truncated series' honest round-trip
+        # closure at the fixture's +-5.5 deg from the central meridian
+        # (measured max 2.8e-7); in-zone inputs close at ~1e-9
+        rt_utm=((c.rx - c.lon_u).abs() < 1e-6) & ((c.ry - c.lat).abs() < 1e-6),
+    ).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -4005,15 +4060,16 @@ _SAMPLE_WINDOW = [
     # codec insurance (the decoder gained the MULTIPOLYGON branch —
     # results must be byte-identical, prove it with a driver row), (3)
     # ALL 35 r7-stale oracled queries (the complete backlog — post-r12
-    # evidence floor moves to r8), (4) 7 of the 46 r8-stale entries
-    # (subquery/set/window/pipeline spread). 3+2+3+35+7 = 50.
+    # evidence floor moves to r8), (4) 6 of the 46 r8-stale entries
+    # (subquery/set/window/pipeline spread). 3+3+3+35+6 = 50.
     # -- (1) new r12 entries --
     "geo_multipolygon_report",
     "geo_clip_report",
     "geo_line_merge_report",
-    # -- (1b) r12 late additions: the batch set-op path --
+    # -- (1b) r12 late additions: batch set ops + CRS transforms --
     "geo_clip_batch_report",
     "geo_clip_general_report",
+    "geo_transform_report",
     # -- (2) changed emissions + codec insurance --
     "geo_simplify_tolerance",
     "geo_wkt_export",
@@ -4054,16 +4110,16 @@ _SAMPLE_WINDOW = [
     "top_ngrams",
     "topk",
     "value_counts",
-    # -- (4) 7 r8-stale (subquery/set/window/pipeline spread; two slots
-    # ceded to the late batch-path entries above — cross_dedup and
-    # pack_sequences roll to the r13 window) --
+    # -- (4) 6 r8-stale (subquery/set/window/pipeline spread; three
+    # slots ceded to the late batch-path/transform entries above —
+    # dedup_exact, cross_dedup, pack_sequences roll to the r13
+    # window) --
     "scalar_subquery",
     "exists_subquery",
     "set_union_all",
     "set_intersect",
     "window_rank",
     "window_moving_avg",
-    "dedup_exact",
 ]
 
 
@@ -4102,6 +4158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_clip_report": _geo_clip_report,
         "geo_clip_batch_report": _geo_clip_batch_report,
         "geo_clip_general_report": _geo_clip_general_report,
+        "geo_transform_report": _geo_transform_report,
         "geo_line_merge_report": _geo_line_merge_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
@@ -4417,8 +4474,85 @@ def _det_exp_sql(x_expr: str) -> str:
           (SELECT s, ABS(s) AS a FROM (SELECT CAST(({x_expr}) AS DOUBLE) AS s))))))"""
 
 
+def _utm_oracle_sql() -> str:
+    """DuckDB SQL for geo_transform_report: the Snyder series with the
+    IDENTICAL operation order and the engine's own Python-computed
+    coefficient literals (repr-embedded, so both sides parse the same
+    doubles).  sin/cos/tan/sqrt are bit-identical between Java and
+    DuckDB on this range (measured); ln is not, hence wy quantized to
+    mm.  The round-trip booleans are Spark-side properties — the
+    oracle pins them TRUE."""
+    import math as m
+
+    a = 6378137.0
+    f = 1.0 / 298.257223563
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    C = {
+        "A": repr(a),
+        "K0": repr(0.9996),
+        "E2": repr(e2),
+        "EP2": repr(ep2),
+        "LAM0": repr(m.radians(31 * 6 - 183)),
+        "C0": repr(1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256),
+        "C1": repr(3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024),
+        "C2": repr(15 * e2**2 / 256 + 45 * e2**3 / 1024),
+        "C3": repr(35 * e2**3 / 3072),
+        "C58": repr(58.0 * ep2),
+        "C330": repr(330.0 * ep2),
+        "PI4": repr(m.pi / 4.0),
+    }
+    sql = """
+        WITH s AS (
+          SELECT c_custkey,
+                 CAST(c_custkey % 360 AS DOUBLE) - 179.5 AS lon,
+                 (CAST(c_custkey % 160 AS DOUBLE) - 80.0) / 2.0 + 0.25 AS lat,
+                 CAST(c_custkey % 12 AS DOUBLE) - 2.5 AS lon_u
+          FROM customer),
+        t AS (
+          SELECT c_custkey, lon, lat, lon_u,
+                 sin(radians(lat)) AS sphi,
+                 cos(radians(lat)) AS cphi,
+                 tan(radians(lat)) AS tphi,
+                 radians(lat) AS phi,
+                 radians(lon_u) AS lam
+          FROM s),
+        u AS (
+          SELECT c_custkey, lon, lat, phi, tphi,
+                 {A} / sqrt(1.0 - {E2} * sphi * sphi) AS N,
+                 tphi * tphi AS T,
+                 {EP2} * cphi * cphi AS C,
+                 cphi * (lam - {LAM0}) AS Aa,
+                 {A} * ({C0} * phi - {C1} * sin(phi * 2)
+                        + {C2} * sin(phi * 4) - {C3} * sin(phi * 6)) AS M
+          FROM t),
+        v AS (
+          SELECT c_custkey, lon, lat, N, T, C, M, tphi, Aa,
+                 Aa * Aa AS A2
+          FROM u)
+        SELECT c_custkey,
+               radians(lon) * {A} AS wx,
+               CAST(ROUND(ln(tan({PI4} + radians(lat) / 2.0)) * {A}
+                          * 1000.0) AS BIGINT) AS wy_mm,
+               {K0} * N * (Aa + (1.0 - T + C) * Aa * A2 / 6.0
+                 + (5.0 - 18.0 * T + T * T + 72.0 * C - {C58})
+                   * Aa * A2 * A2 / 120.0) + 500000.0 AS ue,
+               {K0} * (M + N * tphi * (A2 / 2.0
+                 + (5.0 - T + 9.0 * C + 4.0 * C * C) * A2 * A2 / 24.0
+                 + (61.0 - 58.0 * T + T * T + 600.0 * C - {C330})
+                   * A2 * A2 * A2 / 720.0)) AS un,
+               TRUE AS rt_wm,
+               TRUE AS rt_utm
+        FROM v
+    """
+    for k, val in C.items():
+        sql = sql.replace("{" + k + "}", val)
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "geo_transform_report": _utm_oracle_sql(),
         # -- pure-Spark geo slice (round 9): the oracle recomputes the
         # coordinates directly; bit-equality holds because the engine's
         # WKB encode/decode is exact --------------------------------------

@@ -170,6 +170,9 @@ HEADLINE = [
     # reference point for the same closed form.
     "geo_clip_batch_report",
     "geo_clip_general_report",
+    # round-12 late: CRS transforms (GeoConvert/GeoTransform) — pure
+    # projection expressions, UTM forward bit-exact vs the oracle
+    "geo_transform_report",
 ]
 
 

@@ -37,6 +37,8 @@ doubles — no libm, no UDF, scan-only plans.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 
 from ibis_spark.expr.column import Column
@@ -5838,6 +5840,379 @@ def geo_union(a, b, method: str = "expr"):
         )
 
     return _dec_wrap(_bind(_setop_ctx(a, b), body), gtype=6)
+
+
+# ---------------------------------------------------------------------------
+# CRS transforms (r12): geo_convert / geo_transform — reference
+# GeoConvert (geospatial.py:459, source/target CRS strings) and
+# GeoTransform (geospatial.py:450, target SRID).  Implemented as PURE
+# projection arithmetic over the decoded form — no GEOS/proj — for the
+# CRS pairs that cover the overwhelming share of real transforms:
+#
+#   EPSG:4326  (WGS84 lon/lat)        <->  EPSG:3857 (Web Mercator)
+#   EPSG:4326                         <->  EPSG:326xx/327xx (UTM N/S)
+#   3857 <-> UTM composes through 4326.
+#
+# Web Mercator is the spherical-Mercator closed form; UTM is the
+# Snyder transverse-Mercator series (USGS Professional Paper 1395,
+# "Map Projections — A Working Manual", eq. 8-9..8-25: the same
+# public series every geodesy library documents), centimeter-accurate
+# within a zone.  Every vertex maps through the same (fx, fy);
+# geometry type is preserved; any vertex outside the projection's
+# domain (|lat| >= 90 for the forward maps) NULLs the whole geometry
+# — the constructors' domain-gate posture, never a wrong coordinate.
+# Other CRS (conic, oblique, datum shifts) raise NotImplementedError
+# at BUILD time — proj territory, same honest deferral as buffer.
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+
+
+def _crs_code(v):
+    """Normalize a CRS spec to an integer EPSG code."""
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str):
+        s = v.strip().upper()
+        if s.startswith("EPSG:"):
+            s = s[5:]
+        if s in ("WGS84", "WGS 84", "CRS84", "OGC:CRS84"):
+            return 4326
+        if s.isdigit():
+            return int(s)
+    raise NotImplementedError(
+        f"unsupported CRS spec {v!r}: use an EPSG integer or 'EPSG:n' "
+        "(4326, 3857, and UTM 326xx/327xx are implemented; other "
+        "projections need proj — e.g. Apache Sedona's ST_Transform)"
+    )
+
+
+def _wm_fwd(px, py):
+    """EPSG:4326 -> EPSG:3857 (spherical web mercator)."""
+    R = _WGS84_A
+    x = F.radians(px) * F.lit(R)
+    y = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(py) / F.lit(2.0))) * F.lit(R)
+    ok = F.abs(py) < F.lit(90.0)
+    nd = F.lit(None).cast("double")
+    return F.struct(
+        F.when(ok, x).otherwise(nd).alias("x"),
+        F.when(ok, y).otherwise(nd).alias("y"),
+    )
+
+
+def _wm_inv(px, py):
+    """EPSG:3857 -> EPSG:4326."""
+    R = _WGS84_A
+    lon = F.degrees(px / F.lit(R))
+    lat = F.degrees(
+        F.atan(F.exp(py / F.lit(R))) * F.lit(2.0) - F.lit(math.pi / 2.0)
+    )
+    return F.struct(lon.alias("x"), lat.alias("y"))
+
+
+def _utm_zone_of(code: int):
+    """(zone, south) for EPSG 326xx/327xx, else None."""
+    if 32601 <= code <= 32660:
+        return code - 32600, False
+    if 32701 <= code <= 32760:
+        return code - 32700, True
+    return None
+
+
+def _utm_fwd(zone: int, south: bool):
+    a, f = _WGS84_A, _WGS84_F
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    k0 = 0.9996
+    lam0 = math.radians(zone * 6 - 183)
+
+    def fxy(px, py):
+        def with_t(t):
+            sphi, cphi, tphi, lam = t["s"], t["c"], t["t"], t["l"]
+            N = F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(e2) * sphi * sphi)
+            T = tphi * tphi
+            C = F.lit(ep2) * cphi * cphi
+            A = cphi * (lam - F.lit(lam0))
+            phi = F.radians(py)
+            M = F.lit(a) * (
+                F.lit(1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+                - F.lit(3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024)
+                * F.sin(phi * 2)
+                + F.lit(15 * e2**2 / 256 + 45 * e2**3 / 1024) * F.sin(phi * 4)
+                - F.lit(35 * e2**3 / 3072) * F.sin(phi * 6)
+            )
+            A2 = A * A
+            x = (
+                F.lit(k0)
+                * N
+                * (
+                    A
+                    + (F.lit(1.0) - T + C) * A * A2 / F.lit(6.0)
+                    + (
+                        F.lit(5.0)
+                        - F.lit(18.0) * T
+                        + T * T
+                        + F.lit(72.0) * C
+                        - F.lit(58.0 * ep2)
+                    )
+                    * A
+                    * A2
+                    * A2
+                    / F.lit(120.0)
+                )
+                + F.lit(500000.0)
+            )
+            y = F.lit(k0) * (
+                M
+                + N
+                * tphi
+                * (
+                    A2 / F.lit(2.0)
+                    + (F.lit(5.0) - T + F.lit(9.0) * C + F.lit(4.0) * C * C)
+                    * A2
+                    * A2
+                    / F.lit(24.0)
+                    + (
+                        F.lit(61.0)
+                        - F.lit(58.0) * T
+                        + T * T
+                        + F.lit(600.0) * C
+                        - F.lit(330.0 * ep2)
+                    )
+                    * A2
+                    * A2
+                    * A2
+                    / F.lit(720.0)
+                )
+            )
+            if south:
+                y = y + F.lit(10000000.0)
+            # domain gate: UTM's defined band plus the series'
+            # accurate longitude reach (the 3rd-order series DIVERGES
+            # far out of zone — NULL beats a wrong coordinate)
+            ok = (
+                (F.abs(px - F.lit(zone * 6 - 183)) <= F.lit(9.0))
+                & (py >= F.lit(-80.0))
+                & (py <= F.lit(84.0))
+            )
+            nd = F.lit(None).cast("double")
+            return F.struct(
+                F.when(ok, x).otherwise(nd).alias("x"),
+                F.when(ok, y).otherwise(nd).alias("y"),
+            )
+
+        return _let(
+            F.struct(
+                F.sin(F.radians(py)).alias("s"),
+                F.cos(F.radians(py)).alias("c"),
+                F.tan(F.radians(py)).alias("t"),
+                F.radians(px).alias("l"),
+            ),
+            with_t,
+        )
+
+    return fxy
+
+
+def _utm_inv(zone: int, south: bool):
+    a, f = _WGS84_A, _WGS84_F
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    k0 = 0.9996
+    lam0 = math.radians(zone * 6 - 183)
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    m_scale = a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256)
+
+    def fxy(px, py):
+        yv = (py - F.lit(10000000.0)) if south else py
+        mu = yv / F.lit(k0 * m_scale)
+        phi1 = (
+            mu
+            + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(mu * 2)
+            + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(mu * 4)
+            + F.lit(151 * e1**3 / 96) * F.sin(mu * 6)
+            + F.lit(1097 * e1**4 / 512) * F.sin(mu * 8)
+        )
+
+        def with_t(t):
+            p1, s1, c1, t1 = t["p"], t["s"], t["c"], t["t"]
+            C1 = F.lit(ep2) * c1 * c1
+            T1 = t1 * t1
+            sin2 = s1 * s1
+            N1 = F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(e2) * sin2)
+            R1 = (
+                F.lit(a * (1.0 - e2))
+                / F.pow(F.lit(1.0) - F.lit(e2) * sin2, F.lit(1.5))
+            )
+            D = (px - F.lit(500000.0)) / (N1 * F.lit(k0))
+            D2 = D * D
+            phi = p1 - (N1 * t1 / R1) * (
+                D2 / F.lit(2.0)
+                - (
+                    F.lit(5.0)
+                    + F.lit(3.0) * T1
+                    + F.lit(10.0) * C1
+                    - F.lit(4.0) * C1 * C1
+                    - F.lit(9.0 * ep2)
+                )
+                * D2
+                * D2
+                / F.lit(24.0)
+                + (
+                    F.lit(61.0)
+                    + F.lit(90.0) * T1
+                    + F.lit(298.0) * C1
+                    + F.lit(45.0) * T1 * T1
+                    - F.lit(252.0 * ep2)
+                    - F.lit(3.0) * C1 * C1
+                )
+                * D2
+                * D2
+                * D2
+                / F.lit(720.0)
+            )
+            lam = F.lit(lam0) + (
+                D
+                - (F.lit(1.0) + F.lit(2.0) * T1 + C1) * D * D2 / F.lit(6.0)
+                + (
+                    F.lit(5.0)
+                    - F.lit(2.0) * C1
+                    + F.lit(28.0) * T1
+                    - F.lit(3.0) * C1 * C1
+                    + F.lit(8.0 * ep2)
+                    + F.lit(24.0) * T1 * T1
+                )
+                * D
+                * D2
+                * D2
+                / F.lit(120.0)
+            ) / c1
+            # mirror of the forward gate: the forward's |dlon| <= 9 deg
+            # reach spans eastings of 500000 +- ~1e6 m near the
+            # equator — gate where the inverse series would diverge,
+            # not where the zone convention ends
+            ok = (
+                (px >= F.lit(-600000.0))
+                & (px <= F.lit(1600000.0))
+                & (yv >= F.lit(-10000000.0))
+                & (yv <= F.lit(10000000.0))
+            )
+            nd = F.lit(None).cast("double")
+            return F.struct(
+                F.when(ok, F.degrees(lam)).otherwise(nd).alias("x"),
+                F.when(ok, F.degrees(phi)).otherwise(nd).alias("y"),
+            )
+
+        return _let(
+            F.struct(
+                phi1.alias("p"),
+                F.sin(phi1).alias("s"),
+                F.cos(phi1).alias("c"),
+                F.tan(phi1).alias("t"),
+            ),
+            with_t,
+        )
+
+    return fxy
+
+
+def _crs_fxy(src: int, dst: int):
+    """The per-vertex (x, y) -> struct(x, y) map for src -> dst, or a
+    build-time NotImplementedError."""
+    if src == dst:
+        return None
+
+    def to4326(code):
+        if code == 4326:
+            return None
+        if code == 3857:
+            return _wm_inv
+        z = _utm_zone_of(code)
+        if z is not None:
+            return _utm_inv(*z)
+        raise NotImplementedError(
+            f"CRS EPSG:{code} is not implemented (4326, 3857 and UTM "
+            "326xx/327xx are): datum shifts / conic projections need "
+            "proj — e.g. Apache Sedona's ST_Transform"
+        )
+
+    def from4326(code):
+        if code == 4326:
+            return None
+        if code == 3857:
+            return _wm_fwd
+        z = _utm_zone_of(code)
+        if z is not None:
+            return _utm_fwd(*z)
+        raise NotImplementedError(
+            f"CRS EPSG:{code} is not implemented (4326, 3857 and UTM "
+            "326xx/327xx are): datum shifts / conic projections need "
+            "proj — e.g. Apache Sedona's ST_Transform"
+        )
+
+    inv, fwd = to4326(src), from4326(dst)
+    if inv is None:
+        return fwd
+    if fwd is None:
+        return inv
+
+    def composed(px, py):
+        return _let(inv(px, py), lambda m: fwd(m["x"], m["y"]))
+
+    return composed
+
+
+def _dec_map_xy(d, fxy, sg=None):
+    """Decoded geometry with every vertex mapped through ``fxy`` —
+    NULL when any mapped coordinate is NULL (projection domain gate),
+    matching the constructors' whole-geometry NULL posture."""
+
+    def body(s):
+        mapped = F.transform(
+            s["parts"],
+            lambda P: F.transform(P, lambda p: fxy(p["x"], p["y"])),
+        )
+
+        def fin(parts):
+            bad = F.exists(
+                parts,
+                lambda P: F.exists(
+                    P, lambda p: p["x"].isNull() | p["y"].isNull()
+                ),
+            )
+            return F.when(
+                s.isNull() | bad, _null_dec()
+            ).otherwise(F.struct(s["gtype"].alias("gtype"), parts.alias("parts")))
+
+        return _bind(mapped, fin)
+
+    return _dec_wrap(_bind(d, body), gtype=sg)
+
+
+def geo_convert(g, source, target):
+    """Reproject a geometry from ``source`` to ``target`` CRS —
+    reference GeoConvert (geospatial.py:459; coordinates are always
+    XY lon-lat order, as the reference documents).  See the section
+    comment for the implemented pairs and accuracy; unsupported CRS
+    raise NotImplementedError at build time."""
+    src, dst = _crs_code(source), _crs_code(target)
+    fxy = _crs_fxy(src, dst)
+    d = _dec_of(g)
+    if d is None:
+        d = _decode_struct(unwrap(g))
+    if fxy is None:
+        return _dec_wrap(d, gtype=_static_gtype_of(g))
+    return _dec_map_xy(d, fxy, sg=_static_gtype_of(g))
+
+
+def geo_transform(g, srid, *, source_srid=4326):
+    """Transform a geometry into a new SRID — reference GeoTransform
+    (geospatial.py:450).  The engine's WKB/decoded forms do not carry
+    an embedded SRID (EWKB output exists, EWKB input is out of scope),
+    so the source defaults to EPSG:4326 and can be overridden with
+    ``source_srid=`` — documented divergence from PostGIS, which reads
+    the source from the geometry."""
+    return geo_convert(g, source_srid, srid)
 
 
 def _setop_batch(a, b, op: str, gtype_hint=None):
