@@ -3506,6 +3506,56 @@ def _geo_transform_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_buffer_report(spark, sf_dir):
+    """geo_buffer (r12 — reference GeoBuffer geospatial.py:362): point
+    buffers (regular 32-gon on the circle, PostGIS quad_segs=8
+    convention) and convex-polygon buffers (exact offset polygon) with
+    closed-form oracles: the 32-gon area is 16 r^2 sin(pi/16), a
+    convex buffer adds perimeter*r, the vertex fans of any convex
+    polygon sum to one full circle, and the bbox extremes land exactly
+    at +-r (cos(pi) is exactly -1 in IEEE).  Areas are emitted rounded
+    to 1e-4 — the expression-side shoelace and the oracle's closed
+    form agree to ~1e-11 relative, not to the last ulp."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    r = (c.c_custkey % 8).cast("float64") / 4.0 + 1.0
+    px = (c.c_custkey % 100).cast("float64")
+    py = (c.c_custkey % 50).cast("float64")
+    z = px - px
+    p = geo.geo_point(px, py, decoded=True)
+    sq = geo.geo_polygon(
+        ib.array(z, z + 4.0, z + 4.0, z),
+        ib.array(z, z, z + 4.0, z + 4.0),
+        decoded=True,
+    )
+    bp = geo.geo_buffer(p, r)
+    bs = geo.geo_buffer(sq, r)
+    c = c.mutate(
+        pa=geo.geo_area(bp),
+        pn=geo.geo_n_points(bp),
+        pxmin=geo.geo_x_min(bp),
+        pxmax=geo.geo_x_max(bp),
+        pymin=geo.geo_y_min(bp),
+        pymax=geo.geo_y_max(bp),
+        sa=geo.geo_area(bs),
+        sn=geo.geo_n_points(bs),
+    )
+    return c.select(
+        "c_custkey",
+        pa=c.pa.round(4),
+        pn=c.pn,
+        pxmin=c.pxmin,
+        pxmax=c.pxmax,
+        pymin=c.pymin.round(6),
+        pymax=c.pymax.round(6),
+        sa=c.sa.round(4),
+        sn=c.sn,
+    ).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -4061,15 +4111,16 @@ _SAMPLE_WINDOW = [
     # results must be byte-identical, prove it with a driver row), (3)
     # ALL 35 r7-stale oracled queries (the complete backlog — post-r12
     # evidence floor moves to r8), (4) 6 of the 46 r8-stale entries
-    # (subquery/set/window/pipeline spread). 3+3+3+35+6 = 50.
+    # (subquery/set/window spread). 3+4+3+35+5 = 50.
     # -- (1) new r12 entries --
     "geo_multipolygon_report",
     "geo_clip_report",
     "geo_line_merge_report",
-    # -- (1b) r12 late additions: batch set ops + CRS transforms --
+    # -- (1b) r12 late additions: batch set ops, CRS transforms, buffer --
     "geo_clip_batch_report",
     "geo_clip_general_report",
     "geo_transform_report",
+    "geo_buffer_report",
     # -- (2) changed emissions + codec insurance --
     "geo_simplify_tolerance",
     "geo_wkt_export",
@@ -4110,16 +4161,15 @@ _SAMPLE_WINDOW = [
     "top_ngrams",
     "topk",
     "value_counts",
-    # -- (4) 6 r8-stale (subquery/set/window/pipeline spread; three
-    # slots ceded to the late batch-path/transform entries above —
-    # dedup_exact, cross_dedup, pack_sequences roll to the r13
-    # window) --
+    # -- (4) 5 r8-stale (subquery/set/window spread; four slots ceded
+    # to the late batch-path/transform/buffer entries above —
+    # window_moving_avg, dedup_exact, cross_dedup, pack_sequences
+    # roll to the r13 window) --
     "scalar_subquery",
     "exists_subquery",
     "set_union_all",
     "set_intersect",
     "window_rank",
-    "window_moving_avg",
 ]
 
 
@@ -4159,6 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_clip_batch_report": _geo_clip_batch_report,
         "geo_clip_general_report": _geo_clip_general_report,
         "geo_transform_report": _geo_transform_report,
+        "geo_buffer_report": _geo_buffer_report,
         "geo_line_merge_report": _geo_line_merge_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
@@ -4949,6 +5000,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 AS DOUBLE) END AS da,
                    CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
                         ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "geo_buffer_report": """
+            -- 32-gon point buffer: area 16 r^2 sin(pi/16), bbox +- r
+            -- exactly; convex square buffer adds 16 + perimeter*r
+            WITH s AS (
+              SELECT c_custkey,
+                     CAST(c_custkey % 8 AS DOUBLE) / 4.0 + 1.0 AS r,
+                     CAST(c_custkey % 100 AS DOUBLE) AS px,
+                     CAST(c_custkey % 50 AS DOUBLE) AS py
+              FROM customer)
+            SELECT c_custkey,
+                   ROUND(16.0 * r * r * sin(pi() / 16.0), 4) AS pa,
+                   CAST(33 AS BIGINT) AS pn,
+                   px - r AS pxmin,
+                   px + r AS pxmax,
+                   ROUND(py - r, 6) AS pymin,
+                   ROUND(py + r, 6) AS pymax,
+                   ROUND(16.0 + 16.0 * r
+                         + 16.0 * r * r * sin(pi() / 16.0), 4) AS sa,
+                   CAST(37 AS BIGINT) AS sn
             FROM s
         """,
         "geo_clip_general_report": """

@@ -173,6 +173,8 @@ HEADLINE = [
     # round-12 late: CRS transforms (GeoConvert/GeoTransform) — pure
     # projection expressions, UTM forward bit-exact vs the oracle
     "geo_transform_report",
+    # round-12 late: geo_buffer (point 32-gon + convex offset polygon)
+    "geo_buffer_report",
 ]
 
 
