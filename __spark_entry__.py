@@ -2608,6 +2608,8 @@ def _geo_distance_filter(spark, sf_dir):
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer")
+    # CPU-heavy projection over a single-split scan: spread it
+    c = c.repartition(spark.sparkContext.defaultParallelism)
     n = _t(spark, sf_dir, "nation")
     j = c.inner_join(n, [("c_nationkey", "n_nationkey")])
     lon, lat = _geo_lonlat(j)
@@ -2742,6 +2744,8 @@ def _geo_polygon_contains(spark, sf_dir):
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer")
+    # CPU-heavy projection over a single-split scan: spread it
+    c = c.repartition(spark.sparkContext.defaultParallelism)
     n = _t(spark, sf_dir, "nation")
     # Build each nation's polygon ON THE 25-ROW DIM SIDE, before the
     # join: the broadcast join ships 25 finished decoded structs — the
@@ -2803,6 +2807,8 @@ def _geo_line_metrics(spark, sf_dir):
     import ibis_spark.geo as geo
 
     o = _t(spark, sf_dir, "orders")
+    # CPU-heavy projection over a single-split scan: spread it
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     k = (o.o_orderkey % 100).cast("float64")
     line = geo.geo_linestring(
         ib.array(k, k + 3.0, k + 9.0),
@@ -2872,6 +2878,8 @@ def _geo_union_agg(spark, sf_dir):
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer")
+    # CPU-heavy projection over a single-split scan: spread it
+    c = c.repartition(spark.sparkContext.defaultParallelism)
     lon, lat = _geo_lonlat(c)
     c = c.mutate(pt=geo.geo_point(lon, lat))
     agg = c.group_by("c_nationkey").aggregate(mp=geo.geo_unary_union(c.pt))
@@ -3038,6 +3046,8 @@ def _geo_segment_cross(spark, sf_dir):
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer")
+    # CPU-heavy projection over a single-split scan: spread it
+    c = c.repartition(spark.sparkContext.defaultParallelism)
     k = (c.c_custkey % 13).cast("float64")
     m = (c.c_custkey % 7).cast("float64")
     # r11: decoded construction — the CLRS test runs on native doubles
@@ -3066,6 +3076,8 @@ def _geo_decode_roundtrip(spark, sf_dir):
     import ibis_spark.geo as geo
 
     o = _t(spark, sf_dir, "orders")
+    # CPU-heavy projection over a single-split scan: spread it
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     k = (o.o_orderkey % 100).cast("float64")
     wkb = geo.geo_linestring(
         ib.array(k, k + 3.0, k + 9.0),
@@ -3132,6 +3144,8 @@ def _geo_line_cross_report(spark, sf_dir):
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer")
+    # CPU-heavy projection over a single-split scan: spread it
+    c = c.repartition(spark.sparkContext.defaultParallelism)
     x0 = (c.c_custkey % 13).cast("float64") - 6.0
     zero = x0 - x0
     sq = geo.geo_polygon(
@@ -3165,6 +3179,8 @@ def _geo_wkt_export(spark, sf_dir):
     import ibis_spark.geo as geo
 
     o = _t(spark, sf_dir, "orders")
+    # CPU-heavy projection over a single-split scan: spread it
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     k = (o.o_orderkey % 100).cast("float64")
     pt = geo.geo_point(k, k - 50.0, decoded=True)
     ln = geo.geo_linestring(
@@ -3204,6 +3220,8 @@ def _geo_simplify_tolerance(spark, sf_dir):
     import ibis_spark.geo as geo
 
     o = _t(spark, sf_dir, "orders")
+    # CPU-heavy projection over a single-split scan: spread it
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     dev = (o.o_orderkey % 5).cast("float64") * 0.4
     zero = dev - dev
     # decoded ctor -> expression-path DP (r12): the whole query is pure
@@ -3261,6 +3279,8 @@ def _geo_multipolygon_report(spark, sf_dir):
     import ibis_spark.geo as geo
 
     o = _t(spark, sf_dir, "orders")
+    # CPU-heavy projection over a single-split scan: spread it
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     k = (o.o_orderkey % 50).cast("float64")
     zero = k - k
     holed = geo.geo_polygon(
@@ -3307,6 +3327,8 @@ def _geo_clip_report(spark, sf_dir):
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer")
+    # CPU-heavy projection over a single-split scan: spread it
+    c = c.repartition(spark.sparkContext.defaultParallelism)
     d = (c.c_custkey % 13).cast("float64") - 6.0
     zero = d - d
     A = geo.geo_polygon(
@@ -3346,6 +3368,8 @@ def _geo_line_merge_report(spark, sf_dir):
     import ibis_spark.geo as geo
 
     o = _t(spark, sf_dir, "orders")
+    # CPU-heavy projection over a single-split scan: spread it
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     k = (o.o_orderkey % 100).cast("float64")
     z = k - k
 
