@@ -2220,6 +2220,8 @@ def _ngram_lm_score(spark, sf_dir):
     from ibis_spark import pipeline as pl
 
     d = _t(spark, sf_dir, "documents")
+    # CPU-heavy per-row work over a single-split scan: spread it
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return pl.ngram_lm_score(d, "text", "doc_id").to_spark()
 
 
@@ -2245,6 +2247,8 @@ def _remove_duplicated_spans(spark, sf_dir):
     from ibis_spark import pipeline as pl
 
     d = _t(spark, sf_dir, "documents")
+    # CPU-heavy per-row work over a single-split scan: spread it
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return pl.remove_duplicated_spans(d, "text", "doc_id", k=8).to_spark()
 
 
@@ -2305,6 +2309,8 @@ def _decontaminate(spark, sf_dir):
     from ibis_spark import pipeline as pl
 
     d = _t(spark, sf_dir, "documents")
+    # CPU-heavy per-row work over a single-split scan: spread it
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     bench = d.filter(d.doc_id % 10 == 0)
     corp = d.filter(d.doc_id % 10 != 0)
     out = pl.decontaminate(corp, bench, "text", "doc_id", n=6)
@@ -2678,6 +2684,8 @@ def _geo_within_join(spark, sf_dir):
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer")
+    # CPU-heavy per-row work over a single-split scan: spread it
+    c = c.repartition(spark.sparkContext.defaultParallelism)
     lon, lat = _geo_lonlat(c)
     c = c.mutate(cpt=geo.geo_point(lon, lat))
     n = _t(spark, sf_dir, "nation")
