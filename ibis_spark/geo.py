@@ -88,6 +88,37 @@ __all__ = [
     "geo_geometry_n",
     "geo_max_distance",
     "geo_d_fully_within",
+    # r11-r12 additions (the list lagged a round: decode-once, DE-9IM,
+    # WKT/EWKT/EWKB, simplify, set ops incl. the batch path, line
+    # merge, CRS transforms, buffer)
+    "geo_decode",
+    "geo_encode",
+    "decoded",
+    "geo_touches",
+    "geo_crosses",
+    "geo_disjoint",
+    "geo_overlaps",
+    "geo_covers",
+    "geo_covered_by",
+    "geo_within",
+    "geo_contains_properly",
+    "geo_relate",
+    "geo_ordering_equals",
+    "geo_is_valid",
+    "geo_as_text",
+    "geo_as_ewkt",
+    "geo_as_ewkb",
+    "geo_simplify",
+    "geo_intersection",
+    "geo_difference",
+    "geo_union",
+    "geo_setops_batch",
+    "geo_line_merge",
+    "geo_multilinestring",
+    "geo_multipolygon",
+    "geo_convert",
+    "geo_transform",
+    "geo_buffer",
 ]
 
 

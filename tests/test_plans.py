@@ -384,3 +384,42 @@ def test_geo_simplify_wkb_path_is_arrow_batched(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_geo_transform_and_buffer_no_python_eval(plans):
+    """The r12-late CRS transforms and buffers are pure JVM
+    expressions: projection math and arc fans run inside Catalyst, no
+    Python worker anywhere."""
+    for name in ("geo_transform_report", "geo_buffer_report"):
+        p = plans(name)
+        assert "EvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_batch_setop_entries_plan_shapes(plans):
+    """The batch clip entries run Python exactly where designed: the
+    table path is ONE MapInPandas pass (no scalar-UDF extraction to
+    lose — the pinned Spark 4.1 flake), nothing row-wise, and the
+    explicit repartition spreads the single-split scan."""
+    for name in ("geo_clip_batch_report", "geo_clip_general_report"):
+        p = plans(name)
+        # one node header in the formatted tree (the node name repeats
+        # once more in the detail section)
+        assert p.count("MapInPandas (") == 1, name
+        assert "BatchEvalPython" not in p, name
+        assert "RoundRobinPartitioning" in p, name
+
+
+def test_repartitioned_entries_spread_the_scan(plans):
+    """The CPU-heavy single-split entries carry the explicit exchange
+    (values unchanged — strict oracle re-checks); without it the whole
+    per-row pipeline runs on one core (SCALE.md round-12-late)."""
+    for name in (
+        "geo_wkt_export",
+        "geo_line_cross_report",
+        "geo_simplify_tolerance",
+        "geo_line_metrics",
+        "geo_transform_report",
+        "geo_buffer_report",
+    ):
+        assert "RoundRobinPartitioning" in plans(name), name

@@ -44,10 +44,17 @@ GEO = [
 # ~20 min of interpreted fold — its sf0.1 cost is recorded in SCALE.md
 # round 12 and scales linearly by the same mechanism as clip).
 R12 = ["geo_simplify_tolerance", "geo_clip_report"]
+# r12-late: the batch set-op path, CRS transforms, buffer, and the
+# repartitioned heavies whose sf0.1 walls changed; --only-r12b merges.
+R12B = [
+    "geo_clip_batch_report", "geo_clip_general_report",
+    "geo_transform_report", "geo_buffer_report",
+    "geo_wkt_export", "geo_line_cross_report",
+]
 
 
 def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False,
-         only_r12: bool = False) -> None:
+         only_r12: bool = False, only_r12b: bool = False) -> None:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
@@ -67,7 +74,11 @@ def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False,
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    wanted = R12 if only_r12 else (GEO if only_geo else TPCH + HEAVY + GEO)
+    wanted = (
+        R12B if only_r12b
+        else R12 if only_r12
+        else (GEO if only_geo else TPCH + HEAVY + GEO)
+    )
     names = [n for n in wanted if n in qs]
     missing = [n for n in wanted if n not in qs]
     if missing:
@@ -134,7 +145,7 @@ def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False,
             res[name]["duckdb_sf1"] = None
         print(f"duckdb {name}: {res[name]['duckdb_sf1']}s", flush=True)
 
-    if (only_geo or only_r12) and os.path.exists(out_path):
+    if (only_geo or only_r12 or only_r12b) and os.path.exists(out_path):
         with open(out_path) as f:
             merged = json.load(f)
         merged.update(res)
@@ -145,9 +156,10 @@ def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a not in ("--only-geo", "--only-r12")]
+    args = [a for a in sys.argv[1:] if a not in ("--only-geo", "--only-r12", "--only-r12b")]
     main(
         args[0] if args else "SF1_ANCHOR.json",
         only_geo="--only-geo" in sys.argv,
         only_r12="--only-r12" in sys.argv,
+        only_r12b="--only-r12b" in sys.argv,
     )
