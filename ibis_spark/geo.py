@@ -6250,12 +6250,18 @@ def geo_buffer(g, radius, quad_segs: int = 8):
     step = 2.0 * math.pi / n
 
     def circle_ring(px, py, rr):
-        pts = F.transform(
-            F.sequence(F.lit(0), F.lit(n - 1)),
-            lambda i: F.struct(
-                (px + rr * F.cos(i.cast("double") * F.lit(step))).alias("x"),
-                (py + rr * F.sin(i.cast("double") * F.lit(step))).alias("y"),
-            ),
+        # the unit circle directions are CONSTANTS — fold the trig at
+        # build time (math.cos == glibc == the JVM's cos on these
+        # inputs, measured in the transform-oracle probe) so the ring
+        # is 4n multiply-adds per row with no trig at all
+        pts = F.array(
+            *[
+                F.struct(
+                    (px + rr * F.lit(math.cos(i * step))).alias("x"),
+                    (py + rr * F.lit(math.sin(i * step))).alias("y"),
+                )
+                for i in range(n)
+            ]
         )
         return _let(pts, lambda P: F.concat(P, F.slice(P, 1, 1)))
 
