@@ -13,12 +13,19 @@ Codecs (round 9): PNG decodes END-TO-END with a stdlib-only decoder
 (``zlib`` inflate + ``struct`` chunk parsing + numpy scanline
 unfiltering — ``_png_decode``), so ``decode_images(..., fake=False)``
 on real PNG bytes emits true width/height and pixel-derived features
-with no third-party imaging library. JPEG/audio/video codecs remain
-honestly stubbed: the container ships no libjpeg/libav, so those
-payloads raise ``NotImplementedError`` at the call site where
-PIL/libav would be invoked, and ``fake=True`` substitutes a
-deterministic hash-derived payload with the same schema/shape the real
-decoder would produce.
+with no third-party imaging library.
+
+Audio (round 12): WAV/PCM decodes END-TO-END via the stdlib ``wave``
+parser + numpy sample conversion (8/16/24/32-bit PCM, any channel
+count), so ``decode_audio(..., fake=False)`` on real WAV bytes emits
+true sample_rate/channels/duration and signal features (rms, peak,
+zero-crossing rate, spectral centroid, log-energy bands via rfft).
+
+JPEG/MP3/video codecs remain honestly stubbed: the container ships no
+libjpeg/libav, so those payloads raise ``NotImplementedError`` at the
+call site where PIL/libav would be invoked, and ``fake=True``
+substitutes a deterministic hash-derived payload with the same
+schema/shape the real decoder would produce.
 """
 
 from __future__ import annotations
@@ -264,6 +271,147 @@ def decode_images(
             out = pdf.copy()
             out["width"] = w
             out["height"] = h
+            out["features"] = feats
+            yield out
+
+    return Table(df.mapInPandas(run, out_schema))
+
+
+_WAV_BANDS = 8
+
+
+def _wav_decode(b: bytes):
+    """(sample_rate, channels, mono float64 samples in [-1, 1]) from
+    WAV/PCM bytes — stdlib ``wave`` container parsing, numpy sample
+    conversion for 8-bit unsigned / 16/24/32-bit signed PCM.  Raises
+    on anything the container can't express (compressed WAV, float
+    WAV, truncated chunks)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(b)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 3:
+        a = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int32)
+        v = a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return sr, ch, x
+
+
+def _wav_features(sr: int, x, bands: int = _WAV_BANDS):
+    """Signal features of a mono sample array: [rms, peak, zcr,
+    spectral_centroid_hz, log-energy per ``bands`` linear frequency
+    bands] — the fixed-width vector shape a training pipeline keys
+    filters and dedup on."""
+    import math as m
+
+    import numpy as np
+
+    n = len(x)
+    if n == 0:
+        return [0.0] * (4 + bands)
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    tot = float(spec.sum())
+    centroid = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+    edges = np.linspace(0, len(spec), bands + 1).astype(int)
+    be = [
+        float(m.log1p(spec[edges[i] : edges[i + 1]].sum()))
+        for i in range(bands)
+    ]
+    return [rms, peak, zcr, centroid] + be
+
+
+def decode_audio(
+    t: Table,
+    media_col: str = "media",
+    *,
+    fake: bool = False,
+    bands: int = _WAV_BANDS,
+) -> Table:
+    """Decode audio payloads and emit (sample_rate, channels,
+    duration_s, features) — the audio sibling of ``decode_images``,
+    same Arrow-batched ``mapInPandas`` shape (per-item independent, no
+    shuffle, batch-streamed).
+
+    WAV/PCM payloads decode for REAL (stdlib ``wave`` + numpy — see
+    ``_wav_decode``); a malformed WAV degrades that row to NULLs
+    instead of failing the task.  Non-WAV audio (MP3/OGG/FLAC) needs
+    libav and raises NotImplementedError unless ``fake=True``, which
+    emits the deterministic hash-derived vector with the same schema."""
+    df = t.df
+    out_schema = st.StructType(
+        list(df.schema.fields)
+        + [
+            st.StructField("sample_rate", st.IntegerType()),
+            st.StructField("channels", st.IntegerType()),
+            st.StructField("duration_s", st.DoubleType()),
+            st.StructField("features", st.ArrayType(st.FloatType())),
+        ]
+    )
+
+    def _real_one(payload: bytes):
+        import struct
+        import wave
+        import zlib
+
+        b = bytes(payload or b"")
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            try:
+                sr, ch, x = _wav_decode(b)
+            except (wave.Error, ValueError, zlib.error, struct.error, EOFError):
+                return None, None, None, None
+            dur = len(x) / sr if sr else None
+            return sr, ch, dur, _wav_features(sr, x, bands)
+        raise NotImplementedError(
+            "non-WAV audio decoding requires an av library (WAV/PCM "
+            "decodes via the stdlib parser); pass fake=True for the "
+            "deterministic stub"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            payloads = pdf[media_col].map(
+                lambda m: (m["data"] if isinstance(m, dict) else m) or b""
+            )
+            if fake:
+                feats = payloads.map(
+                    lambda b: _fake_decode(bytes(b), 4 + bands)
+                )
+                sr = payloads.map(lambda b: 8000 + len(bytes(b)) % 8) \
+                    .astype("int32")
+                ch = payloads.map(lambda b: 1 + len(bytes(b)) % 2) \
+                    .astype("int32")
+                dur = payloads.map(lambda b: float(len(bytes(b))) / 1000.0)
+            else:
+                decoded = payloads.map(_real_one)
+                sr = decoded.map(lambda r: r[0]).astype("Int32")
+                ch = decoded.map(lambda r: r[1]).astype("Int32")
+                dur = decoded.map(lambda r: r[2])
+                feats = decoded.map(lambda r: r[3])
+            out = pdf.copy()
+            out["sample_rate"] = sr
+            out["channels"] = ch
+            out["duration_s"] = dur
             out["features"] = feats
             yield out
 
