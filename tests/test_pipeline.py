@@ -502,6 +502,155 @@ class TestMultimodal:
         row = multimodal.decode_audio(m, fake=True).df.collect()[0]
         assert row.sample_rate >= 8000 and len(row.features) == 12
 
+    # ---- baseline JPEG (round 12): fixtures are HAND-BUILT bitstreams
+    # with custom canonical huffman tables, so every expected pixel has
+    # a closed form (a DC-only block decodes to dequant/8 + 128
+    # exactly; one AC coefficient decodes to a single cosine mode)
+
+    @staticmethod
+    def _jpeg_segments(comps, q=16, w=8, h=8, ac_syms=(0x00,)):
+        """Headers for a baseline JPEG: DQT(all=q), SOF0, custom DHT
+        (DC: categories 0..11 as 4-bit canonical codes; AC: ``ac_syms``
+        as 2-bit codes), SOS.  ``comps`` = [(cid, h, v)]."""
+        import struct
+
+        out = b"\xff\xd8"
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
+        sof = struct.pack(">BHHB", 8, h, w, len(comps))
+        for cid, hs, vs in comps:
+            sof += bytes([cid, (hs << 4) | vs, 0])
+        out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        counts_dc = [0] * 16
+        counts_dc[3] = 12  # twelve categories at code length 4
+        dht = bytes([0x00]) + bytes(counts_dc) + bytes(range(12))
+        counts_ac = [0] * 16
+        counts_ac[1] = len(ac_syms)  # AC symbols at code length 2
+        dht += bytes([0x10]) + bytes(counts_ac) + bytes(ac_syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+        sos = bytes([len(comps)])
+        for cid, *_ in comps:
+            sos += bytes([cid, 0x00])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        return out
+
+    class _BitWriter:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, value, n):
+            for k in range(n - 1, -1, -1):
+                self.bits.append((value >> k) & 1)
+
+        def dc(self, diff):
+            t = 0 if diff == 0 else max(diff, -diff).bit_length()
+            self.put(t, 4)  # category == its canonical 4-bit code
+            if t:
+                self.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+        def bytes(self):
+            bs, cur, n = bytearray(), 0, 0
+            for b in self.bits:
+                cur = (cur << 1) | b
+                n += 1
+                if n == 8:
+                    bs.append(cur)
+                    if cur == 0xFF:
+                        bs.append(0x00)  # byte stuffing
+                    cur, n = 0, 0
+            if n:
+                bs.append((cur << (8 - n)) | ((1 << (8 - n)) - 1))
+            return bytes(bs)
+
+    def test_jpeg_flat_grayscale_closed_form(self, con):
+        """DC-only grayscale block: every pixel is exactly
+        dequant/8 + 128 (the orthonormal IDCT of a constant)."""
+        bw = self._BitWriter()
+        bw.dc(8)       # DC coefficient 8 -> dequant 8*16 = 128
+        bw.put(0, 2)   # EOB ('00')
+        payload = (
+            self._jpeg_segments([(1, 1, 1)]) + bw.bytes() + b"\xff\xd9"
+        )
+        t = con.memtable([(1, payload)], schema={"id": "int64", "payload": "binary"})
+        m = multimodal.attach_media(t, "payload", "image/jpeg")
+        out = multimodal.decode_images(m, fake=False).df.collect()[0]
+        assert (out.width, out.height) == (8, 8)
+        # every pixel 128/8 + 128 = 144 -> all luminance mass in one
+        # 8-bin histogram bucket (144 // 32 == 4)
+        assert out.features[4] == 1.0 and sum(out.features) == 1.0
+
+    def test_jpeg_single_ac_mode(self):
+        """One AC coefficient decodes to a single horizontal cosine
+        mode — checked against the textbook IDCT closed form."""
+        import math
+
+        import numpy as np
+
+        from ibis_spark.multimodal import _jpeg_decode
+
+        bw = self._BitWriter()
+        bw.dc(0)
+        bw.put(1, 2)   # AC symbol 0x01 ('01'): run 0, size 1
+        bw.put(1, 1)   # amplitude +1 -> coef q = 16 at zigzag idx 1
+        bw.put(0, 2)   # EOB
+        payload = (
+            self._jpeg_segments([(1, 1, 1)], ac_syms=(0x00, 0x01))
+            + bw.bytes()
+            + b"\xff\xd9"
+        )
+        h, w, px = _jpeg_decode(payload)
+        assert (h, w) == (8, 8)
+        for j in range(8):
+            exp = 128.0 + 16.0 * math.sqrt(0.125) * 0.5 * math.cos(
+                math.pi * (2 * j + 1) / 16.0
+            )
+            assert abs(float(px[3, j, 0]) - np.clip(round(exp), 0, 255)) <= 1
+
+    def test_jpeg_420_color_closed_form(self, con):
+        """4:2:0 YCbCr: 4 Y blocks + subsampled chroma, flat values,
+        exact conversion check."""
+        import numpy as np
+
+        bw = self._BitWriter()
+        for blk in range(4):   # Y blocks: first diff 8, then 0
+            bw.dc(8 if blk == 0 else 0)
+            bw.put(0, 2)
+        bw.dc(4)               # Cb: 4*16 = 64 -> plane 136
+        bw.put(0, 2)
+        bw.dc(-4)              # Cr: -> plane 120
+        bw.put(0, 2)
+        payload = (
+            self._jpeg_segments(
+                [(1, 2, 2), (2, 1, 1), (3, 1, 1)], w=16, h=16
+            )
+            + bw.bytes()
+            + b"\xff\xd9"
+        )
+        from ibis_spark.multimodal import _jpeg_decode
+
+        h, w, px = _jpeg_decode(payload)
+        assert (h, w) == (16, 16)
+        Y, Cb, Cr = 144.0, 136.0, 120.0
+        exp = [
+            Y + 1.402 * (Cr - 128.0),
+            Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0),
+            Y + 1.772 * (Cb - 128.0),
+        ]
+        got = px[8, 8]
+        for c in range(3):
+            assert abs(float(got[c]) - np.clip(np.round(exp[c]), 0, 255)) <= 1
+
+    def test_jpeg_malformed_and_progressive_degrade(self, con):
+        rows = [
+            (1, b"\xff\xd8\xff\xdb\x00\x05garbage"),
+            # SOF2 (progressive) — out of scope, degrades not crashes
+            (2, b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"),
+        ]
+        t = con.memtable(rows, schema={"id": "int64", "payload": "binary"})
+        m = multimodal.attach_media(t, "payload", "image/jpeg")
+        got = {r.id: r for r in multimodal.decode_images(m, fake=False).df.collect()}
+        assert got[1].width is None and got[2].width is None
+
     def test_real_decode_raises_without_pil(self, con):
         t = con.memtable({"id": [1], "payload": ["x"]})
         m = multimodal.attach_media(t, "payload")
