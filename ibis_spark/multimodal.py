@@ -678,6 +678,38 @@ def decode_audio(
     return Table(df.mapInPandas(run, out_schema))
 
 
+def _avi_mjpeg_frames(b: bytes):
+    """JPEG frame payloads from an AVI (RIFF) container's ``movi``
+    list — the MJPEG case, where each ``..dc``/``..db`` chunk IS a
+    JPEG image.  Header lists are skipped (frame geometry comes from
+    the JPEG bits themselves).  Raises ValueError on non-AVI bytes."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames = []
+    i = 12
+    end = min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
+    while i + 8 <= end:
+        cid = b[i : i + 4]
+        sz = struct.unpack_from("<I", b, i + 4)[0]
+        if cid == b"LIST":
+            ltype = b[i + 8 : i + 12]
+            if ltype == b"movi":
+                j = i + 12
+                stop = i + 8 + sz
+                while j + 8 <= stop:
+                    fid = b[j : j + 4]
+                    fsz = struct.unpack_from("<I", b, j + 4)[0]
+                    if fid[2:4] in (b"dc", b"db"):
+                        frames.append(b[j + 8 : j + 8 + fsz])
+                    j += 8 + fsz + (fsz & 1)  # chunks are word-aligned
+            i += 8 + sz + (sz & 1)
+        else:
+            i += 8 + sz + (sz & 1)
+    return frames
+
+
 def sample_frames(
     t: Table,
     media_col: str = "media",
@@ -685,28 +717,72 @@ def sample_frames(
     every_n: int = 10,
     fake: bool = False,
 ) -> Table:
-    """Explode a (fake) video payload into sampled frame rows
-    (frame_idx, frame struct). Same mapInPandas batch shape as a real
-    libav-backed sampler; the codec is the stub."""
+    """Explode a video payload into sampled frame rows (frame_idx +
+    frame_width/frame_height) — one row per kept frame, Arrow-batched
+    mapInPandas, no shuffle.
+
+    MJPEG-in-AVI samples for REAL (round 12): the stdlib RIFF walk
+    pulls every ``..dc`` chunk and the baseline-JPEG decoder
+    (``_jpeg_decode``) supplies true frame geometry; every
+    ``every_n``-th frame is kept, and a malformed container degrades
+    the row to a single NULL-frame row.  Other codecs (H.264 etc.)
+    need libav and raise unless ``fake=True``, which keeps the
+    payload-length-derived stub shape."""
     df = t.df
     out_schema = st.StructType(
         list(df.schema.fields)
-        + [st.StructField("frame_idx", st.IntegerType())]
+        + [
+            st.StructField("frame_idx", st.IntegerType()),
+            st.StructField("frame_width", st.IntegerType()),
+            st.StructField("frame_height", st.IntegerType()),
+        ]
     )
 
+    def _real_rows(payload: bytes):
+        """[(frame_idx, w, h)] for one payload."""
+        b = bytes(payload or b"")
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            try:
+                frames = _avi_mjpeg_frames(b)
+            except (ValueError, IndexError):
+                return [(None, None, None)]
+            out = []
+            for idx in range(0, len(frames), max(1, every_n)):
+                try:
+                    h, w, _px = _jpeg_decode(frames[idx])
+                    out.append((idx, w, h))
+                except (ValueError, IndexError):
+                    out.append((idx, None, None))
+            return out or [(None, None, None)]
+        raise NotImplementedError(
+            "real frame sampling beyond MJPEG-in-AVI requires an av "
+            "library; pass fake=True for the deterministic stub"
+        )
+
     def run(batches: Iterator) -> Iterator:
-        if not fake:
-            raise NotImplementedError(
-                "real frame sampling requires an av library; pass fake=True"
-            )
         for pdf in batches:
-            reps = pdf[media_col].map(
-                lambda m: max(
-                    1, len(((m["data"] if isinstance(m, dict) else m) or b"")) // every_n
-                )
+            payloads = pdf[media_col].map(
+                lambda m: (m["data"] if isinstance(m, dict) else m) or b""
             )
-            out = pdf.loc[pdf.index.repeat(reps)].copy()
-            out["frame_idx"] = [i for r in reps for i in range(r)]
+            if fake:
+                reps = payloads.map(lambda b: max(1, len(bytes(b)) // every_n))
+                out = pdf.loc[pdf.index.repeat(reps)].copy()
+                out["frame_idx"] = [i for r in reps for i in range(r)]
+                out["frame_width"] = None
+                out["frame_height"] = None
+                out["frame_width"] = out["frame_width"].astype("Int32")
+                out["frame_height"] = out["frame_height"].astype("Int32")
+            else:
+                rows = payloads.map(_real_rows)
+                reps = rows.map(len)
+                out = pdf.loc[pdf.index.repeat(reps)].copy()
+                flat = [f for rl in rows for f in rl]
+                out["frame_idx"] = [f[0] for f in flat]
+                out["frame_width"] = [f[1] for f in flat]
+                out["frame_height"] = [f[2] for f in flat]
+                out["frame_idx"] = out["frame_idx"].astype("Int32")
+                out["frame_width"] = out["frame_width"].astype("Int32")
+                out["frame_height"] = out["frame_height"].astype("Int32")
             yield out
 
     return Table(df.mapInPandas(run, out_schema))

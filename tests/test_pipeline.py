@@ -670,6 +670,35 @@ class TestMultimodal:
         frames = out.df.collect()
         assert [r.frame_idx for r in frames] == [0, 1, 2]
 
+    def test_mjpeg_avi_real_frame_sampling(self, con):
+        """Round 12: MJPEG-in-AVI samples for REAL — stdlib RIFF walk
+        plus the baseline-JPEG decoder for true frame geometry."""
+        import struct
+
+        bw = self._BitWriter()
+        bw.dc(8)
+        bw.put(0, 2)
+        jpeg = self._jpeg_segments([(1, 1, 1)]) + bw.bytes() + b"\xff\xd9"
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        movi = b"movi" + b"".join(chunk(b"00dc", jpeg) for _ in range(5))
+        lst = chunk(b"LIST", movi)
+        avi = b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+        rows = [(1, avi), (2, b"RIFF\x08\x00\x00\x00AVI bad!")]
+        t = con.memtable(rows, schema={"id": "int64", "payload": "binary"})
+        m = multimodal.attach_media(t, "payload", "video/x-msvideo")
+        got = multimodal.sample_frames(m, every_n=2, fake=False).df.collect()
+        by_id = {}
+        for r in got:
+            by_id.setdefault(r.id, []).append(r)
+        f1 = sorted(by_id[1], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in f1] == [0, 2, 4]
+        assert all(r.frame_width == 8 and r.frame_height == 8 for r in f1)
+        assert len(by_id[2]) == 1 and by_id[2][0].frame_idx is None
+
 
 class TestGeo:
     def test_wkb_roundtrip(self, con, spark):
