@@ -27,11 +27,16 @@ Huffman entropy coding, restart intervals, grayscale and YCbCr
 4:4:4/4:2:2/4:2:0) — tests validate against HAND-BUILT bitstreams with
 closed-form expected pixels, no libjpeg anywhere.
 
-MP3/OGG audio and video codecs remain honestly stubbed: the container
-ships no libav, so those payloads raise ``NotImplementedError`` at the
-call site where libav would be invoked, and ``fake=True`` substitutes
-a deterministic hash-derived payload with the same schema/shape the
-real decoder would produce.
+GIF (round 12): GIF87a/89a decode END-TO-END — stdlib LZW with code
+width growth and the deferred-clear table cap, global/local palettes,
+interlacing, multi-frame; animated GIFs sample through
+``sample_frames`` like MJPEG videos.
+
+MP3/OGG audio and libav-class video codecs (H.264 etc.) remain
+honestly stubbed: the container ships no libav, so those payloads
+raise ``NotImplementedError`` at the call site where libav would be
+invoked, and ``fake=True`` substitutes a deterministic hash-derived
+payload with the same schema/shape the real decoder would produce.
 """
 
 from __future__ import annotations
@@ -245,6 +250,16 @@ def decode_images(
             # degrade-to-NULLs contract for malformed/out-of-scope data
             try:
                 h, w, px = _jpeg_decode(b)
+            except (ValueError, IndexError, struct.error):
+                return None, None, None
+            if target is not None:
+                px = _png_resize_nearest(px, target[0], target[1])
+                w, h = target
+            return w, h, _png_features(px, feature_dim)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            # GIF via the stdlib LZW decoder (r12): first frame
+            try:
+                h, w, px = _gif_decode(b)[0]
             except (ValueError, IndexError, struct.error):
                 return None, None, None
             if target is not None:
@@ -537,6 +552,127 @@ def _jpeg_decode(b: bytes):
     raise ValueError("jpeg: unsupported component count")
 
 
+# ---------------------------------------------------------------------------
+# GIF decoder (round 12): GIF87a/89a — LZW decompression, global/local
+# palettes, interlacing, multiple frames (animated GIFs sample like
+# MJPEG videos).  Pure stdlib + numpy.
+
+def _gif_lzw(data: bytes, min_code: int, npix: int):
+    """GIF LZW decode: variable code width with table growth and CLEAR
+    handling, per the GIF89a spec appendix."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    i = 0
+    while len(out) < npix:
+        while nbits < width:
+            if i >= len(data):
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([k]) for k in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # deferred clear: table caps at 2^12
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:npix])
+
+
+def _gif_decode(b: bytes):
+    """List of (height, width, HxWx3 uint8 RGB) frames from GIF bytes.
+    Transparency/disposal are ignored (each frame decodes standalone
+    over the palette); that is the honest feature-extraction contract,
+    not a compositing player."""
+    import struct
+
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b[i : i + 3 * n], np.uint8).reshape(-1, 3)
+        i += 3 * n
+    frames = []
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label + subblocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{blk:02x}")
+        fx, fy, fw, fh, ff = struct.unpack_from("<HHHHB", b, i + 1)
+        i += 10
+        pal = gct
+        if ff & 0x80:
+            n = 2 << (ff & 7)
+            pal = np.frombuffer(b[i : i + 3 * n], np.uint8).reshape(-1, 3)
+            i += 3 * n
+        if pal is None:
+            raise ValueError("gif: no palette")
+        min_code = b[i]
+        i += 1
+        lzw = bytearray()
+        while i < len(b) and b[i] != 0:
+            sz = b[i]
+            lzw += b[i + 1 : i + 1 + sz]
+            i += 1 + sz
+        i += 1
+        idx = np.frombuffer(
+            _gif_lzw(bytes(lzw), min_code, fw * fh), np.uint8
+        )
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError("gif: palette index out of range")
+        px = pal[idx].reshape(fh, fw, 3)
+        if ff & 0x40:  # interlaced: 4-pass row shuffle
+            rows = np.empty(fh, np.int64)
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            rows[np.asarray(order, np.int64)] = np.arange(fh)
+            px = px[rows]
+        frames.append((fh, fw, px))
+    if not frames:
+        raise ValueError("gif: no image data")
+    return frames
+
+
 _WAV_BANDS = 8
 
 
@@ -754,9 +890,20 @@ def sample_frames(
                 except (ValueError, IndexError):
                     out.append((idx, None, None))
             return out or [(None, None, None)]
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            # animated GIF: frames via the stdlib LZW decoder (r12)
+            try:
+                frames = _gif_decode(b)
+            except (ValueError, IndexError):
+                return [(None, None, None)]
+            return [
+                (idx, frames[idx][1], frames[idx][0])
+                for idx in range(0, len(frames), max(1, every_n))
+            ] or [(None, None, None)]
         raise NotImplementedError(
-            "real frame sampling beyond MJPEG-in-AVI requires an av "
-            "library; pass fake=True for the deterministic stub"
+            "real frame sampling beyond MJPEG-in-AVI and animated GIF "
+            "requires an av library; pass fake=True for the "
+            "deterministic stub"
         )
 
     def run(batches: Iterator) -> Iterator:

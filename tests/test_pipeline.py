@@ -651,6 +651,111 @@ class TestMultimodal:
         got = {r.id: r for r in multimodal.decode_images(m, fake=False).df.collect()}
         assert got[1].width is None and got[2].width is None
 
+    # ---- GIF (round 12): in-test LZW encoder + hand-built containers
+
+    @staticmethod
+    def _gif_lzw_encode(indices, min_code):
+        """Standard GIF LZW compression (dict growth, width growth,
+        CLEAR at table cap) — the decoder must invert it exactly."""
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        out_bits = []
+        width = min_code + 1
+
+        def emit(code):
+            nonlocal width
+            for k in range(width):
+                out_bits.append((code >> k) & 1)
+
+        table = {bytes([i]): i for i in range(clear)}
+        nxt = eoi + 1
+        emit(clear)
+        buf = b""
+        for px in bytes(indices):
+            cand = buf + bytes([px])
+            if cand in table:
+                buf = cand
+                continue
+            emit(table[buf])
+            if nxt < 4096:  # deferred clear: stop growing at 2^12
+                table[cand] = nxt
+                nxt += 1
+                if nxt == (1 << width) + 1 and width < 12:
+                    width += 1
+            buf = bytes([px])
+        if buf:
+            emit(table[buf])
+        emit(eoi)
+        bs = bytearray()
+        for k in range(0, len(out_bits), 8):
+            v = 0
+            for j, bit in enumerate(out_bits[k : k + 8]):
+                v |= bit << j
+            bs.append(v)
+        return bytes(bs)
+
+    @classmethod
+    def _make_gif(cls, frames, palette, min_code=2):
+        """GIF89a bytes: global palette + one image block per frame
+        (each a full-size index array)."""
+        import struct
+
+        h = len(frames[0])
+        w = len(frames[0][0])
+        ncol = 1 << (min_code if min_code > 1 else 2)
+        pal = bytearray()
+        for k in range(ncol):
+            pal += bytes(palette[k] if k < len(palette) else (0, 0, 0))
+        flags = 0x80 | (min_code - 1 if min_code > 1 else 1)
+        out = b"GIF89a" + struct.pack("<HHBBB", w, h, flags, 0, 0) + bytes(pal)
+        for fr in frames:
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            out += bytes([min_code])
+            lzw = cls._gif_lzw_encode(
+                bytes(px for row in fr for px in row), min_code
+            )
+            for k in range(0, len(lzw), 255):
+                sub = lzw[k : k + 255]
+                out += bytes([len(sub)]) + sub
+            out += b"\x00"
+        return out + b"\x3b"
+
+    def test_gif_decode_through_spark(self, con):
+        """Real GIF bytes end-to-end: palette pixels recovered exactly
+        (LZW round-trip), multi-frame GIFs sample like videos."""
+        palette = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+        checker = [[(x + y) % 2 for x in range(6)] for y in range(4)]
+        solid_red = [[2] * 6 for _ in range(4)]
+        gif1 = self._make_gif([checker], palette)
+        gif3 = self._make_gif([checker, solid_red, checker], palette)
+        rows = [(1, gif1), (2, b"GIF89agarbage")]
+        t = con.memtable(rows, schema={"id": "int64", "payload": "binary"})
+        m = multimodal.attach_media(t, "payload", "image/gif")
+        got = {r.id: r for r in multimodal.decode_images(m, fake=False).df.collect()}
+        assert (got[1].width, got[1].height) == (6, 4)
+        # checkerboard: half black (bin 0), half white (last bin)
+        assert got[1].features[0] == 0.5 and got[1].features[-1] == 0.5
+        assert got[2].width is None
+
+        t3 = con.memtable([(1, gif3)], schema={"id": "int64", "payload": "binary"})
+        m3 = multimodal.attach_media(t3, "payload", "image/gif")
+        fr = multimodal.sample_frames(m3, every_n=2, fake=False).df.collect()
+        assert sorted(r.frame_idx for r in fr) == [0, 2]
+        assert all(r.frame_width == 6 and r.frame_height == 4 for r in fr)
+
+    def test_gif_lzw_width_growth_and_deferred_clear(self):
+        """A long pseudo-random index stream forces LZW code-width
+        growth through every width 3..12 AND past the 4096-entry cap
+        (deferred clear: both sides must stop growing in lockstep) —
+        decode must invert encode byte-exactly."""
+        import random
+
+        from ibis_spark.multimodal import _gif_lzw
+
+        rng = random.Random(7)
+        idx = bytes(rng.randrange(4) for _ in range(200000))
+        enc = self._gif_lzw_encode(idx, 2)
+        assert _gif_lzw(enc, 2, len(idx)) == idx
+
     def test_real_decode_raises_without_pil(self, con):
         t = con.memtable({"id": [1], "payload": ["x"]})
         m = multimodal.attach_media(t, "payload")
