@@ -3588,6 +3588,56 @@ def _geo_buffer_report(spark, sf_dir):
     ).to_spark()
 
 
+def _audio_features_report(spark, sf_dir):
+    """Multimodal audio codec (r12-late, multimodal.decode_audio): 64
+    deterministic 16-bit PCM WAVs — integer-cycle sines, f = 200(1+k%8)
+    Hz, amplitude 0.25 + 0.05(k%5), 400 samples at 8 kHz — decoded for
+    real (stdlib wave + numpy) through the Arrow mapInPandas plumbing.
+    Closed forms: sample_rate/channels/duration are exact; an
+    integer-cycle sine's rms is amp/sqrt(2) (1e-4 quantization noise,
+    emitted at 2 decimals) and its spectral centroid is f to the Hz
+    (broadband quantization floor is ~-96 dB).  Fixed 64 rows at every
+    sf — a correctness entry for the codec, not a bench signal."""
+    import io
+    import math
+    import wave as wavemod
+
+    import numpy as np
+
+    from ibis_spark import multimodal
+
+    rows = []
+    for k in range(64):
+        f = 200.0 * (1 + k % 8)
+        a = 0.25 + 0.05 * (k % 5)
+        ts = np.arange(400) / 8000.0
+        sine = a * np.sin(2 * math.pi * f * ts)
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes((sine * 32767.0).astype("<i2").tobytes())
+        rows.append((k, buf.getvalue()))
+    t = ib.connect(spark).memtable(
+        rows, schema={"k": "int64", "payload": "binary"}
+    )
+    m = multimodal.attach_media(t, "payload", "audio/wav")
+    out = multimodal.decode_audio(m, fake=False)
+    out = out.mutate(
+        rms=out["features"][0].cast("float64"),
+        centroid=out["features"][3].cast("float64"),
+    )
+    return out.select(
+        "k",
+        sr=out.sample_rate.cast("int64"),
+        ch=out.channels.cast("int64"),
+        dur=out.duration_s,
+        rms2=out.rms.round(2),
+        chz=out.centroid.round(0),
+    ).to_spark()
+
+
 # --------------------------------------------------------------------------
 # TPC-DS-derived slice (VERDICT r8 item 2). The reference tests all 99
 # TPC-DS queries (/root/reference/ibis/backends/tests/tpc/queries/duckdb/ds/,
@@ -4143,7 +4193,7 @@ _SAMPLE_WINDOW = [
     # results must be byte-identical, prove it with a driver row), (3)
     # ALL 35 r7-stale oracled queries (the complete backlog — post-r12
     # evidence floor moves to r8), (4) 6 of the 46 r8-stale entries
-    # (subquery/set/window spread). 3+4+3+35+5 = 50.
+    # (subquery/set spread). 3+5+3+35+4 = 50.
     # -- (1) new r12 entries --
     "geo_multipolygon_report",
     "geo_clip_report",
@@ -4153,6 +4203,7 @@ _SAMPLE_WINDOW = [
     "geo_clip_general_report",
     "geo_transform_report",
     "geo_buffer_report",
+    "audio_features_report",
     # -- (2) changed emissions + codec insurance --
     "geo_simplify_tolerance",
     "geo_wkt_export",
@@ -4193,15 +4244,14 @@ _SAMPLE_WINDOW = [
     "top_ngrams",
     "topk",
     "value_counts",
-    # -- (4) 5 r8-stale (subquery/set/window spread; four slots ceded
-    # to the late batch-path/transform/buffer entries above —
-    # window_moving_avg, dedup_exact, cross_dedup, pack_sequences
-    # roll to the r13 window) --
+    # -- (4) 4 r8-stale (subquery/set spread; five slots ceded to the
+    # late batch-path/transform/buffer/audio entries above —
+    # window_rank, window_moving_avg, dedup_exact, cross_dedup,
+    # pack_sequences roll to the r13 window) --
     "scalar_subquery",
     "exists_subquery",
     "set_union_all",
     "set_intersect",
-    "window_rank",
 ]
 
 
@@ -4242,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_clip_general_report": _geo_clip_general_report,
         "geo_transform_report": _geo_transform_report,
         "geo_buffer_report": _geo_buffer_report,
+        "audio_features_report": _audio_features_report,
         "geo_line_merge_report": _geo_line_merge_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
@@ -5032,6 +5083,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 AS DOUBLE) END AS da,
                    CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
                         ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "audio_features_report": """
+            -- integer-cycle 16-bit sines: exact container numbers,
+            -- rms = amp/sqrt(2) at 2 decimals (quantization ~1e-5),
+            -- spectral centroid = the tone to the Hz
+            WITH s AS (SELECT unnest(range(64))::BIGINT AS k)
+            SELECT k,
+                   CAST(8000 AS BIGINT) AS sr,
+                   CAST(1 AS BIGINT) AS ch,
+                   CAST(0.05 AS DOUBLE) AS dur,
+                   ROUND((0.25 + 0.05 * (k % 5)) / sqrt(2.0), 2) AS rms2,
+                   CAST(200 * (1 + k % 8) AS DOUBLE) AS chz
             FROM s
         """,
         "geo_buffer_report": """
