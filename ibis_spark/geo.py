@@ -6505,6 +6505,16 @@ def geo_setops_batch(
     for op in ops:
         if op not in ("intersection", "difference", "union"):
             raise ValueError(f"unknown set op: {op!r}")
+    # result/keep name collisions would produce a duplicate-column
+    # output schema — an ambiguous Table (ADVICE r12); fail at build
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate result names: {names!r}")
+    clash = set(names) & set(keep)
+    if clash:
+        raise ValueError(
+            f"result names {sorted(clash)!r} collide with keep columns; "
+            "pass names= to rename"
+        )
 
     def _dec_expr(g):
         d = _dec_of(g)

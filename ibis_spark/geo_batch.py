@@ -67,8 +67,14 @@ def _dec_double(raw, off):
     v = _s.unpack_from("<d", raw, off)[0]
     if v != v or math.isinf(v):
         return None
-    a = abs(v)
-    if not (2.0**-61 <= a <= 2.0**61):
+    # gate on the RAW biased exponent field e in [-61, 61] EXACTLY as
+    # _double_from_hex16 does (ADVICE r12: the |v| magnitude compare
+    # excluded (2^61, 2^62), breaking expression<->batch parity; a
+    # frexp spelling would mis-gate -0/denormals, which the raw field
+    # sends to -1023 -> None on both paths)
+    bits = _s.unpack_from("<Q", raw, off)[0]
+    e = ((bits >> 52) & 0x7FF) - 1023
+    if not (-61 <= e <= 61):
         return None
     return v
 

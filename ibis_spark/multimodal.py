@@ -42,12 +42,23 @@ payload with the same schema/shape the real decoder would produce.
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
+import zlib as _zlib
 from typing import Iterator, Optional
 
 import pyspark.sql.functions as F
 from pyspark.sql import types as st
 
 from ibis_spark.expr.table import Table
+
+# The degrade-to-NULL contract (one corrupt payload must NOT kill a
+# 100 TB scan) hinges on catching EVERY exception class the pure-Python
+# decoders can raise on malformed bytes: KeyError escapes _jpeg_decode
+# when a scan references an undefined Huffman/quant table or component
+# id, struct.error escapes truncated chunk headers, zlib.error escapes
+# corrupt PNG deflate streams (ADVICE r12).  Anything outside this
+# tuple (e.g. MemoryError) is a real bug and SHOULD fail the job.
+_CODEC_ERRORS = (ValueError, IndexError, KeyError, _struct.error, _zlib.error)
 
 MEDIA_SCHEMA = st.StructType(
     [
@@ -239,7 +250,7 @@ def decode_images(
         if b.startswith(_PNG_MAGIC):
             try:
                 w, h, _ch, px = _png_decode(b)
-            except (ValueError, zlib.error, struct.error):
+            except _CODEC_ERRORS:
                 return None, None, None
             if target is not None:
                 px = _png_resize_nearest(px, target[0], target[1])
@@ -250,7 +261,7 @@ def decode_images(
             # degrade-to-NULLs contract for malformed/out-of-scope data
             try:
                 h, w, px = _jpeg_decode(b)
-            except (ValueError, IndexError, struct.error):
+            except _CODEC_ERRORS:
                 return None, None, None
             if target is not None:
                 px = _png_resize_nearest(px, target[0], target[1])
@@ -260,12 +271,17 @@ def decode_images(
             # GIF via the stdlib LZW decoder (r12): first frame
             try:
                 h, w, px = _gif_decode(b)[0]
-            except (ValueError, IndexError, struct.error):
+            except _CODEC_ERRORS:
                 return None, None, None
             if target is not None:
                 px = _png_resize_nearest(px, target[0], target[1])
                 w, h = target
             return w, h, _png_features(px, feature_dim)
+        if not b:
+            # NULL/empty payload: degrade the ROW, it isn't an
+            # unsupported FORMAT (r13 — a 100 TB image column will
+            # contain null payloads and one must not kill the job)
+            return None, None, None
         try:  # pragma: no cover - no PIL in container
             from PIL import Image  # noqa: F401
         except ImportError as e:
@@ -412,6 +428,11 @@ def _jpeg_decode(b: bytes):
     while i < len(b):
         if b[i] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        # ITU-T T.81 §B.1.1.2: any number of 0xFF fill bytes may pad a
+        # marker; treat runs of 0xFF as padding, the marker is the
+        # first non-0xFF byte after them (ADVICE r12)
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
         m = b[i + 1]
         if m == 0xD8:
             i += 2
@@ -880,21 +901,21 @@ def sample_frames(
         if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
             try:
                 frames = _avi_mjpeg_frames(b)
-            except (ValueError, IndexError):
+            except _CODEC_ERRORS:
                 return [(None, None, None)]
             out = []
             for idx in range(0, len(frames), max(1, every_n)):
                 try:
                     h, w, _px = _jpeg_decode(frames[idx])
                     out.append((idx, w, h))
-                except (ValueError, IndexError):
+                except _CODEC_ERRORS:
                     out.append((idx, None, None))
             return out or [(None, None, None)]
         if b[:6] in (b"GIF87a", b"GIF89a"):
             # animated GIF: frames via the stdlib LZW decoder (r12)
             try:
                 frames = _gif_decode(b)
-            except (ValueError, IndexError):
+            except _CODEC_ERRORS:
                 return [(None, None, None)]
             return [
                 (idx, frames[idx][1], frames[idx][0])

@@ -299,6 +299,43 @@ class TestBatchSparkParity:
             assert r.b_in is not None  # batch answers
 
 
+def test_dec_double_exponent_gate_matches_expression_path():
+    """ADVICE r12: the batch decoder's magnitude gate excluded
+    (2^61, 2^62) that the expression gate (biased exponent in
+    [-61, 61]) accepts.  Both gates are now the exponent form."""
+    import struct as s
+
+    from ibis_spark import geo_batch as gb_
+
+    def dec(v):
+        return gb_._dec_double(s.pack("<d", v), 0)
+
+    for v in (3e18, 2.0**61, 2.0**61 * 1.999, -3.5e18):
+        assert dec(v) == v  # e == 61: in-domain on BOTH paths
+    for v in (2.0**62, 5e18, -2.0**62, 2.0**-62, float("inf"), -0.0):
+        assert dec(v) is None
+    assert dec(0.0) == 0.0
+
+
+def test_setops_batch_rejects_name_collisions(con):
+    """ADVICE r12: a keep column named like a result column would
+    produce a duplicate-name output schema; build-time ValueError."""
+    import pytest as _pt
+
+    from ibis_spark import geo
+
+    t = con.memtable(
+        [(1.0,)], schema={"intersection": "float64"}
+    )
+    a = geo.geo_point(t.intersection, t.intersection, decoded=True)
+    with _pt.raises(ValueError, match="collide"):
+        geo.geo_setops_batch(t, a, a, keep=["intersection"])
+    with _pt.raises(ValueError, match="duplicate"):
+        geo.geo_setops_batch(
+            t, a, a, ops=("intersection", "union"), names=["x", "x"]
+        )
+
+
 def test_batch_arg_contract_and_flip_robustness(con):
     """The Spark 4.1 extraction flake, pinned (SCALE.md round 12): a
     scalar-pandas UDF whose argument is a COMPUTED expression tree can

@@ -651,6 +651,78 @@ class TestMultimodal:
         got = {r.id: r for r in multimodal.decode_images(m, fake=False).df.collect()}
         assert got[1].width is None and got[2].width is None
 
+    def test_jpeg_undefined_table_degrades(self, con):
+        """A JPEG whose SOF references quant table 3 that no DQT
+        defines raises KeyError inside _jpeg_decode — the degrade
+        contract must catch it (ADVICE r12: KeyError escaped the
+        ValueError/IndexError nets and killed the whole job)."""
+        bw = self._BitWriter()
+        bw.dc(8)
+        bw.put(0, 2)
+        hdr = self._jpeg_segments([(1, 1, 1)])
+        # SOF0 component spec is [cid, hv, tq]; patch tq 0 -> 3
+        sof_at = hdr.index(b"\xff\xc0")
+        tq_at = sof_at + 4 + 6 + 2  # marker+len+precision/h/w/ncomp, cid+hv
+        hdr = hdr[:tq_at] + b"\x03" + hdr[tq_at + 1 :]
+        payload = hdr + bw.bytes() + b"\xff\xd9"
+        import pytest
+
+        with pytest.raises(KeyError):
+            from ibis_spark.multimodal import _jpeg_decode
+
+            _jpeg_decode(payload)
+        t = con.memtable(
+            [(1, payload)], schema={"id": "int64", "payload": "binary"}
+        )
+        m = multimodal.attach_media(t, "payload", "image/jpeg")
+        out = multimodal.decode_images(m, fake=False).df.collect()[0]
+        assert out.width is None and out.features is None
+
+    def test_jpeg_fill_bytes_before_marker(self):
+        """ITU-T T.81 B.1.1.2: 0xFF fill bytes may pad any marker; a
+        padded stream must decode identically to the unpadded one
+        (ADVICE r12: the fill byte parsed as marker 0xFF)."""
+        import numpy as np
+
+        from ibis_spark.multimodal import _jpeg_decode
+
+        bw = self._BitWriter()
+        bw.dc(8)
+        bw.put(0, 2)
+        hdr = self._jpeg_segments([(1, 1, 1)])
+        ent = bw.bytes() + b"\xff\xd9"
+        padded = hdr.replace(b"\xff\xc4", b"\xff\xff\xff\xc4") + ent
+        plain = hdr + ent
+        h, w, px = _jpeg_decode(padded)
+        h2, w2, px2 = _jpeg_decode(plain)
+        assert (h, w) == (h2, w2) == (8, 8)
+        assert np.array_equal(px, px2)
+
+    def test_avi_corrupt_frame_degrades(self, con):
+        """sample_frames over an MJPEG AVI whose frame bytes raise
+        KeyError must degrade that frame to NULL dims, not fail the
+        job (ADVICE r12)."""
+        import struct as s
+
+        bad_jpeg = self._jpeg_segments([(1, 1, 1)])
+        sof_at = bad_jpeg.index(b"\xff\xc0")
+        tq_at = sof_at + 4 + 6 + 2
+        bad_jpeg = (
+            bad_jpeg[:tq_at] + b"\x03" + bad_jpeg[tq_at + 1 :] + b"\xff\xd9"
+        )
+        chunk = b"00dc" + s.pack("<I", len(bad_jpeg)) + bad_jpeg
+        if len(bad_jpeg) % 2:
+            chunk += b"\x00"
+        movi = b"LIST" + s.pack("<I", 4 + len(chunk)) + b"movi" + chunk
+        avi = b"RIFF" + s.pack("<I", 4 + len(movi)) + b"AVI " + movi
+        t = con.memtable(
+            [(1, avi)], schema={"id": "int64", "payload": "binary"}
+        )
+        m = multimodal.attach_media(t, "payload", "video/avi")
+        rows = multimodal.sample_frames(m, fake=False).df.collect()
+        assert len(rows) == 1
+        assert rows[0].frame_width is None
+
     # ---- GIF (round 12): in-test LZW encoder + hand-built containers
 
     @staticmethod
