@@ -3600,6 +3600,67 @@ def _geo_buffer_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_collection_report(spark, sf_dir):
+    """GEOMETRYCOLLECTION + EWKB input (r13 — reference
+    GeometryCollection type + GeoTransform geospatial.py:450 reading
+    the SRID from the geometry): per customer, a 3-member collection
+    (point, 5-vertex square, 2-member multipolygon) built by
+    geo_collection, byte-round-tripped through geo_encode/geo_decode
+    AND through EWKB (geo_as_ewkb -> geo_decode strips the SRID
+    flag+field).  Closed forms: the type name, member vertex total
+    (16), the full WKT string (integer coordinates), the embedded
+    SRID read-back, and the byte round-trip equality pinned TRUE.
+
+    Fixed 100 rows at every sf (the audio_features_report posture): a
+    correctness entry for the collection codec, not a bench signal —
+    the round-trips decode COMPUTED binary per row, which is
+    interpreted-HOF territory at ~ms/row, measured and deliberately
+    bounded."""
+    import ibis_spark.geo as geo
+
+    c = ib.connect(spark).memtable(
+        [(i,) for i in range(100)], schema={"c_custkey": "int64"}
+    )
+    k = (c.c_custkey % 50).cast("float64")
+    z = k - k
+    pt = geo.geo_point(k, k + 1.0, decoded=True)
+    sq = geo.geo_polygon(
+        ib.array(k, k + 4.0, k + 4.0, k),
+        ib.array(z, z, z + 4.0, z + 4.0),
+        decoded=True,
+    )
+    mp = geo.geo_multipolygon(
+        geo.geo_polygon(
+            ib.array(k + 10.0, k + 12.0, k + 12.0, k + 10.0),
+            ib.array(z + 10.0, z + 10.0, z + 12.0, z + 12.0),
+            decoded=True,
+        ),
+        geo.geo_polygon(
+            ib.array(k + 20.0, k + 22.0, k + 22.0, k + 20.0),
+            ib.array(z + 20.0, z + 20.0, z + 22.0, z + 22.0),
+            decoded=True,
+        ),
+    )
+    # materialize-once: the collection struct feeds 6 measures
+    c = c.mutate(gc=geo.geo_collection(pt, sq, mp))
+    c = c.mutate(
+        wkb=geo.geo_encode(c.gc), e=geo.geo_as_ewkb(c.gc, 4326)
+    )
+    # ONE round-trip chain, through the EWKB spelling — it exercises
+    # both ingest capabilities at once (SRID strip + collection
+    # decode); materialized (geo_encode _lets its input ~14x) and
+    # collections=True (the opt-in recursive decode walk)
+    c = c.mutate(re=geo.geo_decode(c.e, collections=True))
+    return c.select(
+        "c_custkey",
+        typ=geo.geo_geometry_type(c.gc),
+        np=geo.geo_n_points(c.gc),
+        wkt=geo.geo_as_text(c.gc),
+        srid=geo.geo_ewkb_srid(c.e),
+        ewkb_rt=(geo.geo_encode(c.re) == c.wkb),
+    ).to_spark()
+
+
 def _audio_features_report(spark, sf_dir):
     """Multimodal audio codec (r12-late, multimodal.decode_audio): 64
     deterministic 16-bit PCM WAVs — integer-cycle sines, f = 200(1+k%8)
@@ -4306,6 +4367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_buffer_report": _geo_buffer_report,
         "audio_features_report": _audio_features_report,
         "geo_line_merge_report": _geo_line_merge_report,
+        # -- new in round 13: GEOMETRYCOLLECTION + EWKB input ---------------
+        "geo_collection_report": _geo_collection_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -5095,6 +5158,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 AS DOUBLE) END AS da,
                    CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
                         ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "geo_collection_report": """
+            -- closed forms: 3-member collection (point + 5-vertex
+            -- square + 2-member multipolygon) -> type name, 16
+            -- member vertices, the exact WKT (integer coordinates),
+            -- embedded EWKB SRID read-back, byte round-trips TRUE
+            WITH s AS (
+                SELECT unnest(range(100))::BIGINT AS c_custkey,
+                       unnest(range(100))::BIGINT % 50 AS k
+            )
+            SELECT c_custkey,
+                   'GEOMETRYCOLLECTION' AS typ,
+                   CAST(16 AS BIGINT) AS np,
+                   'GEOMETRYCOLLECTION (POINT (' || k || ' ' || (k+1)
+                   || '), POLYGON ((' || k || ' 0, ' || (k+4)
+                   || ' 0, ' || (k+4) || ' 4, ' || k || ' 4, ' || k
+                   || ' 0)), MULTIPOLYGON (((' || (k+10) || ' 10, '
+                   || (k+12) || ' 10, ' || (k+12) || ' 12, '
+                   || (k+10) || ' 12, ' || (k+10) || ' 10)), (('
+                   || (k+20) || ' 20, ' || (k+22) || ' 20, '
+                   || (k+22) || ' 22, ' || (k+20) || ' 22, '
+                   || (k+20) || ' 20))))' AS wkt,
+                   CAST(4326 AS BIGINT) AS srid,
+                   TRUE AS ewkb_rt
             FROM s
         """,
         "audio_features_report": """

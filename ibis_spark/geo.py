@@ -116,6 +116,8 @@ __all__ = [
     "geo_line_merge",
     "geo_multilinestring",
     "geo_multipolygon",
+    "geo_collection",
+    "geo_ewkb_srid",
     "geo_convert",
     "geo_transform",
     "geo_buffer",
@@ -2880,12 +2882,19 @@ _MLINE_HDR = bytes.fromhex("0105000000")
 _MPOLY_HDR = bytes.fromhex("0106000000")
 
 
+_GC_HDR = bytes.fromhex("0107000000")
+
+
 def _is_mline(u):
     return F.substring(u, 1, 5) == F.lit(_MLINE_HDR)
 
 
 def _is_mpoly(u):
     return F.substring(u, 1, 5) == F.lit(_MPOLY_HDR)
+
+
+def _is_gc(u):
+    return F.substring(u, 1, 5) == F.lit(_GC_HDR)
 
 
 def _empty_parts():
@@ -3097,6 +3106,174 @@ def _decode_struct(u):
     )
 
 
+def _child_len(u, off):
+    """Total byte length of the complete LE WKB child geometry at
+    1-based offset ``off`` — the offset walk behind GEOMETRYCOLLECTION
+    decode.  NULL for BE children or unknown child types (including
+    nested collections)."""
+    t = _le_uint32(u, off + 1)
+    n = _le_uint32(u, off + 5)
+
+    def ring_walk(start, cnt):
+        # 1-based offset after ``cnt`` [npts][16-byte vertices] blocks
+        return F.aggregate(
+            _seq0(cnt), start, lambda o, _ri: o + 4 + 16 * _le_uint32(u, o)
+        )
+
+    poly_end = ring_walk(off + 9, n)
+    ml_end = F.aggregate(
+        _seq0(n), off + 9, lambda o, _ci: o + 9 + 16 * _le_uint32(u, o + 5)
+    )
+    mp_end = F.aggregate(
+        _seq0(n),
+        off + 9,
+        lambda o, _ci: ring_walk(o + 9, _le_uint32(u, o + 5)),
+    )
+    ln = (
+        F.when(t == 1, F.lit(21).cast("bigint"))
+        .when(t == 2, 9 + 16 * n)
+        .when(t == 3, poly_end - off)
+        .when(t == 4, 9 + 21 * n)
+        .when(t == 5, ml_end - off)
+        .when(t == 6, mp_end - off)
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    return F.when(
+        F.substring(u, off.cast("int"), 1) == F.lit(b"\x01"), ln
+    ).otherwise(F.lit(None).cast("bigint"))
+
+
+def _gc_parts(u):
+    """GEOMETRYCOLLECTION decoded parts (r13) — the HEADER-PART
+    encoding: ``parts[0]`` holds one vertex PER MEMBER with x = the
+    member's gtype (1-6) and y = the number of parts the member
+    occupies, and ``parts[1:]`` are every member's parts laid out
+    consecutively (a MULTIPOLYGON member keeps its internal separator
+    parts, counted in y).  Header values are small non-negative
+    integers — inside the codec domain — so encode and the
+    null-coordinate validity gate work unchanged; gtype-7-aware
+    measures subtract/skip the header part.  Members must be types
+    1-6: a nested collection NULLs the whole geometry (one level; the
+    reference's test surface never nests)."""
+
+    def step(acc, _ci):
+        off = acc["off"]
+
+        def with_len(clen):
+            def with_child(cd):
+                hdr_pt = F.struct(
+                    cd["gtype"].cast("double").alias("x"),
+                    F.size(cd["parts"]).cast("double").alias("y"),
+                )
+                return F.struct(
+                    (off + clen).alias("off"),
+                    F.concat(acc["hdr"], F.array(hdr_pt)).alias("hdr"),
+                    F.concat(acc["arr"], cd["parts"]).alias("arr"),
+                    (acc["ok"] & cd.isNotNull()).alias("ok"),
+                )
+
+            return _bind(
+                _decode_struct(
+                    F.substring(u, off.cast("int"), clen.cast("int"))
+                ),
+                with_child,
+            )
+
+        return _bind(_child_len(u, off), with_len)
+
+    acc0 = F.struct(
+        F.lit(10).cast("bigint").alias("off"),
+        _sh_empty_part().alias("hdr"),
+        _empty_parts().alias("arr"),
+        F.lit(True).alias("ok"),
+    )
+    return _bind(
+        F.aggregate(_seq0(_le_uint32(u, 6)), acc0, step),
+        lambda res: F.when(
+            res["ok"], F.concat(F.array(res["hdr"]), res["arr"])
+        ).otherwise(_null_parts()),
+    )
+
+
+_GC_EWKB_HDR = bytes.fromhex("0107000020")
+
+
+def _decode_struct_full(u):
+    """``_decode_struct`` plus EWKB normalization plus
+    GEOMETRYCOLLECTION (gtype 7, header-part encoding) — used by
+    ``geo_decode``/``geo_convert``, the public ingest points, so the
+    28 internal WKB fallback sites don't each carry the collection
+    walk in their plans.  Collections are supported ON THE DECODED
+    PATH: route mixed real-world WKB through ``geo_decode`` first (the
+    decode-once architecture's documented posture).
+
+    STRUCTURE MATTERS (measured, r13): interpreted HOF lambdas pay
+    their binding cost per evaluated row, so the heavy collection walk
+    must live behind the lazy CASE guard, NOT inside the common path's
+    ``_bind`` lambda — ``_bind(norm, when(is_gc, gc).otherwise(basic))``
+    ran 28 s where this split form runs ~3 s at sf0.1 on
+    non-collection data."""
+
+    def gc_of(nu):
+        gc = F.struct(
+            F.lit(7).cast("int").alias("gtype"),
+            _gc_parts(nu).alias("parts"),
+        )
+        return _bind(
+            gc,
+            lambda s: F.when(
+                s["parts"].isNull(), F.lit(None).cast(_DEC_T)
+            ).otherwise(s),
+        )
+
+    # plain or SRID-flagged type-7 header (Z/M-flagged stays on the
+    # basic path, where the norm passes it through and decode NULLs)
+    is_gc_any = _is_gc(u) | (
+        F.substring(u, 1, 5) == F.lit(_GC_EWKB_HDR)
+    )
+    return F.when(is_gc_any, _bind(_ewkb_norm(u), gc_of)).otherwise(
+        _bind(_ewkb_norm(u), _decode_struct)
+    )
+
+
+def _ewkb_norm(u):
+    """Accept PostGIS EWKB on ingest (r13): when the LE type word
+    carries the SRID flag (0x20000000) and no Z/M flags, return plain
+    WKB with the flag cleared and the 4-byte SRID field dropped; any
+    other input passes through unchanged (Z/M geometries then NULL in
+    decode, the honest posture for unsupported dimensions)."""
+    tw = _le_uint32(u, 2)
+    has_srid = tw.bitwiseAND(F.lit(0x20000000)) != 0
+    zm = tw.bitwiseAND(F.lit(0xC0000000)) != 0
+    base = tw.bitwiseAND(F.lit(0x1FFFFFFF))
+    stripped = F.concat(
+        F.substring(u, 1, 1),
+        F.unhex(_le_hex32(base)),
+        F.substring(u, F.lit(10), F.octet_length(u) - 9),
+    )
+    return F.when(
+        (F.substring(u, 1, 1) == F.lit(b"\x01")) & has_srid & ~zm,
+        stripped,
+    ).otherwise(u)
+
+
+def geo_ewkb_srid(g):
+    """The embedded EWKB SRID of a binary geometry column as BIGINT —
+    NULL for plain WKB, big-endian, Z/M-flagged, or NULL input.
+    Reference GeoTransform (geospatial.py:450) reads the source CRS
+    from the geometry; this is that read, exposed."""
+    u = unwrap(g)
+    tw = _le_uint32(u, 2)
+    return wrap(
+        F.when(
+            (F.substring(u, 1, 1) == F.lit(b"\x01"))
+            & (tw.bitwiseAND(F.lit(0x20000000)) != 0)
+            & (tw.bitwiseAND(F.lit(0xC0000000)) == 0),
+            _le_uint32(u, 6),
+        ).otherwise(F.lit(None).cast("bigint"))
+    )
+
+
 class DecodedGeo(Column):
     """A Column known AT BUILD TIME to hold the decoded geometry struct
     — measures/predicates skip the WKB byte codec for these.  Produced
@@ -3173,7 +3350,7 @@ def decoded(col):
     return _dec_wrap(unwrap(col))
 
 
-def geo_decode(g):
+def geo_decode(g, *, collections=False):
     """Decode LE WKB bytes ONCE into the public decoded form —
     ``struct<gtype, parts>`` (see the section comment).  Materialize
     this next to the data (``t.mutate(d=geo_decode(t.g))``) and feed
@@ -3181,11 +3358,29 @@ def geo_decode(g):
     fold over native doubles instead of re-walking hex-encoded bytes
     per measure (the r10 ``weak``-label fix; SCALE.md round 11).
     Reference parity: this is an engine-level optimization with no
-    reference analog — results are bit-identical to the WKB paths."""
+    reference analog — results are bit-identical to the WKB paths.
+
+    r13: this ingest point additionally accepts PostGIS EWKB input
+    (the SRID flag+field are stripped first; geo_ewkb_srid reads the
+    SRID, geo_transform consumes it) and — with ``collections=True`` —
+    GEOMETRYCOLLECTION (WKB type 7, decoded to the header-part
+    encoding, see _gc_parts).  Collections are OPT-IN because their
+    decode walk is structurally recursive and its expression form is a
+    ~30k-node plan per call site (measured: +25 s of py4j build and
+    +10s/action of optimizer time when it rode along on every
+    decode); types 1-6 + EWKB stay lean by default.  The internal WKB
+    fallback paths stay types-1-6: route mixed real-world WKB through
+    geo_decode, the decode-once architecture's documented posture."""
     d = _dec_of(g)
     if d is not None:
         return _dec_wrap(d)
-    out = _dec_wrap(_decode_struct(unwrap(g)))
+    u = unwrap(g)
+    expr = (
+        _decode_struct_full(u)
+        if collections
+        else _bind(_ewkb_norm(u), _decode_struct)
+    )
+    out = _dec_wrap(expr)
     # remember the WKB source: the batch set-op path re-uses the raw
     # bytes instead of re-encoding through the decode tree (whose
     # _let-in-lambda staging defeats ExtractPythonUDFs as a UDF arg)
@@ -3198,7 +3393,10 @@ def geo_encode(g):
     NULL for NULL input and for geometry the WKB layout can't hold
     (empty parts, a POINT struct with more than one vertex is encoded
     from its first).  Any out-of-domain coordinate NULL-propagates
-    through the staged encoder exactly as the WKB constructors do."""
+    through the staged encoder exactly as the WKB constructors do.
+    GEOMETRYCOLLECTION (r13): the header part drives a member fold —
+    each member's (gtype, part-count) pair re-encodes its parts slice
+    through the same per-type builders."""
     d = _dec_of(g)
     expr = d if d is not None else unwrap(g)
 
@@ -3211,8 +3409,7 @@ def geo_encode(g):
             F.aggregate(vh, F.lit(""), lambda a, v: F.concat(a, v)),
         )
 
-    def body(s):
-        gt, parts = s["gtype"], s["parts"]
+    def _hex_of(gt, parts):
         p1 = F.try_element_at(parts, F.lit(1))
         v1 = F.try_element_at(p1, F.lit(1))
         v1hex = F.try_element_at(
@@ -3309,7 +3506,7 @@ def geo_encode(g):
 
         mp_hx = _let(F.aggregate(parts, mp0, mp_fold_step), mp_fin)
 
-        hx = (
+        return (
             F.when(gt == 1, pt_hx)
             .when(gt == 2, line_hx)
             .when(gt == 3, poly_hx)
@@ -3318,6 +3515,50 @@ def geo_encode(g):
             .when(gt == 6, mp_hx)
             .otherwise(F.lit(None).cast("string"))
         )
+
+    def _gc_hex(parts):
+        # header-part fold: member i has type hdr[i].x and occupies
+        # hdr[i].y parts starting right after the previous member
+        hdr = F.try_element_at(parts, F.lit(1))
+        body_parts = F.slice(
+            parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))
+        )
+        acc0 = F.struct(
+            F.lit(1).cast("int").alias("pos"),
+            F.lit("").alias("out"),
+            F.lit(True).alias("ok"),
+        )
+
+        def step(a, h):
+            np_i = h["y"].cast("int")
+            m_hx = _bind(
+                F.slice(body_parts, a["pos"], np_i),
+                lambda mp: _hex_of(h["x"].cast("int"), mp),
+            )
+            return _bind(
+                m_hx,
+                lambda mh: F.struct(
+                    (a["pos"] + np_i).alias("pos"),
+                    F.concat(a["out"], mh).alias("out"),
+                    (a["ok"] & mh.isNotNull()).alias("ok"),
+                ),
+            )
+
+        def fin(a):
+            return F.when(
+                a["ok"],
+                F.concat(
+                    F.lit("0107000000"), _le_hex32(F.size(hdr)), a["out"]
+                ),
+            ).otherwise(F.lit(None).cast("string"))
+
+        return F.when(hdr.isNull(), F.lit(None).cast("string")).otherwise(
+            _let(F.aggregate(hdr, acc0, step), fin)
+        )
+
+    def body(s):
+        gt, parts = s["gtype"], s["parts"]
+        hx = F.when(gt == 7, _gc_hex(parts)).otherwise(_hex_of(gt, parts))
         return F.unhex(hx)
 
     return wrap(_let(expr, body))
@@ -3526,14 +3767,21 @@ def _dec_geometry_type(d):
         .when(gt == 4, F.lit("MULTIPOINT"))
         .when(gt == 5, F.lit("MULTILINESTRING"))
         .when(gt == 6, F.lit("MULTIPOLYGON"))
+        .when(gt == 7, F.lit("GEOMETRYCOLLECTION"))
         .otherwise(F.lit(None).cast("string"))
     )
 
 
 def _dec_n_points(d):
-    return F.when(
-        d["gtype"].isNotNull(), F.size(F.flatten(d["parts"])).cast("bigint")
-    ).otherwise(F.lit(None).cast("bigint"))
+    # gtype 7: the header part's vertices are (type, count) bookkeeping,
+    # not coordinates — subtract them (PostGIS ST_NPoints sums members)
+    n = F.size(F.flatten(d["parts"])).cast("bigint")
+    hdr = F.size(F.try_element_at(d["parts"], F.lit(1))).cast("bigint")
+    return (
+        F.when(d["gtype"] == 7, n - hdr)
+        .when(d["gtype"].isNotNull(), n)
+        .otherwise(F.lit(None).cast("bigint"))
+    )
 
 
 def _dec_n_rings(d):
@@ -4722,8 +4970,7 @@ def geo_as_text(g):
     if d is None:
         d = _decode_struct(unwrap(g))
 
-    def body(s):
-        gt, parts = s["gtype"], s["parts"]
+    def _txt_of(gt, parts):
         P1 = F.try_element_at(parts, F.lit(1))
         grouped = F.array_join(
             F.transform(
@@ -4783,6 +5030,47 @@ def geo_as_text(g):
             )
             .when(gt == 6, mp_txt)
             .otherwise(F.lit(None).cast("string"))
+        )
+
+    def _gc_txt(parts):
+        # header-part fold (see _gc_parts): per member, slice its
+        # parts and render through the same per-type builders
+        hdr = F.try_element_at(parts, F.lit(1))
+        body_parts = F.slice(
+            parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))
+        )
+        acc0 = F.struct(
+            F.lit(1).cast("int").alias("pos"), F.lit("").alias("out")
+        )
+
+        def step(a, h):
+            np_i = h["y"].cast("int")
+            m_txt = _bind(
+                F.slice(body_parts, a["pos"], np_i),
+                lambda mp: _txt_of(h["x"].cast("int"), mp),
+            )
+            return F.struct(
+                (a["pos"] + np_i).alias("pos"),
+                F.when(a["out"] == "", m_txt)
+                .otherwise(F.concat(a["out"], F.lit(", "), m_txt))
+                .alias("out"),
+            )
+
+        folded = F.aggregate(hdr, acc0, step)["out"]
+        return (
+            F.when(hdr.isNull(), F.lit(None).cast("string"))
+            .when(F.size(hdr) == 0, F.lit("GEOMETRYCOLLECTION EMPTY"))
+            .otherwise(
+                F.concat(
+                    F.lit("GEOMETRYCOLLECTION ("), folded, F.lit(")")
+                )
+            )
+        )
+
+    def body(s):
+        gt, parts = s["gtype"], s["parts"]
+        return F.when(gt == 7, _gc_txt(parts)).otherwise(
+            _txt_of(gt, parts)
         )
 
     return wrap(_let(d, body))
@@ -5367,6 +5655,48 @@ def geo_multipolygon(*polys):
     return _dec_wrap(_bind(s, body), gtype=6)
 
 
+def geo_collection(*members):
+    """Decoded GEOMETRYCOLLECTION from member geometries (decoded
+    structs or WKB bytes) — reference GeometryCollection input type
+    (geospatial.py type surface).  Members land in the header-part
+    encoding (see _gc_parts); NULL when any member is NULL or itself
+    a collection (one nesting level, like the decoder).  Zero members
+    build GEOMETRYCOLLECTION EMPTY.  geo_encode round-trips the
+    result to WKB type-7 bytes."""
+    ds = []
+    for m in members:
+        d = _dec_of(m)
+        ds.append(d if d is not None else _decode_struct(unwrap(m)))
+    if not ds:
+        return _dec_wrap(
+            _dec_geom(7, F.array(_sh_empty_part())), gtype=7
+        )
+
+    def body(s):
+        ok = F.lit(True)
+        hdr_pts, pieces = [], []
+        for i in range(len(ds)):
+            mi = s[f"m{i}"]
+            ok = (
+                ok
+                & mi.isNotNull()
+                & (mi["gtype"] >= 1)
+                & (mi["gtype"] <= 6)
+            )
+            hdr_pts.append(
+                F.struct(
+                    mi["gtype"].cast("double").alias("x"),
+                    F.size(mi["parts"]).cast("double").alias("y"),
+                )
+            )
+            pieces.append(mi["parts"])
+        parts = F.concat(F.array(F.array(*hdr_pts)), *pieces)
+        return F.when(ok, _dec_geom(7, parts)).otherwise(_null_dec())
+
+    s = F.struct(*[d.alias(f"m{i}") for i, d in enumerate(ds)])
+    return _dec_wrap(_bind(s, body), gtype=7)
+
+
 def geo_as_ewkb(g, srid_value: int = 0):
     """PostGIS-style EWKB bytes — reference GeoAsEWKB (geospatial.py,
     dtype binary).  EWKB = WKB with the SRID flag bit (0x20000000) set
@@ -5385,7 +5715,7 @@ def geo_as_ewkb(g, srid_value: int = 0):
     def body(v):
         t = _le_uint32(v, 2)
         known = (
-            (F.substring(v, 1, 1) == F.lit(b"\x01")) & (t >= 1) & (t <= 6)
+            (F.substring(v, 1, 1) == F.lit(b"\x01")) & (t >= 1) & (t <= 7)
         )
         ew = F.concat(
             F.substring(v, 1, 4),
@@ -6199,9 +6529,15 @@ def _dec_map_xy(d, fxy, sg=None):
     matching the constructors' whole-geometry NULL posture."""
 
     def body(s):
+        # gtype 7: parts[0] is the collection header (member types and
+        # part counts, not coordinates) — pass it through unmapped
         mapped = F.transform(
             s["parts"],
-            lambda P: F.transform(P, lambda p: fxy(p["x"], p["y"])),
+            lambda P, i: F.when(
+                (s["gtype"] == 7) & (i == 0), P
+            ).otherwise(
+                F.transform(P, lambda p: fxy(p["x"], p["y"]))
+            ),
         )
 
         def fin(parts):
@@ -6360,20 +6696,51 @@ def geo_convert(g, source, target):
     fxy = _crs_fxy(src, dst)
     d = _dec_of(g)
     if d is None:
-        d = _decode_struct(unwrap(g))
+        # raw binary ingest: accept EWKB and GEOMETRYCOLLECTION (r13)
+        d = _decode_struct_full(unwrap(g))
     if fxy is None:
         return _dec_wrap(d, gtype=_static_gtype_of(g))
     return _dec_map_xy(d, fxy, sg=_static_gtype_of(g))
 
 
-def geo_transform(g, srid, *, source_srid=4326):
+def geo_transform(g, srid, *, source_srid=None):
     """Transform a geometry into a new SRID — reference GeoTransform
-    (geospatial.py:450).  The engine's WKB/decoded forms do not carry
-    an embedded SRID (EWKB output exists, EWKB input is out of scope),
-    so the source defaults to EPSG:4326 and can be overridden with
-    ``source_srid=`` — documented divergence from PostGIS, which reads
-    the source from the geometry."""
-    return geo_convert(g, source_srid, srid)
+    (geospatial.py:450), which reads the source CRS FROM the geometry.
+
+    r13 semantics: with ``source_srid=`` given, behaves as
+    ``geo_convert(g, source_srid, srid)``.  Without it, a binary input
+    column is read as (E)WKB and the EMBEDDED EWKB SRID drives a
+    per-row dispatch: SRID == target -> identity, 3857 and 4326 ->
+    the matching projection, absent (plain WKB) -> 4326 (documented
+    default), any other embedded SRID -> NULL (UTM and other
+    parameterized sources need the explicit ``source_srid=`` — a
+    60-zone runtime dispatch is not worth the plan).  Decoded input
+    carries no SRID, so it uses the 4326 default."""
+    dst = _crs_code(srid)
+    if source_srid is not None:
+        return geo_convert(g, source_srid, srid)
+    if _dec_of(g) is not None:
+        return geo_convert(g, 4326, srid)
+    u = unwrap(g)
+    s = unwrap(geo_ewkb_srid(g))
+    from_4326 = _crs_fxy(4326, dst)
+    from_3857 = _crs_fxy(3857, dst)
+
+    def choose(db):
+        a_e = unwrap(_dec_map_xy(db, from_4326)) if from_4326 else db
+        b_e = unwrap(_dec_map_xy(db, from_3857)) if from_3857 else db
+        return (
+            F.when(
+                s.isNotNull() & ~s.isin(4326, 3857) & (s != F.lit(dst)),
+                _null_dec(),
+            )
+            .when(s == F.lit(dst), db)
+            .when(s == F.lit(3857), b_e)
+            .otherwise(a_e)
+        )
+
+    dec = _decode_struct_full(u)
+    return _dec_wrap(_bind(dec, choose))
 
 
 def _setop_batch(a, b, op: str, gtype_hint=None):

@@ -85,10 +85,16 @@ def parse_wkb_polygon(wkb):
     else is NULL on both paths)."""
     if wkb is None or len(wkb) < 9 or wkb[0] != 1:
         return None
-    if _s.unpack_from("<I", wkb, 1)[0] != 3:
-        return None
-    nrings = _s.unpack_from("<I", wkb, 5)[0]
+    tw = _s.unpack_from("<I", wkb, 1)[0]
     off = 9
+    if tw & 0x20000000 and not tw & 0xC0000000:
+        # EWKB SRID flag (r13): skip the 4-byte SRID, keep the base
+        # type — mirrors the expression path's _ewkb_norm ingest
+        tw &= 0x1FFFFFFF
+        off += 4
+    if tw != 3:
+        return None
+    nrings = _s.unpack_from("<I", wkb, off - 4)[0]
     rings = []
     for _ in range(nrings):
         if off + 4 > len(wkb):
