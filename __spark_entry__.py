@@ -3600,6 +3600,47 @@ def _geo_buffer_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_buffer_line_report(spark, sf_dir):
+    """Segment buffer (r13 — reference GeoBuffer geospatial.py:362 on
+    LINESTRING input, the most common buffer shape in practice:
+    corridors around routes): per customer an axis-aligned segment of
+    length L = custkey%7+1 buffered by r = (custkey%8)/4+1, emitted as
+    the disjoint MULTIPOLYGON decomposition (rectangle + two half-disc
+    caps).  Closed forms: area = 2rL + 16 r^2 sin(pi/16) (the caps sum
+    to the same 32-gon as a point buffer; axis-aligned keeps the
+    shoelace exact to ~1e-12, emitted at 4 decimals), 41 vertices, the
+    MULTIPOLYGON type tag, and NULL pins for the multi-segment and
+    zero-length degenerates."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    L = (c.c_custkey % 7).cast("float64") + 1.0
+    r = (c.c_custkey % 8).cast("float64") / 4.0 + 1.0
+    x0 = (c.c_custkey % 100).cast("float64")
+    y0 = (c.c_custkey % 50).cast("float64")
+    seg = geo.geo_linestring(
+        ib.array(x0, x0 + L), ib.array(y0, y0), decoded=True
+    )
+    multi = geo.geo_linestring(
+        ib.array(x0, x0 + L, x0), ib.array(y0, y0, y0 + L), decoded=True
+    )
+    zlen = geo.geo_linestring(
+        ib.array(x0, x0), ib.array(y0, y0), decoded=True
+    )
+    # materialize-once: the buffered struct feeds 3 measures
+    c = c.mutate(b=geo.geo_buffer(seg, r))
+    return c.select(
+        "c_custkey",
+        la=geo.geo_area(c.b).round(4),
+        lnp=geo.geo_n_points(c.b),
+        ltyp=geo.geo_geometry_type(c.b),
+        null_multi=geo.geo_area(geo.geo_buffer(multi, r)).isnull(),
+        null_zero=geo.geo_area(geo.geo_buffer(zlen, r)).isnull(),
+    ).to_spark()
+
+
 def _geo_collection_report(spark, sf_dir):
     """GEOMETRYCOLLECTION + EWKB input (r13 — reference
     GeometryCollection type + GeoTransform geospatial.py:450 reading
@@ -4367,8 +4408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_buffer_report": _geo_buffer_report,
         "audio_features_report": _audio_features_report,
         "geo_line_merge_report": _geo_line_merge_report,
-        # -- new in round 13: GEOMETRYCOLLECTION + EWKB input ---------------
+        # -- new in round 13: GEOMETRYCOLLECTION + EWKB input, line buffer --
         "geo_collection_report": _geo_collection_report,
+        "geo_buffer_line_report": _geo_buffer_line_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -5158,6 +5200,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 AS DOUBLE) END AS da,
                    CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
                         ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "geo_buffer_line_report": """
+            -- axis-aligned segment buffer decomposition: rectangle
+            -- 2rL + two half-disc caps totalling the 32-gon
+            -- 16 r^2 sin(pi/16); 41 vertices; degenerates NULL
+            WITH s AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 7 + 1 AS DOUBLE) AS L,
+                       CAST(c_custkey % 8 AS DOUBLE) / 4.0 + 1.0 AS r
+                FROM customer
+            )
+            SELECT c_custkey,
+                   ROUND(2.0*r*L + 16.0*r*r*sin(pi()/16.0), 4) AS la,
+                   CAST(41 AS BIGINT) AS lnp,
+                   'MULTIPOLYGON' AS ltyp,
+                   TRUE AS null_multi,
+                   TRUE AS null_zero
             FROM s
         """,
         "geo_collection_report": """

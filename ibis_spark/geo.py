@@ -6569,12 +6569,21 @@ def geo_buffer(g, radius, quad_segs: int = 8):
     - POINT -> the regular 4*quad_segs-gon on the circle;
     - CONVEX simple POLYGON -> the exact offset polygon (Minkowski sum
       with the sampled disc): edges shifted out along their normals,
-      vertex gaps filled with arcs of the same angular step.
+      vertex gaps filled with arcs of the same angular step;
+    - 2-vertex LINESTRING (r13) -> a MULTIPOLYGON decomposition of
+      three DISJOINT convex pieces: the 2r-wide segment rectangle and
+      the two half-disc end caps (each a closed (2*quad_segs+2)-gon
+      ring; arc directions are rotations of the segment direction, so
+      the trig constants fold at build time).  Emitted in the
+      flattened separator encoding — areas/bboxes are exact sums.
 
-    Non-convex polygons, lines, multi-geometries, and NEGATIVE radii
-    (erosion) return NULL — buffering those needs a full polygon-
-    offset engine (GEOS territory; e.g. Apache Sedona's ST_Buffer) and
-    a wrong ring is worse than a NULL.  radius <= 0 -> NULL."""
+    Non-convex polygons, polylines with more than one segment (their
+    rectangle pieces overlap at reflex joints, breaking the disjoint
+    decomposition), multi-geometries, and NEGATIVE radii (erosion)
+    return NULL — buffering those needs a full polygon-offset engine
+    (GEOS territory; e.g. Apache Sedona's ST_Buffer) and a wrong ring
+    is worse than a NULL.  radius <= 0 -> NULL; a zero-length segment
+    -> NULL (not a disc: the degenerate direction is undefined)."""
     if quad_segs < 1:
         raise ValueError("quad_segs must be >= 1")
     n = 4 * int(quad_segs)
@@ -6648,6 +6657,65 @@ def geo_buffer(g, radius, quad_segs: int = 8):
         # every multi-referenced subtree is _bind-staged (eval-once):
         # the analyzer inlines plain references at every use site, and
         # the arc fan references the ring per vertex per sample
+        def seg_pieces(P1):
+            """Disjoint rect + two end caps of the 2-vertex segment,
+            as flattened MULTIPOLYGON parts.  cos/sin(phi + c) unfold
+            to multiply-adds of the unit direction (ux, uy) with
+            BUILD-TIME constants cos(c)/sin(c)."""
+            a, b = F.get(P1, 0), F.get(P1, 1)
+
+            def build(cx):
+                ux, uy = cx["ux"], cx["uy"]
+
+                def arc_pt(c, i):
+                    # angle offset from phi: -pi/2 + i*step2 (cap b)
+                    cc, sc = math.cos(i), math.sin(i)
+                    return F.struct(
+                        (
+                            c["x"] + r * (ux * F.lit(cc) - uy * F.lit(sc))
+                        ).alias("x"),
+                        (
+                            c["y"] + r * (uy * F.lit(cc) + ux * F.lit(sc))
+                        ).alias("y"),
+                    )
+
+                step2 = math.pi / (2 * quad_segs)
+                cap_b = [
+                    arc_pt(b, -math.pi / 2.0 + i * step2)
+                    for i in range(2 * quad_segs + 1)
+                ]
+                cap_a = [
+                    arc_pt(a, math.pi / 2.0 + i * step2)
+                    for i in range(2 * quad_segs + 1)
+                ]
+                # CCW rectangle: a-rn, b-rn, b+rn, a+rn (n = left normal)
+                nx, ny = -uy, ux
+
+                def off(p, sgn):
+                    return F.struct(
+                        (p["x"] + sgn * r * nx).alias("x"),
+                        (p["y"] + sgn * r * ny).alias("y"),
+                    )
+
+                rect = F.array(
+                    off(a, -1.0), off(b, -1.0), off(b, 1.0),
+                    off(a, 1.0), off(a, -1.0),
+                )
+                return F.concat(
+                    F.array(rect),
+                    _mp_separator(),
+                    F.array(F.array(*(cap_b + [cap_b[0]]))),
+                    _mp_separator(),
+                    F.array(F.array(*(cap_a + [cap_a[0]]))),
+                )
+
+            dx, dy = b["x"] - a["x"], b["y"] - a["y"]
+            ln = F.sqrt(dx * dx + dy * dy)
+            ctx = F.struct(
+                (dx / ln).alias("ux"), (dy / ln).alias("uy")
+            )
+            return _bind(ctx, build)
+
         def with_p1(P1):
             pt = F.try_element_at(P1, F.lit(1))
             ccw0 = F.when(
@@ -6658,6 +6726,15 @@ def geo_buffer(g, radius, quad_segs: int = 8):
                 def with_cr(cr):
                     good_pt = (gt == 1) & pt.isNotNull()
                     good_poly = (gt == 3) & (F.size(parts) == 1) & cr["ok"]
+                    p0 = F.try_element_at(P1, F.lit(1))
+                    p1b = F.try_element_at(P1, F.lit(2))
+                    good_seg = (
+                        (gt == 2)
+                        & (F.size(P1) == 2)
+                        & (
+                            (p0["x"] != p1b["x"]) | (p0["y"] != p1b["y"])
+                        )
+                    )
                     return (
                         F.when(
                             r.isNull() | (r <= 0.0) | s.isNull(),
@@ -6674,6 +6751,7 @@ def geo_buffer(g, radius, quad_segs: int = 8):
                             good_poly,
                             _dec_geom(3, F.array(poly_ring(ccw, r))),
                         )
+                        .when(good_seg, _dec_geom(6, seg_pieces(P1)))
                         .otherwise(_null_dec())
                     )
 
@@ -6683,7 +6761,12 @@ def geo_buffer(g, radius, quad_segs: int = 8):
 
         return _bind(F.try_element_at(parts, F.lit(1)), with_p1)
 
-    return _dec_wrap(_bind(d, body), gtype=3)
+    # output static type follows the input's when known: point/polygon
+    # buffers are POLYGONs, a segment buffer is the MULTIPOLYGON
+    # decomposition; unknown input -> no hint
+    sg_in = _static_gtype_of(g)
+    sg_out = {1: 3, 3: 3, 2: 6}.get(sg_in) if sg_in is not None else None
+    return _dec_wrap(_bind(d, body), gtype=sg_out)
 
 
 def geo_convert(g, source, target):

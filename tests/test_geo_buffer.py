@@ -46,6 +46,14 @@ def buf(con):
         decoded=True,
     )
     line = geo.geo_linestring(ib.array(z, z + 1.0), ib.array(z, z), decoded=True)
+    # r13: 2-vertex segments buffer; multi-segment / zero-length NULL
+    line3 = geo.geo_linestring(
+        ib.array(z, z + 1.0, z + 2.0), ib.array(z, z, z + 1.0), decoded=True
+    )
+    linez = geo.geo_linestring(ib.array(z, z), ib.array(z, z), decoded=True)
+    diag = geo.geo_linestring(
+        ib.array(z + 7.0, z + 10.0), ib.array(z + 1.0, z + 5.0), decoded=True
+    )
     bp, bs = geo.geo_buffer(p, t.r), geo.geo_buffer(sq, t.r)
     out = t.mutate(
         pa=geo.geo_area(bp),
@@ -62,6 +70,11 @@ def buf(con):
         q1a=geo.geo_area(geo.geo_buffer(p, t.r, quad_segs=1)),
         na=geo.geo_area(geo.geo_buffer(nonconv, t.r)),
         la=geo.geo_area(geo.geo_buffer(line, t.r)),
+        ln_np=geo.geo_n_points(geo.geo_buffer(line, t.r)),
+        ltyp=geo.geo_geometry_type(geo.geo_buffer(line, t.r)),
+        la3=geo.geo_area(geo.geo_buffer(line3, t.r)),
+        laz=geo.geo_area(geo.geo_buffer(linez, t.r)),
+        da=geo.geo_area(geo.geo_buffer(diag, t.r)),
     ).df.collect()
     return {r.i: r for r in out}
 
@@ -112,9 +125,27 @@ class TestGeoBuffer:
 
     def test_unsupported_and_negative_null(self, buf):
         for i in RADII:
-            assert buf[i].na is None  # non-convex polygon
-            assert buf[i].la is None  # linestring
+            assert buf[i].na is None   # non-convex polygon
+            assert buf[i].la3 is None  # multi-segment polyline
+            assert buf[i].laz is None  # zero-length segment
         assert buf[4].pa is None and buf[4].sa is None  # negative radius
+        assert buf[4].la is None  # negative radius on a segment
+
+    def test_segment_buffer_closed_forms(self, buf):
+        """r13: a 2-vertex segment buffers to the disjoint rect + two
+        half-disc caps MULTIPOLYGON: area 2rL + 16 r^2 sin(pi/16),
+        41 vertices, and rotation invariance (the 3-4-5 diagonal of
+        length 5 matches the same closed form)."""
+        cap = 16.0 * math.sin(math.pi / 16.0)
+        for i, r in RADII.items():
+            assert buf[i].la == pytest.approx(
+                2.0 * r * 1.0 + cap * r * r, rel=1e-12
+            )
+            assert buf[i].ln_np == 41
+            assert buf[i].ltyp == "MULTIPOLYGON"
+            assert buf[i].da == pytest.approx(
+                2.0 * r * 5.0 + cap * r * r, rel=1e-12
+            )
 
     def test_quad_segs_validation(self, con):
         from ibis_spark import geo
