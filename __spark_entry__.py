@@ -3499,6 +3499,146 @@ def _geo_clip_general_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_clip_holed_report(spark, sf_dir):
+    """Set ops over polygons WITH HOLES + the shared-edge degenerate
+    class (r13 batch kernel extensions — reference GeoIntersection/
+    GeoDifference/GeoUnion geospatial.py:362-468 on holed input).
+    Four pairs per customer, w0 = custkey % 3, every measure an exact
+    closed form:
+
+    - donut [0,8]^2 \\ [3,5]^2 INTERSECT window [w0, w0+8]^2:
+      ia1 = (8-w0)^2 - 4, 10 vertices (outer ring + hole ring);
+    - square [0,8]^2 MINUS donut ([2+w0,10+w0]^2 \\ [4+w0,6+w0]^2):
+      da2 = 64 - (6-w0)^2 + 4 (the part inside the subtrahend's hole
+      survives);
+    - donut ([0,8]^2 \\ [2,6]^2) UNION island [3,5]^2: ua3 = 52 (the
+      island lives inside the hole);
+    - L-shape UNION/MINUS/INTERSECT a triangle glued to one full edge
+      (the single-shared-edge degenerate): su4 = 20 + 2(w0+1) (the
+      splice), sd4 = 20 (subject unchanged), intersection NULL (line
+      contact, the documented posture)."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w0 = (c.c_custkey % 3).cast("float64")
+    z = w0 - w0
+
+    def square(x0, y0, s):
+        return geo.geo_polygon(
+            ib.array(x0, x0 + s, x0 + s, x0),
+            ib.array(y0, y0, y0 + s, y0 + s),
+            decoded=True,
+        )
+
+    donut_a = geo.geo_polygon(
+        ib.array(z, z + 8.0, z + 8.0, z),
+        ib.array(z, z, z + 8.0, z + 8.0),
+        holes=[
+            (
+                ib.array(z + 3.0, z + 5.0, z + 5.0, z + 3.0),
+                ib.array(z + 3.0, z + 3.0, z + 5.0, z + 5.0),
+            )
+        ],
+        decoded=True,
+    )
+    window = square(w0, w0, 8.0)
+    out = geo.geo_setops_batch(
+        c, donut_a, window, keep=["c_custkey"], names=["i1", "d1", "u1"]
+    )
+    # measure between calls: a decoded struct cannot ride through the
+    # NEXT mapInPandas as a keep column (pandas->Arrow chokes on the
+    # ragged parts arrays) — and scalars are all we need downstream
+    out = out.select(
+        "c_custkey",
+        ia1=geo.geo_area(out["i1"]),
+        ip1=geo.geo_n_points(out["i1"]),
+    )
+
+    w0b = (out.c_custkey % 3).cast("float64")
+    zb = w0b - w0b
+    a2 = geo.geo_polygon(
+        ib.array(zb, zb + 8.0, zb + 8.0, zb),
+        ib.array(zb, zb, zb + 8.0, zb + 8.0),
+        decoded=True,
+    )
+    donut_b = geo.geo_polygon(
+        ib.array(w0b + 2.0, w0b + 10.0, w0b + 10.0, w0b + 2.0),
+        ib.array(w0b + 2.0, w0b + 2.0, w0b + 10.0, w0b + 10.0),
+        holes=[
+            (
+                ib.array(w0b + 4.0, w0b + 6.0, w0b + 6.0, w0b + 4.0),
+                ib.array(w0b + 4.0, w0b + 4.0, w0b + 6.0, w0b + 6.0),
+            )
+        ],
+        decoded=True,
+    )
+    out = geo.geo_setops_batch(
+        out, a2, donut_b,
+        keep=["c_custkey", "ia1", "ip1"],
+        names=["i2", "d2", "u2"],
+    )
+    out = out.select(
+        "c_custkey", "ia1", "ip1", da2=geo.geo_area(out["d2"])
+    )
+
+    w0c = (out.c_custkey % 3).cast("float64")
+    zc = w0c - w0c
+    donut_c = geo.geo_polygon(
+        ib.array(zc, zc + 8.0, zc + 8.0, zc),
+        ib.array(zc, zc, zc + 8.0, zc + 8.0),
+        holes=[
+            (
+                ib.array(zc + 2.0, zc + 6.0, zc + 6.0, zc + 2.0),
+                ib.array(zc + 2.0, zc + 2.0, zc + 6.0, zc + 6.0),
+            )
+        ],
+        decoded=True,
+    )
+    island = geo.geo_polygon(
+        ib.array(zc + 3.0, zc + 5.0, zc + 5.0, zc + 3.0),
+        ib.array(zc + 3.0, zc + 3.0, zc + 5.0, zc + 5.0),
+        decoded=True,
+    )
+    out = geo.geo_setops_batch(
+        out, donut_c, island,
+        keep=["c_custkey", "ia1", "ip1", "da2"],
+        names=["i3", "d3", "u3"],
+    )
+    out = out.select(
+        "c_custkey", "ia1", "ip1", "da2", ua3=geo.geo_area(out["u3"])
+    )
+
+    w0d = (out.c_custkey % 3).cast("float64")
+    zd = w0d - w0d
+    ell = geo.geo_polygon(
+        ib.array(zd, zd + 6.0, zd + 6.0, zd + 2.0, zd + 2.0, zd),
+        ib.array(zd, zd, zd + 2.0, zd + 2.0, zd + 6.0, zd + 6.0),
+        decoded=True,
+    )
+    tri = geo.geo_polygon(
+        ib.array(zd + 2.0, zd + 2.0, w0d + 3.0),
+        ib.array(zd + 6.0, zd + 2.0, zd + 3.0),
+        decoded=True,
+    )
+    out = geo.geo_setops_batch(
+        out, ell, tri,
+        keep=["c_custkey", "ia1", "ip1", "da2", "ua3"],
+        names=["i4", "d4", "u4"],
+    )
+    return out.select(
+        "c_custkey",
+        "ia1",
+        "ip1",
+        "da2",
+        "ua3",
+        su4=geo.geo_area(out["u4"]),
+        sd4=geo.geo_area(out["d4"]),
+        si4_null=geo.geo_area(out["i4"]).isnull(),
+    ).to_spark()
+
+
 def _geo_transform_report(spark, sf_dir):
     """CRS transforms (r12 — reference GeoConvert geospatial.py:459 /
     GeoTransform :450): per customer, a lon/lat sweep projected to
@@ -4411,6 +4551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 13: GEOMETRYCOLLECTION + EWKB input, line buffer --
         "geo_collection_report": _geo_collection_report,
         "geo_buffer_line_report": _geo_buffer_line_report,
+        "geo_clip_holed_report": _geo_clip_holed_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -5200,6 +5341,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 AS DOUBLE) END AS da,
                    CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
                         ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "geo_clip_holed_report": """
+            -- holed set ops + shared-edge degenerates: exact closed
+            -- forms on w0 = custkey %% 3 (see the entry docstring)
+            WITH s AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 3 AS DOUBLE) AS w0
+                FROM customer
+            )
+            SELECT c_custkey,
+                   (8.0-w0)*(8.0-w0) - 4.0 AS ia1,
+                   CAST(10 AS BIGINT) AS ip1,
+                   64.0 - (6.0-w0)*(6.0-w0) + 4.0 AS da2,
+                   CAST(52.0 AS DOUBLE) AS ua3,
+                   20.0 + 2.0*(w0+1.0) AS su4,
+                   CAST(20.0 AS DOUBLE) AS sd4,
+                   TRUE AS si4_null
             FROM s
         """,
         "geo_buffer_line_report": """

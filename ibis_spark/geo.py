@@ -6920,7 +6920,9 @@ def geo_setops_batch(
     geometry pair in ONE projection, then a single ``mapInPandas``
     pass computes every requested op per batch with the geo_batch.py
     kernels (IEEE-identical to the expression path where it answers;
-    Greiner-Hormann for non-convex hole-free pairs).  Returns a Table
+    Greiner-Hormann for non-convex pairs, r13 ring decomposition for
+    holed inputs and the single-shared-edge degenerate).  Returns a
+    Table
     of the ``keep`` columns plus one decoded geometry column per op.
 
     Why a table operation and not ``method="batch"``: a scalar-pandas

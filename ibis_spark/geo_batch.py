@@ -17,11 +17,18 @@ Two kernels:
   round 12 named this lever).
 - **General simple polygons** (phase 2 of the batch path): a
   Greiner-Hormann traversal handles NON-CONVEX clip sides — the case
-  the expression path degrades to NULL — for hole-free simple
-  subject/clip pairs whose boundaries cross transversally.  Degenerate
-  boundary contact (vertex exactly on an edge, collinear edge overlap)
-  degrades to NULL, never a wrong ring; PURE containment/disjoint
-  cases (no crossings at all) are exact closed forms and allowed.
+  the expression path degrades to NULL — for simple subject/clip
+  pairs whose boundaries cross transversally.  r13 extends the
+  kernel to POLYGONS WITH HOLES (ring decomposition: hole-free
+  outer-ring ops plus conservative ring subtraction/addition — holes
+  that interact with each other or touch a boundary still degrade)
+  and to the SINGLE-SHARED-EDGE degenerate class (exactly one full
+  shared edge, no other contact: union splices the rings, difference
+  returns the subject, intersection is a line -> NULL).  All other
+  degenerate boundary contact (vertex exactly on an edge, multi-edge
+  collinear overlap) degrades to NULL, never a wrong ring; PURE
+  containment/disjoint cases (no crossings at all) are exact closed
+  forms and allowed.
 
 Reference parity: GeoIntersection/GeoDifference/GeoUnion
 (/root/reference/ibis/expr/operations/geospatial.py:362-468).  The
@@ -487,6 +494,269 @@ def _nest_rings(rings):
     return parts
 
 
+def _seg_class(p0, p1, q0, q1):
+    """Full segment-incidence classification (r13, the shared-edge
+    degenerate class): 'none' | 'proper' | ('point', pt) | 'overlap'.
+    Unlike _seg_cross it never raises — callers that can ANSWER a
+    degenerate configuration use this to decide."""
+    rx, ry = p1[0] - p0[0], p1[1] - p0[1]
+    sx, sy = q1[0] - q0[0], q1[1] - q0[1]
+    den = rx * sy - ry * sx
+    qpx, qpy = q0[0] - p0[0], q0[1] - p0[1]
+    cross_qp_s = qpx * sy - qpy * sx
+    cross_qp_r = qpx * ry - qpy * rx
+    if den == 0.0:
+        if cross_qp_r != 0.0:
+            return "none"
+        if rx == 0.0 and ry == 0.0:
+            return "none"
+        if abs(rx) >= abs(ry):
+            t0, t1 = qpx / rx, (qpx + sx) / rx
+        else:
+            t0, t1 = qpy / ry, (qpy + sy) / ry
+        lo, hi = min(t0, t1), max(t0, t1)
+        if hi < 0.0 or lo > 1.0:
+            return "none"
+        if hi == 0.0:
+            return ("point", (p0[0], p0[1]))
+        if lo == 1.0:
+            return ("point", (p1[0], p1[1]))
+        return "overlap"
+    t = cross_qp_s / den
+    u = cross_qp_r / den
+    if t < 0.0 or t > 1.0 or u < 0.0 or u > 1.0:
+        return "none"
+    if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+        return "proper"
+    pt = (p0[0] + rx * t, p0[1] + ry * t)
+    return ("point", pt)
+
+
+def _touch_only_setop(op, aP, bP):
+    """The shared-edge degenerate class (r13): A and B share EXACTLY
+    ONE full edge (opposite orientation on CCW rings), every other
+    edge-pair incidence is at that edge's endpoints only, and no
+    vertex of either ring is inside the other.  Then the interiors are
+    disjoint: intersection is a line (None — the engine's documented
+    degenerate posture), difference is A unchanged, union is the
+    spliced single ring (area = areaA + areaB, the shared edge
+    cancels).  Any other configuration returns None (degrade)."""
+    A, B = _ccw(aP), _ccw(bP)
+    na, nb = len(A) - 1, len(B) - 1
+    ea = {(A[i], A[i + 1]): i for i in range(na)}
+    matches = [
+        (ea[(B[j + 1], B[j])], j)
+        for j in range(nb)
+        if (B[j + 1], B[j]) in ea
+    ]
+    if len(matches) != 1:
+        return None
+    i, j = matches[0]
+    p, q = A[i], A[i + 1]  # shared edge p -> q in A; q -> p in B
+    for ii in range(na):
+        for jj in range(nb):
+            if ii == i and jj == j:
+                continue
+            cls = _seg_class(A[ii], A[ii + 1], B[jj], B[jj + 1])
+            if cls == "none":
+                continue
+            if (
+                isinstance(cls, tuple)
+                and cls[0] == "point"
+                and (cls[1] == p or cls[1] == q)
+            ):
+                continue
+            return None
+    # vertex containment: every non-shared vertex strictly outside
+    for v in A[:-1]:
+        if v == p or v == q:
+            continue
+        try:
+            if _point_in_ring(v, B):
+                return None
+        except _GHDegenerate:
+            return None
+    for v in B[:-1]:
+        if v == p or v == q:
+            continue
+        try:
+            if _point_in_ring(v, A):
+                return None
+        except _GHDegenerate:
+            return None
+    if op == OP_INTERSECTION:
+        return None  # line contact: documented degenerate -> NULL
+    if op == OP_DIFFERENCE:
+        return (6, [A])
+    # union: splice B's detour (its vertices excluding p, q) into A
+    jp = (j + 1) % nb  # index of p in B's open ring
+    detour = [B[(jp + k) % nb] for k in range(1, nb - 1)]
+    ring = A[: i + 1] + detour + A[i + 1 : -1]
+    ring = ring + [ring[0]]
+    return (6, [_ccw(ring)])
+
+
+def _parts_to_members(parts):
+    """Flattened separator parts -> [(outer, [holes])] member groups."""
+    groups, cur = [], []
+    for P in parts:
+        if len(P) == 0:
+            if cur:
+                groups.append(cur)
+            cur = []
+        else:
+            cur.append(P)
+    if cur:
+        groups.append(cur)
+    return [(g[0], list(g[1:])) for g in groups]
+
+
+def _members_to_parts(members):
+    out = []
+    for outer, holes in members:
+        if out:
+            out.append([])
+        out.append(_ccw(outer))
+        for H in holes:
+            out.append(H if _shoelace(H) < 0 else H[::-1])
+    return out
+
+
+def _ring_rel(P, Q):
+    """Relation of simple closed rings: 'cross' | 'disjoint' |
+    'P_in_Q' | 'Q_in_P'.  Raises _GHDegenerate on boundary contact."""
+    _la, _lb, n = _gh_build(P, Q)
+    if n:
+        return "cross"
+    if _point_in_ring(P[0], Q):
+        return "P_in_Q"
+    if _point_in_ring(Q[0], P):
+        return "Q_in_P"
+    return "disjoint"
+
+
+def _subtract_ring(members, H):
+    """Member list minus the region of simple CCW ring ``H`` (r13, the
+    hole machinery).  Raises _GHDegenerate when H interacts with an
+    existing hole or touches a boundary — degrade, never guess."""
+    out = []
+    for outer, holes in members:
+        rel = _ring_rel(H, outer)
+        if rel == "disjoint":
+            out.append((outer, holes))
+            continue
+        if rel == "Q_in_P":
+            continue  # outer inside H: member fully removed
+        if rel == "P_in_Q":
+            # H inside outer: vs existing holes
+            new_holes, swallowed = [], False
+            for h in holes:
+                r2 = _ring_rel(H, _ccw(h))
+                if r2 == "cross":
+                    raise _GHDegenerate("hole-hole crossing")
+                if r2 == "P_in_Q":
+                    swallowed = True  # H inside an existing hole
+                    new_holes.append(h)
+                elif r2 == "Q_in_P":
+                    continue  # hole inside H: absorbed by H
+                else:
+                    new_holes.append(h)
+            if swallowed:
+                out.append((outer, holes))
+            else:
+                out.append((outer, new_holes + [H]))
+            continue
+        # H crosses outer: replace with hole-free diff pieces and
+        # re-assign this member's holes to the piece containing them
+        r = _general_setop(OP_DIFFERENCE, outer, H)
+        if r is None:
+            raise _GHDegenerate("piece diff degenerate")
+        pieces = _parts_to_members(r[1])
+        for h in holes:
+            hc = _ccw(h)
+            if _ring_rel(hc, H) != "disjoint":
+                raise _GHDegenerate("hole interacts with subtrahend")
+            placed = False
+            for k, (po, ph) in enumerate(pieces):
+                if _ring_rel(hc, po) == "P_in_Q":
+                    pieces[k] = (po, ph + [h])
+                    placed = True
+                    break
+            if not placed:
+                raise _GHDegenerate("hole lost in piece split")
+        out.extend(pieces)
+    return out
+
+
+def _holed_setop(op, aparts, bparts):
+    """Set ops over POLYGONS WITH HOLES (r13): decompose into
+    hole-free outer-ring ops plus ring subtraction/addition, with
+    conservative degrades (None) whenever holes interact with each
+    other or with a boundary.  Inputs are polygon ring lists
+    [outer, *holes]; returns decoded (gtype, parts) or None."""
+    outerA, holesA = _ccw(aparts[0]), [_ccw(h) for h in aparts[1:]]
+    outerB, holesB = _ccw(bparts[0]), [_ccw(h) for h in bparts[1:]]
+    try:
+        if op == OP_INTERSECTION:
+            core = setop(op, (3, [outerA]), (3, [outerB]))
+            if core is None:
+                return None
+            members = _parts_to_members(core[1])
+            for H in holesA + holesB:
+                members = _subtract_ring(members, H)
+            if not members:
+                return None
+            if len(members) == 1:
+                return (3, _members_to_parts(members))
+            return (6, _members_to_parts(members))
+        if op == OP_DIFFERENCE:
+            core = setop(op, (3, [outerA]), (3, [outerB]))
+            if core is None:
+                return None
+            members = _parts_to_members(core[1])
+            for H in holesA:
+                members = _subtract_ring(members, H)
+            # regions of A inside B's holes survive the difference
+            for H in holesB:
+                add = setop(OP_INTERSECTION, (3, [outerA]), (3, [H]))
+                if add is None:
+                    continue
+                pieces = _parts_to_members(add[1])
+                for HA in holesA:
+                    pieces = _subtract_ring(pieces, HA)
+                members.extend(pieces)
+            return (6, _members_to_parts(members))
+        # union: holes survive only where the other polygon doesn't
+        # cover them; support the non-interacting hole classes, degrade
+        # on hole-boundary or hole-hole contact
+        core = setop(op, (3, [outerA]), (3, [outerB]))
+        if core is None:
+            return None
+        members = _parts_to_members(core[1])
+        for H, other_outer, other_holes in [
+            (h, outerB, holesB) for h in holesA
+        ] + [(h, outerA, holesA) for h in holesB]:
+            rel = _ring_rel(H, other_outer)
+            if rel == "disjoint":
+                members = _subtract_ring(members, H)
+            elif rel == "P_in_Q":
+                for oh in other_holes:
+                    if _ring_rel(H, oh) != "disjoint":
+                        return None  # hole-in-hole: degrade
+                continue  # inside the other polygon: filled
+            elif rel == "Q_in_P":
+                # the other polygon is an ISLAND inside this hole:
+                # the hole survives minus the island, which becomes
+                # its own member (with its own holes)
+                members = _subtract_ring(members, H)
+                members.append((other_outer, list(other_holes)))
+            else:
+                return None  # hole crosses the other outer: degrade
+        return (6, _members_to_parts(members))
+    except _GHDegenerate:
+        return None
+
+
 def _general_setop(op, aP, bP):
     """Non-convex fallback over hole-free simple closed rings.  Returns
     decoded (gtype, parts) or None (degrade)."""
@@ -529,7 +799,8 @@ def _general_setop(op, aP, bP):
             return (6, list(_mp_assemble(pieces)))
         return (6, _nest_rings(rings))
     except _GHDegenerate:
-        return None
+        # the answerable degenerate class: exactly one shared edge
+        return _touch_only_setop(op, aP, bP)
 
 
 # ---------------------------------------------------------------------------
@@ -571,6 +842,8 @@ def setop(op, ga, gb):
             return None
         if len(aparts) == 1 and len(bparts) == 1:
             return _general_setop(op, aparts[0], bparts[0])
+        if aparts and bparts:
+            return _holed_setop(op, aparts, bparts)
         return None
 
     if op == OP_DIFFERENCE:
@@ -587,9 +860,11 @@ def setop(op, ga, gb):
             if len(aparts) == 1:
                 pieces = [R for R in _diff_pieces(aparts[0], E) if R]
                 return (6, _mp_assemble(pieces))
-            return None
+            return _holed_setop(op, aparts, bparts)
         if len(aparts) == 1 and len(bparts) == 1:
             return _general_setop(op, aparts[0], bparts[0])
+        if aparts and bparts:
+            return _holed_setop(op, aparts, bparts)
         return None
 
     if op == OP_UNION:
@@ -625,6 +900,8 @@ def setop(op, ga, gb):
             return (6, out)
         if len(aparts) == 1 and len(bparts) == 1:
             return _general_setop(op, aP, bP)
+        if aparts and bparts:
+            return _holed_setop(op, aparts, bparts)
         return None
 
     raise ValueError(f"unknown set op: {op!r}")

