@@ -25,27 +25,39 @@ _TABLES = (
 ).split()
 
 
-_T_CACHE: dict = {}
+_SCHEMA_CACHE: dict = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str):
     # epoch/unix conversions assume UTC wall time, matching DuckDB's
     # treatment of naive timestamps — enforce regardless of driver session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Memoized per (session, dir, table) — r13: `spark.read.parquet`
-    # fires a footer-listing job on EVERY call, which tripped bench.py's
-    # construction-probe (meant to catch driver-side iterative work) and
-    # silently flipped pure-expression queries into per-rep-construct
-    # timing, charging ~2-4 s of py4j plan-BUILD per rep to entries
-    # whose execution is ~1.3-1.7 s.  A session reuses its source
-    # DataFrames like any real pipeline; the ibis Table is immutable, so
-    # sharing one across query constructions is safe.
-    key = (id(spark), sf_dir, name)
-    t = _T_CACHE.get(key)
-    if t is None:
-        t = ib.connect(spark).read_parquet(f"{sf_dir}/{name}.parquet")
-        _T_CACHE[key] = t
-    return t
+    # SCHEMA memoized per (session, dir, table) — r13: schema INFERENCE
+    # (`spark.read.parquet` with no schema) fires a footer-reading job
+    # on EVERY call, which tripped bench.py's construction-probe (meant
+    # to catch driver-side iterative work) and silently flipped
+    # pure-expression queries into per-rep-construct timing, charging
+    # ~2-4 s of py4j plan-BUILD per rep to entries whose execution is
+    # ~1.5 s.  A schema-supplied read fires NO job (probed).  Only the
+    # schema is cached — each call still builds a FRESH DataFrame:
+    # memoizing the DataFrame itself made every self-join reference the
+    # same plan, failing Spark's ambiguous-self-join check (q8) and
+    # degrading q21's plan 8x.
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        from ibis_spark import _nanos_timestamp_cols
+
+        t = ib.connect(spark).read_parquet(path)
+        # TIMESTAMP(NANOS) tables go through read_parquet's rebuild
+        # every call — the captured schema is post-rebuild and would
+        # mis-read the raw file
+        _SCHEMA_CACHE[key] = (
+            t.df.schema if not _nanos_timestamp_cols(path) else None
+        )
+        return t
+    return ib.Table(spark.read.schema(sch).parquet(path))
 
 
 # ---------------------------------------------------------------------------

@@ -723,6 +723,66 @@ class TestMultimodal:
         assert len(rows) == 1
         assert rows[0].frame_width is None
 
+    def test_jpeg_kernel_swap_restart_differential(self):
+        """r13 kernel swap: the fast (LUT Huffman + batched IDCT)
+        kernel must produce BYTE-IDENTICAL pixels to the reference
+        kernel, including across restart intervals (DRI=2, RST0
+        resets the DC predictor at a byte boundary)."""
+        import struct as s
+
+        import numpy as np
+
+        from ibis_spark.multimodal import _jpeg_decode
+
+        hdr = self._jpeg_segments([(1, 1, 1)], w=16, h=16)
+        # splice a DRI segment before SOS
+        sos_at = hdr.index(b"\xff\xda")
+        dri = b"\xff\xdd" + s.pack(">H", 4) + s.pack(">H", 2)
+        hdr = hdr[:sos_at] + dri + hdr[sos_at:]
+        bw1 = self._BitWriter()
+        for diff in (8, -3):  # MCUs 0-1: pred walks 8 -> 5
+            bw1.dc(diff)
+            bw1.put(0, 2)
+        bw2 = self._BitWriter()
+        for diff in (4, 2):   # MCUs 2-3 after reset: pred walks 4 -> 6
+            bw2.dc(diff)
+            bw2.put(0, 2)
+        payload = (
+            hdr + bw1.bytes() + b"\xff\xd0" + bw2.bytes() + b"\xff\xd9"
+        )
+        h, w, px_fast = _jpeg_decode(payload, kernel="fast")
+        h2, w2, px_ref = _jpeg_decode(payload, kernel="ref")
+        assert (h, w) == (h2, w2) == (16, 16)
+        assert np.array_equal(px_fast, px_ref)
+        # closed forms: flat DC blocks are 2*pred + 128
+        assert px_fast[0, 0, 0] == 2 * 8 + 128
+        assert px_fast[0, 8, 0] == 2 * 5 + 128
+        assert px_fast[8, 0, 0] == 2 * 4 + 128
+        assert px_fast[8, 8, 0] == 2 * 6 + 128
+
+    def test_jpeg_kernel_swap_color_differential(self):
+        """Kernel parity on the 4:2:0 color fixture."""
+        import numpy as np
+
+        from ibis_spark.multimodal import _jpeg_decode
+
+        bw = self._BitWriter()
+        for blk in range(4):
+            bw.dc(8 if blk == 0 else 0)
+            bw.put(0, 2)
+        bw.dc(4)
+        bw.put(0, 2)
+        bw.dc(-4)
+        bw.put(0, 2)
+        payload = (
+            self._jpeg_segments([(1, 2, 2), (2, 1, 1), (3, 1, 1)], w=16, h=16)
+            + bw.bytes()
+            + b"\xff\xd9"
+        )
+        _h, _w, px_fast = _jpeg_decode(payload, kernel="fast")
+        _h2, _w2, px_ref = _jpeg_decode(payload, kernel="ref")
+        assert np.array_equal(px_fast, px_ref)
+
     # ---- GIF (round 12): in-test LZW encoder + hand-built containers
 
     @staticmethod

@@ -54,7 +54,8 @@ R12B = [
 
 
 def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False,
-         only_r12: bool = False, only_r12b: bool = False) -> None:
+         only_r12: bool = False, only_r12b: bool = False,
+         only_tpch: bool = False) -> None:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
@@ -75,7 +76,8 @@ def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False,
 
     qs = entry_mod.queries()
     wanted = (
-        R12B if only_r12b
+        TPCH if only_tpch
+        else R12B if only_r12b
         else R12 if only_r12
         else (GEO if only_geo else TPCH + HEAVY + GEO)
     )
@@ -150,16 +152,33 @@ def main(out_path: str = "SF1_ANCHOR.json", only_geo: bool = False,
             merged = json.load(f)
         merged.update(res)
         res = merged
+    if only_tpch:
+        # BENCH_SF1_r{N}.json shape (VERDICT r12 item 7): the per-query
+        # map plus the aggregate spark/duckdb totals and their ratio —
+        # the at-scale counterpart of the sf0.1 headline gate
+        sp = [v["spark_sf1"] for v in res.values() if v.get("spark_sf1")]
+        du = [v["duckdb_sf1"] for v in res.values() if v.get("duckdb_sf1")]
+        res = {
+            "queries": res,
+            "metric": "tpch_sf1_total_wall",
+            "spark_total": round(sum(sp), 3),
+            "duckdb_total": round(sum(du), 3),
+            "ratio": round(sum(sp) / sum(du), 2) if du else None,
+            "sf": 1.0,
+            "n": len(sp),
+        }
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a not in ("--only-geo", "--only-r12", "--only-r12b")]
+    flags = ("--only-geo", "--only-r12", "--only-r12b", "--only-tpch")
+    args = [a for a in sys.argv[1:] if a not in flags]
     main(
         args[0] if args else "SF1_ANCHOR.json",
         only_geo="--only-geo" in sys.argv,
         only_r12="--only-r12" in sys.argv,
         only_r12b="--only-r12b" in sys.argv,
+        only_tpch="--only-tpch" in sys.argv,
     )
