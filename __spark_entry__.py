@@ -4451,73 +4451,68 @@ def _ds_sales_growth_pairs(spark, sf_dir):
 
 
 _SAMPLE_WINDOW = [
-    # r12 rotation. Slots: (1) 3 NEW entries (MULTIPOLYGON/EWKB, set
-    # operations, line merge), (2) 2 entries whose EMISSION changed
-    # this round (geo_simplify_tolerance went expression-path decoded;
-    # geo_wkt_export gained ewkb_hex) plus geo_decode_roundtrip as
-    # codec insurance (the decoder gained the MULTIPOLYGON branch —
-    # results must be byte-identical, prove it with a driver row), (3)
-    # ALL 35 r7-stale oracled queries (the complete backlog — post-r12
-    # evidence floor moves to r8), (4) 6 of the 46 r8-stale entries
-    # (subquery/set spread). 3+5+3+35+4 = 50.
-    # -- (1) new r12 entries --
-    "geo_multipolygon_report",
-    "geo_clip_report",
-    "geo_line_merge_report",
-    # -- (1b) r12 late additions: batch set ops, CRS transforms, buffer --
-    "geo_clip_batch_report",
-    "geo_clip_general_report",
-    "geo_transform_report",
+    # r13 rotation. Slots: (1) 3 NEW entries (GEOMETRYCOLLECTION/EWKB,
+    # segment buffer, holed set ops), (2) 5 entries whose EMISSION or
+    # underlying machinery changed this round (geo_buffer_report
+    # materialize-once restructure; geo_decode_roundtrip after the
+    # EWKB-norm pre-pass — results must be byte-identical, prove it;
+    # geo_clip_general/batch after the holed/shared-edge kernel
+    # extensions; audio after the codec-error-net change), (3) ALL 42
+    # r8-stale oracled queries (the complete backlog — post-r13
+    # evidence floor moves to r9). 3+5+42 = 50.
+    # -- (1) new r13 entries --
+    "geo_collection_report",
+    "geo_buffer_line_report",
+    "geo_clip_holed_report",
+    # -- (2) changed machinery: prove unchanged results --
     "geo_buffer_report",
-    "audio_features_report",
-    # -- (2) changed emissions + codec insurance --
-    "geo_simplify_tolerance",
-    "geo_wkt_export",
     "geo_decode_roundtrip",
-    # -- (3) the 35 r7-stale oracled queries (full backlog) --
-    "ann_recall",
-    "ann_recall_lsh",
-    "bpe_encode",
-    "chunk_text",
-    "decontaminate",
-    "distinct_keep_last",
-    "distinct_keep_none",
-    "distinct_rows",
-    "domain_quota_sample",
-    "drop_fill_null",
-    "embedding_clusters",
-    "gap_fill",
-    "gopher_filter",
-    "grouped_topk",
-    "hash_sample",
-    "hash_split",
-    "join_anti",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_inner_chain",
-    "join_left",
-    "join_positional",
-    "join_semi",
-    "join_theta",
-    "key_skew_stats",
-    "line_dedup",
-    "mixture_sample",
-    "q11_important_stock",
-    "quantile_filter",
-    "redact",
-    "sessionize",
-    "table_diff",
-    "top_ngrams",
-    "topk",
-    "value_counts",
-    # -- (4) 4 r8-stale (subquery/set spread; five slots ceded to the
-    # late batch-path/transform/buffer/audio entries above —
-    # window_rank, window_moving_avg, dedup_exact, cross_dedup,
-    # pack_sequences roll to the r13 window) --
-    "scalar_subquery",
-    "exists_subquery",
-    "set_union_all",
-    "set_intersect",
+    "geo_clip_general_report",
+    "geo_clip_batch_report",
+    "audio_features_report",
+    # -- (3) the 42 r8-stale oracled queries (full backlog) --
+    "arg_reductions",
+    "array_named_reductions",
+    "array_ops",
+    "between_time",
+    "bool_agg_not",
+    "bool_cum_windows",
+    "bucket_histogram",
+    "case_when",
+    "connected_components_isolated",
+    "contamination_score",
+    "count_distinct_star",
+    "cross_dedup",
+    "dedup_exact",
+    "describe_table",
+    "fingerprint",
+    "group_concat",
+    "grouped_fraction",
+    "histogram_bins",
+    "in_subquery",
+    "in_values",
+    "interval_unit_views",
+    "json_extract",
+    "json_typed_accessors",
+    "not_exists_subquery",
+    "notin_subquery",
+    "pack_sequences",
+    "pagerank_isolated",
+    "q17_small_quantity",
+    "quantile_bucket",
+    "remove_duplicated_spans",
+    "set_difference",
+    "set_difference_all",
+    "set_union_distinct",
+    "substitute",
+    "weighted_sample",
+    "window_cumsum",
+    "window_first_last",
+    "window_lag",
+    "window_moving_avg",
+    "window_nth",
+    "window_ntile",
+    "window_rank",
 ]
 
 

@@ -175,6 +175,12 @@ HEADLINE = [
     "geo_transform_report",
     # round-12 late: geo_buffer (point 32-gon + convex offset polygon)
     "geo_buffer_report",
+    # round 13: segment buffers (disjoint MULTIPOLYGON decomposition)
+    # and holed/shared-edge set ops (4 chained batch passes).
+    # geo_collection_report stays OUT: fixed 100 rows, plan-bound —
+    # a correctness entry, not a bench signal (entry docstring).
+    "geo_buffer_line_report",
+    "geo_clip_holed_report",
 ]
 
 
