@@ -3793,6 +3793,69 @@ def _geo_buffer_line_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_buffer_polyline_report(spark, sf_dir):
+    """General polyline buffer (r13 batch stroking — reference
+    GeoBuffer geospatial.py:362 on multi-segment LINESTRING input,
+    which the expression path NULLs): per customer, a right-angle
+    L-polyline (axis-aligned, L1 = custkey%7+1 east then L2 =
+    custkey%5+2 north) buffered by r = (custkey%4)/8 + 0.25 (below
+    the feature size min(L1,L2) = 1, so the inner trim exists) via
+    geo_buffer_batch.  Closed forms: the stroked boundary's area is
+    2r(L1+L2) + 20 r^2 sin(pi/16) - r^2 (two end half-discs + the
+    outer quarter fan - the inner trim square; derived in SCALE.md
+    r13), 45 vertices (3 left-side + 17 end-cap + 10 right-side +
+    15 start-cap + close), POLYGON type, and the collinear-joint
+    degenerate pinned NULL."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    L1 = (c.c_custkey % 7).cast("float64") + 1.0
+    L2 = (c.c_custkey % 5).cast("float64") + 2.0
+    # r stays below min(L1, L2) = 1: the inner trim needs the offset
+    # segments to actually intersect (r <= feature size)
+    r = (c.c_custkey % 4).cast("float64") / 8.0 + 0.25
+    x0 = (c.c_custkey % 100).cast("float64")
+    y0 = (c.c_custkey % 50).cast("float64")
+    ell = geo.geo_linestring(
+        ib.array(x0, x0 + L1, x0 + L1),
+        ib.array(y0, y0, y0 + L2),
+        decoded=True,
+    )
+    out = geo.geo_buffer_batch(c, ell, r, keep=["c_custkey"])
+    out = out.select(
+        "c_custkey",
+        ba=geo.geo_area(out["buffer"]).round(4),
+        bnp=geo.geo_n_points(out["buffer"]),
+        btyp=geo.geo_geometry_type(out["buffer"]),
+    )
+    # degenerate pin rebuilt over the batch output's columns (the
+    # collinear 3-vertex line; L1 == 1 makes its second segment
+    # zero-length — NULL either way)
+    xb = (out.c_custkey % 100).cast("float64")
+    yb = (out.c_custkey % 50).cast("float64")
+    L1b = (out.c_custkey % 7).cast("float64") + 1.0
+    coll2 = geo.geo_linestring(
+        ib.array(xb, xb + 1.0, xb + L1b),
+        ib.array(yb, yb, yb),
+        decoded=True,
+    )
+    out2 = geo.geo_buffer_batch(
+        out, coll2,
+        (out.c_custkey % 4).cast("float64") / 8.0 + 0.25,
+        keep=["c_custkey", "ba", "bnp", "btyp"],
+        name="cbuf",
+    )
+    return out2.select(
+        "c_custkey",
+        "ba",
+        "bnp",
+        "btyp",
+        null_collinear=geo.geo_area(out2["cbuf"]).isnull(),
+    ).to_spark()
+
+
 def _geo_collection_report(spark, sf_dir):
     """GEOMETRYCOLLECTION + EWKB input (r13 — reference
     GeometryCollection type + GeoTransform geospatial.py:450 reading
@@ -4464,12 +4527,12 @@ _SAMPLE_WINDOW = [
     "geo_collection_report",
     "geo_buffer_line_report",
     "geo_clip_holed_report",
+    "geo_buffer_polyline_report",
     # -- (2) changed machinery: prove unchanged results --
     "geo_buffer_report",
     "geo_decode_roundtrip",
     "geo_clip_general_report",
     "geo_clip_batch_report",
-    "audio_features_report",
     # -- (3) the 42 r8-stale oracled queries (full backlog) --
     "arg_reductions",
     "array_named_reductions",
@@ -4559,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_collection_report": _geo_collection_report,
         "geo_buffer_line_report": _geo_buffer_line_report,
         "geo_clip_holed_report": _geo_clip_holed_report,
+        "geo_buffer_polyline_report": _geo_buffer_polyline_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -5348,6 +5412,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 AS DOUBLE) END AS da,
                    CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
                         ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "geo_buffer_polyline_report": """
+            -- stroked right-angle corridor: area 2r(L1+L2) +
+            -- 20 r^2 sin(pi/16) - r^2, 45 vertices; collinear NULL
+            WITH s AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 7 + 1 AS DOUBLE) AS L1,
+                       CAST(c_custkey % 5 + 2 AS DOUBLE) AS L2,
+                       CAST(c_custkey % 4 AS DOUBLE)/8.0 + 0.25 AS r
+                FROM customer
+            )
+            SELECT c_custkey,
+                   ROUND(2.0*r*(L1+L2)
+                         + 20.0*r*r*sin(pi()/16.0) - r*r, 4) AS ba,
+                   CAST(45 AS BIGINT) AS bnp,
+                   'POLYGON' AS btyp,
+                   TRUE AS null_collinear
             FROM s
         """,
         "geo_clip_holed_report": """

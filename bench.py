@@ -181,6 +181,8 @@ HEADLINE = [
     # a correctness entry, not a bench signal (entry docstring).
     "geo_buffer_line_report",
     "geo_clip_holed_report",
+    # round 13: general polyline buffers (batch offset stroking)
+    "geo_buffer_polyline_report",
 ]
 
 

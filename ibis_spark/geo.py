@@ -118,6 +118,7 @@ __all__ = [
     "geo_multipolygon",
     "geo_collection",
     "geo_ewkb_srid",
+    "geo_buffer_batch",
     "geo_convert",
     "geo_transform",
     "geo_buffer",
@@ -7011,6 +7012,90 @@ def geo_setops_batch(
             for n in names:
                 res[n] = outs[n]
             yield res
+
+    return Table(staged.mapInPandas(kernel, out_schema))
+
+
+def geo_buffer_batch(t, g, radius, *, quad_segs: int = 8, keep=None,
+                     name: str = "buffer"):
+    """TABLE-level Arrow-batched buffer — the batch path for the
+    shapes the expression geo_buffer can't express, most importantly
+    GENERAL POLYLINES (>= 3 vertices: offset stroking, geo_batch
+    buffer_polyline_ring — reference GeoBuffer geospatial.py:362 on
+    LINESTRING input, the corridors-around-routes case).  POINTs and
+    2-vertex segments are bit-MIRRORS of the expression path (same
+    constants, same op order), so swapping paths changes no result.
+    Conservative NULLs: collinear/reversal joints, zero-length
+    segments, radii too large for an inner trim, polygons/multis
+    (GEOS territory).  Same mapInPandas shape as geo_setops_batch:
+    one narrow projection, one batch-streamed pass, per-row
+    independent, no shuffle."""
+    import pandas as pd  # noqa: F401
+
+    from ibis_spark.expr.table import Table
+
+    from . import geo_batch as _gb
+
+    if quad_segs < 1:
+        raise ValueError("quad_segs must be >= 1")
+    df = t.df if hasattr(t, "df") else t
+    if keep is None:
+        keep = list(df.columns)
+    if name in keep:
+        raise ValueError(
+            f"result name {name!r} collides with a keep column"
+        )
+
+    def _dec_expr(gg):
+        d = _dec_of(gg)
+        return d if d is not None else _decode_struct(unwrap(gg))
+
+    rr = unwrap(radius)
+    rr = rr.cast("double") if hasattr(rr, "cast") else F.lit(float(radius))
+    staged = df.select(
+        *[F.col(c) for c in keep],
+        _dec_expr(g).alias("__g"),
+        rr.alias("__r"),
+    )
+    dtypes = {f.name: f.dataType.simpleString() for f in staged.schema}
+    out_schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in keep] + [f"`{name}` {_DEC_T}"]
+    )
+
+    def _row_dec(gt, parts):
+        if gt is None or (isinstance(gt, float) and gt != gt) or parts is None:
+            return None
+        return (int(gt), [[(p["x"], p["y"]) for p in P] for P in parts])
+
+    def kernel(batches):
+        for pdf in batches:
+            gs, rs = pdf["__g"], pdf["__r"]
+            out = []
+            for i in range(len(pdf)):
+                grow = gs.iloc[i]
+                dec = (
+                    _row_dec(grow["gtype"], grow["parts"])
+                    if grow is not None
+                    else None
+                )
+                rv = rs.iloc[i]
+                res = _gb.buffer_geom(
+                    dec, None if rv is None else float(rv), quad_segs
+                )
+                out.append(
+                    None
+                    if res is None
+                    else {
+                        "gtype": res[0],
+                        "parts": [
+                            [{"x": x, "y": y} for (x, y) in P]
+                            for P in res[1]
+                        ],
+                    }
+                )
+            res_df = pdf[[c for c in keep]].copy()
+            res_df[name] = out
+            yield res_df
 
     return Table(staged.mapInPandas(kernel, out_schema))
 

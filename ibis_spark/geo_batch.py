@@ -905,3 +905,193 @@ def setop(op, ga, gb):
         return None
 
     raise ValueError(f"unknown set op: {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# Polyline buffers (r13): direct offset STROKING — the general
+# LINESTRING buffer the expression path can't express (it NULLs
+# >2-vertex polylines).  The boundary is constructed directly (left
+# offset walk + end caps + right offset walk), trimming inner joints
+# at the offset-segment intersection and fanning outer joints with
+# <= pi/(2*quad_segs) arc steps — so no polygon union (whose shared
+# arc geometry at joints is structurally degenerate for G-H) is
+# needed.  Conservative NULLs: collinear/reversal joints, zero-length
+# segments, radii too large for an inner trim.  Callers must keep the
+# radius below the polyline's local feature size (global
+# self-intersection needs GEOS-grade robustness — e.g. Sedona).
+
+
+def buffer_point_ring(px, py, r, quad_segs=8):
+    """Regular 4*quad_segs-gon on the circle — the EXACT mirror of the
+    expression path's circle_ring (same constants, same op order)."""
+    n = 4 * quad_segs
+    step = 2.0 * math.pi / n
+    ring = [
+        (px + r * math.cos(i * step), py + r * math.sin(i * step))
+        for i in range(n)
+    ]
+    return ring + ring[:1]
+
+
+def buffer_segment_parts(a, b, r, quad_segs=8):
+    """The 2-vertex capsule as the expression path's DISJOINT
+    decomposition (rect + two half-disc caps, separator encoding) —
+    bit-mirrored so batch == expression on shared inputs."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    L = math.sqrt(dx * dx + dy * dy)
+    if L == 0.0:
+        return None
+    ux, uy = dx / L, dy / L
+    step2 = math.pi / (2 * quad_segs)
+
+    def arc_pt(c, ang):
+        cc, sc = math.cos(ang), math.sin(ang)
+        return (c[0] + r * (ux * cc - uy * sc), c[1] + r * (uy * cc + ux * sc))
+
+    cap_b = [
+        arc_pt(b, -math.pi / 2.0 + i * step2)
+        for i in range(2 * quad_segs + 1)
+    ]
+    cap_a = [
+        arc_pt(a, math.pi / 2.0 + i * step2)
+        for i in range(2 * quad_segs + 1)
+    ]
+    nx, ny = -uy, ux
+    rect = [
+        (a[0] + -1.0 * r * nx, a[1] + -1.0 * r * ny),
+        (b[0] + -1.0 * r * nx, b[1] + -1.0 * r * ny),
+        (b[0] + 1.0 * r * nx, b[1] + 1.0 * r * ny),
+        (a[0] + 1.0 * r * nx, a[1] + 1.0 * r * ny),
+    ]
+    rect = rect + rect[:1]
+    return [rect, [], cap_b + cap_b[:1], [], cap_a + cap_a[:1]]
+
+
+def _stroke_side(P, r, quad_segs):
+    """LEFT offset boundary points of open polyline P (the right side
+    is the left side of the REVERSED polyline).  None on collinear or
+    reversal joints, zero-length segments, or inner trims the radius
+    doesn't reach."""
+    step = math.pi / (2 * quad_segs)
+    m = len(P)
+    us = []
+    for i in range(m - 1):
+        dx, dy = P[i + 1][0] - P[i][0], P[i + 1][1] - P[i][1]
+        L = math.hypot(dx, dy)
+        if L == 0.0:
+            return None
+        us.append((dx / L, dy / L))
+
+    def arc(cx, cy, t0, dt):
+        k = max(1, math.ceil(abs(dt) / step))
+        return [
+            (cx + r * math.cos(t0 + dt * j / k),
+             cy + r * math.sin(t0 + dt * j / k))
+            for j in range(k + 1)
+        ]
+
+    def isect(p0, p1, q0, q1):
+        rx, ry = p1[0] - p0[0], p1[1] - p0[1]
+        sx, sy = q1[0] - q0[0], q1[1] - q0[1]
+        den = rx * sy - ry * sx
+        if den == 0.0:
+            return None
+        qpx, qpy = q0[0] - p0[0], q0[1] - p0[1]
+        t = (qpx * sy - qpy * sx) / den
+        u = (qpx * ry - qpy * rx) / den
+        if not (0.0 <= t <= 1.0 and 0.0 <= u <= 1.0):
+            return None
+        return (p0[0] + rx * t, p0[1] + ry * t)
+
+    out = [(P[0][0] + r * -us[0][1], P[0][1] + r * us[0][0])]
+    for i in range(m - 2):
+        v = P[i + 1]
+        u1, u2 = us[i], us[i + 1]
+        crossz = u1[0] * u2[1] - u1[1] * u2[0]
+        dotz = u1[0] * u2[0] + u1[1] * u2[1]
+        if crossz == 0.0:
+            return None  # collinear continuation or 180-degree spike
+        n1 = (-u1[1], u1[0])
+        n2 = (-u2[1], u2[0])
+        if crossz > 0.0:
+            # left turn: the left side is INNER — trim at the offset
+            # segments' intersection (None = radius too large)
+            a1 = (P[i][0] + r * n1[0], P[i][1] + r * n1[1])
+            b1 = (v[0] + r * n1[0], v[1] + r * n1[1])
+            a2 = (v[0] + r * n2[0], v[1] + r * n2[1])
+            b2 = (P[i + 2][0] + r * n2[0], P[i + 2][1] + r * n2[1])
+            p = isect(a1, b1, a2, b2)
+            if p is None:
+                return None
+            out.append(p)
+        else:
+            # right turn: the left side is OUTER — joint arc
+            delta = math.atan2(crossz, dotz)
+            t0 = math.atan2(n1[1], n1[0])
+            out.extend(arc(v[0], v[1], t0, delta))
+    nl = (-us[-1][1], us[-1][0])
+    out.append((P[-1][0] + r * nl[0], P[-1][1] + r * nl[1]))
+    return out
+
+
+def buffer_polyline_ring(pts, r, quad_segs=8):
+    """Closed buffer boundary ring of an open >=3-vertex polyline via
+    offset stroking; None on any degenerate (see the section
+    comment)."""
+    step = math.pi / (2 * quad_segs)
+    left = _stroke_side(pts, r, quad_segs)
+    if left is None:
+        return None
+    rev = pts[::-1]
+    right = _stroke_side(rev, r, quad_segs)
+    if right is None:
+        return None
+
+    def cap(v, prev_u):
+        # semicircle around v from the incoming left normal through
+        # the forward direction to the outgoing (reversed) left normal
+        t0 = math.atan2(prev_u[0], -prev_u[1])  # angle of (-uy, ux)
+        k = max(1, math.ceil(math.pi / step))
+        return [
+            (v[0] + r * math.cos(t0 - math.pi * j / k),
+             v[1] + r * math.sin(t0 - math.pi * j / k))
+            for j in range(k + 1)
+        ]
+
+    dxe = pts[-1][0] - pts[-2][0]
+    dye = pts[-1][1] - pts[-2][1]
+    Le = math.hypot(dxe, dye)
+    dxs = pts[0][0] - pts[1][0]
+    dys = pts[0][1] - pts[1][1]
+    Ls = math.hypot(dxs, dys)
+    if Le == 0.0 or Ls == 0.0:
+        return None
+    cap_end = cap(pts[-1], (dxe / Le, dye / Le))
+    cap_start = cap(pts[0], (dxs / Ls, dys / Ls))
+    ring = left + cap_end[1:] + right[1:] + cap_start[1:-1]
+    ring = ring + ring[:1]
+    if len(ring) < 4 or _shoelace(ring) == 0.0:
+        return None
+    return _ccw(ring)
+
+
+def buffer_geom(g, r, quad_segs=8):
+    """Decoded (gtype, parts) -> buffered decoded (gtype, parts), the
+    batch buffer kernel: POINT -> 32-gon ring; 2-vertex LINESTRING ->
+    the expression path's disjoint capsule decomposition (bit-mirrored
+    parity); >=3-vertex LINESTRING -> the stroked boundary ring; all
+    else None."""
+    if g is None or r is None or r <= 0.0:
+        return None
+    gt, parts = g
+    if gt == 1 and parts and parts[0]:
+        px, py = parts[0][0]
+        return (3, [buffer_point_ring(px, py, r, quad_segs)])
+    if gt != 2 or not parts or len(parts[0]) < 2:
+        return None
+    pts = parts[0]
+    if len(pts) == 2:
+        pieces = buffer_segment_parts(pts[0], pts[1], r, quad_segs)
+        return (6, pieces) if pieces is not None else None
+    ring = buffer_polyline_ring([tuple(p) for p in pts], r, quad_segs)
+    return (3, [ring]) if ring is not None else None

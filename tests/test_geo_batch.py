@@ -383,6 +383,54 @@ class TestSharedEdgeDegenerates:
         assert gb.setop("union", (3, [self.L]), (3, [n])) is None
 
 
+class TestPolylineBuffer:
+    """r13: direct offset stroking for general polyline buffers."""
+
+    R = 1.0
+    NGON = 16.0 * math.sin(math.pi / 16.0)
+
+    def test_right_angle_closed_form(self):
+        g = (2, [[(0.0, 0.0), (5.0, 0.0), (5.0, 4.0)]])
+        res = gb.buffer_geom(g, self.R)
+        assert res[0] == 3
+        exp = 2.0 * 9.0 + 20.0 * math.sin(math.pi / 16.0) - 1.0
+        assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
+        assert len(res[1][0]) == 45
+        assert gb._shoelace(res[1][0]) > 0  # CCW
+
+    def test_mirrored_turn_same_area(self):
+        a = gb.buffer_geom((2, [[(0.0, 0.0), (5.0, 0.0), (5.0, 4.0)]]), self.R)
+        b = gb.buffer_geom((2, [[(0.0, 0.0), (0.0, 4.0), (5.0, 4.0)]]), self.R)
+        assert _area_parts(a[1]) == pytest.approx(_area_parts(b[1]), rel=1e-12)
+
+    def test_zigzag_closed_form(self):
+        g = (2, [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (8.0, 4.0)]])
+        res = gb.buffer_geom(g, self.R)
+        exp = 2.0 * 12.0 + 2.0 * (self.NGON / 4.0) + self.NGON - 2.0
+        assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
+
+    def test_degenerates_null(self):
+        assert gb.buffer_geom((2, [[(0, 0), (2, 0), (5, 0)]]), 1.0) is None
+        assert gb.buffer_geom((2, [[(0, 0), (0.5, 0), (0.5, 0.5)]]), 2.0) is None
+        assert gb.buffer_geom((2, [[(0, 0), (0, 0), (1, 1)]]), 1.0) is None
+        assert gb.buffer_geom((2, [[(0, 0), (2, 0), (1, 0)]]), 1.0) is None
+        assert gb.buffer_geom((3, [[(0, 0), (1, 0), (1, 1), (0, 0)]]), 1.0) is None
+        assert gb.buffer_geom((2, [[(0, 0), (3, 0)]]), 0.0) is None
+        assert gb.buffer_geom(None, 1.0) is None
+
+    def test_point_and_segment_mirror_expression(self):
+        """The batch kernel's POINT/2-vertex outputs are the bit
+        mirrors of the expression path's constants."""
+        pt = gb.buffer_geom((1, [[(2.0, 3.0)]]), self.R)
+        assert pt[0] == 3
+        assert _area_parts(pt[1]) == pytest.approx(self.NGON, rel=1e-12)
+        seg = gb.buffer_geom((2, [[(0.0, 0.0), (3.0, 0.0)]]), self.R)
+        assert seg[0] == 6
+        assert _area_parts(seg[1]) == pytest.approx(
+            6.0 + self.NGON, rel=1e-12
+        )
+
+
 def test_dec_double_exponent_gate_matches_expression_path():
     """ADVICE r12: the batch decoder's magnitude gate excluded
     (2^61, 2^62) that the expression gate (biased exponent in
