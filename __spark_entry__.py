@@ -3856,6 +3856,95 @@ def _geo_buffer_polyline_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_buffer_polygon_report(spark, sf_dir):
+    """NON-CONVEX polygon buffer (r13 batch stroking — reference
+    GeoBuffer geospatial.py:362; the expression path handles convex
+    only): per customer the L-shape polygon buffered by
+    r = (custkey%4)/4 + 0.5.  Closed forms: area = A + P*r + five
+    quarter-arc fans - the reflex trim square = 20 + 24r +
+    1.25*(16 r^2 sin(pi/16)) - r^2, 47 vertices (5 nine-point convex
+    fans + 1 trim + close), POLYGON type.  Parity column: the batch
+    buffer of a CONVEX square byte-equals the expression path's
+    geo_buffer (same fan constants by construction).  Degenerate
+    pins: holed polygon and negative radius NULL."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    r = (c.c_custkey % 4).cast("float64") / 4.0 + 0.5
+    x0 = (c.c_custkey % 100).cast("float64")
+    z = x0 - x0
+    ell = geo.geo_polygon(
+        ib.array(x0, x0 + 6.0, x0 + 6.0, x0 + 2.0, x0 + 2.0, x0),
+        ib.array(z, z, z + 2.0, z + 2.0, z + 6.0, z + 6.0),
+        decoded=True,
+    )
+    out = geo.geo_buffer_batch(c, ell, r, keep=["c_custkey"], name="lb")
+    out = out.select(
+        "c_custkey",
+        pa=geo.geo_area(out["lb"]).round(4),
+        pn=geo.geo_n_points(out["lb"]),
+        ptyp=geo.geo_geometry_type(out["lb"]),
+    )
+    r2 = (out.c_custkey % 4).cast("float64") / 4.0 + 0.5
+    xb = (out.c_custkey % 100).cast("float64")
+    zb = xb - xb
+    sq = geo.geo_polygon(
+        ib.array(xb, xb + 4.0, xb + 4.0, xb),
+        ib.array(zb, zb, zb + 4.0, zb + 4.0),
+        decoded=True,
+    )
+    out = geo.geo_buffer_batch(
+        out, sq, r2, keep=["c_custkey", "pa", "pn", "ptyp"], name="sb"
+    )
+    # parity vs the expression path's convex buffer: byte-equal WKB —
+    # every expression rebuilt over the batch OUTPUT's columns
+    r2b = (out.c_custkey % 4).cast("float64") / 4.0 + 0.5
+    xc = (out.c_custkey % 100).cast("float64")
+    zc = xc - xc
+    sq_expr = geo.geo_polygon(
+        ib.array(xc, xc + 4.0, xc + 4.0, xc),
+        ib.array(zc, zc, zc + 4.0, zc + 4.0),
+        decoded=True,
+    )
+    # materialize the expression buffer first: geo_encode _lets its
+    # input ~14x, and the convex fan tree is interpreted-HOF territory
+    out = out.mutate(eb=geo.geo_buffer(sq_expr, r2b))
+    out = out.mutate(
+        parity=(
+            geo.geo_encode(geo.decoded(out["sb"]))
+            == geo.geo_encode(geo.decoded(out["eb"]))
+        )
+    ).select("c_custkey", "pa", "pn", "ptyp", "parity")
+    r3 = (out.c_custkey % 4).cast("float64") / 4.0 + 0.5
+    xb3 = (out.c_custkey % 100).cast("float64")
+    zb3 = xb3 - xb3
+    holed3 = geo.geo_polygon(
+        ib.array(xb3, xb3 + 4.0, xb3 + 4.0, xb3),
+        ib.array(zb3, zb3, zb3 + 4.0, zb3 + 4.0),
+        holes=[
+            (
+                ib.array(xb3 + 1.0, xb3 + 2.0, xb3 + 2.0, xb3 + 1.0),
+                ib.array(zb3 + 1.0, zb3 + 1.0, zb3 + 2.0, zb3 + 2.0),
+            )
+        ],
+        decoded=True,
+    )
+    out = geo.geo_buffer_batch(
+        out, holed3, r3,
+        keep=["c_custkey", "pa", "pn", "ptyp", "parity"], name="hb"
+    )
+    return out.select(
+        "c_custkey",
+        "pa",
+        "pn",
+        "ptyp",
+        "parity",
+        null_holed=geo.geo_area(out["hb"]).isnull(),
+    ).to_spark()
+
+
 def _geo_collection_report(spark, sf_dir):
     """GEOMETRYCOLLECTION + EWKB input (r13 — reference
     GeometryCollection type + GeoTransform geospatial.py:450 reading
@@ -4623,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_buffer_line_report": _geo_buffer_line_report,
         "geo_clip_holed_report": _geo_clip_holed_report,
         "geo_buffer_polyline_report": _geo_buffer_polyline_report,
+        "geo_buffer_polygon_report": _geo_buffer_polygon_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -5412,6 +5502,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 AS DOUBLE) END AS da,
                    CASE WHEN ABS(d) < 4 THEN 32 - 4 * (4 - ABS(d))
                         ELSE CAST(32 AS DOUBLE) END AS ua
+            FROM s
+        """,
+        "geo_buffer_polygon_report": """
+            -- outward offset of the L-shape: A + P*r + five quarter
+            -- fans - the reflex trim square; convex parity TRUE
+            WITH s AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 4 AS DOUBLE)/4.0 + 0.5 AS r
+                FROM customer
+            )
+            SELECT c_custkey,
+                   ROUND(20.0 + 24.0*r
+                         + 1.25*(16.0*r*r*sin(pi()/16.0))
+                         - r*r, 4) AS pa,
+                   CAST(47 AS BIGINT) AS pn,
+                   'POLYGON' AS ptyp,
+                   TRUE AS parity,
+                   TRUE AS null_holed
             FROM s
         """,
         "geo_buffer_polyline_report": """

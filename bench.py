@@ -181,7 +181,11 @@ HEADLINE = [
     # a correctness entry, not a bench signal (entry docstring).
     "geo_buffer_line_report",
     "geo_clip_holed_report",
-    # round 13: general polyline buffers (batch offset stroking)
+    # round 13: general polyline buffers (batch offset stroking).
+    # geo_buffer_polygon_report stays OUT: its parity column runs the
+    # EXPRESSION convex fan per row (~5.3 s steady-state at sf0.1, the
+    # interpreted data-dependent-trig class) — a byte-parity proof
+    # entry, not a plan signal.
     "geo_buffer_polyline_report",
 ]
 

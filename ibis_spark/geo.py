@@ -7022,12 +7022,16 @@ def geo_buffer_batch(t, g, radius, *, quad_segs: int = 8, keep=None,
     shapes the expression geo_buffer can't express, most importantly
     GENERAL POLYLINES (>= 3 vertices: offset stroking, geo_batch
     buffer_polyline_ring — reference GeoBuffer geospatial.py:362 on
-    LINESTRING input, the corridors-around-routes case).  POINTs and
-    2-vertex segments are bit-MIRRORS of the expression path (same
-    constants, same op order), so swapping paths changes no result.
-    Conservative NULLs: collinear/reversal joints, zero-length
-    segments, radii too large for an inner trim, polygons/multis
-    (GEOS territory).  Same mapInPandas shape as geo_setops_batch:
+    LINESTRING input, the corridors-around-routes case) and
+    NON-CONVEX hole-free POLYGONS (outward ring offset: convex
+    vertices emit the expression path's exact arc fan, reflex
+    vertices trim at the offset edges' intersection).  POINTs,
+    2-vertex segments, and convex polygons are bit-MIRRORS of the
+    expression path (same constants, same op order), so swapping
+    paths changes no result.  Conservative NULLs: collinear/reversal
+    joints, zero-length segments, radii too large for an inner trim,
+    holed polygons (hole erosion may vanish — GEOS territory), multis,
+    negative radii.  Same mapInPandas shape as geo_setops_batch:
     one narrow projection, one batch-streamed pass, per-row
     independent, no shuffle."""
     import pandas as pd  # noqa: F401

@@ -1087,6 +1087,16 @@ def buffer_geom(g, r, quad_segs=8):
     if gt == 1 and parts and parts[0]:
         px, py = parts[0][0]
         return (3, [buffer_point_ring(px, py, r, quad_segs)])
+    if gt == 3:
+        # simple hole-free polygon (incl. NON-CONVEX): outward offset
+        # of the ring; holed polygons need hole EROSION (possibly
+        # vanishing) — still NULL, documented
+        if not parts or len(parts) != 1 or len(parts[0]) < 4:
+            return None
+        ring = buffer_polygon_ring(
+            [tuple(p) for p in _ccw(parts[0])], r, quad_segs
+        )
+        return (3, [ring]) if ring is not None else None
     if gt != 2 or not parts or len(parts[0]) < 2:
         return None
     pts = parts[0]
@@ -1095,3 +1105,70 @@ def buffer_geom(g, r, quad_segs=8):
         return (6, pieces) if pieces is not None else None
     ring = buffer_polyline_ring([tuple(p) for p in pts], r, quad_segs)
     return (3, [ring]) if ring is not None else None
+
+
+def buffer_polygon_ring(P_closed, r, quad_segs=8):
+    """Outward offset boundary of a CCW closed SIMPLE ring — the
+    NON-CONVEX polygon buffer the expression path NULLs.  Convex
+    vertices emit the expression path's EXACT arc fan (same atan2
+    spelling, same step policy — bit parity where both paths answer);
+    reflex vertices trim at the outward offset edges' intersection
+    (None when the radius exceeds the local feature size).  Collinear
+    joints None; global self-intersection robustness is the caller's
+    radius discipline (GEOS territory), as with polylines."""
+    step = 2.0 * math.pi / (4 * quad_segs)
+    P = P_closed[:-1]
+    m = len(P)
+    if m < 3:
+        return None
+    out = []
+    for i in range(m):
+        prev, cur, nxt = P[i - 1], P[i], P[(i + 1) % m]
+        d1x, d1y = cur[0] - prev[0], cur[1] - prev[1]
+        d2x, d2y = nxt[0] - cur[0], nxt[1] - cur[1]
+        crossz = d1x * d2y - d1y * d2x
+        if crossz == 0.0:
+            return None
+        if crossz > 0.0:
+            # convex (CCW): the expression poly_ring vertex fan.
+            # Catalyst rewrites -(cur.x - prev.x) to (prev.x - cur.x),
+            # which flips the SIGN OF ZERO on axis-aligned edges and
+            # with it atan2's +/-pi branch — mirror the OPTIMIZED
+            # spelling, not the source one (measured: the whole first
+            # fan differed in last-ulps through 2*pi argument offsets)
+            t_in = math.atan2(prev[0] - cur[0], d1y)
+            t_out = math.atan2(cur[0] - nxt[0], d2y)
+            dlt = (t_out - t_in) % (2.0 * math.pi)
+            k = max(1, math.ceil(dlt / step))
+            out.extend(
+                (cur[0] + r * math.cos(t_in + dlt * j / k),
+                 cur[1] + r * math.sin(t_in + dlt * j / k))
+                for j in range(k + 1)
+            )
+        else:
+            # reflex: trim at the outward offset edges' intersection
+            L1 = math.hypot(d1x, d1y)
+            L2 = math.hypot(d2x, d2y)
+            if L1 == 0.0 or L2 == 0.0:
+                return None
+            o1 = (d1y / L1, -d1x / L1)
+            o2 = (d2y / L2, -d2x / L2)
+            a1 = (prev[0] + r * o1[0], prev[1] + r * o1[1])
+            b1 = (cur[0] + r * o1[0], cur[1] + r * o1[1])
+            a2 = (cur[0] + r * o2[0], cur[1] + r * o2[1])
+            b2 = (nxt[0] + r * o2[0], nxt[1] + r * o2[1])
+            rx, ry = b1[0] - a1[0], b1[1] - a1[1]
+            sx, sy = b2[0] - a2[0], b2[1] - a2[1]
+            den = rx * sy - ry * sx
+            if den == 0.0:
+                return None
+            qpx, qpy = a2[0] - a1[0], a2[1] - a1[1]
+            t = (qpx * sy - qpy * sx) / den
+            u = (qpx * ry - qpy * rx) / den
+            if not (0.0 <= t <= 1.0 and 0.0 <= u <= 1.0):
+                return None
+            out.append((a1[0] + rx * t, a1[1] + ry * t))
+    ring = out + out[:1]
+    if len(ring) < 4 or _shoelace(ring) <= 0.0:
+        return None
+    return ring

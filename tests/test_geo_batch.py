@@ -414,9 +414,37 @@ class TestPolylineBuffer:
         assert gb.buffer_geom((2, [[(0, 0), (0.5, 0), (0.5, 0.5)]]), 2.0) is None
         assert gb.buffer_geom((2, [[(0, 0), (0, 0), (1, 1)]]), 1.0) is None
         assert gb.buffer_geom((2, [[(0, 0), (2, 0), (1, 0)]]), 1.0) is None
-        assert gb.buffer_geom((3, [[(0, 0), (1, 0), (1, 1), (0, 0)]]), 1.0) is None
         assert gb.buffer_geom((2, [[(0, 0), (3, 0)]]), 0.0) is None
         assert gb.buffer_geom(None, 1.0) is None
+
+    def test_nonconvex_polygon_buffer_closed_form(self):
+        """Outward offset of the L-shape: A + P*r + 5 quarter fans -
+        the reflex trim square."""
+        L = [(0.0, 0.0), (6.0, 0.0), (6.0, 2.0), (2.0, 2.0),
+             (2.0, 6.0), (0.0, 6.0), (0.0, 0.0)]
+        for r in (0.5, 1.0, 3.0):
+            res = gb.buffer_geom((3, [L]), r)
+            assert res[0] == 3
+            exp = 20.0 + 24.0 * r + 1.25 * (16.0 * r * r
+                                            * math.sin(math.pi / 16.0))                 - r * r
+            assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
+
+    def test_convex_polygon_buffer_matches_expression_form(self):
+        sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+        res = gb.buffer_geom((3, [sq]), self.R)
+        exp = 16.0 + 16.0 * self.R + self.NGON * self.R * self.R
+        assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
+
+    def test_polygon_buffer_degenerates_null(self):
+        sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+        hole = list(reversed(
+            [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+        ))
+        assert gb.buffer_geom((3, [sq, hole]), 1.0) is None  # holed
+        assert gb.buffer_geom((3, [sq]), -1.0) is None       # erosion
+        coll = [(0.0, 0.0), (2.0, 0.0), (4.0, 0.0), (4.0, 4.0),
+                (0.0, 4.0), (0.0, 0.0)]
+        assert gb.buffer_geom((3, [coll]), 1.0) is None      # collinear
 
     def test_point_and_segment_mirror_expression(self):
         """The batch kernel's POINT/2-vertex outputs are the bit
