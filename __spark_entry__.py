@@ -13,6 +13,7 @@ DataFrame calls except the final ``.to_spark()`` handoff).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,7 +45,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
     # same plan, failing Spark's ambiguous-self-join check (q8) and
     # degrading q21's plan 8x.
     path = f"{sf_dir}/{name}.parquet"
-    key = (id(spark), path)
+    # Key by applicationId (stable per session, unlike id(spark) which
+    # CPython reuses after GC) + file mtime (a regenerated file with a
+    # different schema at the same path must not be served stale).
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
     sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         from ibis_spark import _nanos_timestamp_cols

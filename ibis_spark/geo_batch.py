@@ -49,6 +49,8 @@ from __future__ import annotations
 import math
 import struct as _s
 
+import numpy as _np
+
 OP_INTERSECTION = "intersection"
 OP_DIFFERENCE = "difference"
 OP_UNION = "union"
@@ -100,6 +102,11 @@ def parse_wkb_polygon(wkb):
         tw &= 0x1FFFFFFF
         off += 4
     if tw != 3:
+        return None
+    if len(wkb) < off:
+        # Truncated EWKB: the SRID skip moved off to 13 but the buffer
+        # ended inside the SRID/nrings words — NULL, not struct.error
+        # (one malformed row must not kill the batch UDF).
         return None
     nrings = _s.unpack_from("<I", wkb, off - 4)[0]
     rings = []
@@ -1034,6 +1041,38 @@ def _stroke_side(P, r, quad_segs):
     return out
 
 
+def _ring_self_crossing(ring):
+    """True iff any two NON-ADJACENT edges of the closed ring properly
+    cross (both edges strictly straddle each other's line).  Guards the
+    stroked buffer rings against arm-to-arm overlap the per-joint trim
+    limits can't see (a radius below every local feature size can still
+    fold two distant arms onto each other) — a wrong ring is worse than
+    a NULL, so any crossing degrades the row.  numpy-vectorized O(n^2)
+    pairwise orientation test: ~200-vertex rings cost well under a
+    millisecond, negligible next to the stroking itself."""
+    P = _np.asarray(ring[:-1], dtype=_np.float64)
+    n = len(P)
+    if n < 4:
+        return False
+    B = _np.roll(P, -1, axis=0)
+    d = B - P
+    ax = P[:, 0][:, None]
+    ay = P[:, 1][:, None]
+    dx = d[:, 0][:, None]
+    dy = d[:, 1][:, None]
+    c1 = dx * (P[None, :, 1] - ay) - dy * (P[None, :, 0] - ax)
+    c2 = dx * (B[None, :, 1] - ay) - dy * (B[None, :, 0] - ax)
+    straddle = (c1 * c2) < 0.0
+    crossing = straddle & straddle.T
+    # Adjacent edges share a vertex whose orientation is an exact fp
+    # zero (cross(d, d) cancels bitwise), so strict straddling already
+    # excludes them; the mask keeps the guarantee explicit.
+    idx = _np.arange(n)
+    diff = (idx[:, None] - idx[None, :]) % n
+    adjacent = (diff == 0) | (diff == 1) | (diff == n - 1)
+    return bool(_np.any(crossing & ~adjacent))
+
+
 def buffer_polyline_ring(pts, r, quad_segs=8):
     """Closed buffer boundary ring of an open >=3-vertex polyline via
     offset stroking; None on any degenerate (see the section
@@ -1072,6 +1111,8 @@ def buffer_polyline_ring(pts, r, quad_segs=8):
     ring = ring + ring[:1]
     if len(ring) < 4 or _shoelace(ring) == 0.0:
         return None
+    if _ring_self_crossing(ring):
+        return None  # arm-to-arm overlap: degrade, never a wrong ring
     return _ccw(ring)
 
 
@@ -1114,8 +1155,10 @@ def buffer_polygon_ring(P_closed, r, quad_segs=8):
     spelling, same step policy — bit parity where both paths answer);
     reflex vertices trim at the outward offset edges' intersection
     (None when the radius exceeds the local feature size).  Collinear
-    joints None; global self-intersection robustness is the caller's
-    radius discipline (GEOS territory), as with polylines."""
+    joints None; GLOBAL arm-to-arm overlap (distant features folding
+    onto each other at a radius below every per-joint limit) is caught
+    by the _ring_self_crossing post-check — any crossing ring degrades
+    to None, as with polylines."""
     step = 2.0 * math.pi / (4 * quad_segs)
     P = P_closed[:-1]
     m = len(P)
@@ -1171,4 +1214,6 @@ def buffer_polygon_ring(P_closed, r, quad_segs=8):
     ring = out + out[:1]
     if len(ring) < 4 or _shoelace(ring) <= 0.0:
         return None
+    if _ring_self_crossing(ring):
+        return None  # arm-to-arm overlap: degrade, never a wrong ring
     return ring

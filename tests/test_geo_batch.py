@@ -459,6 +459,44 @@ class TestPolylineBuffer:
         )
 
 
+def test_truncated_ewkb_polygon_is_null_not_crash():
+    """ADVICE r13: byte0=0x01 + SRID flag set but length 9-12 used to
+    raise struct.error out of the nrings read (off moved to 13, buffer
+    ended inside the SRID word) and kill the whole batch UDF.  Every
+    truncation point must be NULL."""
+    import struct as s
+
+    tw = s.pack("<I", 3 | 0x20000000)
+    for extra in range(0, 4):
+        wkb = bytes([1]) + tw + b"\x00" * extra
+        assert gb.parse_wkb_polygon(wkb) is None
+    # a well-formed EWKB polygon still parses
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]
+    body = s.pack("<I", 1) + s.pack("<I", len(ring)) + b"".join(
+        s.pack("<dd", x, y) for x, y in ring
+    )
+    ok = bytes([1]) + tw + s.pack("<I", 4326) + body
+    assert gb.parse_wkb_polygon(ok) == (3, [ring])
+
+
+def test_buffer_ring_self_crossing_degrades():
+    """ADVICE r13: arm-to-arm buffer overlap at a radius below every
+    per-joint limit (the U-polyline probe) used to return a silently
+    self-intersecting WRONG ring; the _ring_self_crossing post-check
+    must degrade it to None while safe radii keep their closed forms."""
+    U = [(0.0, 0.0), (5.0, 0.0), (5.0, 1.0), (0.0, 1.0)]
+    assert gb.buffer_geom((2, [U]), 0.6) is None  # arms overlap
+    res = gb.buffer_geom((2, [U]), 0.3)  # arms clear: still answers
+    assert res is not None and res[0] == 3
+    assert not gb._ring_self_crossing(res[1][0])
+    # polygon spiral-arm analogue: a C-shaped (annulus-gap) polygon
+    # whose outward offset folds the gap shut
+    C = [(0.0, 0.0), (5.0, 0.0), (5.0, 1.0), (1.0, 1.0), (1.0, 3.0),
+         (5.0, 3.0), (5.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    assert gb.buffer_geom((3, [C]), 1.5) is None  # gap (2.0) < 2r
+    assert gb.buffer_geom((3, [C]), 0.5) is not None
+
+
 def test_dec_double_exponent_gate_matches_expression_path():
     """ADVICE r12: the batch decoder's magnitude gate excluded
     (2^61, 2^62) that the expression gate (biased exponent in
