@@ -44,6 +44,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
     # memoizing the DataFrame itself made every self-join reference the
     # same plan, failing Spark's ambiguous-self-join check (q8) and
     # degrading q21's plan 8x.
+    if sf_dir.startswith("catalog:"):
+        # "catalog:<prefix>" reads registered tables "<prefix><name>"
+        # instead of parquet paths — the bucketed-fixture path
+        # (tools/bench_sf10_bucketed.py registers CLUSTERED BY tables,
+        # whose storage-partitioned joins skip the exchange+sort).
+        # refreshTable first: repeated spark.table() calls share the
+        # catalog's cached attribute IDs, so a self-join built from
+        # two _t calls (q8's nation x nation) trips Spark's ambiguous
+        # self-join check; refreshing mints a fresh relation per call,
+        # matching the parquet path's fresh-DataFrame contract.
+        tn = sf_dir[len("catalog:"):] + name
+        spark.catalog.refreshTable(tn)
+        return ib.Table(spark.table(tn))
     path = f"{sf_dir}/{name}.parquet"
     # Key by applicationId (stable per session, unlike id(spark) which
     # CPython reuses after GC) + file mtime (a regenerated file with a
@@ -157,9 +170,18 @@ def _q5_local_supplier_volume(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
+    # orders<->lineitem FIRST: the one big join runs on the orderkey
+    # layout (bucketed fixtures: storage-partitioned, no exchange on
+    # either side; plain parquet: one co-partitioned exchange pair) —
+    # the former customer-first order shuffled orders TWICE (by
+    # custkey, then the joined result by orderkey).  customer joins
+    # as a broadcast build side (2 pruned columns).  At true 100 TB
+    # customer stops being broadcastable and the custkey-bucketed
+    # customer-first plan wins instead — the broadcast= knob is the
+    # per-deployment choice (SCALE.md r14).
     j = (
-        c.join(o, [("c_custkey", "o_custkey")])
-        .join(li, [("o_orderkey", "l_orderkey")])
+        o.join(li, [("o_orderkey", "l_orderkey")])
+        .join(c, [("o_custkey", "c_custkey")], broadcast=True)
         .join(s, [("l_suppkey", "s_suppkey")], broadcast=True)
         .join(n, [("s_nationkey", "n_nationkey")], broadcast=True)
     )
@@ -242,11 +264,22 @@ def _q10_returned_items(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    j = c.join(o, [("c_custkey", "o_custkey")]).join(li, [("o_orderkey", "l_orderkey")])
+    # orders<->lineitem first (the orderkey layout: storage-partitioned
+    # on bucketed fixtures), PRE-AGGREGATE by custkey (custkey is the
+    # group key — c_name is functionally dependent), THEN join the
+    # 1.5M-row aggregate to customer as a broadcast.  The former
+    # customer-first order shuffled the full 15M-row R-flag join twice
+    # (custkey, then the group-by keys).  This is the 100 TB plan too:
+    # the pre-aggregate shrinks the exchange to one row per customer
+    # BEFORE any customer-table traffic.
+    j = o.join(li, [("o_orderkey", "l_orderkey")])
     j = j.filter(j.l_returnflag == "R")
+    pre = j.group_by("o_custkey").aggregate(
+        revenue=(j.l_extendedprice * (1 - j.l_discount)).sum().round(2)
+    )
+    res = pre.join(c, [("o_custkey", "c_custkey")], broadcast=True)
     return (
-        j.group_by("c_custkey", "c_name")
-        .aggregate(revenue=(j.l_extendedprice * (1 - j.l_discount)).sum().round(2))
+        res.select("c_custkey", "c_name", "revenue")
         .order_by(ib.desc("revenue"), "c_custkey")
         .limit(20)
         .to_spark()
@@ -3943,13 +3976,151 @@ def _geo_buffer_polygon_report(spark, sf_dir):
         out, holed3, r3,
         keep=["c_custkey", "pa", "pn", "ptyp", "parity"], name="hb"
     )
+    # r14: the holed buffer ANSWERS now (holes erode under dilation;
+    # this 1x1 hole always collapses at r >= 0.5) — the former
+    # null_holed pin became a closed-form area: 16 + 16r + the 32-gon
     return out.select(
         "c_custkey",
         "pa",
         "pn",
         "ptyp",
         "parity",
-        null_holed=geo.geo_area(out["hb"]).isnull(),
+        hba=geo.geo_area(out["hb"]).round(4),
+        hbn=geo.geo_n_points(out["hb"]),
+    ).to_spark()
+
+
+def _geo_buffer_erosion_report(spark, sf_dir):
+    """Negative-radius (EROSION), holed, and MULTI* buffers (r14 —
+    reference GeoBuffer geospatial.py:362 is unrestricted GEOS; these
+    were the r13 NULL classes).  Per customer, r = (custkey%4)/8+0.25
+    and seven closed-form fixtures through geo_buffer_batch:
+
+    - 4x4 square eroded by -r: exact inward half-plane intersection,
+      area (4-2r)^2, 5 vertices, POLYGON;
+    - the same square eroded past its inradius (-2.5): EMPTY
+      MULTIPOLYGON (area 0, 0 vertices) — collapse, not NULL;
+    - 8x8 outer with centered 4x4 hole buffered +r: the hole ERODES,
+      area 64 + 32r + 16r^2 sin(pi/16) - (4-2r)^2, 42 vertices;
+    - the same holed polygon eroded -r: the hole DILATES (morphology
+      identity), area (8-2r)^2 - (16 + 16r + 16r^2 sin(pi/16)),
+      42 vertices;
+    - non-convex L-shape eroded -r: convex trims + one REFLEX arc fan,
+      area 2(6-2r)(2-2r) - (2-2r)^2 + r^2 - 4r^2 sin(pi/16);
+    - MULTIPOINT (two points 20 apart) buffered +r: per-member buffer
+      + union fold (disjoint assembly), area 2 * 32-gon, 66 vertices;
+    - MULTIPOLYGON (two 4x4 squares) eroded -r: per-member erosion,
+      area 2(4-2r)^2, 10 vertices."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rk(t):
+        return (t.c_custkey % 4).cast("float64") / 8.0 + 0.25
+
+    def _sq(t, x0, side=4.0, y0=None):
+        z = x0 - x0
+        yb = z if y0 is None else z + y0
+        return geo.geo_polygon(
+            ib.array(x0, x0 + side, x0 + side, x0),
+            ib.array(yb, yb, yb + side, yb + side),
+            decoded=True,
+        )
+
+    x0 = (c.c_custkey % 100).cast("float64")
+    out = geo.geo_buffer_batch(
+        c, _sq(c, x0), -_rk(c), keep=["c_custkey"], name="se"
+    )
+    out = out.select(
+        "c_custkey",
+        sqa=geo.geo_area(out["se"]).round(4),
+        sqn=geo.geo_n_points(out["se"]),
+        sqt=geo.geo_geometry_type(out["se"]),
+    )
+    x1 = (out.c_custkey % 100).cast("float64")
+    out = geo.geo_buffer_batch(
+        out, _sq(out, x1), -2.5,
+        keep=["c_custkey", "sqa", "sqn", "sqt"], name="co",
+    )
+    out = out.select(
+        "c_custkey", "sqa", "sqn", "sqt",
+        ca=geo.geo_area(out["co"]).round(4),
+        cn=geo.geo_n_points(out["co"]),
+        ct=geo.geo_geometry_type(out["co"]),
+    )
+
+    def _holed(t):
+        xh = (t.c_custkey % 100).cast("float64")
+        z = xh - xh
+        return geo.geo_polygon(
+            ib.array(xh, xh + 8.0, xh + 8.0, xh),
+            ib.array(z, z, z + 8.0, z + 8.0),
+            holes=[(
+                ib.array(xh + 2.0, xh + 2.0, xh + 6.0, xh + 6.0),
+                ib.array(z + 2.0, z + 6.0, z + 6.0, z + 2.0),
+            )],
+            decoded=True,
+        )
+
+    keep = ["c_custkey", "sqa", "sqn", "sqt", "ca", "cn", "ct"]
+    out = geo.geo_buffer_batch(out, _holed(out), _rk(out),
+                               keep=keep, name="hb")
+    out = out.select(
+        *keep,
+        hba=geo.geo_area(out["hb"]).round(4),
+        hbn=geo.geo_n_points(out["hb"]),
+    )
+    keep = keep + ["hba", "hbn"]
+    out = geo.geo_buffer_batch(out, _holed(out), -_rk(out),
+                               keep=keep, name="he")
+    out = out.select(
+        *keep,
+        hea=geo.geo_area(out["he"]).round(4),
+        hen=geo.geo_n_points(out["he"]),
+    )
+    keep = keep + ["hea", "hen"]
+
+    def _ell(t):
+        xl = (t.c_custkey % 100).cast("float64")
+        z = xl - xl
+        return geo.geo_polygon(
+            ib.array(xl, xl + 6.0, xl + 6.0, xl + 2.0, xl + 2.0, xl),
+            ib.array(z, z, z + 2.0, z + 2.0, z + 6.0, z + 6.0),
+            decoded=True,
+        )
+
+    out = geo.geo_buffer_batch(out, _ell(out), -_rk(out),
+                               keep=keep, name="le")
+    out = out.select(
+        *keep,
+        la=geo.geo_area(out["le"]).round(4),
+        ln2=geo.geo_n_points(out["le"]),
+    )
+    keep = keep + ["la", "ln2"]
+    xm = (out.c_custkey % 100).cast("float64")
+    zm = xm - xm
+    mpt = geo.geo_multipoint(
+        ib.array(xm, xm + 20.0), ib.array(zm, zm), decoded=True
+    )
+    out = geo.geo_buffer_batch(out, mpt, _rk(out), keep=keep, name="mb")
+    out = out.select(
+        *keep,
+        mpa=geo.geo_area(out["mb"]).round(4),
+        mpn=geo.geo_n_points(out["mb"]),
+        mpt=geo.geo_geometry_type(out["mb"]),
+    )
+    keep = keep + ["mpa", "mpn", "mpt"]
+    xe = (out.c_custkey % 100).cast("float64")
+    mpoly = geo.geo_multipolygon(
+        _sq(out, xe), _sq(out, xe + 10.0)
+    )
+    out = geo.geo_buffer_batch(out, mpoly, -_rk(out), keep=keep, name="me")
+    return out.select(
+        *keep,
+        mea=geo.geo_area(out["me"]).round(4),
+        men=geo.geo_n_points(out["me"]),
     ).to_spark()
 
 
@@ -4611,68 +4782,72 @@ def _ds_sales_growth_pairs(spark, sf_dir):
 
 
 _SAMPLE_WINDOW = [
-    # r13 rotation. Slots: (1) 3 NEW entries (GEOMETRYCOLLECTION/EWKB,
-    # segment buffer, holed set ops), (2) 5 entries whose EMISSION or
-    # underlying machinery changed this round (geo_buffer_report
-    # materialize-once restructure; geo_decode_roundtrip after the
-    # EWKB-norm pre-pass — results must be byte-identical, prove it;
-    # geo_clip_general/batch after the holed/shared-edge kernel
-    # extensions; audio after the codec-error-net change), (3) ALL 42
-    # r8-stale oracled queries (the complete backlog — post-r13
-    # evidence floor moves to r9). 3+5+42 = 50.
-    # -- (1) new r13 entries --
-    "geo_collection_report",
-    "geo_buffer_line_report",
-    "geo_clip_holed_report",
+    # r14 rotation. Slots: (1) the 1 NEW entry (erosion/holed/MULTI*
+    # buffers), (2) 6 entries whose machinery or emission changed this
+    # round (geo_buffer_polygon_report: never driver-sampled before
+    # AND its null_holed pin became a closed-form area; the two other
+    # batch-buffer entries + clip_batch after the flat-column staging,
+    # the ring self-crossing guard, and the truncated-EWKB guard;
+    # q5/q10 after the join-order/pre-aggregate rewrites), (3) ALL 46
+    # r9-stale oracled queries (the complete backlog — post-r14
+    # evidence floor moves to r10; if the driver samples only 50, the
+    # alphabetical tail rolls to r15). 1+6+46 = 53.
+    # -- (1) new r14 entry --
+    "geo_buffer_erosion_report",
+    # -- (2) changed machinery: prove results --
+    "geo_buffer_polygon_report",
     "geo_buffer_polyline_report",
-    # -- (2) changed machinery: prove unchanged results --
     "geo_buffer_report",
-    "geo_decode_roundtrip",
-    "geo_clip_general_report",
     "geo_clip_batch_report",
-    # -- (3) the 42 r8-stale oracled queries (full backlog) --
-    "arg_reductions",
-    "array_named_reductions",
-    "array_ops",
-    "between_time",
-    "bool_agg_not",
-    "bool_cum_windows",
-    "bucket_histogram",
-    "case_when",
-    "connected_components_isolated",
-    "contamination_score",
-    "count_distinct_star",
-    "cross_dedup",
-    "dedup_exact",
-    "describe_table",
-    "fingerprint",
-    "group_concat",
-    "grouped_fraction",
-    "histogram_bins",
-    "in_subquery",
-    "in_values",
-    "interval_unit_views",
-    "json_extract",
-    "json_typed_accessors",
-    "not_exists_subquery",
-    "notin_subquery",
-    "pack_sequences",
-    "pagerank_isolated",
-    "q17_small_quantity",
-    "quantile_bucket",
-    "remove_duplicated_spans",
-    "set_difference",
-    "set_difference_all",
-    "set_union_distinct",
-    "substitute",
-    "weighted_sample",
-    "window_cumsum",
-    "window_first_last",
-    "window_lag",
-    "window_moving_avg",
-    "window_nth",
-    "window_ntile",
-    "window_rank",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    # -- (3) the 46 r9-stale oracled queries (full backlog) --
+    "corpus_divergence",
+    "ds_channel_except",
+    "ds_channel_intersect",
+    "ds_conditional_report",
+    "ds_cube_report",
+    "ds_grouping_sets_union",
+    "ds_monthly_vs_avg",
+    "ds_multi_channel",
+    "ds_quarterly_share",
+    "ds_rank_over_rollup",
+    "ds_returns_net",
+    "ds_rollup_report",
+    "ds_vs_group_avg",
+    "ds_year_over_year",
+    "ds_yoy_lag",
+    "misc_scalars",
+    "ngram_lm_score",
+    "ordered_reductions_desc",
+    "parse_roundtrip",
+    "pivot_longer",
+    "pivot_wider",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q19_discounted_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "quantiles",
+    "rowid_contract",
+    "salted_join_agg",
+    "scalar_numeric",
+    "scalar_strings",
+    "scalar_temporal",
+    "selector_if_any",
+    "selectors_across",
+    "stats",
+    "table_cast",
+    "temporal_arith",
+    "text_stats",
+    "tfidf",
+    "timestamp_bucket",
+    "udf_pyarrow",
+    "unnest_tokens",
+    "week_doy",
+    "window_percent",
 ]
 
 
@@ -4721,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_clip_holed_report": _geo_clip_holed_report,
         "geo_buffer_polyline_report": _geo_buffer_polyline_report,
         "geo_buffer_polygon_report": _geo_buffer_polygon_report,
+        "geo_buffer_erosion_report": _geo_buffer_erosion_report,
         # -- new in round 10: TPC-DS correlated tranche ----------------------
         "ds_returns_above_avg": _ds_returns_above_avg,
         "ds_frequent_items": _ds_frequent_items,
@@ -5512,6 +5688,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(32 AS DOUBLE) END AS ua
             FROM s
         """,
+        "geo_buffer_erosion_report": """
+            -- r14 erosion/holed/multi buffers, all closed forms:
+            -- erosion square (4-2r)^2; collapse EMPTY (0 area);
+            -- holed +-r (hole erodes/dilates); L-shape erosion with
+            -- one reflex arc fan; multipoint union; multipoly erosion
+            WITH s AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 4 AS DOUBLE)/8.0 + 0.25 AS r
+                FROM customer
+            ),
+            g AS (
+                SELECT c_custkey, r,
+                       16.0*r*r*sin(pi()/16.0) AS ngon
+                FROM s
+            )
+            SELECT c_custkey,
+                   ROUND((4.0-2.0*r)*(4.0-2.0*r), 4) AS sqa,
+                   CAST(5 AS BIGINT) AS sqn,
+                   'POLYGON' AS sqt,
+                   CAST(0.0 AS DOUBLE) AS ca,
+                   CAST(0 AS BIGINT) AS cn,
+                   'MULTIPOLYGON' AS ct,
+                   ROUND(64.0 + 32.0*r + ngon
+                         - (4.0-2.0*r)*(4.0-2.0*r), 4) AS hba,
+                   CAST(42 AS BIGINT) AS hbn,
+                   ROUND((8.0-2.0*r)*(8.0-2.0*r)
+                         - (16.0 + 16.0*r + ngon), 4) AS hea,
+                   CAST(42 AS BIGINT) AS hen,
+                   ROUND(2.0*(6.0-2.0*r)*(2.0-2.0*r)
+                         - (2.0-2.0*r)*(2.0-2.0*r)
+                         + r*r - 4.0*r*r*sin(pi()/16.0), 4) AS la,
+                   CAST(15 AS BIGINT) AS ln2,
+                   ROUND(2.0*ngon, 4) AS mpa,
+                   CAST(66 AS BIGINT) AS mpn,
+                   'MULTIPOLYGON' AS mpt,
+                   ROUND(2.0*(4.0-2.0*r)*(4.0-2.0*r), 4) AS mea,
+                   CAST(10 AS BIGINT) AS men
+            FROM g
+        """,
         "geo_buffer_polygon_report": """
             -- outward offset of the L-shape: A + P*r + five quarter
             -- fans - the reflex trim square; convex parity TRUE
@@ -5527,7 +5742,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(47 AS BIGINT) AS pn,
                    'POLYGON' AS ptyp,
                    TRUE AS parity,
-                   TRUE AS null_holed
+                   -- r14: holed buffers answer (the 1x1 hole erodes
+                   -- away at every r >= 0.5): 16 + 16r + the 32-gon
+                   ROUND(16.0 + 16.0*r
+                         + 16.0*r*r*sin(pi()/16.0), 4) AS hba,
+                   CAST(37 AS BIGINT) AS hbn
             FROM s
         """,
         "geo_buffer_polyline_report": """

@@ -7056,9 +7056,29 @@ def geo_buffer_batch(t, g, radius, *, quad_segs: int = 8, keep=None,
 
     rr = unwrap(radius)
     rr = rr.cast("double") if hasattr(rr, "cast") else F.lit(float(radius))
+    # Stage the geometry as FLAT columns (gtype + flattened coordinate
+    # arrays + per-part lengths), NOT the decoded struct: Spark 4.1's
+    # mapInPandas INPUT conversion np.array()'s nested arrays and dies
+    # on any RAGGED row — differing ring lengths or the multipolygon
+    # separator encoding's empty parts (probed r14; the struct staging
+    # only ever worked on equal-length rings).  array<double> of any
+    # length is one level deep and always safe; the kernel rebuilds
+    # the parts from the length directory.
+    dg = _dec_expr(g)
     staged = df.select(
         *[F.col(c) for c in keep],
-        _dec_expr(g).alias("__g"),
+        dg["gtype"].alias("__gt"),
+        F.flatten(
+            F.transform(
+                dg["parts"], lambda P: F.transform(P, lambda p: p["x"])
+            )
+        ).alias("__xs"),
+        F.flatten(
+            F.transform(
+                dg["parts"], lambda P: F.transform(P, lambda p: p["y"])
+            )
+        ).alias("__ys"),
+        F.transform(dg["parts"], F.size).alias("__ln"),
         rr.alias("__r"),
     )
     dtypes = {f.name: f.dataType.simpleString() for f in staged.schema}
@@ -7066,21 +7086,30 @@ def geo_buffer_batch(t, g, radius, *, quad_segs: int = 8, keep=None,
         [f"`{c}` {dtypes[c]}" for c in keep] + [f"`{name}` {_DEC_T}"]
     )
 
-    def _row_dec(gt, parts):
-        if gt is None or (isinstance(gt, float) and gt != gt) or parts is None:
+    def _row_dec(gt, xs, ys, lens):
+        if gt is None or (isinstance(gt, float) and gt != gt):
             return None
-        return (int(gt), [[(p["x"], p["y"]) for p in P] for P in parts])
+        if xs is None or ys is None or lens is None:
+            return None
+        parts, off = [], 0
+        for n in lens:
+            n = int(n)
+            parts.append(
+                [(float(xs[off + i]), float(ys[off + i])) for i in range(n)]
+            )
+            off += n
+        return (int(gt), parts)
 
     def kernel(batches):
         for pdf in batches:
-            gs, rs = pdf["__g"], pdf["__r"]
+            gts, xss, yss, lns, rs = (
+                pdf["__gt"], pdf["__xs"], pdf["__ys"], pdf["__ln"],
+                pdf["__r"],
+            )
             out = []
             for i in range(len(pdf)):
-                grow = gs.iloc[i]
-                dec = (
-                    _row_dec(grow["gtype"], grow["parts"])
-                    if grow is not None
-                    else None
+                dec = _row_dec(
+                    gts.iloc[i], xss.iloc[i], yss.iloc[i], lns.iloc[i]
                 )
                 rv = rs.iloc[i]
                 res = _gb.buffer_geom(

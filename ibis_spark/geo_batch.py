@@ -1118,26 +1118,59 @@ def buffer_polyline_ring(pts, r, quad_segs=8):
 
 def buffer_geom(g, r, quad_segs=8):
     """Decoded (gtype, parts) -> buffered decoded (gtype, parts), the
-    batch buffer kernel: POINT -> 32-gon ring; 2-vertex LINESTRING ->
-    the expression path's disjoint capsule decomposition (bit-mirrored
-    parity); >=3-vertex LINESTRING -> the stroked boundary ring; all
-    else None."""
-    if g is None or r is None or r <= 0.0:
+    batch buffer kernel.  Positive radius: POINT -> 32-gon ring;
+    2-vertex LINESTRING -> the expression path's disjoint capsule
+    decomposition (bit-mirrored parity); >=3-vertex LINESTRING ->
+    the stroked boundary ring; POLYGON (incl. NON-CONVEX and, r14,
+    HOLED — holes erode, collapsed holes drop) -> the offset ring
+    list; MULTI* (r14) -> per-member buffer + union fold.  NEGATIVE
+    radius (r14, erosion): POLYGON/MULTIPOLYGON shrink (outer rings
+    erode, holes dilate), collapse -> EMPTY (6, []); POINT/LINE
+    classes erode to EMPTY exactly.  r == 0 and every uncertifiable
+    geometry stay None (degrade, never guess)."""
+    if g is None or r is None or r == 0.0:
         return None
     gt, parts = g
+    if r < 0.0:
+        return _erode_geom(g, -r, quad_segs)
     if gt == 1 and parts and parts[0]:
         px, py = parts[0][0]
         return (3, [buffer_point_ring(px, py, r, quad_segs)])
     if gt == 3:
-        # simple hole-free polygon (incl. NON-CONVEX): outward offset
-        # of the ring; holed polygons need hole EROSION (possibly
-        # vanishing) — still NULL, documented
-        if not parts or len(parts) != 1 or len(parts[0]) < 4:
+        if not parts or len(parts[0]) < 4:
             return None
-        ring = buffer_polygon_ring(
-            [tuple(p) for p in _ccw(parts[0])], r, quad_segs
-        )
-        return (3, [ring]) if ring is not None else None
+        rings = dilate_polygon(parts, r, quad_segs)
+        return (3, rings) if rings is not None else None
+    if gt in (4, 5, 6):
+        members = _buffer_members(g)
+        if members is None:
+            return None
+        bufs = []
+        for mg in members:
+            mgt, mparts = mg
+            if mgt == 1:
+                px, py = mparts[0][0]
+                bufs.append([buffer_point_ring(px, py, r, quad_segs)])
+                continue
+            if mgt == 2:
+                # member lines (incl. 2-vertex) go through the stroked
+                # ring so the union fold sees plain polygons — no
+                # expression-parity constraint inside a multi (the
+                # expression path NULLs every multi buffer)
+                if len(mparts[0]) < 2:
+                    return None
+                ring = buffer_polyline_ring(
+                    [tuple(p) for p in mparts[0]], r, quad_segs
+                )
+                if ring is None:
+                    return None
+                bufs.append([ring])
+                continue
+            rings = dilate_polygon(mparts, r, quad_segs)
+            if rings is None:
+                return None
+            bufs.append(rings)
+        return _union_members(bufs)
     if gt != 2 or not parts or len(parts[0]) < 2:
         return None
     pts = parts[0]
@@ -1146,6 +1179,36 @@ def buffer_geom(g, r, quad_segs=8):
         return (6, pieces) if pieces is not None else None
     ring = buffer_polyline_ring([tuple(p) for p in pts], r, quad_segs)
     return (3, [ring]) if ring is not None else None
+
+
+def _erode_geom(g, e, quad_segs=8):
+    """Negative-radius buffer (erosion by e > 0) of a decoded
+    geometry.  POINT/LINE classes erode to EMPTY exactly (their
+    interiors contain no disk); POLYGON -> erode_polygon (EMPTY on
+    collapse); MULTIPOLYGON -> per-member erosion, dropped members
+    on collapse (members shrink, so they stay pairwise disjoint).
+    Degrades (None) whenever any member can't be certified."""
+    gt, parts = g
+    if gt in (1, 2, 4, 5):
+        return (6, [])
+    if gt == 3:
+        if not parts or len(parts[0]) < 4:
+            return None
+        rings = erode_polygon(parts, e, quad_segs)
+        if rings is None:
+            return None
+        return (6, []) if not rings else (3, rings)
+    if gt == 6:
+        mems = _parts_to_members(parts)
+        out = []
+        for outer, holes in mems:
+            rings = erode_polygon([outer] + list(holes), e, quad_segs)
+            if rings is None:
+                return None
+            if rings:
+                out.append((rings[0], rings[1:]))
+        return (6, _members_to_parts(out))
+    return None
 
 
 def buffer_polygon_ring(P_closed, r, quad_segs=8):
@@ -1217,3 +1280,289 @@ def buffer_polygon_ring(P_closed, r, quad_segs=8):
     if _ring_self_crossing(ring):
         return None  # arm-to-arm overlap: degrade, never a wrong ring
     return ring
+
+
+# ---------------------------------------------------------------------------
+# Erosion (negative radii), holed-polygon buffers, and MULTI* buffers
+# (r14) — the r13 NULL classes of buffer_geom.  Reference GeoBuffer
+# (/root/reference/ibis/expr/operations/geospatial.py:362) is
+# unrestricted GEOS; this closes the negative-radius ("shrink"),
+# holed, and multi-member classes with the repo's degrade-never-guess
+# posture: every certified answer is exact, everything else is None.
+#
+# Morphology identities used (disk structuring element, so dilation
+# and erosion commute with the complement):
+#   dilate(A \ H, r) = dilate(A, r) \ erode(H, r)      [holes shrink]
+#   erode (A \ H, r) = erode (A, r) \ dilate(H, r)     [holes grow]
+# and multi-member dilation is the union of member dilations.
+
+
+def _inset_edges(P_closed_ccw, r):
+    """Inward-offset clip edges of a CCW closed ring (sign +1 keeps
+    the interior on the left, matching _clip_region's convention)."""
+    E = []
+    for i in range(len(P_closed_ccw) - 1):
+        (x1, y1), (x2, y2) = P_closed_ccw[i], P_closed_ccw[i + 1]
+        dx, dy = x2 - x1, y2 - y1
+        L = math.hypot(dx, dy)
+        if L == 0.0:
+            return None
+        nx, ny = -dy / L, dx / L  # left (inward) normal
+        E.append((x1 + r * nx, y1 + r * ny, x2 + r * nx, y2 + r * ny, 1.0))
+    return E
+
+
+def _offset_ring_left(P_closed, r, quad_segs):
+    """Cyclic LEFT offset of a CCW closed simple ring by r > 0 — the
+    inward (erosion) boundary walk, the closed-ring sibling of
+    _stroke_side: convex (left-turn) joints trim at the offset
+    segments' intersection, reflex (right-turn) joints emit an inward
+    arc fan around the vertex.  None on collinear joints, zero-length
+    edges, trims the radius doesn't reach, or an edge whose offset
+    segment INVERTS (start param past end param — a straight-skeleton
+    event: the erosion may have split, so degrade)."""
+    step = math.pi / (2 * quad_segs)
+    P = P_closed[:-1]
+    m = len(P)
+    if m < 3:
+        return None
+    us = []
+    for i in range(m):
+        dx = P[(i + 1) % m][0] - P[i][0]
+        dy = P[(i + 1) % m][1] - P[i][1]
+        L = math.hypot(dx, dy)
+        if L == 0.0:
+            return None
+        us.append((dx / L, dy / L))
+    spos = [0.0] * m
+    epos = [1.0] * m
+    out = []
+    for i in range(m):
+        # joint at vertex P[i]: between edge i-1 and edge i
+        u1, u2 = us[i - 1], us[i]
+        v = P[i]
+        crossz = u1[0] * u2[1] - u1[1] * u2[0]
+        dotz = u1[0] * u2[0] + u1[1] * u2[1]
+        if crossz == 0.0:
+            return None
+        n1 = (-u1[1], u1[0])
+        n2 = (-u2[1], u2[0])
+        if crossz > 0.0:
+            # convex turn: the left side is INNER — trim
+            pprev = P[i - 1]
+            pnext = P[(i + 1) % m]
+            a1 = (pprev[0] + r * n1[0], pprev[1] + r * n1[1])
+            b1 = (v[0] + r * n1[0], v[1] + r * n1[1])
+            a2 = (v[0] + r * n2[0], v[1] + r * n2[1])
+            b2 = (pnext[0] + r * n2[0], pnext[1] + r * n2[1])
+            rx, ry = b1[0] - a1[0], b1[1] - a1[1]
+            sx, sy = b2[0] - a2[0], b2[1] - a2[1]
+            den = rx * sy - ry * sx
+            if den == 0.0:
+                return None
+            qpx, qpy = a2[0] - a1[0], a2[1] - a1[1]
+            t = (qpx * sy - qpy * sx) / den
+            w = (qpx * ry - qpy * rx) / den
+            if not (0.0 <= t <= 1.0 and 0.0 <= w <= 1.0):
+                return None
+            epos[(i - 1) % m] = t
+            spos[i] = w
+            out.append((a1[0] + rx * t, a1[1] + ry * t))
+        else:
+            # reflex turn: the left side is OUTER — inward arc fan
+            delta = math.atan2(crossz, dotz)
+            t0 = math.atan2(n1[1], n1[0])
+            k = max(1, math.ceil(abs(delta) / step))
+            out.extend(
+                (v[0] + r * math.cos(t0 + delta * j / k),
+                 v[1] + r * math.sin(t0 + delta * j / k))
+                for j in range(k + 1)
+            )
+    for j in range(m):
+        if spos[j] > epos[j]:
+            return None  # offset edge inverted: skeleton event
+    return out
+
+
+def erode_ring(P_closed, r, quad_segs=8):
+    """Morphological erosion boundary of the region of a SIMPLE closed
+    ring by r > 0 (any orientation in, CCW out).  Three outcomes:
+
+    - the eroded closed ring (exact);
+    - ``[]`` when the region erodes to EMPTY — certified exact only
+      for CONVEX rings, where erosion is the intersection of inward-
+      offset half-planes (reuses the S-H fold, so edge-vanishing
+      "chamfer" corners and total collapse are both handled exactly);
+    - ``None`` (degrade) for non-convex rings whose naive inward
+      offset can't be certified: an offset edge inverts, the result
+      ring flips or self-crosses (the erosion may have split into
+      pieces), or a joint is collinear."""
+    P = _ccw(P_closed)
+    E, convex = _clip_region(P)
+    if not E:
+        return None
+    if convex:
+        ins = _inset_edges(P, r)
+        if ins is None:
+            return None
+        ring = _post_ring(_sh_clip(P[:-1], ins))
+        return ring if ring else []
+    out = _offset_ring_left(P, r, quad_segs)
+    if out is None:
+        return None
+    ring = out + out[:1]
+    if len(ring) < 4 or _shoelace(ring) <= 0.0:
+        return None
+    if _ring_self_crossing(ring):
+        return None
+    return ring
+
+
+def dilate_polygon(parts, r, quad_segs=8):
+    """Dilation of a (possibly HOLED) polygon's ring list by r > 0:
+    outer ring outward-stroked (buffer_polygon_ring), each hole
+    ERODED by r (holes shrink under dilation; collapsed holes drop).
+    Shrunken holes stay pairwise disjoint and inside the grown outer
+    by construction, so no interaction checks are needed.  Returns
+    the new ring list [outer, *holes(CW)] or None (degrade)."""
+    oring = buffer_polygon_ring(
+        [tuple(p) for p in _ccw(parts[0])], r, quad_segs
+    )
+    if oring is None:
+        return None
+    holes = []
+    for H in parts[1:]:
+        e = erode_ring([tuple(p) for p in H], r, quad_segs)
+        if e is None:
+            return None
+        if e:
+            holes.append(e[::-1])  # holes CW
+    return [oring] + holes
+
+
+def erode_polygon(parts, r, quad_segs=8):
+    """Erosion of a (possibly HOLED) polygon's ring list by r > 0:
+    outer ring eroded, holes DILATED (holes grow under erosion).
+    Grown holes CAN now interact — each must sit strictly inside the
+    eroded outer (or swallow it entirely -> EMPTY, or miss it
+    entirely -> no-op) and be pairwise disjoint; any contact or
+    crossing degrades.  Returns ring list | [] (EMPTY) | None."""
+    oring = erode_ring([tuple(p) for p in parts[0]], r, quad_segs)
+    if oring is None:
+        return None
+    if not oring:
+        return []
+    grown = []
+    for H in parts[1:]:
+        g = buffer_polygon_ring([tuple(p) for p in _ccw(H)], r, quad_segs)
+        if g is None:
+            return None
+        grown.append(g)
+    kept = []
+    try:
+        for i, g in enumerate(grown):
+            rel = _ring_rel(g, oring)
+            if rel == "Q_in_P":
+                return []  # grown hole covers the eroded outer
+            if rel == "disjoint":
+                continue  # hole grew away from the surviving region
+            if rel != "P_in_Q":
+                return None  # hole boundary reaches the outer: degrade
+            for g2 in grown[i + 1:]:
+                if _ring_rel(g, g2) != "disjoint":
+                    return None  # holes merged: degrade
+            kept.append(g)
+    except _GHDegenerate:
+        return None
+    return [oring] + [g[::-1] for g in kept]
+
+
+def _member_area(m):
+    """Net area of one member ring list [outer, *holes]."""
+    a = abs(_shoelace(m[0])) / 2.0
+    for h in m[1:]:
+        a -= abs(_shoelace(h)) / 2.0
+    return a
+
+
+def _union_members(members):
+    """Union-fold of decoded single polygons (ring lists
+    [outer, *holes]) via the existing pairwise set-op kernel:
+    repeatedly union any bbox-overlapping pair.  A pair whose union
+    conserves area EXACTLY (the kernel's areas are closed under its
+    own arithmetic, so truly disjoint pairs echo their inputs) is
+    remembered as settled and skipped; a productive union replaces
+    the pair with the kernel's result members (setop's both-convex
+    union returns a DISJOINT DECOMPOSITION — aP plus the prefix
+    half-plane pieces of bP \\ aP — which is this engine's
+    established union spelling, so the pieces are adopted as members
+    and marked mutually settled: they touch along shared edges, and
+    re-unioning touching pieces would only degrade).  Terminates
+    because every productive merge reduces the member count and the
+    settled-pair set only grows.  Returns decoded (gtype, parts) or
+    None (degrade: any pairwise union the kernel can't certify)."""
+    pool = [[list(map(tuple, R)) for R in m] for m in members]
+    settled = set()
+    graveyard = []  # keeps removed members alive: settled keys are
+    # id()-based, and CPython reuses addresses of collected objects
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(pool)):
+            for j in range(i + 1, len(pool)):
+                key = frozenset((id(pool[i]), id(pool[j])))
+                if key in settled:
+                    continue
+                if _bbox_apart(pool[i], pool[j]):
+                    settled.add(key)
+                    continue
+                r = setop(OP_UNION, (3, pool[i]), (3, pool[j]))
+                if r is None:
+                    return None
+                mems = [[o] + list(hs)
+                        for o, hs in _parts_to_members(r[1])]
+                in_area = _member_area(pool[i]) + _member_area(pool[j])
+                out_area = sum(_member_area(m) for m in mems)
+                if len(mems) >= 2 and out_area == in_area:
+                    # no overlap removed: disjoint despite bbox overlap
+                    settled.add(key)
+                    continue
+                graveyard.append(pool[i])
+                graveyard.append(pool[j])
+                pool = [pool[k] for k in range(len(pool))
+                        if k not in (i, j)]
+                for a in range(len(mems)):
+                    for b in range(a + 1, len(mems)):
+                        settled.add(frozenset((id(mems[a]), id(mems[b]))))
+                pool.extend(mems)
+                merged = True
+                break
+            if merged:
+                break
+    if not pool:
+        return (6, [])
+    if len(pool) == 1:
+        return (3, _members_to_parts([(pool[0][0], pool[0][1:])]))
+    return (6, _members_to_parts([(m[0], m[1:]) for m in pool]))
+
+
+def _buffer_members(g):
+    """Decoded MULTI* -> list of member ring lists for buffer_geom's
+    multi path: MULTIPOINT (gt 4, one part holding every point),
+    MULTILINESTRING (gt 5, one part per line), MULTIPOLYGON (gt 6,
+    separator encoding).  None for anything else."""
+    gt, parts = g
+    if gt == 4:
+        if not parts or not parts[0]:
+            return None
+        return [(1, [[p]]) for p in parts[0]]
+    if gt == 5:
+        if not parts:
+            return None
+        return [(2, [P]) for P in parts]
+    if gt == 6:
+        mems = _parts_to_members(parts)
+        if not mems:
+            return None
+        return [(3, [o] + list(hs)) for o, hs in mems]
+    return None

@@ -437,14 +437,103 @@ class TestPolylineBuffer:
 
     def test_polygon_buffer_degenerates_null(self):
         sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
-        hole = list(reversed(
-            [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
-        ))
-        assert gb.buffer_geom((3, [sq, hole]), 1.0) is None  # holed
-        assert gb.buffer_geom((3, [sq]), -1.0) is None       # erosion
         coll = [(0.0, 0.0), (2.0, 0.0), (4.0, 0.0), (4.0, 4.0),
                 (0.0, 4.0), (0.0, 0.0)]
         assert gb.buffer_geom((3, [coll]), 1.0) is None      # collinear
+        assert gb.buffer_geom((3, [sq]), 0.0) is None        # r == 0
+        assert gb.buffer_geom((3, [sq]), None) is None
+
+    def test_holed_polygon_buffer_closed_forms(self):
+        """r14: holes ERODE under dilation (morphology identity) —
+        8x8 outer with centered 4x4 hole; collapsed holes drop."""
+        sq = [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)]
+        hole = [(2.0, 2.0), (2.0, 6.0), (6.0, 6.0), (6.0, 2.0),
+                (2.0, 2.0)]  # CW
+        res = gb.buffer_geom((3, [sq, hole]), 0.5)
+        assert res[0] == 3 and len(res[1]) == 2
+        exp = 64.0 + 16.0 + self.NGON / 4.0 - 9.0  # hole -> 3x3
+        assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
+        # hole collapses at r >= 2
+        res = gb.buffer_geom((3, [sq, hole]), 2.0)
+        assert res[0] == 3 and len(res[1]) == 1
+        exp = 64.0 + 64.0 + 4.0 * self.NGON
+        assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
+
+    def test_negative_radius_erosion_closed_forms(self):
+        """r14: negative radii (erosion).  Convex erosion is the exact
+        inward half-plane intersection; collapse is EMPTY (6, []);
+        holes GROW; point/line classes erode to EMPTY."""
+        sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+        res = gb.buffer_geom((3, [sq]), -0.5)
+        assert res[0] == 3
+        assert _area_parts(res[1]) == pytest.approx(9.0, rel=1e-12)
+        assert gb.buffer_geom((3, [sq]), -2.0) == (6, [])   # collapse
+        assert gb.buffer_geom((3, [sq]), -5.0) == (6, [])
+        # chamfered corner: the short edge VANISHES but the erosion is
+        # non-empty — the convex S-H path answers exactly where a naive
+        # adjacent-intersection ring would be wrong
+        ch = [(0.2, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0),
+              (0.0, 0.2), (0.2, 0.0)]
+        res = gb.buffer_geom((3, [ch]), -1.0)
+        assert res is not None and res[0] == 3
+        assert _area_parts(res[1]) == pytest.approx(4.0, rel=1e-10)
+        # non-convex L-shape: trims + one reflex arc fan, closed form
+        L = [(0.0, 0.0), (6.0, 0.0), (6.0, 2.0), (2.0, 2.0),
+             (2.0, 6.0), (0.0, 6.0), (0.0, 0.0)]
+        r = 0.25
+        res = gb.buffer_geom((3, [L]), -r)
+        assert res[0] == 3
+        # union of shrunk rects + (corner square - reflex arc fan)
+        fan = (r * r / 2.0) * 8.0 * math.sin(math.pi / 16.0)
+        exp = 14.25 + r * r - fan
+        assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
+        # erosion past the narrow arm width degrades or empties, never
+        # answers wrong: naive ring would self-cross
+        assert gb.buffer_geom((3, [L]), -1.5) in (None, (6, []))
+        # holed erosion: holes grow
+        big = [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)]
+        hole = [(2.0, 2.0), (2.0, 6.0), (6.0, 6.0), (6.0, 2.0), (2.0, 2.0)]
+        res = gb.buffer_geom((3, [big, hole]), -0.5)
+        assert res[0] == 3 and len(res[1]) == 2
+        exp = 49.0 - (16.0 + 8.0 + self.NGON / 4.0)
+        assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
+        # point/line erode to EMPTY exactly
+        assert gb.buffer_geom((1, [[(1.0, 1.0)]]), -1.0) == (6, [])
+        assert gb.buffer_geom((2, [[(0.0, 0.0), (3.0, 0.0)]]), -1.0) == (6, [])
+
+    def test_multi_buffer_union_fold(self):
+        """r14: MULTI* buffers — per-member buffer + union fold.
+        Disjoint members assemble exactly; overlapping members union
+        through the set-op kernel (area strictly between max member
+        and the disjoint sum)."""
+        # disjoint multipoint: three separated 32-gons
+        res = gb.buffer_geom((4, [[(0.0, 0.0), (10.0, 0.0), (20.0, 0.0)]]), 1.0)
+        assert res[0] == 6
+        assert _area_parts(res[1]) == pytest.approx(
+            3.0 * self.NGON, rel=1e-12
+        )
+        # overlapping pair: union removes the lens
+        res = gb.buffer_geom((4, [[(0.0, 0.0), (1.0, 0.0)]]), 1.0)
+        assert res[0] == 6
+        a = _area_parts(res[1])
+        assert self.NGON < a < 2.0 * self.NGON
+        # multipolygon: two disjoint squares, exact closed form
+        sq1 = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+        sq2 = [(10.0, 0.0), (14.0, 0.0), (14.0, 4.0), (10.0, 4.0),
+               (10.0, 0.0)]
+        res = gb.buffer_geom((6, [sq1, [], sq2]), 0.5)
+        exp = 2.0 * (16.0 + 8.0 + self.NGON / 4.0)
+        assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
+        # multipolygon erosion: members shrink independently
+        res = gb.buffer_geom((6, [sq1, [], sq2]), -0.5)
+        assert res[0] == 6
+        assert _area_parts(res[1]) == pytest.approx(18.0, rel=1e-12)
+        # multilinestring: two parallel segments, capsules via stroking
+        res = gb.buffer_geom(
+            (5, [[(0.0, 0.0), (3.0, 0.0)], [(0.0, 10.0), (3.0, 10.0)]]), 0.5
+        )
+        exp = 2.0 * (3.0 + self.NGON / 4.0)
+        assert _area_parts(res[1]) == pytest.approx(exp, rel=1e-12)
 
     def test_point_and_segment_mirror_expression(self):
         """The batch kernel's POINT/2-vertex outputs are the bit
