@@ -4124,6 +4124,47 @@ def _geo_buffer_erosion_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_convert_osgb_report(spark, sf_dir):
+    """EPSG:27700 British National Grid (r14 — reference GeoConvert
+    geospatial.py:459; the engine's first DATUM-SHIFT CRS family):
+    per customer a lon/lat sweep inside the British box projected
+    WGS84 -> OSGB36/BNG through the full chain (geodetic->geocentric,
+    7-parameter Helmert, Bowring, Airy transverse Mercator).  The
+    oracle replays the IDENTICAL chain in SQL with the engine's own
+    Python-computed coefficient literals; every primitive in the
+    chain (sin/cos/tan/atan/sqrt and +,-,*,/) is in the measured
+    Java==DuckDB bit-identical set, and easting/northing are emitted
+    quantized to MILLIMETRES anyway.  The inverse chain (TM inverse
+    series, inverse Helmert) is proven by a 1e-5-degree round-trip
+    closure boolean the oracle pins TRUE (< 5 cm measured across the
+    domain); the out-of-box NULL gate is pinned TRUE."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lon = (c.c_custkey % 44).cast("float64") / 4.0 - 8.5
+    lat = (c.c_custkey % 45).cast("float64") / 4.0 + 49.25
+    p = geo.geo_point(lon, lat, decoded=True)
+    bng = geo.geo_convert(p, 4326, 27700)
+    back = geo.geo_convert(bng, 27700, 4326)
+    pout = geo.geo_point(lon - 40.0, lat, decoded=True)  # west of box
+    c = c.mutate(
+        e=geo.geo_x(bng),
+        n=geo.geo_y(bng),
+        lon2=geo.geo_x(back),
+        lat2=geo.geo_y(back),
+        odom=geo.geo_x(geo.geo_convert(pout, 4326, 27700)),
+    )
+    return c.select(
+        "c_custkey",
+        e_mm=(c.e * 1000.0).round(0).cast("int64"),
+        n_mm=(c.n * 1000.0).round(0).cast("int64"),
+        rt=((c.lon2 - lon).abs() < 1e-5) & ((c.lat2 - lat).abs() < 1e-5),
+        null_outside=c.odom.isnull(),
+    ).to_spark()
+
+
 def _geo_collection_report(spark, sf_dir):
     """GEOMETRYCOLLECTION + EWKB input (r13 — reference
     GeometryCollection type + GeoTransform geospatial.py:450 reading
@@ -4792,8 +4833,9 @@ _SAMPLE_WINDOW = [
     # r9-stale oracled queries (the complete backlog — post-r14
     # evidence floor moves to r10; if the driver samples only 50, the
     # alphabetical tail rolls to r15). 1+6+46 = 53.
-    # -- (1) new r14 entry --
+    # -- (1) new r14 entries --
     "geo_buffer_erosion_report",
+    "geo_convert_osgb_report",
     # -- (2) changed machinery: prove results --
     "geo_buffer_polygon_report",
     "geo_buffer_polyline_report",
@@ -4887,6 +4929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_clip_batch_report": _geo_clip_batch_report,
         "geo_clip_general_report": _geo_clip_general_report,
         "geo_transform_report": _geo_transform_report,
+        "geo_convert_osgb_report": _geo_convert_osgb_report,
         "geo_buffer_report": _geo_buffer_report,
         "audio_features_report": _audio_features_report,
         "geo_line_merge_report": _geo_line_merge_report,
@@ -5287,9 +5330,150 @@ def _utm_oracle_sql() -> str:
     return sql
 
 
+def _osgb_oracle_sql() -> str:
+    """DuckDB SQL for geo_convert_osgb_report: the full WGS84 ->
+    OSGB36/BNG chain (geocentric, Helmert, Bowring, Airy TM) with the
+    engine's own Python-computed coefficient literals and the
+    IDENTICAL operation order.  Every primitive is in the measured
+    Java==DuckDB bit-identical set (sin/cos/tan/atan/sqrt, +,-,*,/);
+    easting/northing are quantized to millimetres regardless.  The
+    round-trip and domain booleans are Spark-side properties — the
+    oracle pins them TRUE."""
+    import math as m
+
+    aw = 6378137.0
+    fw = 1.0 / 298.257223563
+    e2w = fw * (2.0 - fw)
+    aa = 6377563.396
+    fa = 1.0 / 299.3249646
+    e2a = fa * (2.0 - fa)
+    ba = aa * (1.0 - fa)
+    ep2a = e2a / (1.0 - e2a)
+    k0 = 0.9996012717
+    phi0 = m.radians(49.0)
+    c0 = 1 - e2a / 4 - 3 * e2a**2 / 64 - 5 * e2a**3 / 256
+    c1 = 3 * e2a / 8 + 3 * e2a**2 / 32 + 45 * e2a**3 / 1024
+    c2 = 15 * e2a**2 / 256 + 45 * e2a**3 / 1024
+    c3 = 35 * e2a**3 / 3072
+    m0 = aa * (
+        c0 * phi0 - c1 * m.sin(2 * phi0)
+        + c2 * m.sin(4 * phi0) - c3 * m.sin(6 * phi0)
+    )
+    C = {
+        "AW": repr(aw),
+        "E2W": repr(e2w),
+        "OME2W": repr(1.0 - e2w),
+        "TX": repr(-446.448),
+        "TY": repr(125.157),
+        "TZ": repr(-542.060),
+        "RX": repr(m.radians(-0.1502 / 3600.0)),
+        "RY": repr(m.radians(-0.2470 / 3600.0)),
+        "RZ": repr(m.radians(-0.8421 / 3600.0)),
+        "ONES": repr(1.0 + 20.4894e-6),
+        "AA": repr(aa),
+        "BA": repr(ba),
+        "EP2B": repr(ep2a * ba),
+        "E2ABOW": repr(e2a * aa),
+        "E2A": repr(e2a),
+        "EP2A": repr(ep2a),
+        "K0": repr(k0),
+        "LAM0": repr(m.radians(-2.0)),
+        "C0": repr(c0),
+        "C1": repr(c1),
+        "C2": repr(c2),
+        "C3": repr(c3),
+        "M0": repr(m0),
+        "C58": repr(58.0 * ep2a),
+        "C330": repr(330.0 * ep2a),
+        "FE": repr(400000.0),
+        "FN": repr(-100000.0),
+    }
+    sql = """
+        WITH s AS (
+          SELECT c_custkey,
+                 CAST(c_custkey % 44 AS DOUBLE)/4.0 - 8.5 AS lon,
+                 CAST(c_custkey % 45 AS DOUBLE)/4.0 + 49.25 AS lat
+          FROM customer),
+        g AS (
+          SELECT c_custkey, lon, lat,
+                 sin(radians(lat)) AS sphi, cos(radians(lat)) AS cphi
+          FROM s),
+        xg AS (
+          SELECT c_custkey, lon, lat, sphi, cphi,
+                 {AW} / sqrt(1.0 - {E2W} * sphi * sphi) AS nu
+          FROM g),
+        xyz AS (
+          SELECT c_custkey, lon, lat,
+                 nu * cphi * cos(radians(lon)) AS GX,
+                 nu * cphi * sin(radians(lon)) AS GY,
+                 nu * {OME2W} * sphi AS GZ
+          FROM xg),
+        h AS (
+          SELECT c_custkey, lon, lat,
+                 {TX} + {ONES} * GX - {RZ} * GY + {RY} * GZ AS HX,
+                 {TY} + {RZ} * GX + {ONES} * GY - {RX} * GZ AS HY,
+                 {TZ} - {RY} * GX + {RX} * GY + {ONES} * GZ AS HZ
+          FROM xyz),
+        bp AS (
+          SELECT c_custkey, lon, lat, HX, HY, HZ,
+                 sqrt(HX * HX + HY * HY) AS p
+          FROM h),
+        bt AS (
+          SELECT c_custkey, lon, lat, HX, HY, HZ, p,
+                 atan(HZ * {AA} / (p * {BA})) AS th
+          FROM bp),
+        bs AS (
+          SELECT c_custkey, lon, lat, HX, HY, HZ, p,
+                 sin(th) AS st, cos(th) AS ct
+          FROM bt),
+        bl AS (
+          SELECT c_custkey, lon, lat,
+                 degrees(atan(HY / HX)) AS lon_o,
+                 degrees(atan((HZ + {EP2B} * st * st * st)
+                              / (p - {E2ABOW} * ct * ct * ct))) AS lat_o
+          FROM bs),
+        t2 AS (
+          SELECT c_custkey,
+                 sin(radians(lat_o)) AS s2, cos(radians(lat_o)) AS c2,
+                 tan(radians(lat_o)) AS tt, radians(lon_o) AS lam,
+                 radians(lat_o) AS phi
+          FROM bl),
+        u2 AS (
+          SELECT c_custkey, tt, phi,
+                 {AA} / sqrt(1.0 - {E2A} * s2 * s2) AS N,
+                 tt * tt AS T,
+                 {EP2A} * c2 * c2 AS C,
+                 c2 * (lam - {LAM0}) AS Aa,
+                 {AA} * ({C0} * phi - {C1} * sin(phi * 2)
+                         + {C2} * sin(phi * 4)
+                         - {C3} * sin(phi * 6)) AS M
+          FROM t2),
+        v2 AS (
+          SELECT c_custkey, tt, N, T, C, M, Aa, Aa * Aa AS A2
+          FROM u2)
+        SELECT c_custkey,
+               CAST(ROUND(({K0} * N * (Aa + (1.0 - T + C) * Aa * A2 / 6.0
+                 + (5.0 - 18.0 * T + T * T + 72.0 * C - {C58})
+                   * Aa * A2 * A2 / 120.0) + {FE}) * 1000.0) AS BIGINT)
+                 AS e_mm,
+               CAST(ROUND(({K0} * (M - {M0} + N * tt * (A2 / 2.0
+                 + (5.0 - T + 9.0 * C + 4.0 * C * C) * A2 * A2 / 24.0
+                 + (61.0 - 58.0 * T + T * T + 600.0 * C - {C330})
+                   * A2 * A2 * A2 / 720.0)) + {FN}) * 1000.0) AS BIGINT)
+                 AS n_mm,
+               TRUE AS rt,
+               TRUE AS null_outside
+        FROM v2
+    """
+    for k, val in C.items():
+        sql = sql.replace("{" + k + "}", val)
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "geo_transform_report": _utm_oracle_sql(),
+        "geo_convert_osgb_report": _osgb_oracle_sql(),
         # -- pure-Spark geo slice (round 9): the oracle recomputes the
         # coordinates directly; bit-equality holds because the engine's
         # WKB encode/decode is exact --------------------------------------

