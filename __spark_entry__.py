@@ -3569,7 +3569,13 @@ def _geo_clip_holed_report(spark, sf_dir):
     - L-shape UNION/MINUS/INTERSECT a triangle glued to one full edge
       (the single-shared-edge degenerate): su4 = 20 + 2(w0+1) (the
       splice), sd4 = 20 (subject unchanged), intersection NULL (line
-      contact, the documented posture)."""
+      contact, the documented posture).
+
+    r14: ONE geo_setops_batch_multi pass for all four pairs (the r13
+    spelling chained four mapInPandas stages at ~0.7 s of Arrow/plan
+    overhead EACH — 3.8 s at sf0.1; the row kernels are only ~1.1
+    ms/row — measured, VERDICT r13 'what's wrong' #2), computing only
+    the ops the measures read (6 of the 12)."""
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer").repartition(
@@ -3597,100 +3603,61 @@ def _geo_clip_holed_report(spark, sf_dir):
         decoded=True,
     )
     window = square(w0, w0, 8.0)
-    out = geo.geo_setops_batch(
-        c, donut_a, window, keep=["c_custkey"], names=["i1", "d1", "u1"]
-    )
-    # measure between calls: a decoded struct cannot ride through the
-    # NEXT mapInPandas as a keep column (pandas->Arrow chokes on the
-    # ragged parts arrays) — and scalars are all we need downstream
-    out = out.select(
-        "c_custkey",
-        ia1=geo.geo_area(out["i1"]),
-        ip1=geo.geo_n_points(out["i1"]),
-    )
-
-    w0b = (out.c_custkey % 3).cast("float64")
-    zb = w0b - w0b
-    a2 = geo.geo_polygon(
-        ib.array(zb, zb + 8.0, zb + 8.0, zb),
-        ib.array(zb, zb, zb + 8.0, zb + 8.0),
-        decoded=True,
-    )
+    a2 = square(z, z, 8.0)
     donut_b = geo.geo_polygon(
-        ib.array(w0b + 2.0, w0b + 10.0, w0b + 10.0, w0b + 2.0),
-        ib.array(w0b + 2.0, w0b + 2.0, w0b + 10.0, w0b + 10.0),
+        ib.array(w0 + 2.0, w0 + 10.0, w0 + 10.0, w0 + 2.0),
+        ib.array(w0 + 2.0, w0 + 2.0, w0 + 10.0, w0 + 10.0),
         holes=[
             (
-                ib.array(w0b + 4.0, w0b + 6.0, w0b + 6.0, w0b + 4.0),
-                ib.array(w0b + 4.0, w0b + 4.0, w0b + 6.0, w0b + 6.0),
+                ib.array(w0 + 4.0, w0 + 6.0, w0 + 6.0, w0 + 4.0),
+                ib.array(w0 + 4.0, w0 + 4.0, w0 + 6.0, w0 + 6.0),
             )
         ],
         decoded=True,
     )
-    out = geo.geo_setops_batch(
-        out, a2, donut_b,
-        keep=["c_custkey", "ia1", "ip1"],
-        names=["i2", "d2", "u2"],
-    )
-    out = out.select(
-        "c_custkey", "ia1", "ip1", da2=geo.geo_area(out["d2"])
-    )
-
-    w0c = (out.c_custkey % 3).cast("float64")
-    zc = w0c - w0c
     donut_c = geo.geo_polygon(
-        ib.array(zc, zc + 8.0, zc + 8.0, zc),
-        ib.array(zc, zc, zc + 8.0, zc + 8.0),
+        ib.array(z, z + 8.0, z + 8.0, z),
+        ib.array(z, z, z + 8.0, z + 8.0),
         holes=[
             (
-                ib.array(zc + 2.0, zc + 6.0, zc + 6.0, zc + 2.0),
-                ib.array(zc + 2.0, zc + 2.0, zc + 6.0, zc + 6.0),
+                ib.array(z + 2.0, z + 6.0, z + 6.0, z + 2.0),
+                ib.array(z + 2.0, z + 2.0, z + 6.0, z + 6.0),
             )
         ],
         decoded=True,
     )
-    island = geo.geo_polygon(
-        ib.array(zc + 3.0, zc + 5.0, zc + 5.0, zc + 3.0),
-        ib.array(zc + 3.0, zc + 3.0, zc + 5.0, zc + 5.0),
-        decoded=True,
-    )
-    out = geo.geo_setops_batch(
-        out, donut_c, island,
-        keep=["c_custkey", "ia1", "ip1", "da2"],
-        names=["i3", "d3", "u3"],
-    )
-    out = out.select(
-        "c_custkey", "ia1", "ip1", "da2", ua3=geo.geo_area(out["u3"])
-    )
-
-    w0d = (out.c_custkey % 3).cast("float64")
-    zd = w0d - w0d
+    island = square(z + 3.0, z + 3.0, 2.0)
     ell = geo.geo_polygon(
-        ib.array(zd, zd + 6.0, zd + 6.0, zd + 2.0, zd + 2.0, zd),
-        ib.array(zd, zd, zd + 2.0, zd + 2.0, zd + 6.0, zd + 6.0),
+        ib.array(z, z + 6.0, z + 6.0, z + 2.0, z + 2.0, z),
+        ib.array(z, z, z + 2.0, z + 2.0, z + 6.0, z + 6.0),
         decoded=True,
     )
     tri = geo.geo_polygon(
-        ib.array(zd + 2.0, zd + 2.0, w0d + 3.0),
-        ib.array(zd + 6.0, zd + 2.0, zd + 3.0),
+        ib.array(z + 2.0, z + 2.0, w0 + 3.0),
+        ib.array(z + 6.0, z + 2.0, z + 3.0),
         decoded=True,
     )
-    out = geo.geo_setops_batch(
-        out, ell, tri,
-        keep=["c_custkey", "ia1", "ip1", "da2", "ua3"],
-        names=["i4", "d4", "u4"],
+    out = geo.geo_setops_batch_multi(
+        c,
+        [
+            (donut_a, window, ("intersection",), ["i1"]),
+            (a2, donut_b, ("difference",), ["d2"]),
+            (donut_c, island, ("union",), ["u3"]),
+            (ell, tri, ("union", "difference", "intersection"),
+             ["u4", "d4", "i4"]),
+        ],
+        keep=["c_custkey"],
     )
     return out.select(
         "c_custkey",
-        "ia1",
-        "ip1",
-        "da2",
-        "ua3",
+        ia1=geo.geo_area(out["i1"]),
+        ip1=geo.geo_n_points(out["i1"]),
+        da2=geo.geo_area(out["d2"]),
+        ua3=geo.geo_area(out["u3"]),
         su4=geo.geo_area(out["u4"]),
         sd4=geo.geo_area(out["d4"]),
         si4_null=geo.geo_area(out["i4"]).isnull(),
     ).to_spark()
-
 
 def _geo_transform_report(spark, sf_dir):
     """CRS transforms (r12 — reference GeoConvert geospatial.py:459 /
@@ -3993,8 +3960,9 @@ def _geo_buffer_polygon_report(spark, sf_dir):
 def _geo_buffer_erosion_report(spark, sf_dir):
     """Negative-radius (EROSION), holed, and MULTI* buffers (r14 —
     reference GeoBuffer geospatial.py:362 is unrestricted GEOS; these
-    were the r13 NULL classes).  Per customer, r = (custkey%4)/8+0.25
-    and seven closed-form fixtures through geo_buffer_batch:
+    were the r13 NULL classes).  Per row, r = (custkey%4)/8+0.25 and
+    seven closed-form fixtures through ONE geo_buffer_batch_multi
+    pass:
 
     - 4x4 square eroded by -r: exact inward half-plane intersection,
       area (4-2r)^2, 5 vertices, POLYGON;
@@ -4010,119 +3978,80 @@ def _geo_buffer_erosion_report(spark, sf_dir):
     - MULTIPOINT (two points 20 apart) buffered +r: per-member buffer
       + union fold (disjoint assembly), area 2 * 32-gon, 66 vertices;
     - MULTIPOLYGON (two 4x4 squares) eroded -r: per-member erosion,
-      area 2(4-2r)^2, 10 vertices."""
+      area 2(4-2r)^2, 10 vertices.
+
+    Fixed 100 rows at every sf (the geo_collection_report posture): a
+    correctness entry for the erosion/holed/multi kernel classes, not
+    a bench signal — the decoded constructors and HOF measures cost
+    far more plan interpretation than the 0.76 ms/row kernels
+    (measured r14), deliberately bounded."""
     import ibis_spark.geo as geo
 
-    c = _t(spark, sf_dir, "customer").repartition(
-        spark.sparkContext.defaultParallelism
+    c = ib.connect(spark).memtable(
+        [(i,) for i in range(100)], schema={"c_custkey": "int64"}
     )
+    r = (c.c_custkey % 4).cast("float64") / 8.0 + 0.25
+    x0 = (c.c_custkey % 100).cast("float64")
+    z = x0 - x0
 
-    def _rk(t):
-        return (t.c_custkey % 4).cast("float64") / 8.0 + 0.25
-
-    def _sq(t, x0, side=4.0, y0=None):
-        z = x0 - x0
-        yb = z if y0 is None else z + y0
+    def _sq(xoff, side=4.0):
         return geo.geo_polygon(
-            ib.array(x0, x0 + side, x0 + side, x0),
-            ib.array(yb, yb, yb + side, yb + side),
+            ib.array(xoff, xoff + side, xoff + side, xoff),
+            ib.array(z, z, z + side, z + side),
             decoded=True,
         )
 
-    x0 = (c.c_custkey % 100).cast("float64")
-    out = geo.geo_buffer_batch(
-        c, _sq(c, x0), -_rk(c), keep=["c_custkey"], name="se"
+    holed = geo.geo_polygon(
+        ib.array(x0, x0 + 8.0, x0 + 8.0, x0),
+        ib.array(z, z, z + 8.0, z + 8.0),
+        holes=[(
+            ib.array(x0 + 2.0, x0 + 2.0, x0 + 6.0, x0 + 6.0),
+            ib.array(z + 2.0, z + 6.0, z + 6.0, z + 2.0),
+        )],
+        decoded=True,
     )
-    out = out.select(
+    ell = geo.geo_polygon(
+        ib.array(x0, x0 + 6.0, x0 + 6.0, x0 + 2.0, x0 + 2.0, x0),
+        ib.array(z, z, z + 2.0, z + 2.0, z + 6.0, z + 6.0),
+        decoded=True,
+    )
+    mpt = geo.geo_multipoint(
+        ib.array(x0, x0 + 20.0), ib.array(z, z), decoded=True
+    )
+    mpoly = geo.geo_multipolygon(_sq(x0), _sq(x0 + 10.0))
+    out = geo.geo_buffer_batch_multi(
+        c,
+        [
+            (_sq(x0), -r, "se"),
+            (_sq(x0), -2.5, "co"),
+            (holed, r, "hb"),
+            (holed, -r, "he"),
+            (ell, -r, "le"),
+            (mpt, r, "mb"),
+            (mpoly, -r, "me"),
+        ],
+        keep=["c_custkey"],
+    )
+    return out.select(
         "c_custkey",
         sqa=geo.geo_area(out["se"]).round(4),
         sqn=geo.geo_n_points(out["se"]),
         sqt=geo.geo_geometry_type(out["se"]),
-    )
-    x1 = (out.c_custkey % 100).cast("float64")
-    out = geo.geo_buffer_batch(
-        out, _sq(out, x1), -2.5,
-        keep=["c_custkey", "sqa", "sqn", "sqt"], name="co",
-    )
-    out = out.select(
-        "c_custkey", "sqa", "sqn", "sqt",
         ca=geo.geo_area(out["co"]).round(4),
         cn=geo.geo_n_points(out["co"]),
         ct=geo.geo_geometry_type(out["co"]),
-    )
-
-    def _holed(t):
-        xh = (t.c_custkey % 100).cast("float64")
-        z = xh - xh
-        return geo.geo_polygon(
-            ib.array(xh, xh + 8.0, xh + 8.0, xh),
-            ib.array(z, z, z + 8.0, z + 8.0),
-            holes=[(
-                ib.array(xh + 2.0, xh + 2.0, xh + 6.0, xh + 6.0),
-                ib.array(z + 2.0, z + 6.0, z + 6.0, z + 2.0),
-            )],
-            decoded=True,
-        )
-
-    keep = ["c_custkey", "sqa", "sqn", "sqt", "ca", "cn", "ct"]
-    out = geo.geo_buffer_batch(out, _holed(out), _rk(out),
-                               keep=keep, name="hb")
-    out = out.select(
-        *keep,
         hba=geo.geo_area(out["hb"]).round(4),
         hbn=geo.geo_n_points(out["hb"]),
-    )
-    keep = keep + ["hba", "hbn"]
-    out = geo.geo_buffer_batch(out, _holed(out), -_rk(out),
-                               keep=keep, name="he")
-    out = out.select(
-        *keep,
         hea=geo.geo_area(out["he"]).round(4),
         hen=geo.geo_n_points(out["he"]),
-    )
-    keep = keep + ["hea", "hen"]
-
-    def _ell(t):
-        xl = (t.c_custkey % 100).cast("float64")
-        z = xl - xl
-        return geo.geo_polygon(
-            ib.array(xl, xl + 6.0, xl + 6.0, xl + 2.0, xl + 2.0, xl),
-            ib.array(z, z, z + 2.0, z + 2.0, z + 6.0, z + 6.0),
-            decoded=True,
-        )
-
-    out = geo.geo_buffer_batch(out, _ell(out), -_rk(out),
-                               keep=keep, name="le")
-    out = out.select(
-        *keep,
         la=geo.geo_area(out["le"]).round(4),
         ln2=geo.geo_n_points(out["le"]),
-    )
-    keep = keep + ["la", "ln2"]
-    xm = (out.c_custkey % 100).cast("float64")
-    zm = xm - xm
-    mpt = geo.geo_multipoint(
-        ib.array(xm, xm + 20.0), ib.array(zm, zm), decoded=True
-    )
-    out = geo.geo_buffer_batch(out, mpt, _rk(out), keep=keep, name="mb")
-    out = out.select(
-        *keep,
         mpa=geo.geo_area(out["mb"]).round(4),
         mpn=geo.geo_n_points(out["mb"]),
         mpt=geo.geo_geometry_type(out["mb"]),
-    )
-    keep = keep + ["mpa", "mpn", "mpt"]
-    xe = (out.c_custkey % 100).cast("float64")
-    mpoly = geo.geo_multipolygon(
-        _sq(out, xe), _sq(out, xe + 10.0)
-    )
-    out = geo.geo_buffer_batch(out, mpoly, -_rk(out), keep=keep, name="me")
-    return out.select(
-        *keep,
         mea=geo.geo_area(out["me"]).round(4),
         men=geo.geo_n_points(out["me"]),
     ).to_spark()
-
 
 def _geo_convert_osgb_report(spark, sf_dir):
     """EPSG:27700 British National Grid (r14 — reference GeoConvert
@@ -5878,9 +5807,9 @@ def oracle_sql() -> dict[str, str]:
             -- holed +-r (hole erodes/dilates); L-shape erosion with
             -- one reflex arc fan; multipoint union; multipoly erosion
             WITH s AS (
-                SELECT c_custkey,
-                       CAST(c_custkey % 4 AS DOUBLE)/8.0 + 0.25 AS r
-                FROM customer
+                SELECT unnest(range(100))::BIGINT AS c_custkey,
+                       CAST(unnest(range(100))::BIGINT % 4 AS DOUBLE)
+                           /8.0 + 0.25 AS r
             ),
             g AS (
                 SELECT c_custkey, r,

@@ -113,12 +113,14 @@ __all__ = [
     "geo_difference",
     "geo_union",
     "geo_setops_batch",
+    "geo_setops_batch_multi",
     "geo_line_merge",
     "geo_multilinestring",
     "geo_multipolygon",
     "geo_collection",
     "geo_ewkb_srid",
     "geo_buffer_batch",
+    "geo_buffer_batch_multi",
     "geo_convert",
     "geo_transform",
     "geo_buffer",
@@ -7266,6 +7268,59 @@ def _setop_batch(a, b, op: str, gtype_hint=None):
     )
 
 
+def _flat_geom_cols(dg, tag: str):
+    """FLAT staging columns (gtype + flattened coordinate arrays +
+    per-part lengths) of a decoded geometry expression, for feeding a
+    mapInPandas kernel.  NOT the decoded struct: Spark 4.1's
+    mapInPandas INPUT conversion np.array()'s nested arrays and dies
+    on any RAGGED row — differing ring lengths or the multipolygon
+    separator encoding's empty parts (probed r14); array<double> of
+    any length is one level deep and always safe."""
+    return [
+        dg["gtype"].alias(f"__gt{tag}"),
+        F.flatten(
+            F.transform(
+                dg["parts"], lambda P: F.transform(P, lambda p: p["x"])
+            )
+        ).alias(f"__xs{tag}"),
+        F.flatten(
+            F.transform(
+                dg["parts"], lambda P: F.transform(P, lambda p: p["y"])
+            )
+        ).alias(f"__ys{tag}"),
+        F.transform(dg["parts"], F.size).alias(f"__ln{tag}"),
+    ]
+
+
+def _flat_rebuild(gt, xs, ys, lens):
+    """(gtype, parts) tuple from one row's flat staging columns, or
+    None — the kernel-side inverse of _flat_geom_cols."""
+    if gt is None or (isinstance(gt, float) and gt != gt):
+        return None
+    if xs is None or ys is None or lens is None:
+        return None
+    parts, off = [], 0
+    for n in lens:
+        n = int(n)
+        parts.append(
+            [(float(xs[off + i]), float(ys[off + i])) for i in range(n)]
+        )
+        off += n
+    return (int(gt), parts)
+
+
+def _flat_row_lists(pdf, tag: str):
+    """Per-row python lists of one staged geometry's flat columns —
+    .tolist() ONCE per batch instead of pandas .iloc per row (the
+    .iloc spelling costs ~5-10 us/row, measured r14)."""
+    return (
+        pdf[f"__gt{tag}"].tolist(),
+        pdf[f"__xs{tag}"].tolist(),
+        pdf[f"__ys{tag}"].tolist(),
+        pdf[f"__ln{tag}"].tolist(),
+    )
+
+
 def geo_setops_batch(
     t,
     a,
@@ -7278,15 +7333,10 @@ def geo_setops_batch(
     """TABLE-level Arrow-batched geometric set operations — the batch
     path for CONSTRUCTED or stored-decoded geometry (reference
     GeoUnion/GeoDifference/GeoIntersection, geospatial.py:362-468).
-
-    ``t.select(keep..., decoded(a), decoded(b))`` materializes the
-    geometry pair in ONE projection, then a single ``mapInPandas``
-    pass computes every requested op per batch with the geo_batch.py
-    kernels (IEEE-identical to the expression path where it answers;
-    Greiner-Hormann for non-convex pairs, r13 ring decomposition for
-    holed inputs and the single-shared-edge degenerate).  Returns a
-    Table
-    of the ``keep`` columns plus one decoded geometry column per op.
+    One geometry pair; see geo_setops_batch_multi for several pairs in
+    ONE batch pass (each mapInPandas stage costs ~0.7 s of Arrow/plan
+    overhead at sf0.1 row counts, measured r14 — chaining stages for
+    independent pairs pays it per pair).
 
     Why a table operation and not ``method="batch"``: a scalar-pandas
     UDF whose ARGUMENT is a computed expression tree can be silently
@@ -7304,7 +7354,19 @@ def geo_setops_batch(
     The default result names shadow the Table set-op METHODS of the
     same name — read them with brackets (``out["intersection"]``) or
     pass ``names=``."""
-    import pandas as pd
+    names = list(names) if names is not None else list(ops)
+    return geo_setops_batch_multi(t, [(a, b, ops, names)], keep=keep)
+
+
+def geo_setops_batch_multi(t, groups, *, keep=None):
+    """Several independent set-op PAIRS in one Arrow-batched pass —
+    ``groups`` is an iterable of ``(a, b, ops, names)``.  All pairs
+    stage into ONE projection (flat columns, _flat_geom_cols) and run
+    through ONE mapInPandas stage; the per-stage Arrow/plan overhead
+    (~0.7 s at sf0.1 row counts, measured r14) is paid once instead
+    of once per pair.  Same kernels, same NULL posture, same result
+    encoding as geo_setops_batch."""
+    import pandas as pd  # noqa: F401
 
     from ibis_spark.expr.table import Table
 
@@ -7313,65 +7375,68 @@ def geo_setops_batch(
     df = t.df if hasattr(t, "df") else t
     if keep is None:
         keep = list(df.columns)
-    ops = tuple(ops)
-    names = list(names) if names is not None else [op for op in ops]
-    if len(names) != len(ops):
-        raise ValueError("names must match ops")
-    for op in ops:
-        if op not in ("intersection", "difference", "union"):
-            raise ValueError(f"unknown set op: {op!r}")
+
+    def _dec_expr(g):
+        d = _dec_of(g)
+        return d if d is not None else _decode_struct(unwrap(g))
+
+    norm = []
+    all_names = []
+    for a, b, ops, names in groups:
+        ops = tuple(ops)
+        names = list(names) if names is not None else list(ops)
+        if len(names) != len(ops):
+            raise ValueError("names must match ops")
+        for op in ops:
+            if op not in ("intersection", "difference", "union"):
+                raise ValueError(f"unknown set op: {op!r}")
+        norm.append((a, b, ops, names))
+        all_names.extend(names)
     # result/keep name collisions would produce a duplicate-column
     # output schema — an ambiguous Table (ADVICE r12); fail at build
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate result names: {names!r}")
-    clash = set(names) & set(keep)
+    if len(set(all_names)) != len(all_names):
+        raise ValueError(f"duplicate result names: {all_names!r}")
+    clash = set(all_names) & set(keep)
     if clash:
         raise ValueError(
             f"result names {sorted(clash)!r} collide with keep columns; "
             "pass names= to rename"
         )
 
-    def _dec_expr(g):
-        d = _dec_of(g)
-        return d if d is not None else _decode_struct(unwrap(g))
-
-    staged = df.select(
-        *[F.col(c) for c in keep],
-        _dec_expr(a).alias("__ga"),
-        _dec_expr(b).alias("__gb"),
-    )
+    staged_cols = [F.col(c) for c in keep]
+    for gi, (a, b, _ops, _names) in enumerate(norm):
+        staged_cols += _flat_geom_cols(_dec_expr(a), f"{gi}a")
+        staged_cols += _flat_geom_cols(_dec_expr(b), f"{gi}b")
+    staged = df.select(*staged_cols)
     dtypes = {f.name: f.dataType.simpleString() for f in staged.schema}
     out_schema = ", ".join(
         [f"`{c}` {dtypes[c]}" for c in keep]
-        + [f"`{n}` {_DEC_T}" for n in names]
+        + [f"`{n}` {_DEC_T}" for n in all_names]
     )
-
-    def _row_dec(gt, parts):
-        if gt is None or (isinstance(gt, float) and gt != gt) or parts is None:
-            return None
-        return (int(gt), [[(p["x"], p["y"]) for p in P] for P in parts])
+    plans = [(gi, ops, names) for gi, (_a, _b, ops, names) in enumerate(norm)]
 
     def kernel(batches):
         for pdf in batches:
-            ga, gb_ = pdf["__ga"], pdf["__gb"]
-            outs = {n: [] for n in names}
-            for i in range(len(pdf)):
-                ta = _row_dec(ga.iloc[i]["gtype"], ga.iloc[i]["parts"]) if ga.iloc[i] is not None else None
-                tb = _row_dec(gb_.iloc[i]["gtype"], gb_.iloc[i]["parts"]) if gb_.iloc[i] is not None else None
-                for op, n in zip(ops, names):
-                    r = _gb.setop(op, ta, tb)
-                    outs[n].append(
-                        None
-                        if r is None
-                        else {
-                            "gtype": r[0],
-                            "parts": [
-                                [{"x": x, "y": y} for (x, y) in P] for P in r[1]
-                            ],
-                        }
-                    )
+            n_rows = len(pdf)
+            outs = {n: [None] * n_rows for n in all_names}
+            for gi, ops, names in plans:
+                gta, xsa, ysa, lna = _flat_row_lists(pdf, f"{gi}a")
+                gtb, xsb, ysb, lnb = _flat_row_lists(pdf, f"{gi}b")
+                for i in range(n_rows):
+                    ta = _flat_rebuild(gta[i], xsa[i], ysa[i], lna[i])
+                    tb = _flat_rebuild(gtb[i], xsb[i], ysb[i], lnb[i])
+                    for op, n in zip(ops, names):
+                        r = _gb.setop(op, ta, tb)
+                        if r is not None:
+                            outs[n][i] = {
+                                "gtype": r[0],
+                                "parts": [
+                                    [{"x": x, "y": y} for (x, y) in P]
+                                    for P in r[1]
+                                ],
+                            }
             res = pdf[[c for c in keep]].copy()
-            for n in names:
+            for n in all_names:
                 res[n] = outs[n]
             yield res
 
@@ -7390,12 +7455,28 @@ def geo_buffer_batch(t, g, radius, *, quad_segs: int = 8, keep=None,
     vertices trim at the offset edges' intersection).  POINTs,
     2-vertex segments, and convex polygons are bit-MIRRORS of the
     expression path (same constants, same op order), so swapping
-    paths changes no result.  Conservative NULLs: collinear/reversal
-    joints, zero-length segments, radii too large for an inner trim,
-    holed polygons (hole erosion may vanish — GEOS territory), multis,
-    negative radii.  Same mapInPandas shape as geo_setops_batch:
-    one narrow projection, one batch-streamed pass, per-row
-    independent, no shuffle."""
+    paths changes no result.  r14 adds HOLED polygons (holes erode,
+    collapsed holes drop), MULTI* inputs (per-member buffer + union
+    fold), and NEGATIVE radii (erosion; collapse -> EMPTY).
+    Conservative NULLs: collinear/reversal joints, zero-length
+    segments, radii too large for an inner trim, non-convex erosions
+    the offset walk can't certify, interacting grown holes.  Same
+    mapInPandas shape as geo_setops_batch: one narrow projection,
+    one batch-streamed pass, per-row independent, no shuffle."""
+    return geo_buffer_batch_multi(
+        t, [(g, radius, name)], quad_segs=quad_segs, keep=keep
+    )
+
+
+def geo_buffer_batch_multi(t, groups, *, quad_segs: int = 8, keep=None):
+    """Several independent buffers in one Arrow-batched pass —
+    ``groups`` is an iterable of ``(g, radius, name)``.  All inputs
+    stage into ONE projection as FLAT columns (gtype + flattened
+    coordinate arrays + per-part lengths — _flat_geom_cols: the
+    decoded-struct staging dies on ragged rows, probed r14) and run
+    through ONE mapInPandas stage, paying the per-stage Arrow/plan
+    overhead once instead of once per buffer.  Same kernel, NULL
+    posture, and result encoding as geo_buffer_batch."""
     import pandas as pd  # noqa: F401
 
     from ibis_spark.expr.table import Table
@@ -7407,89 +7488,64 @@ def geo_buffer_batch(t, g, radius, *, quad_segs: int = 8, keep=None,
     df = t.df if hasattr(t, "df") else t
     if keep is None:
         keep = list(df.columns)
-    if name in keep:
-        raise ValueError(
-            f"result name {name!r} collides with a keep column"
-        )
 
     def _dec_expr(gg):
         d = _dec_of(gg)
         return d if d is not None else _decode_struct(unwrap(gg))
 
-    rr = unwrap(radius)
-    rr = rr.cast("double") if hasattr(rr, "cast") else F.lit(float(radius))
-    # Stage the geometry as FLAT columns (gtype + flattened coordinate
-    # arrays + per-part lengths), NOT the decoded struct: Spark 4.1's
-    # mapInPandas INPUT conversion np.array()'s nested arrays and dies
-    # on any RAGGED row — differing ring lengths or the multipolygon
-    # separator encoding's empty parts (probed r14; the struct staging
-    # only ever worked on equal-length rings).  array<double> of any
-    # length is one level deep and always safe; the kernel rebuilds
-    # the parts from the length directory.
-    dg = _dec_expr(g)
-    staged = df.select(
-        *[F.col(c) for c in keep],
-        dg["gtype"].alias("__gt"),
-        F.flatten(
-            F.transform(
-                dg["parts"], lambda P: F.transform(P, lambda p: p["x"])
-            )
-        ).alias("__xs"),
-        F.flatten(
-            F.transform(
-                dg["parts"], lambda P: F.transform(P, lambda p: p["y"])
-            )
-        ).alias("__ys"),
-        F.transform(dg["parts"], F.size).alias("__ln"),
-        rr.alias("__r"),
-    )
+    names = [name for _g, _r, name in groups]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate result names: {names!r}")
+    clash = set(names) & set(keep)
+    if clash:
+        raise ValueError(
+            f"result names {sorted(clash)!r} collide with keep columns; "
+            "pass different names"
+        )
+    staged_cols = [F.col(c) for c in keep]
+    for gi, (g, radius, _name) in enumerate(groups):
+        rr = unwrap(radius)
+        rr = (
+            rr.cast("double")
+            if hasattr(rr, "cast")
+            else F.lit(float(radius))
+        )
+        staged_cols += _flat_geom_cols(_dec_expr(g), str(gi))
+        staged_cols.append(rr.alias(f"__r{gi}"))
+    staged = df.select(*staged_cols)
     dtypes = {f.name: f.dataType.simpleString() for f in staged.schema}
     out_schema = ", ".join(
-        [f"`{c}` {dtypes[c]}" for c in keep] + [f"`{name}` {_DEC_T}"]
+        [f"`{c}` {dtypes[c]}" for c in keep]
+        + [f"`{n}` {_DEC_T}" for n in names]
     )
-
-    def _row_dec(gt, xs, ys, lens):
-        if gt is None or (isinstance(gt, float) and gt != gt):
-            return None
-        if xs is None or ys is None or lens is None:
-            return None
-        parts, off = [], 0
-        for n in lens:
-            n = int(n)
-            parts.append(
-                [(float(xs[off + i]), float(ys[off + i])) for i in range(n)]
-            )
-            off += n
-        return (int(gt), parts)
+    n_groups = len(names)
 
     def kernel(batches):
         for pdf in batches:
-            gts, xss, yss, lns, rs = (
-                pdf["__gt"], pdf["__xs"], pdf["__ys"], pdf["__ln"],
-                pdf["__r"],
-            )
-            out = []
-            for i in range(len(pdf)):
-                dec = _row_dec(
-                    gts.iloc[i], xss.iloc[i], yss.iloc[i], lns.iloc[i]
-                )
-                rv = rs.iloc[i]
-                res = _gb.buffer_geom(
-                    dec, None if rv is None else float(rv), quad_segs
-                )
-                out.append(
-                    None
-                    if res is None
-                    else {
-                        "gtype": res[0],
-                        "parts": [
-                            [{"x": x, "y": y} for (x, y) in P]
-                            for P in res[1]
-                        ],
-                    }
-                )
+            n_rows = len(pdf)
             res_df = pdf[[c for c in keep]].copy()
-            res_df[name] = out
+            for gi in range(n_groups):
+                gts, xss, yss, lns = _flat_row_lists(pdf, str(gi))
+                rs = pdf[f"__r{gi}"].tolist()
+                out = []
+                for i in range(n_rows):
+                    dec = _flat_rebuild(gts[i], xss[i], yss[i], lns[i])
+                    rv = rs[i]
+                    res = _gb.buffer_geom(
+                        dec, None if rv is None else float(rv), quad_segs
+                    )
+                    out.append(
+                        None
+                        if res is None
+                        else {
+                            "gtype": res[0],
+                            "parts": [
+                                [{"x": x, "y": y} for (x, y) in P]
+                                for P in res[1]
+                            ],
+                        }
+                    )
+                res_df[names[gi]] = out
             yield res_df
 
     return Table(staged.mapInPandas(kernel, out_schema))

@@ -888,6 +888,35 @@ class TestMultimodal:
         enc = self._gif_lzw_encode(idx, 2)
         assert _gif_lzw(enc, 2, len(idx)) == idx
 
+    def test_gif_lzw_pattern_fuzz(self):
+        """r14 differential fuzz across stream shapes: random (table
+        saturation), constant runs (every code is the KwKwK case),
+        short periodic repeats (dense dictionary hits), and 1-2 pixel
+        degenerates, across min_code widths 2/3/4/8 — the fuzz written
+        while evaluating (and rejecting, SCALE.md r14) a vectorized
+        LZW kernel; it keeps guarding the reference kernel."""
+        import random
+
+        from ibis_spark.multimodal import _gif_lzw
+
+        rng = random.Random(42)
+        for trial in range(40):
+            min_code = rng.choice([2, 3, 4, 8])
+            n = rng.choice([1, 2, 17, 100, 1000, 20000])
+            nsym = 1 << min_code
+            mode = trial % 3
+            if mode == 0:
+                pix = bytes(rng.randrange(nsym) for _ in range(n))
+            elif mode == 1:
+                pix = bytes([rng.randrange(nsym)] * n)
+            else:
+                base = [rng.randrange(nsym) for _ in range(7)]
+                pix = bytes((base * (n // 7 + 1))[:n])
+            enc = self._gif_lzw_encode(pix, min_code)
+            assert _gif_lzw(enc, min_code, len(pix)) == pix, (
+                trial, min_code, n, mode
+            )
+
     def test_real_decode_raises_without_pil(self, con):
         t = con.memtable({"id": [1], "payload": ["x"]})
         m = multimodal.attach_media(t, "payload")
