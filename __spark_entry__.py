@@ -3569,9 +3569,15 @@ def _geo_clip_holed_report(spark, sf_dir):
     - L-shape UNION/MINUS/INTERSECT a triangle glued to one full edge
       (the single-shared-edge degenerate): su4 = 20 + 2(w0+1) (the
       splice), sd4 = 20 (subject unchanged), intersection NULL (line
-      contact, the documented posture).
+      contact, the documented posture);
+    - two donuts with CROSSING HOLES (r14 — the class r13 degraded:
+      crossing holes now merge into their union outline; surviving
+      union-holes are the pairwise hole intersections): holes [2,4]^2
+      and [3, 4.5+w0]^2, s = w0+1.5: ia5 = 64 - (3 + s^2) with the
+      14-vertex merged-hole polygon, da5 = s^2 - 1, ua5 = 63 (only
+      the 1x1 hole overlap stays a hole).
 
-    r14: ONE geo_setops_batch_multi pass for all four pairs (the r13
+    r14: ONE geo_setops_batch_multi pass for all five pairs (the r13
     spelling chained four mapInPandas stages at ~0.7 s of Arrow/plan
     overhead EACH — 3.8 s at sf0.1; the row kernels are only ~1.1
     ms/row — measured, VERDICT r13 'what's wrong' #2), computing only
@@ -3637,6 +3643,28 @@ def _geo_clip_holed_report(spark, sf_dir):
         ib.array(z + 6.0, z + 2.0, z + 3.0),
         decoded=True,
     )
+    donut_xa = geo.geo_polygon(
+        ib.array(z, z + 8.0, z + 8.0, z),
+        ib.array(z, z, z + 8.0, z + 8.0),
+        holes=[
+            (
+                ib.array(z + 2.0, z + 4.0, z + 4.0, z + 2.0),
+                ib.array(z + 2.0, z + 2.0, z + 4.0, z + 4.0),
+            )
+        ],
+        decoded=True,
+    )
+    donut_xb = geo.geo_polygon(
+        ib.array(z, z + 8.0, z + 8.0, z),
+        ib.array(z, z, z + 8.0, z + 8.0),
+        holes=[
+            (
+                ib.array(z + 3.0, w0 + 4.5, w0 + 4.5, z + 3.0),
+                ib.array(z + 3.0, z + 3.0, w0 + 4.5, w0 + 4.5),
+            )
+        ],
+        decoded=True,
+    )
     out = geo.geo_setops_batch_multi(
         c,
         [
@@ -3645,6 +3673,9 @@ def _geo_clip_holed_report(spark, sf_dir):
             (donut_c, island, ("union",), ["u3"]),
             (ell, tri, ("union", "difference", "intersection"),
              ["u4", "d4", "i4"]),
+            (donut_xa, donut_xb,
+             ("intersection", "difference", "union"),
+             ["i5", "d5", "u5"]),
         ],
         keep=["c_custkey"],
     )
@@ -3657,6 +3688,10 @@ def _geo_clip_holed_report(spark, sf_dir):
         su4=geo.geo_area(out["u4"]),
         sd4=geo.geo_area(out["d4"]),
         si4_null=geo.geo_area(out["i4"]).isnull(),
+        ia5=geo.geo_area(out["i5"]),
+        ip5=geo.geo_n_points(out["i5"]),
+        da5=geo.geo_area(out["d5"]),
+        ua5=geo.geo_area(out["u5"]),
     ).to_spark()
 
 def _geo_transform_report(spark, sf_dir):
@@ -5895,7 +5930,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(52.0 AS DOUBLE) AS ua3,
                    20.0 + 2.0*(w0+1.0) AS su4,
                    CAST(20.0 AS DOUBLE) AS sd4,
-                   TRUE AS si4_null
+                   TRUE AS si4_null,
+                   -- r14 crossing holes: s = w0 + 1.5
+                   64.0 - (3.0 + (w0+1.5)*(w0+1.5)) AS ia5,
+                   CAST(14 AS BIGINT) AS ip5,
+                   (w0+1.5)*(w0+1.5) - 1.0 AS da5,
+                   CAST(63.0 AS DOUBLE) AS ua5
             FROM s
         """,
         "geo_buffer_line_report": """

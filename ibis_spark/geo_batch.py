@@ -20,11 +20,18 @@ Two kernels:
   the expression path degrades to NULL — for simple subject/clip
   pairs whose boundaries cross transversally.  r13 extends the
   kernel to POLYGONS WITH HOLES (ring decomposition: hole-free
-  outer-ring ops plus conservative ring subtraction/addition — holes
-  that interact with each other or touch a boundary still degrade)
-  and to the SINGLE-SHARED-EDGE degenerate class (exactly one full
-  shared edge, no other contact: union splices the rings, difference
-  returns the subject, intersection is a line -> NULL).  All other
+  outer-ring ops plus conservative ring subtraction/addition) and to
+  the SINGLE-SHARED-EDGE degenerate class (exactly one full shared
+  edge, no other contact: union splices the rings, difference returns
+  the subject, intersection is a line -> NULL).  r14 closes the
+  CROSSING-HOLES class: holes crossing each other merge into their
+  union outline during subtraction (_merge_rings_union), and the
+  union op derives the surviving hole set as the pairwise hole
+  intersections plus each hole's part outside the other outer.
+  Remaining degrades: merged hole outlines that are not one simple
+  hole-free ring, holes TOUCHING a boundary or each other (contact
+  without crossing), and a hole crossing the other OUTER in union.
+  All other
   degenerate boundary contact (vertex exactly on an edge, multi-edge
   collinear overlap) degrades to NULL, never a wrong ring; PURE
   containment/disjoint cases (no crossings at all) are exact closed
@@ -642,10 +649,28 @@ def _ring_rel(P, Q):
     return "disjoint"
 
 
+def _merge_rings_union(A, B):
+    """Single hole-free CCW union outline of two CROSSING simple
+    rings via the GH path, or None when the union is not one simple
+    hole-free region (enclosed gaps, multiple members, degenerate
+    contact) — the conservative merge used to combine interacting
+    holes (r14)."""
+    r = _general_setop(OP_UNION, _ccw(A), _ccw(B))
+    if r is None:
+        return None
+    mems = _parts_to_members(r[1])
+    if len(mems) != 1 or mems[0][1]:
+        return None
+    return _ccw(mems[0][0])
+
+
 def _subtract_ring(members, H):
     """Member list minus the region of simple CCW ring ``H`` (r13, the
-    hole machinery).  Raises _GHDegenerate when H interacts with an
-    existing hole or touches a boundary — degrade, never guess."""
+    hole machinery).  r14: H CROSSING an existing hole merges the two
+    into their union outline (one bigger hole) when the union is a
+    single hole-free ring — the formerly-degraded crossing-holes
+    class; every other interaction still raises _GHDegenerate
+    (degrade, never guess)."""
     out = []
     for outer, holes in members:
         rel = _ring_rel(H, outer)
@@ -655,23 +680,42 @@ def _subtract_ring(members, H):
         if rel == "Q_in_P":
             continue  # outer inside H: member fully removed
         if rel == "P_in_Q":
-            # H inside outer: vs existing holes
+            # H inside outer: vs existing holes — crossing holes merge
+            # into their union outline and the scan RESTARTS (the
+            # merged hole can newly interact with earlier holes)
+            cur = H
             new_holes, swallowed = [], False
-            for h in holes:
-                r2 = _ring_rel(H, _ccw(h))
+            pending = list(holes)
+            i = 0
+            while i < len(pending):
+                h = pending[i]
+                r2 = _ring_rel(cur, _ccw(h))
                 if r2 == "cross":
-                    raise _GHDegenerate("hole-hole crossing")
+                    merged = _merge_rings_union(cur, _ccw(h))
+                    if merged is None:
+                        raise _GHDegenerate("hole-hole crossing")
+                    # the merged hole must stay strictly inside outer
+                    if _ring_rel(merged, outer) != "P_in_Q":
+                        raise _GHDegenerate("merged hole reaches outer")
+                    cur = merged
+                    pending.pop(i)
+                    pending = new_holes + pending
+                    new_holes = []
+                    swallowed = False  # stale vs the pre-merge cur
+                    i = 0
+                    continue
                 if r2 == "P_in_Q":
-                    swallowed = True  # H inside an existing hole
+                    swallowed = True  # cur inside an existing hole
                     new_holes.append(h)
                 elif r2 == "Q_in_P":
-                    continue  # hole inside H: absorbed by H
+                    pass  # hole inside cur: absorbed
                 else:
                     new_holes.append(h)
+                i += 1
             if swallowed:
                 out.append((outer, holes))
             else:
-                out.append((outer, new_holes + [H]))
+                out.append((outer, new_holes + [cur]))
             continue
         # H crosses outer: replace with hole-free diff pieces and
         # re-assign this member's holes to the piece containing them
@@ -733,32 +777,61 @@ def _holed_setop(op, aparts, bparts):
                     pieces = _subtract_ring(pieces, HA)
                 members.extend(pieces)
             return (6, _members_to_parts(members))
-        # union: holes survive only where the other polygon doesn't
-        # cover them; support the non-interacting hole classes, degrade
-        # on hole-boundary or hole-hole contact
+        # union: the complement inside the union outline is
+        #   (HA_i INTERSECT HB_j)  union  (HA_i \\ outerB)
+        #                          union  (HB_j \\ outerA)
+        # — per-hole terms first (disjoint -> whole hole survives;
+        # island -> hole minus the other polygon; crossing the other
+        # outer still degrades), then ONE pairwise pass for the
+        # intersect terms (r14 — the formerly-degraded interacting
+        # class; computed once per pair, since both sides discovering
+        # the same piece would subtract it twice)
         core = setop(op, (3, [outerA]), (3, [outerB]))
         if core is None:
             return None
         members = _parts_to_members(core[1])
-        for H, other_outer, other_holes in [
-            (h, outerB, holesB) for h in holesA
-        ] + [(h, outerA, holesA) for h in holesB]:
-            rel = _ring_rel(H, other_outer)
-            if rel == "disjoint":
-                members = _subtract_ring(members, H)
-            elif rel == "P_in_Q":
-                for oh in other_holes:
-                    if _ring_rel(H, oh) != "disjoint":
-                        return None  # hole-in-hole: degrade
-                continue  # inside the other polygon: filled
-            elif rel == "Q_in_P":
-                # the other polygon is an ISLAND inside this hole:
-                # the hole survives minus the island, which becomes
-                # its own member (with its own holes)
-                members = _subtract_ring(members, H)
-                members.append((other_outer, list(other_holes)))
-            else:
-                return None  # hole crosses the other outer: degrade
+        island_a, island_b = set(), set()
+        for holes, other_outer, other_holes, island in (
+            (holesA, outerB, holesB, island_a),
+            (holesB, outerA, holesA, island_b),
+        ):
+            for hi, H in enumerate(holes):
+                rel = _ring_rel(H, other_outer)
+                if rel == "disjoint":
+                    members = _subtract_ring(members, H)
+                elif rel == "P_in_Q":
+                    continue  # intersect terms handled pairwise below
+                elif rel == "Q_in_P":
+                    # the other polygon is an ISLAND inside this hole:
+                    # the hole survives minus the island, which becomes
+                    # its own member (with its own holes intact — so
+                    # its holes are EXCLUDED from the pairwise pass)
+                    members = _subtract_ring(members, H)
+                    members.append((other_outer, list(other_holes)))
+                    island.add(hi)
+                else:
+                    return None  # hole crosses the other outer
+        for ai, HA in enumerate(holesA):
+            if ai in island_a:
+                continue
+            for bi, HB in enumerate(holesB):
+                if bi in island_b:
+                    continue
+                r2 = _ring_rel(HA, HB)
+                if r2 == "disjoint":
+                    continue
+                if r2 == "P_in_Q":
+                    members = _subtract_ring(members, HA)
+                elif r2 == "Q_in_P":
+                    members = _subtract_ring(members, HB)
+                else:
+                    inter = _general_setop(OP_INTERSECTION, HA, HB)
+                    if inter is None:
+                        return None
+                    for po, phs in _parts_to_members(inter[1]):
+                        if phs:
+                            return None
+                        members = _subtract_ring(members, _ccw(po))
         return (6, _members_to_parts(members))
     except _GHDegenerate:
         return None
