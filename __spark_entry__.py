@@ -4129,6 +4129,48 @@ def _geo_convert_osgb_report(spark, sf_dir):
     ).to_spark()
 
 
+def _geo_convert_l93_report(spark, sf_dir):
+    """EPSG:2154 Lambert-93 (r14 — reference GeoConvert
+    geospatial.py:459; the engine's first CONIC family): per customer
+    a lon/lat sweep over France projected through the Snyder
+    two-parallel Lambert Conformal Conic on GRS80 (RGF93 == WGS84 at
+    the centimetre level, the standard identity treatment).  The
+    oracle replays the identical formula in SQL with the engine's
+    Python-computed constants; t(phi) and rho use pow (libm exp/ln —
+    NOT bit-identical between Java and DuckDB), so easting/northing
+    are quantized to MILLIMETRES (the geo_transform_report posture for
+    its one ln).  The inverse (conformal-latitude series) is proven by
+    a 1e-9-degree round-trip closure boolean pinned TRUE (measured
+    3e-11 across the domain); the out-of-box NULL gate is pinned
+    TRUE.  Validated against the defining vector (lon0, lat0) ->
+    exactly (700000, 6600000) and the published Paris grid."""
+    import ibis_spark.geo as geo
+
+    c = _t(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lon = (c.c_custkey % 20).cast("float64") / 2.0 - 4.75
+    lat = (c.c_custkey % 41).cast("float64") / 4.0 + 41.25
+    p = geo.geo_point(lon, lat, decoded=True)
+    l93 = geo.geo_convert(p, 4326, 2154)
+    back = geo.geo_convert(l93, 2154, 4326)
+    pout = geo.geo_point(lon - 40.0, lat, decoded=True)
+    c = c.mutate(
+        e=geo.geo_x(l93),
+        n=geo.geo_y(l93),
+        lon2=geo.geo_x(back),
+        lat2=geo.geo_y(back),
+        odom=geo.geo_x(geo.geo_convert(pout, 4326, 2154)),
+    )
+    return c.select(
+        "c_custkey",
+        e_mm=(c.e * 1000.0).round(0).cast("int64"),
+        n_mm=(c.n * 1000.0).round(0).cast("int64"),
+        rt=((c.lon2 - lon).abs() < 1e-9) & ((c.lat2 - lat).abs() < 1e-9),
+        null_outside=c.odom.isnull(),
+    ).to_spark()
+
+
 def _geo_collection_report(spark, sf_dir):
     """GEOMETRYCOLLECTION + EWKB input (r13 — reference
     GeometryCollection type + GeoTransform geospatial.py:450 reading
@@ -4800,6 +4842,7 @@ _SAMPLE_WINDOW = [
     # -- (1) new r14 entries --
     "geo_buffer_erosion_report",
     "geo_convert_osgb_report",
+    "geo_convert_l93_report",
     # -- (2) changed machinery: prove results --
     "geo_buffer_polygon_report",
     "geo_buffer_polyline_report",
@@ -4894,6 +4937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_clip_general_report": _geo_clip_general_report,
         "geo_transform_report": _geo_transform_report,
         "geo_convert_osgb_report": _geo_convert_osgb_report,
+        "geo_convert_l93_report": _geo_convert_l93_report,
         "geo_buffer_report": _geo_buffer_report,
         "audio_features_report": _audio_features_report,
         "geo_line_merge_report": _geo_line_merge_report,
@@ -5294,6 +5338,81 @@ def _utm_oracle_sql() -> str:
     return sql
 
 
+def _l93_oracle_sql() -> str:
+    """DuckDB SQL for geo_convert_l93_report: the Snyder two-parallel
+    LCC with the engine's Python-computed constants (n, a*F, rho0
+    repr-embedded so both sides parse the same doubles).  pow rides on
+    libm exp/ln (last-ulp differences measured), so e/n are quantized
+    to millimetres; the round-trip and domain booleans are Spark-side
+    properties the oracle pins TRUE."""
+    import math as m
+
+    a = 6378137.0
+    f = 1.0 / 298.257222101
+    e2 = f * (2.0 - f)
+    e = m.sqrt(e2)
+
+    def mm_(phi):
+        return m.cos(phi) / m.sqrt(1 - e2 * m.sin(phi) ** 2)
+
+    def tf(phi):
+        s = m.sin(phi)
+        return m.tan(m.pi / 4 - phi / 2) / (
+            (1 - e * s) / (1 + e * s)
+        ) ** (e / 2)
+
+    f1, f2, f0 = (m.radians(v) for v in (44.0, 49.0, 46.5))
+    n = (m.log(mm_(f1)) - m.log(mm_(f2))) / (
+        m.log(tf(f1)) - m.log(tf(f2))
+    )
+    Fc = mm_(f1) / (n * tf(f1) ** n)
+    rho0 = a * Fc * tf(f0) ** n
+    C = {
+        "E": repr(e),
+        "EH": repr(e / 2.0),
+        "N": repr(n),
+        "AF": repr(a * Fc),
+        "RHO0": repr(rho0),
+        "LAM0": repr(m.radians(3.0)),
+        "PI4": repr(m.pi / 4.0),
+        "FE": repr(700000.0),
+        "FN": repr(6600000.0),
+    }
+    sql = """
+        WITH s AS (
+          SELECT c_custkey,
+                 CAST(c_custkey % 20 AS DOUBLE)/2.0 - 4.75 AS lon,
+                 CAST(c_custkey % 41 AS DOUBLE)/4.0 + 41.25 AS lat
+          FROM customer),
+        g AS (
+          SELECT c_custkey, lon, lat,
+                 sin(radians(lat)) AS sphi, radians(lat) AS phi
+          FROM s),
+        t AS (
+          SELECT c_custkey, lon,
+                 tan({PI4} - phi / 2.0)
+                   / pow((1.0 - {E} * sphi) / (1.0 + {E} * sphi),
+                         {EH}) AS tphi
+          FROM g),
+        u AS (
+          SELECT c_custkey,
+                 {AF} * pow(tphi, {N}) AS rho,
+                 {N} * (radians(lon) - {LAM0}) AS th
+          FROM t)
+        SELECT c_custkey,
+               CAST(ROUND(({FE} + rho * sin(th)) * 1000.0) AS BIGINT)
+                 AS e_mm,
+               CAST(ROUND(({FN} + {RHO0} - rho * cos(th)) * 1000.0)
+                 AS BIGINT) AS n_mm,
+               TRUE AS rt,
+               TRUE AS null_outside
+        FROM u
+    """
+    for k, val in C.items():
+        sql = sql.replace("{" + k + "}", val)
+    return sql
+
+
 def _osgb_oracle_sql() -> str:
     """DuckDB SQL for geo_convert_osgb_report: the full WGS84 ->
     OSGB36/BNG chain (geocentric, Helmert, Bowring, Airy TM) with the
@@ -5438,6 +5557,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "geo_transform_report": _utm_oracle_sql(),
         "geo_convert_osgb_report": _osgb_oracle_sql(),
+        "geo_convert_l93_report": _l93_oracle_sql(),
         # -- pure-Spark geo slice (round 9): the oracle recomputes the
         # coordinates directly; bit-equality holds because the engine's
         # WKB encode/decode is exact --------------------------------------

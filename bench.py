@@ -187,6 +187,12 @@ HEADLINE = [
     # interpreted data-dependent-trig class) — a byte-parity proof
     # entry, not a plan signal.
     "geo_buffer_polyline_report",
+    # round 14: EPSG:27700 (datum-shift chain, pure projection
+    # expressions — the geo_transform_report class).
+    # geo_buffer_erosion_report stays OUT: fixed 100 rows, plan-bound
+    # (the geo_collection_report posture; entry docstring).
+    "geo_convert_osgb_report",
+    "geo_convert_l93_report",
 ]
 
 

@@ -6256,8 +6256,8 @@ def _crs_code(v):
             return int(s)
     raise NotImplementedError(
         f"unsupported CRS spec {v!r}: use an EPSG integer or 'EPSG:n' "
-        "(4326, 3857, UTM 326xx/327xx and 27700 are implemented; other "
-        "projections need proj — e.g. Apache Sedona's ST_Transform)"
+        "(4326, 3857, UTM 326xx/327xx, 27700 and 2154 are implemented; "
+        "other projections need proj — e.g. Apache Sedona's ST_Transform)"
     )
 
 
@@ -6838,6 +6838,152 @@ def _osgb_inv(px, py):
     return _let(out, gate)
 
 
+# -- EPSG:2154 Lambert-93 (r14) ----------------------------------------------
+# France's national CRS: Lambert Conformal Conic (2 standard
+# parallels, Snyder eq. 15-1..15-11) on GRS80.  RGF93 is coincident
+# with WGS84 at the centimetre level (the standard identity
+# treatment), so no Helmert leg.  The first CONIC family — reference
+# GeoConvert (geospatial.py:459) is unrestricted proj.
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+
+
+def _lcc_consts(a, f, lat0, lon0, par1, par2, fe, fn):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def tf(phi):
+        s = math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / (
+            (1 - e * s) / (1 + e * s)
+        ) ** (e / 2)
+
+    f1, f2, f0 = (math.radians(v) for v in (par1, par2, lat0))
+    n = (math.log(m(f1)) - math.log(m(f2))) / (
+        math.log(tf(f1)) - math.log(tf(f2))
+    )
+    Fc = m(f1) / (n * tf(f1) ** n)
+    rho0 = a * Fc * tf(f0) ** n
+    return e2, e, n, Fc, rho0, math.radians(lon0)
+
+
+def _lcc_fwd(a, f, lat0, lon0, par1, par2, fe, fn, gate):
+    """Generalized LCC forward: (lon, lat) degrees -> struct(x, y)."""
+    e2, e, n, Fc, rho0, lam0 = _lcc_consts(
+        a, f, lat0, lon0, par1, par2, fe, fn
+    )
+    aF = a * Fc
+
+    def fxy(px, py):
+        phi = F.radians(py)
+
+        def fin(st):
+            s = st["s"]
+            tphi = (
+                F.tan(F.lit(math.pi / 4.0) - phi / F.lit(2.0))
+                / F.pow(
+                    (F.lit(1.0) - F.lit(e) * s)
+                    / (F.lit(1.0) + F.lit(e) * s),
+                    F.lit(e / 2.0),
+                )
+            )
+            rho = F.lit(aF) * F.pow(tphi, F.lit(n))
+            th = F.lit(n) * (F.radians(px) - F.lit(lam0))
+            x = F.lit(fe) + rho * F.sin(th)
+            y = F.lit(fn) + F.lit(rho0) - rho * F.cos(th)
+            ok = gate(px, py)
+            nd = F.lit(None).cast("double")
+            return F.struct(
+                F.when(ok, x).otherwise(nd).alias("x"),
+                F.when(ok, y).otherwise(nd).alias("y"),
+            )
+
+        return _let(F.struct(F.sin(phi).alias("s")), fin)
+
+    return fxy
+
+
+def _lcc_inv(a, f, lat0, lon0, par1, par2, fe, fn, gate):
+    """Generalized LCC inverse: (x, y) -> struct(lon, lat) degrees,
+    conformal-latitude series (Snyder 3-5) — closed form, no
+    iteration in the expression tree."""
+    e2, e, n, Fc, rho0, lam0 = _lcc_consts(
+        a, f, lat0, lon0, par1, par2, fe, fn
+    )
+    aF = a * Fc
+    c2 = e2 / 2 + 5 * e2**2 / 24 + e2**3 / 12 + 13 * e2**4 / 360
+    c4 = 7 * e2**2 / 48 + 29 * e2**3 / 240 + 811 * e2**4 / 11520
+    c6 = 7 * e2**3 / 120 + 81 * e2**4 / 1120
+    c8 = 4279 * e2**4 / 161280
+    sgn = 1.0 if n >= 0 else -1.0
+
+    def fxy(px, py):
+        def fin(st):
+            dx, dy = st["dx"], st["dy"]
+            rho = F.lit(sgn) * F.sqrt(dx * dx + dy * dy)
+            tp = F.pow(rho / F.lit(aF), F.lit(1.0 / n))
+            th = F.atan2(dx, dy)
+            lam = th / F.lit(n) + F.lit(lam0)
+            chi = F.lit(math.pi / 2.0) - F.lit(2.0) * F.atan(tp)
+            phi = (
+                chi
+                + F.lit(c2) * F.sin(chi * 2)
+                + F.lit(c4) * F.sin(chi * 4)
+                + F.lit(c6) * F.sin(chi * 6)
+                + F.lit(c8) * F.sin(chi * 8)
+            )
+            lon = F.degrees(lam)
+            lat = F.degrees(phi)
+            ok = gate(px, py)
+            nd = F.lit(None).cast("double")
+            return F.struct(
+                F.when(ok, lon).otherwise(nd).alias("x"),
+                F.when(ok, lat).otherwise(nd).alias("y"),
+            )
+
+        return _let(
+            F.struct(
+                (px - F.lit(fe)).alias("dx"),
+                (F.lit(rho0) - (py - F.lit(fn))).alias("dy"),
+            ),
+            fin,
+        )
+
+    return fxy
+
+
+def _l93_fwd(px, py):
+    """EPSG:4326 -> EPSG:2154 (Lambert-93).  Gated on the official
+    extent box plus margin (lon [-10, 11], lat [41, 52])."""
+    return _lcc_fwd(
+        _GRS80_A, _GRS80_F, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0,
+        lambda px_, py_: (
+            (px_ >= F.lit(-10.0))
+            & (px_ <= F.lit(11.0))
+            & (py_ >= F.lit(41.0))
+            & (py_ <= F.lit(52.0))
+        ),
+    )(px, py)
+
+
+def _l93_inv(px, py):
+    """EPSG:2154 -> EPSG:4326.  Gated on the grid extent plus margin
+    (E [-100000, 1500000], N [5900000, 7300000])."""
+    return _lcc_inv(
+        _GRS80_A, _GRS80_F, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0,
+        lambda px_, py_: (
+            (px_ >= F.lit(-100000.0))
+            & (px_ <= F.lit(1500000.0))
+            & (py_ >= F.lit(5900000.0))
+            & (py_ <= F.lit(7300000.0))
+        ),
+    )(px, py)
+
+
 def _crs_fxy(src: int, dst: int):
     """The per-vertex (x, y) -> struct(x, y) map for src -> dst, or a
     build-time NotImplementedError."""
@@ -6851,13 +6997,16 @@ def _crs_fxy(src: int, dst: int):
             return _wm_inv
         if code == 27700:
             return _osgb_inv
+        if code == 2154:
+            return _l93_inv
         z = _utm_zone_of(code)
         if z is not None:
             return _utm_inv(*z)
         raise NotImplementedError(
             f"CRS EPSG:{code} is not implemented (4326, 3857, UTM "
-            "326xx/327xx and 27700 are): other datum shifts / conic "
-            "projections need proj — e.g. Apache Sedona's ST_Transform"
+            "326xx/327xx, 27700 and 2154 are): other datum shifts / "
+            "conic projections need proj — e.g. Apache Sedona's "
+            "ST_Transform"
         )
 
     def from4326(code):
@@ -6867,13 +7016,16 @@ def _crs_fxy(src: int, dst: int):
             return _wm_fwd
         if code == 27700:
             return _osgb_fwd
+        if code == 2154:
+            return _l93_fwd
         z = _utm_zone_of(code)
         if z is not None:
             return _utm_fwd(*z)
         raise NotImplementedError(
             f"CRS EPSG:{code} is not implemented (4326, 3857, UTM "
-            "326xx/327xx and 27700 are): other datum shifts / conic "
-            "projections need proj — e.g. Apache Sedona's ST_Transform"
+            "326xx/327xx, 27700 and 2154 are): other datum shifts / "
+            "conic projections need proj — e.g. Apache Sedona's "
+            "ST_Transform"
         )
 
     inv, fwd = to4326(src), from4326(dst)

@@ -82,7 +82,9 @@ class TestGeoConvert:
         t = con.memtable([(1, 1.0, 2.0)], schema={"i": "int64", "x": "float64", "y": "float64"})
         p = geo.geo_point(t.x, t.y, decoded=True)
         with pytest.raises(NotImplementedError, match="proj"):
-            geo.geo_convert(p, 4326, 2154)  # Lambert-93: conic
+            # r14 implemented 27700 and 2154; NAD83 state plane (conic,
+            # datum-shifted) is still a build-time error
+            geo.geo_convert(p, 4326, 32019)
 
     def test_identity_and_transform_alias(self, con):
         from ibis_spark import geo
@@ -183,5 +185,43 @@ class TestGeoConvert:
         t2 = con.memtable(pd.DataFrame({"i": [0], "lon": [-20.0], "lat": [55.0]}))
         g2 = geo.geo_convert(
             geo.geo_point(t2.lon, t2.lat, decoded=True), 4326, 27700
+        )
+        assert t2.mutate(e=geo.geo_x(g2)).df.collect()[0].e is None
+
+    def test_lambert93_known_values(self, con):
+        """EPSG:2154 (r14, the first conic family): Snyder LCC on
+        GRS80 — pinned to the defining vector ((lon0, lat0) ->
+        exactly the false origin), the published Paris grid, unit
+        scale at both standard parallels (by construction), and a
+        1e-9-degree round-trip closure."""
+        import pandas as pd
+
+        from ibis_spark import geo
+
+        pts_ = [(3.0, 46.5), (2.3522, 48.8566)]
+        t = con.memtable(pd.DataFrame({
+            "i": range(len(pts_)),
+            "lon": [p[0] for p in pts_],
+            "lat": [p[1] for p in pts_],
+        }))
+        p = geo.geo_point(t.lon, t.lat, decoded=True)
+        l93 = geo.geo_convert(p, 4326, 2154)
+        back = geo.geo_convert(l93, 2154, 4326)
+        out = t.mutate(
+            e=geo.geo_x(l93), n=geo.geo_y(l93),
+            dlon=(geo.geo_x(back) - t.lon).abs(),
+            dlat=(geo.geo_y(back) - t.lat).abs(),
+        ).order_by("i").df.collect()
+        assert out[0].e == pytest.approx(700000.0, abs=1e-6)
+        assert out[0].n == pytest.approx(6600000.0, abs=1e-6)
+        # Paris (published Lambert-93 grid, metre-level)
+        assert out[1].e == pytest.approx(652469.02, abs=0.5)
+        assert out[1].n == pytest.approx(6862035.26, abs=0.5)
+        for row in out:
+            assert row.dlon < 1e-9 and row.dlat < 1e-9
+        # out-of-box -> NULL
+        t2 = con.memtable(pd.DataFrame({"i": [0], "lon": [-20.0], "lat": [46.0]}))
+        g2 = geo.geo_convert(
+            geo.geo_point(t2.lon, t2.lat, decoded=True), 4326, 2154
         )
         assert t2.mutate(e=geo.geo_x(g2)).df.collect()[0].e is None
