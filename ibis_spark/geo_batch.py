@@ -21,9 +21,11 @@ Two kernels:
   pairs whose boundaries cross transversally.  r13 extends the
   kernel to POLYGONS WITH HOLES (ring decomposition: hole-free
   outer-ring ops plus conservative ring subtraction/addition) and to
-  the SINGLE-SHARED-EDGE degenerate class (exactly one full shared
-  edge, no other contact: union splices the rings, difference returns
-  the subject, intersection is a line -> NULL).  r14 closes the
+  the SHARED-EDGE degenerate class — r14 generalizes it from exactly
+  one full shared edge to ANY number K of full shared edges (the
+  multi-edge-contact class): union is the alternating-arc splice
+  whose enclosed gaps become HOLES, difference returns the subject,
+  intersection is a line set -> NULL.  r14 closes the
   CROSSING-HOLES class: holes crossing each other merge into their
   union outline during subtraction (_merge_rings_union), and the
   union op derives the surviving hole set as the pairwise hole
@@ -547,29 +549,40 @@ def _seg_class(p0, p1, q0, q1):
 
 
 def _touch_only_setop(op, aP, bP):
-    """The shared-edge degenerate class (r13): A and B share EXACTLY
-    ONE full edge (opposite orientation on CCW rings), every other
-    edge-pair incidence is at that edge's endpoints only, and no
-    vertex of either ring is inside the other.  Then the interiors are
-    disjoint: intersection is a line (None — the engine's documented
+    """The shared-edge degenerate class: A and B share K >= 1 FULL
+    edges (opposite orientation on CCW rings), every other edge-pair
+    incidence is at shared-edge endpoints only, and no vertex of
+    either ring is inside the other.  Then the interiors are disjoint:
+    intersection is a line set (None — the engine's documented
     degenerate posture), difference is A unchanged, union is the
-    spliced single ring (area = areaA + areaB, the shared edge
-    cancels).  Any other configuration returns None (degrade)."""
+    alternating-arc splice — for K == 1 a single ring, for K >= 2
+    (r14, the multi-edge-contact class) one OUTER ring plus the
+    enclosed gaps as HOLES (the shared edges cancel; the boundary
+    walk jumps rings at each shared edge).  Any other configuration
+    returns None (degrade)."""
     A, B = _ccw(aP), _ccw(bP)
     na, nb = len(A) - 1, len(B) - 1
+    if len({A[i] for i in range(na)}) != na:
+        return None  # repeated vertices: the walk needs unique keys
+    if len({B[j] for j in range(nb)}) != nb:
+        return None
     ea = {(A[i], A[i + 1]): i for i in range(na)}
     matches = [
         (ea[(B[j + 1], B[j])], j)
         for j in range(nb)
         if (B[j + 1], B[j]) in ea
     ]
-    if len(matches) != 1:
+    if not matches:
         return None
-    i, j = matches[0]
-    p, q = A[i], A[i + 1]  # shared edge p -> q in A; q -> p in B
+    shared_a = {i for i, _ in matches}
+    shared_b = {j for _, j in matches}
+    endpoints = set()
+    for i, _ in matches:
+        endpoints.add(A[i])
+        endpoints.add(A[i + 1])
     for ii in range(na):
         for jj in range(nb):
-            if ii == i and jj == j:
+            if ii in shared_a and jj in shared_b:
                 continue
             cls = _seg_class(A[ii], A[ii + 1], B[jj], B[jj + 1])
             if cls == "none":
@@ -577,13 +590,14 @@ def _touch_only_setop(op, aP, bP):
             if (
                 isinstance(cls, tuple)
                 and cls[0] == "point"
-                and (cls[1] == p or cls[1] == q)
+                and cls[1] in endpoints
             ):
                 continue
             return None
-    # vertex containment: every non-shared vertex strictly outside
+    # vertex containment: every non-shared-endpoint vertex strictly
+    # outside the other ring
     for v in A[:-1]:
-        if v == p or v == q:
+        if v in endpoints:
             continue
         try:
             if _point_in_ring(v, B):
@@ -591,7 +605,7 @@ def _touch_only_setop(op, aP, bP):
         except _GHDegenerate:
             return None
     for v in B[:-1]:
-        if v == p or v == q:
+        if v in endpoints:
             continue
         try:
             if _point_in_ring(v, A):
@@ -602,12 +616,92 @@ def _touch_only_setop(op, aP, bP):
         return None  # line contact: documented degenerate -> NULL
     if op == OP_DIFFERENCE:
         return (6, [A])
-    # union: splice B's detour (its vertices excluding p, q) into A
-    jp = (j + 1) % nb  # index of p in B's open ring
-    detour = [B[(jp + k) % nb] for k in range(1, nb - 1)]
-    ring = A[: i + 1] + detour + A[i + 1 : -1]
-    ring = ring + [ring[0]]
-    return (6, [_ccw(ring)])
+    # union: walk the non-shared edges, jumping to the OTHER ring
+    # whenever the next edge is shared — each closed walk is one
+    # boundary ring of the union (the shared edges cancel)
+    visited_a, visited_b = set(), set()
+    rings = []
+    for start in range(na):
+        if start in shared_a or start in visited_a:
+            continue
+        ring = []
+        side, idx = "a", start
+        while True:
+            if side == "a":
+                if idx in visited_a:
+                    break
+                visited_a.add(idx)
+                ring.append(A[idx])
+                nxt = (idx + 1) % na
+                if nxt in shared_a:
+                    # continue along B out of the shared edge's start
+                    v = A[nxt]
+                    jn = next(
+                        (
+                            jj
+                            for jj in range(nb)
+                            if jj not in shared_b and B[jj] == v
+                        ),
+                        None,
+                    )
+                    if jn is None:
+                        return None
+                    side, idx = "b", jn
+                else:
+                    idx = nxt
+            else:
+                if idx in visited_b:
+                    break
+                visited_b.add(idx)
+                ring.append(B[idx])
+                nxt = (idx + 1) % nb
+                if nxt in shared_b:
+                    v = B[nxt]
+                    an = next(
+                        (
+                            ii
+                            for ii in range(na)
+                            if ii not in shared_a and A[ii] == v
+                        ),
+                        None,
+                    )
+                    if an is None:
+                        return None
+                    side, idx = "a", an
+                else:
+                    idx = nxt
+        if len(ring) >= 3:
+            rings.append(ring + ring[:1])
+    # any unvisited non-shared B edge means a ring the walk missed
+    if any(
+        j not in shared_b and j not in visited_b for j in range(nb)
+    ):
+        return None
+    if not rings:
+        return None
+    if len(rings) == 1:
+        return (6, [_ccw(rings[0])])
+    # K >= 2: the max-|area| ring is the outer; every other ring must
+    # sit strictly inside it (the enclosed gaps become holes) and be
+    # pairwise disjoint
+    areas = [abs(_shoelace(R)) / 2.0 for R in rings]
+    oi = max(range(len(rings)), key=lambda k: areas[k])
+    outer = _ccw(rings[oi])
+    holes = []
+    try:
+        for k, R in enumerate(rings):
+            if k == oi:
+                continue
+            Rc = _ccw(R)
+            if _ring_rel(Rc, outer) != "P_in_Q":
+                return None
+            for H in holes:
+                if _ring_rel(Rc, _ccw(H)) != "disjoint":
+                    return None
+            holes.append(Rc[::-1])  # holes CW
+    except _GHDegenerate:
+        return None
+    return (6, [outer] + holes)
 
 
 def _parts_to_members(parts):

@@ -376,11 +376,48 @@ class TestSharedEdgeDegenerates:
     def test_intersection_is_line_null(self):
         assert gb.setop("intersection", (3, [self.L]), (3, [self.T])) is None
 
-    def test_multi_shared_edge_still_degrades(self):
-        """The exact notch fill shares THREE edges — outside the
-        single-edge class, must stay NULL rather than guess."""
+    def test_multi_shared_edge_notch_fill(self):
+        """r14: the exact notch fill shares TWO adjacent edges — the
+        multi-edge-contact class now ANSWERS (r13 pinned it NULL):
+        union completes the square, difference is the subject."""
         n = _sq(2, 2, 4)
-        assert gb.setop("union", (3, [self.L]), (3, [n])) is None
+        r = gb.setop("union", (3, [self.L]), (3, [n]))
+        assert r[0] == 6 and _area_parts(r[1]) == pytest.approx(36.0)
+        d = gb.setop("difference", (3, [self.L]), (3, [n]))
+        assert _area_parts(d[1]) == pytest.approx(20.0)
+        assert gb.setop("intersection", (3, [self.L]), (3, [n])) is None
+
+    def test_multi_shared_edge_gap_becomes_hole(self):
+        """r14: a U closed by a full-width bar across BOTH arm tops
+        (sheared so the bbox fast path can't shortcut) — the enclosed
+        gap becomes a HOLE of the spliced union; three shared edges
+        produce two holes."""
+        def shear(P):
+            return [(x, y + x) for x, y in P]
+
+        U = shear([(0.0, 0.0), (6.0, 0.0), (6.0, 4.0), (4.0, 4.0),
+                   (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0),
+                   (0.0, 0.0)])
+        bar = shear([(0.0, 4.0), (2.0, 4.0), (4.0, 4.0), (6.0, 4.0),
+                     (6.0, 5.0), (0.0, 5.0), (0.0, 4.0)])
+        assert not gb._bbox_apart([U], [bar])
+        for a, b in ((U, bar), (bar, U)):
+            r = gb.setop("union", (3, [a]), (3, [b]))
+            assert r[0] == 6 and len(r[1]) == 2  # outer + ONE hole
+            assert _area_parts(r[1]) == pytest.approx(26.0)
+        assert gb.setop("intersection", (3, [U]), (3, [bar])) is None
+        d = gb.setop("difference", (3, [U]), (3, [bar]))
+        assert _area_parts(d[1]) == pytest.approx(20.0)
+        E = shear([(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (8.0, 4.0),
+                   (8.0, 2.0), (6.0, 2.0), (6.0, 4.0), (4.0, 4.0),
+                   (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0),
+                   (0.0, 0.0)])
+        lid = shear([(0.0, 4.0), (2.0, 4.0), (4.0, 4.0), (6.0, 4.0),
+                     (8.0, 4.0), (10.0, 4.0), (10.0, 5.0), (0.0, 5.0),
+                     (0.0, 4.0)])
+        r = gb.setop("union", (3, [E]), (3, [lid]))
+        assert r[0] == 6 and len(r[1]) == 3  # outer + TWO holes
+        assert _area_parts(r[1]) == pytest.approx(42.0)
 
 
 class TestPolylineBuffer:
