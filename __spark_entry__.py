@@ -3519,11 +3519,13 @@ def _geo_clip_general_report(spark, sf_dir):
     0..1.  For s < 1 the boundaries cross transversally and every
     measure has an exact closed form (ia = 8(1-s) - (1-s)^2, the
     intersection traces a hexagon, the difference is the (3+s)^2
-    square); s = 1 makes A's bottom edge collinear with the L's shelf
-    — the documented degenerate degrade to NULL, which the oracle
-    predicts.  The expression path returns NULL for ALL of these (its
-    clip side must be convex) — this entry exists precisely because
-    the batch path answers them."""
+    square); s = 1 makes A share BOTH its bottom and left edges with
+    the L — the r13 degrade, now the r14 multi-edge-contact class:
+    difference and union keep their continuous closed forms (16, 36)
+    while the intersection is a line set -> NULL.  The expression
+    path returns NULL for ALL of these (its clip side must be convex)
+    — this entry exists precisely because the batch path answers
+    them."""
     import ibis_spark.geo as geo
 
     c = _t(spark, sf_dir, "customer").repartition(
@@ -6181,8 +6183,11 @@ def oracle_sql() -> dict[str, str]:
             -- square (1+s..5+s)^2 against the L-shape: for s < 1 the
             -- intersection is the hexagon around the L's inner corner
             -- (area 8(1-s) - (1-s)^2, 6 distinct vertices + close),
-            -- the difference is the (3+s)^2 square; s = 1 is the
-            -- collinear-shelf degenerate -> NULL by contract
+            -- the difference is the (3+s)^2 square.  s = 1 is the
+            -- TWO-full-shared-edge configuration: r14's multi-edge
+            -- class answers difference (= A, the continuous limit 16)
+            -- and union (36) while the intersection is a line set ->
+            -- NULL (the r13 oracle predicted all-NULL at s = 1)
             WITH s AS (
               SELECT c_custkey,
                      CAST(c_custkey % 5 AS DOUBLE) / 4.0 AS sh
@@ -6191,11 +6196,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sh < 1
                         THEN 8 * (1 - sh) - (1 - sh) * (1 - sh) END AS ia,
                    CASE WHEN sh < 1 THEN CAST(7 AS BIGINT) END AS ip,
-                   CASE WHEN sh < 1
-                        THEN 16 - (8 * (1 - sh) - (1 - sh) * (1 - sh)) END AS da,
-                   CASE WHEN sh < 1 THEN CAST(5 AS BIGINT) END AS dp,
-                   CASE WHEN sh < 1
-                        THEN 36 - (8 * (1 - sh) - (1 - sh) * (1 - sh)) END AS ua
+                   16 - CASE WHEN sh < 1
+                        THEN 8 * (1 - sh) - (1 - sh) * (1 - sh)
+                        ELSE 0 END AS da,
+                   CAST(5 AS BIGINT) AS dp,
+                   36 - CASE WHEN sh < 1
+                        THEN 8 * (1 - sh) - (1 - sh) * (1 - sh)
+                        ELSE 0 END AS ua
             FROM s
         """,
         "geo_line_merge_report": """

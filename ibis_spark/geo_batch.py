@@ -670,8 +670,11 @@ def _touch_only_setop(op, aP, bP):
                     side, idx = "a", an
                 else:
                     idx = nxt
-        if len(ring) >= 3:
-            rings.append(ring + ring[:1])
+        if len(ring) < 3:
+            # a degenerate walk still CONSUMED edges — emitting
+            # nothing would silently drop area; degrade instead
+            return None
+        rings.append(ring + ring[:1])
     # any unvisited non-shared B edge means a ring the walk missed
     if any(
         j not in shared_b and j not in visited_b for j in range(nb)
@@ -1295,7 +1298,9 @@ def buffer_geom(g, r, quad_segs=8):
     erode, holes dilate), collapse -> EMPTY (6, []); POINT/LINE
     classes erode to EMPTY exactly.  r == 0 and every uncertifiable
     geometry stay None (degrade, never guess)."""
-    if g is None or r is None or r == 0.0:
+    if g is None or r is None or r == 0.0 or r != r:
+        # r != r: a NaN radius would otherwise sail through both sign
+        # branches and emit NaN-coordinate rings (pre-r14 hazard)
         return None
     gt, parts = g
     if r < 0.0:
