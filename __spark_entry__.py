@@ -287,14 +287,21 @@ def _q10_returned_items(spark, sf_dir):
 
 
 def _q14_promo_revenue(spark, sf_dir):
+    # r14: PRE-AGGREGATE the one-month lineitem slice by partkey and
+    # broadcast THAT (~0.5M rows x 2 cols) into a single part scan —
+    # the r13 spelling broadcast the full 2M-row part dimension
+    # (p_partkey + p_type) onto lineitem instead.  The smaller build
+    # side flips with scale: at 100 TB neither fits, and the pre-agg
+    # is exactly what makes the partkey SMJ exchange minimal.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(p, [("l_partkey", "p_partkey")], broadcast=True)
-    j = j.filter(j.l_shipdate >= "1997-01-01", j.l_shipdate < "1997-02-01")
-    disc = j.l_extendedprice * (1 - j.l_discount)
-    promo = disc.sum(where=j.p_type.startswith("ECO"))
+    lf = li.filter(li.l_shipdate >= "1997-01-01", li.l_shipdate < "1997-02-01")
+    disc = lf.l_extendedprice * (1 - lf.l_discount)
+    pre = lf.group_by("l_partkey").aggregate(rev=disc.sum())
+    j = p.join(pre, [("p_partkey", "l_partkey")], broadcast=True)
+    promo = j.rev.sum(where=j.p_type.startswith("ECO"))
     return j.aggregate(
-        promo_revenue=(100 * promo / disc.sum()).round(4)
+        promo_revenue=(100 * promo / j.rev.sum()).round(4)
     ).to_spark()
 
 
@@ -893,11 +900,15 @@ def _scalar_subquery(spark, sf_dir):
 
 def _q17_small_quantity(spark, sf_dir):
     """TPC-H Q17 style: correlated scalar subquery decorrelated into a
-    grouped aggregate + broadcast join — the plan that scales."""
+    PARTITIONED WINDOW mean (r14 — the r13 spelling re-aggregated the
+    fact table and broadcast the 2M-row per-part aggregate back onto a
+    second full scan: two 60M-row scans + a 2M-entry hash build,
+    5.1 s at sf10; the window plan is one scan + one partkey exchange,
+    2M+ partitions wide, no driver-side build — the plan that scales)."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.group_by("l_partkey").aggregate(avg_q=li.l_quantity.mean())
-    j = li.join(agg, [("l_partkey", "l_partkey")], broadcast=True)
-    out = j.filter(j.l_quantity < 0.2 * j.avg_q)
+    w = ib.window(group_by=li.l_partkey)
+    out = li.mutate(avg_q=li.l_quantity.mean().over(w))
+    out = out.filter(out.l_quantity < 0.2 * out.avg_q)
     return out.aggregate(total=out.l_extendedprice.sum().round(2)).to_spark()
 
 
