@@ -4878,16 +4878,19 @@ def _ds_sales_growth_pairs(spark, sf_dir):
 
 
 _SAMPLE_WINDOW = [
-    # r14 rotation. Slots: (1) the 1 NEW entry (erosion/holed/MULTI*
-    # buffers), (2) 6 entries whose machinery or emission changed this
-    # round (geo_buffer_polygon_report: never driver-sampled before
-    # AND its null_holed pin became a closed-form area; the two other
-    # batch-buffer entries + clip_batch after the flat-column staging,
-    # the ring self-crossing guard, and the truncated-EWKB guard;
-    # q5/q10 after the join-order/pre-aggregate rewrites), (3) ALL 46
-    # r9-stale oracled queries (the complete backlog — post-r14
-    # evidence floor moves to r10; if the driver samples only 50, the
-    # alphabetical tail rolls to r15). 1+6+46 = 53.
+    # r14 rotation. Slots: (1) the 3 NEW entries (erosion/holed/MULTI*
+    # buffers; EPSG:27700; EPSG:2154), (2) 10 entries whose machinery
+    # or emission changed this round (geo_buffer_polygon_report:
+    # never driver-sampled before AND its null_holed pin became a
+    # closed-form area; the batch-buffer/clip entries after the
+    # flat-column staging, ring self-crossing and truncated-EWKB
+    # guards, the crossing-holes and multi-edge kernel classes and
+    # their new fixture groups incl. clip_general's s=1 answering;
+    # q5/q10/q17/q14 after the join-order/pre-aggregate/window
+    # rewrites), (3) ALL 46 r9-stale oracled queries (the complete
+    # backlog — post-r14 evidence floor moves to r10; if the driver
+    # samples only 50, the alphabetical tail rolls to r15).
+    # 3+10+46 = 59.
     # -- (1) new r14 entries --
     "geo_buffer_erosion_report",
     "geo_convert_osgb_report",
@@ -4897,8 +4900,12 @@ _SAMPLE_WINDOW = [
     "geo_buffer_polyline_report",
     "geo_buffer_report",
     "geo_clip_batch_report",
+    "geo_clip_holed_report",
+    "geo_clip_general_report",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q17_small_quantity",
+    "q14_promo_revenue",
     # -- (3) the 46 r9-stale oracled queries (full backlog) --
     "corpus_divergence",
     "ds_channel_except",
